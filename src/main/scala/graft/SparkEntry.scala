@@ -1,13 +1,193 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7.
+  *
+  * Every implemented operator appears in `queries`; SQL-expressible ones
+  * also appear in `oracleSql` with IDENTICAL column aliases (the driver
+  * sorts columns by name and hashes values). Numeric policy and
+  * determinism rules: see operators/Relational.scala scaladoc.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> (Relational.q01PricingAgg _),
+    "q02_join_multiway" -> (Relational.q02JoinMultiway _),
+    "q03_filter_project" -> (Relational.q03FilterProject _),
+    "q04_pivot_wide" -> (Relational.q04PivotWide _),
+    "q05_dedup_latest" -> (Relational.q05DedupLatest _),
+    "q06_window_running" -> (Relational.q06WindowRunning _),
+    "q07_topk_per_group" -> (Relational.q07TopkPerGroup _),
+    "q08_rollup" -> (Relational.q08Rollup _),
+    "q09_anti_semi_join" -> (Relational.q09AntiSemiJoin _),
+    "q10_json_typed_extract" -> (Relational.q10JsonTypedExtract _),
+    "q11_schema_merge_union" -> (Relational.q11SchemaMergeUnion _),
+    "q12_time_window_agg" -> (Relational.q12TimeWindowAgg _),
+    "q13_sessionize" -> (Relational.q13Sessionize _),
+    "q14_fuzzy_numeric_dedup" -> (Relational.q14FuzzyNumericDedup _),
+    "q15_calculation_validate" -> (Relational.q15CalculationValidate _),
+  )
+
+  /** DuckDB-runnable oracle SQL per queries key (identical aliases). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q04_pivot_wide" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q05_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q06_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q07_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q08_rollup" ->
+      """SELECT COALESCE(r_name, 'all') AS region_name,
+        |  COALESCE(n_name, 'all') AS nation_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+        |  COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q09_anti_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_json_typed_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  event_type = 'error' AS is_error,
+        |  strftime(ts, '%Y-%m-%d') AS day
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q11_schema_merge_union" ->
+      """SELECT p_partkey, p_name, p_brand, CAST(NULL AS DOUBLE) AS p_retailprice, 'v1' AS src
+        |FROM part WHERE p_size < 25
+        |UNION ALL
+        |SELECT p_partkey, p_name, CAST(NULL AS VARCHAR) AS p_brand, p_retailprice, 'v2' AS src
+        |FROM part WHERE p_size >= 25
+        |ORDER BY p_partkey, src""".stripMargin,
+
+    "q12_time_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q13_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END AS new_sess,
+        |    SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gapped
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+        |FROM flagged
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q14_fuzzy_numeric_dedup" ->
+      """SELECT user_id, event_type, value, event_id FROM (
+        |  SELECT user_id, event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY (CASE WHEN value = ROUND(value, 0) THEN 0
+        |                     WHEN value = ROUND(value, 1) THEN 1
+        |                     WHEN value = ROUND(value, 2) THEN 2
+        |                     WHEN value = ROUND(value, 3) THEN 3
+        |                     ELSE 4 END) DESC, value DESC, event_id ASC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q15_calculation_validate" ->
+      """SELECT o_orderkey, o_totalprice AS reported_total, computed_total,
+        |  ABS(o_totalprice - computed_total) < 0.01 AS consistent
+        |FROM orders
+        |JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS computed_total
+        |  FROM lineitem GROUP BY l_orderkey
+        |) ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+  )
 }

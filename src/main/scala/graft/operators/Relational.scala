@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator set (SURVEY.md §2.1).
+  *
+  * Each query re-expresses one piece of the reference ETL's semantics
+  * (ferc-xbrl-extractor) over the synthetic star schema, Spark-first:
+  * declarative DataFrame plans so Catalyst handles pushdown / pruning /
+  * join selection.
+  *
+  * Numeric policy (oracle exactness): float aggregations are order-
+  * dependent, so every SUM over a double column casts to an exact
+  * DECIMAL first and casts the aggregate back to DOUBLE at the end.
+  * The same expression appears in the DuckDB oracle (SparkEntry.oracleSql),
+  * making results bit-identical. Timestamps are emitted as formatted
+  * strings (parquet ns vs Spark µs precision would otherwise differ).
+  * Every query ends in a total ORDER BY for deterministic row order.
+  */
+object Relational {
+
+  private val D = "decimal(12,2)"
+
+  /** events.ts is a nanosecond epoch long (see Tables.events); µs timestamp
+    * for formatting/bucketing. Integer div truncates exactly like a native
+    * µs parquet read would.
+    */
+  private val tsUs = "timestamp_micros(ts div 1000)"
+
+  /** Q1-style pricing summary: multi-aggregate groupBy.
+    * Reference analog: per-table numeric summarization of fact tables.
+    */
+  def q01PricingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr(s"CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE)").as("sum_qty"),
+        expr(s"CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE)").as("sum_base_price"),
+        expr(s"CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS $D) - CAST(l_discount AS $D))) AS DOUBLE)")
+          .as("sum_disc_price"),
+        expr(s"CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS $D) - CAST(l_discount AS $D)) * (CAST(1 AS $D) + CAST(l_tax AS $D))) AS DOUBLE)")
+          .as("sum_charge"),
+        expr(s"CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        expr(s"CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) / COUNT(*)").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star join with broadcast dims: revenue per region/nation.
+    * Reference analog: facts ⋈ contexts ⋈ taxonomy-dim joins. nation and
+    * region are O(10^1) rows at any scale factor → always broadcast;
+    * customer⋈orders is the big shuffle join and co-partitions on the key.
+    */
+  def q02JoinMultiway(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        expr(s"CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+
+  /** Filter + projection: both must reach the parquet scan
+    * (PushedFilters + pruned ReadSchema — verified in RelationalSpec).
+    * Reference analog: requested_tables / instance_pattern filtering.
+    */
+  def q03FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** THE core XBRL op: long (id, name, value) → wide, one column per name.
+    * Reference: FactTable.construct_dataframe's `unstack("name")`
+    * (datapackage.py:497). Pivot with an explicit value list = single
+    * shuffle, no discovery job — at 100 TB the column set always comes
+    * from the schema (taxonomy), never from the data.
+    */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def q04PivotWide(s: SparkSession, dir: String): DataFrame = {
+    val aggs = eventTypes.map(t =>
+      expr(s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS $D) END) AS DOUBLE)").as(t))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+
+  /** Latest-wins dedup: keep the newest row per key.
+    * Reference analog: latest-filing-wins on publication_time (how PUDL
+    * consumes the extractor's output). Window over the natural hash
+    * partitioning — one shuffle, no join.
+    */
+  def q05DedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_format(expr(tsUs), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy("user_id")
+  }
+
+  /** Running (cumulative) aggregate per entity over time. */
+  def q06WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(D)).over(w).cast("double"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-k per group (rank). */
+  def q07TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Hierarchical totals via ROLLUP. Reference analog: facts missing an
+    * axis are totals across that axis (instance.py:180 fills "total").
+    * COALESCE to "all" so null-ordering differences can't bite.
+    */
+  def q08Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        expr(s"CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE)").as("total_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("all")).as("region_name"),
+        coalesce(col("n_name"), lit("all")).as("nation_name"),
+        col("total_acctbal"), col("n_customers"))
+      .orderBy("region_name", "nation_name")
+
+  /** Anti join: entities with no matching facts.
+    * Reference analog: unused-fact coverage stats (xbrl.py:168).
+    */
+  def q09AntiSemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Typed extraction: JSON value → int, string predicates, date bucket.
+    * Reference analog: CONVERT_DTYPES string→typed casts (datapackage.py:127).
+    */
+  def q10JsonTypedExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        (col("event_type") === "error").as("is_error"),
+        date_format(expr(tsUs), "yyyy-MM-dd").as("day"))
+      .orderBy("event_id")
+
+  /** Schema-evolution merge: union-by-name with missing columns null-filled.
+    * Reference: Resource.merge_resources / Datapackage.from_taxonomies —
+    * two taxonomy versions of the same table unified into one schema.
+    */
+  def q11SchemaMergeUnion(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val v1 = part.filter(col("p_size") < 25)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), lit("v1").as("src"))
+    val v2 = part.filter(col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), lit("v2").as("src"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"), col("src"))
+      .orderBy("p_partkey", "src")
+  }
+
+  /** Tumbling-window aggregation on event time (batch twin of the
+    * Structured Streaming op in streaming/StreamingOps.scala).
+    */
+  def q12TimeWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", expr(tsUs)), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr(s"CAST(SUM(CAST(value AS $D)) AS DOUBLE)").as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity) per user.
+    * Reference analog: constructing duration periods from point events.
+    * Two windows over the same (user_id) partitioning → one shuffle.
+    */
+  def q13Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap_ns").isNull || col("gap_ns") > 1800L * 1000000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr(s"CAST(SUM(CAST(value AS $D)) AS DOUBLE)").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Fuzzy numeric dedup: among duplicate keys, keep the most precise
+    * value (fewest-decimals check, then deterministic tiebreak).
+    * Reference: fuzzy_dedup (datapackage.py:524-560) resolves duplicated
+    * fact ids by picking the highest-precision number. Expressed as a
+    * single window aggregation — no self-join, one shuffle.
+    */
+  def q14FuzzyNumericDedup(s: SparkSession, dir: String): DataFrame = {
+    val prec = expr(
+      """CASE WHEN value = ROUND(value, 0) THEN 0
+        |     WHEN value = ROUND(value, 1) THEN 1
+        |     WHEN value = ROUND(value, 2) THEN 2
+        |     WHEN value = ROUND(value, 3) THEN 3
+        |     ELSE 4 END""".stripMargin)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("prec").desc, col("value").desc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("prec", prec)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Calculation validation: reported total vs weighted child sum.
+    * Reference: calculation linkbase relationships (arelle_interface.py:85)
+    * — total fact should equal sum(children × weight); used to flag
+    * inconsistent filings.
+    */
+  def q15CalculationValidate(s: SparkSession, dir: String): DataFrame = {
+    val computed = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(expr(s"CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS $D) - CAST(l_discount AS $D))) AS DOUBLE)")
+        .as("computed_total"))
+    Tables.orders(s, dir)
+      .join(computed, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderkey"), col("o_totalprice").as("reported_total"), col("computed_total"),
+        (abs(col("o_totalprice") - col("computed_total")) < 0.01).as("consistent"))
+      .orderBy("o_orderkey")
+  }
+}
