@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operator family (SURVEY.md §2.3) over `documents` /
+  * `embeddings`.
+  *
+  * Scale notes (100 TB): every near-dup variant here generates candidate
+  * pairs through an equi-join on a blocking key (shingle, LSH band bucket,
+  * label block) — never a cross join. Blocking keys are computed with
+  * codegen'd built-ins (xxhash64, higher-order array functions); pair
+  * verification only runs on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash. One shuffle (groupBy md5).
+    * At 100 TB: hash-partition on the digest; map-side partial agg makes
+    * the shuffle carry one row per distinct digest per partition.
+    */
+  def d01ExactHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("rep_doc_id")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle) exploded,
+    * plus per-doc shingle count. Shared by d02/d03.
+    */
+  private[operators] def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))")))
+    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    (exploded, sizes)
+  }
+
+  /** N-gram Jaccard similarity: top-100 most similar doc pairs.
+    * Candidates come from an equi-join on shingle (blocking), common-count
+    * via one aggregation, |A∪B| = |A|+|B|-common. Output ordered by
+    * similarity — synthetic corpus has no dups above any useful threshold,
+    * so a top-N (deterministic tie-break on ids) keeps the oracle
+    * non-trivial.
+    */
+  def d02NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val (exploded, sizes) = shingled(s, dir)
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
+      .limit(100)
+  }
+
+  /** Deterministic MinHash coefficients (seeded splitmix64-style mix, all
+    * < P31 so (a*x + b) stays well inside a long — no ANSI overflow).
+    */
+  private val P31 = 2147483647L // 2^31 - 1
+  private val NumHashes = 64
+  private val minhashCoeffs: Seq[(Long, Long)] = {
+    var z = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x = x ^ (x >>> 31)
+      x
+    }
+    Seq.fill(NumHashes)((Math.floorMod(next(), P31 - 1) + 1, Math.floorMod(next(), P31)))
+  }
+
+  /** MinHash signature per doc: one aggregation producing all 64 mins
+    * (64 codegen'd agg columns — single shuffle, no 64x explode).
+    */
+  private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val (exploded, _) = shingled(s, dir)
+    val hashed = exploded.withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
+    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands // 4
+
+  /** MinHash + LSH banding near-dup candidates, verified with true Jaccard.
+    * 16 bands x 4 rows; candidate pairs = docs sharing any band bucket
+    * (equi-join on (band, bucket_hash)); verification joins true shingle
+    * Jaccard for candidates only. Output: verified pairs with jaccard,
+    * most-similar first. rows-only oracle (hash seeds are engine-local);
+    * DedupSpec checks candidate recall vs d02 exact top pairs.
+    */
+  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val bandCols = (0 until NumBands).map { bnd =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
+      struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    // verify candidates with true Jaccard (shingle join restricted to candidates)
+    val (exploded, sizes) = shingled(s, dir)
+    val common = exploded.as("x").join(exploded.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
+      .limit(100)
+  }
+
+  /** 64-bit SimHash per doc + banded Hamming near-dup pairs.
+    * Bit j of the signature = sign of sum over tokens of ±1 by bit j of
+    * xxhash64(token). Computed as 64 conditional-sum agg columns (one
+    * shuffle), assembled into a long; near-dup candidates block on four
+    * 16-bit chunks (pigeonhole: hamming<=3 pairs must share a chunk).
+    * rows-only oracle; DedupSpec asserts determinism + self-similarity.
+    */
+  def d04Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("cb"))
+      .select(col("doc_id"), col("simhash"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 16)
+      .orderBy(col("hamming").asc, col("d1").asc, col("d2").asc)
+  }
+
+  /** Embedding-cosine near-dup: top-50 most similar vector pairs within
+    * label blocks. Double-precision sequential fold on both engines
+    * (Spark `aggregate`, DuckDB `list_reduce`) → bit-identical cosines.
+    * Label blocking keeps candidates linear-ish; the unblocked scale path
+    * is s02's hyperplane LSH.
+    */
+  def d05EmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"), col("embedding"),
+      expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+    e.as("a").join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(
+          expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+      .limit(50)
+  }
+}
