@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -33,6 +33,13 @@ object SparkEntry {
     "q13_sessionize" -> (Relational.q13Sessionize _),
     "q14_fuzzy_numeric_dedup" -> (Relational.q14FuzzyNumericDedup _),
     "q15_calculation_validate" -> (Relational.q15CalculationValidate _),
+    "d01_dedup_exact" -> (Dedup.d01ExactHash _),
+    "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
+    "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
+    "d04_dedup_simhash" -> (Dedup.d04Simhash _),
+    "d05_dedup_embedding" -> (Dedup.d05EmbeddingCosine _),
+    "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
+    "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
   )
 
   /** DuckDB-runnable oracle SQL per queries key (identical aliases). */
@@ -121,7 +128,10 @@ object SparkEntry {
     "q09_anti_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderdate < TIMESTAMP '1998-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q10_json_typed_extract" ->
@@ -155,9 +165,9 @@ object SparkEntry {
         |  FROM events
         |), flagged AS (
         |  SELECT *, CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END AS new_sess,
-        |    SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) OVER (
+        |    CAST(SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) OVER (
         |      PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM gapped
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -189,5 +199,45 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_orderkey
         |) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // d03/d04/s01/s02 are intentionally absent (rows-only): their hash
+    // seeds / hyperplanes are engine-local, so no portable SQL oracle
+    // exists; ScalaTest (DedupSpec/SimilaritySpec) checks recall instead.
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
+
+    "d02_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks
+        |), capped AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+        |FROM common JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin,
+
+    "d05_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, v1, v2 LIMIT 50""".stripMargin,
   )
 }

@@ -27,12 +27,11 @@ object Tables {
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects. Read nanos as a plain long (exact — better
     * than µs truncation for ordering and gap math) and convert to a µs
-    * timestamp only where a formatted value is needed.
+    * timestamp only where a formatted value is needed. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build
+    * (see GraftSession.builder) — never mutated mid-plan.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-  }
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -25,8 +25,19 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("rep_doc_id")
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle) exploded,
-    * plus per-doc shingle count. Shared by d02/d03.
+  /** Max document frequency for a shingle to participate in near-dup
+    * blocking. A stop-phrase shingle shared by millions of docs would make
+    * its block's self-join quadratic (the classic skew killer at 100 TB);
+    * such shingles also carry no dedup signal. The cap defines the shingle
+    * universe for d02/d03, so sizes and common counts stay coherent
+    * (capped-universe Jaccard), and the oracle replicates it.
+    */
+  private[operators] val MaxShingleDF = 200L
+
+  /** Distinct word-3-gram shingles per doc with the document-frequency cap
+    * applied, plus per-doc shingle count over the capped universe. Shared
+    * by d02/d03. Two shuffles (shingle-df agg + per-doc size agg), both
+    * map-side combinable.
     */
   private[operators] def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
@@ -34,8 +45,12 @@ object Dedup {
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))")))
-    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val raw = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDF)
+      .select("shingle")
+    val exploded = raw.join(rare, Seq("shingle"), "left_semi")
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     (exploded, sizes)
   }
 
@@ -117,12 +132,15 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    // verify candidates with true Jaccard (shingle join restricted to candidates)
+    // Verify candidates with true (capped-universe) Jaccard. The pair set
+    // drives the join — expand each candidate pair by d1's shingles, then
+    // keep only shingles d2 also has. Never generates a non-candidate
+    // pair, so verification cost is |candidates| x shingles-per-doc, not
+    // the all-pairs shingle self-join LSH exists to avoid.
     val (exploded, sizes) = shingled(s, dir)
-    val common = exploded.as("x").join(exploded.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .join(cand, Seq("d1", "d2"), "left_semi")
+    val common = cand
+      .join(exploded.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(exploded.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
@@ -160,7 +178,9 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 16)
+      // 4 chunks of 16 bits guarantee recall only for hamming <= 3
+      // (pigeonhole); pairs beyond that are luck, so don't emit them.
+      .filter(col("hamming") <= 3)
       .orderBy(col("hamming").asc, col("d1").asc, col("d2").asc)
   }
 

@@ -154,14 +154,22 @@ object Relational {
         col("total_acctbal"), col("n_customers"))
       .orderBy("region_name", "nation_name")
 
-  /** Anti join: entities with no matching facts.
-    * Reference analog: unused-fact coverage stats (xbrl.py:168).
+  /** Anti + semi join: customers active before the cutoff (semi) with no
+    * orders after it (anti). Reference analog: unused-fact coverage stats
+    * (xbrl.py:168) — facts matching no table schema. Both join inputs are
+    * non-empty at every sf, so neither leg is vacuous.
     */
-  def q09AntiSemiJoin(s: SparkSession, dir: String): DataFrame =
+  def q09AntiSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val orders = Tables.orders(s, dir)
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.filter(col("o_orderdate") >= cutoff),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
+  }
 
   /** Typed extraction: JSON value → int, string predicates, date bucket.
     * Reference analog: CONVERT_DTYPES string→typed casts (datapackage.py:127).
