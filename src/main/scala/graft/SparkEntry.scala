@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -40,6 +40,11 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.d05EmbeddingCosine _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "t01_lang_id" -> (Text.t01LangId _),
+    "t02_quality_score" -> (Text.t02QualityScore _),
+    "t03_token_count" -> (Text.t03TokenCount _),
+    "t04_fingerprint" -> (Text.t04Fingerprint _),
+    "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
   )
 
   /** DuckDB-runnable oracle SQL per queries key (identical aliases). */
@@ -239,5 +244,54 @@ object SparkEntry {
         |  round(list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]), (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, v1, v2 LIMIT 50""".stripMargin,
+
+    // t04 (xxhash64 fingerprint) and m01 (JVM-side stub decoder) are
+    // rows-only: their values are engine-local by construction.
+    "t01_lang_id" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), h AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS en_h,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une'))) AS fr_h,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','en'))) AS es_h,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ein','zu','mit'))) AS de_h
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN en_h = 0 AND fr_h = 0 AND es_h = 0 AND de_h = 0 THEN 'unknown'
+        |       WHEN en_h >= fr_h AND en_h >= es_h AND en_h >= de_h THEN 'en'
+        |       WHEN fr_h >= es_h AND fr_h >= de_h THEN 'fr'
+        |       WHEN es_h >= de_h THEN 'es'
+        |       ELSE 'de' END AS lang_pred,
+        |  round(CAST(en_h AS DOUBLE) / len(toks), 6) AS en_ratio,
+        |  round(CAST(fr_h AS DOUBLE) / len(toks), 6) AS fr_ratio
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(replace(text, ' ', '')) AS n_alpha_chars,
+        |    len(list_distinct(toks)) AS n_uniq,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(n_alpha_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+        |  round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+        |    + least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3, 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+        |  CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

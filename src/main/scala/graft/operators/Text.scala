@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operator family over `documents` (SURVEY.md §2.4):
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All four are per-row projections built from codegen'd built-ins
+  * (split / higher-order array functions / regexp) — no UDFs, no
+  * shuffle except the final deterministic ORDER BY the oracle needs.
+  * At 100 TB each is a single map-only stage over the scan.
+  *
+  * Numeric policy: ratio comparisons (argmax) are done on integer hit
+  * counts — every ratio shares the per-doc denominator, so comparing
+  * numerators is exact. Doubles only appear in rounded output columns.
+  */
+object Text {
+
+  /** Real-language stopword sets for the ratio heuristic. The synthetic
+    * corpus is English-ish tech text, so most docs classify `en` — the
+    * operator's contract is the deterministic function, not the corpus's
+    * (randomly assigned) `lang` label.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "mit"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** t01: stopword-ratio language ID. Hit counts per language set via
+    * `filter` on the token array; argmax with fixed precedence
+    * en > fr > es > de; all-zero → 'unknown'.
+    */
+  def t01LangId(s: SparkSession, dir: String): DataFrame = {
+    val withHits = stopwords.foldLeft(
+      Tables.documents(s, dir).withColumn("toks", split(col("text"), " "))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"${lang}_h",
+          expr(s"size(filter(toks, x -> x IN ${inList(words)}))").cast("long"))
+    }
+    withHits
+      .withColumn("lang_pred",
+        when(col("en_h") === 0 && col("fr_h") === 0 && col("es_h") === 0 && col("de_h") === 0, "unknown")
+          .when(col("en_h") >= col("fr_h") && col("en_h") >= col("es_h") && col("en_h") >= col("de_h"), "en")
+          .when(col("fr_h") >= col("es_h") && col("fr_h") >= col("de_h"), "fr")
+          .when(col("es_h") >= col("de_h"), "es")
+          .otherwise("de"))
+      .select(
+        col("doc_id"), col("lang_pred"),
+        round(col("en_h").cast("double") / size(col("toks")), 6).as("en_ratio"),
+        round(col("fr_h").cast("double") / size(col("toks")), 6).as("fr_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** t02: document quality features + composite score.
+    * length saturation, vocabulary diversity, stopword presence — the
+    * standard cheap pre-training quality gates.
+    */
+  def t02QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val enList = inList(stopwords.head._2)
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_alpha_chars", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("stop_hits", expr(s"size(filter(toks, x -> x IN $enList))").cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_alpha_chars").cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_ratio"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+            + (col("n_uniq").cast("double") / col("n_tokens")) * 0.3
+            + least(col("stop_hits").cast("double") / col("n_tokens") * 5.0, lit(1.0)) * 0.3,
+          6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t03: token counting three ways — whitespace split, alpha-run regex
+    * (BPE-ish subword proxy), and the chars/4 BPE estimate every LLM
+    * pipeline uses for budget math.
+    */
+  def t03TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_tokens"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("long").as("bpe_est"))
+      .orderBy("doc_id")
+
+  /** t04: rolling polynomial fingerprint over tokens:
+    * fold(acc * 31 + (xxhash64(token) mod 2^31), start 0) mod 2^56.
+    * Bounds keep every intermediate < 2^62 — no long overflow even under
+    * ANSI mode. Order-sensitive (unlike a bag-of-words hash) so token
+    * swaps change the fingerprint. rows-only oracle (xxhash64 is
+    * engine-local); TextSpec asserts determinism and order sensitivity.
+    */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(toks, t -> pmod(xxhash64(t), CAST(2147483648 AS BIGINT))),
+            |  CAST(0 AS BIGINT),
+            |  (acc, h) -> pmod(acc * 31 + h, CAST(72057594037927936 AS BIGINT)))""".stripMargin)
+          .as("fingerprint"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+}
