@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.plans.{FactTableBuilder, FactTableSchema}
+import graft.sinks.XbrlSinks
+import graft.sources.{FilingSource, TaxonomyParser}
+import graft.xbrl.TableSchema
+
+/** Top-level extraction pipeline — the engine's analog of the
+  * reference's `xbrl.extract` (xbrl.py:28-81): filings + taxonomy
+  * archive in, lazily-planned output tables + coverage stats out, with
+  * optional table filtering and instance-name pattern matching.
+  *
+  * Nothing materializes until a sink runs each table's plan; at cluster
+  * scale the per-table builds are independent Spark jobs over the same
+  * persisted parse, so they schedule concurrently and share the scan.
+  */
+object XbrlExtract {
+
+  case class ExtractOutput(
+      taxonomies: Seq[graft.xbrl.Taxonomy],
+      schemas: Seq[TableSchema],
+      tables: Map[String, DataFrame],
+      stats: DataFrame)
+
+  def extract(
+      spark: SparkSession,
+      filingZips: Seq[String],
+      taxonomyZip: String,
+      formNumber: Int = 1,
+      requestedTables: Option[Set[String]] = None,
+      instancePattern: Option[String] = None): ExtractOutput = {
+
+    val taxonomies = TaxonomyParser.parseArchive(taxonomyZip)
+    val allSchemas = FactTableSchema.fromTaxonomies(taxonomies)
+    val schemas = requestedTables match {
+      case Some(want) => allSchemas.filter(s => want.contains(s.name))
+      case None       => allSchemas
+    }
+
+    val parsed = filingZips.map(FilingSource.fromZip(spark, _))
+    def pattern(df: DataFrame): DataFrame =
+      instancePattern.fold(df)(p => df.filter(col("filing_name").rlike(p)))
+    val facts = pattern(parsed.map(_.facts.toDF()).reduce(_ union _))
+      .as[graft.xbrl.RawFact](org.apache.spark.sql.Encoders.product[graft.xbrl.RawFact])
+    val contexts = pattern(parsed.map(_.contexts.toDF()).reduce(_ union _))
+      .as[graft.xbrl.XbrlContext](org.apache.spark.sql.Encoders.product[graft.xbrl.XbrlContext])
+    val meta = pattern(parsed.map(_.meta).reduce(_ unionByName _))
+
+    val tables = schemas.map(s =>
+      s.name -> FactTableBuilder.build(s, facts, contexts, meta)).toMap
+    val stats = FactTableBuilder.stats(spark, schemas, facts, contexts, meta)
+    ExtractOutput(taxonomies, schemas, tables, stats)
+  }
+
+  /** Extract + write everything the reference CLI writes (cli.py:101-130):
+    * parquet tables, datapackage.json, taxonomy metadata JSON.
+    */
+  def extractToParquet(
+      spark: SparkSession,
+      filingZips: Seq[String],
+      taxonomyZip: String,
+      outDir: String,
+      formNumber: Int = 1): ExtractOutput = {
+    val out = extract(spark, filingZips, taxonomyZip, formNumber)
+    XbrlSinks.writeParquet(out.tables, s"$outDir/tables")
+    XbrlSinks.writeString(s"$outDir/datapackage.json",
+      XbrlSinks.datapackageJson(out.schemas, s"$outDir/tables", formNumber))
+    XbrlSinks.writeString(s"$outDir/taxonomy_metadata.json",
+      XbrlSinks.metadataJson(out.taxonomies))
+    out
+  }
+}

@@ -107,7 +107,9 @@ object FactTableSchema {
           name = s"${cleaned}_$periodType",
           periodType = periodType,
           fields = pkFields ++ columns,
-          primaryKey = pkFields.map(_.name)))
+          primaryKey = pkFields.map(_.name),
+          title = s"${role.definition} - $periodType",
+          description = role.concepts.documentation))
       }
     }
 

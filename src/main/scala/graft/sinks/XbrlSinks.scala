@@ -1,0 +1,130 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+
+import graft.xbrl.{Concept, TableSchema, Taxonomy}
+
+/** Output sinks + descriptors (SURVEY.md §2.2 `xbrl_write`; reference
+  * cli.py:101-130, xbrl.py:257-281).
+  *
+  * Tables write through Spark's native writers — parquet is the lake
+  * format (partitionable, predicate-pushable at 100 TB), CSV for
+  * interchange, JDBC for the reference's SQLite/DuckDB use case (tested
+  * on embedded Derby; any JDBC driver on the classpath works the same
+  * way). The datapackage descriptor and taxonomy metadata JSON mirror
+  * the reference's Frictionless output field-for-field.
+  */
+object XbrlSinks {
+
+  def writeParquet(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+
+  def writeCsv(tables: Map[String, DataFrame], outDir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").option("header", "true").csv(s"$outDir/$name")
+    }
+
+  /** JDBC load — the analog of the reference's SQLite `to_sql` replace
+    * (cli.py:110-118).
+    */
+  def writeJdbc(tables: Map[String, DataFrame], url: String, props: Properties = new Properties()): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").jdbc(url, name, props)
+    }
+
+  /** Frictionless datapackage descriptor (datapackage.py:19-115,
+    * 292-341, 462-471), serialized with the reference's aliases.
+    */
+  def datapackageJson(schemas: Seq[TableSchema], dbUri: String, formNumber: Int = 1): String = {
+    def field(f: graft.xbrl.TableField) = ordered(
+      "name" -> f.name, "title" -> f.title, "type" -> f.schemaType,
+      "format" -> "default", "description" -> f.description)
+    val resources = schemas.map { t =>
+      ordered(
+        "path" -> dbUri,
+        "profile" -> "tabular-data-resource",
+        "name" -> t.name,
+        "dialect" -> ordered("table" -> t.name),
+        "title" -> t.title,
+        "description" -> t.description,
+        "format" -> "sqlite",
+        "mediatype" -> "application/vnd.sqlite3",
+        "schema" -> ordered(
+          "fields" -> t.fields.map(field).asJava,
+          "primary_key" -> t.primaryKey.asJava))
+    }
+    val pkg = ordered(
+      "profile" -> "tabular-data-package",
+      "name" -> s"ferc$formNumber-extracted-xbrl",
+      "title" -> "Ferc1 data extracted from XBRL filings",
+      "resources" -> resources.asJava)
+    new ObjectMapper().writerWithDefaultPrettyPrinter().writeValueAsString(pkg)
+  }
+
+  /** Taxonomy metadata JSON: per table (clean name + period suffix), the
+    * leaf concepts' references / calculations / balance
+    * (taxonomy.py:125-150, 265-297; arelle_interface.py:92-166,
+    * including the single-reference single-part flattening).
+    */
+  def metadataJson(taxonomies: Seq[Taxonomy]): String = {
+    val out = new java.util.LinkedHashMap[String, Object]()
+    for (periodType <- Seq("duration", "instant"); tx <- taxonomies.sortBy(_.version); role <- tx.roles) {
+      graft.plans.FactTableSchema.cleanTableName(role.definition).foreach { cleaned =>
+        val collected = new java.util.LinkedHashMap[String, Object]()
+        collectMetadata(role.concepts, periodType, collected)
+        out.put(s"${cleaned}_$periodType", new java.util.ArrayList[Object](collected.values()))
+      }
+    }
+    new ObjectMapper().writerWithDefaultPrettyPrinter().writeValueAsString(out)
+  }
+
+  private def collectMetadata(
+      c: Concept,
+      periodType: String,
+      out: java.util.LinkedHashMap[String, Object]): Unit =
+    if (c.children.nonEmpty) c.children.foreach(collectMetadata(_, periodType, out))
+    else if (c.periodType == periodType) {
+      val refs = new java.util.LinkedHashMap[String, Object]()
+      c.references.toSeq.sortBy(_._1).foreach { case (refName, partsList) =>
+        // flatten single-reference single-part entries named like the
+        // reference role (arelle_interface.py:139-144)
+        val flat: Object = partsList match {
+          case Seq(single) if single.size == 1 && single.contains(refName) => single(refName)
+          case _ => partsList.map(m => sortedMap(m)).asJava
+        }
+        refs.put(refName, flat)
+      }
+      val meta = ordered(
+        "name" -> graft.xbrl.Names.snakecase(c.name),
+        "references" -> refs,
+        "calculations" -> c.calculations.map(cal =>
+          ordered("name" -> cal.name, "weight" -> java.lang.Double.valueOf(cal.weight))).asJava,
+        "balance" -> c.balance.orNull)
+      out.put(c.name, meta)
+    }
+
+  def writeString(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private def ordered(kvs: (String, Object)*): java.util.LinkedHashMap[String, Object] = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    kvs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  private def sortedMap(m: Map[String, String]): java.util.LinkedHashMap[String, Object] = {
+    val out = new java.util.LinkedHashMap[String, Object]()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => out.put(k, v) }
+    out
+  }
+}

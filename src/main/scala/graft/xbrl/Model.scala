@@ -112,7 +112,9 @@ case class TableSchema(
     name: String,
     periodType: String, // "instant" | "duration"
     fields: Seq[TableField],
-    primaryKey: Seq[String]) {
+    primaryKey: Seq[String],
+    title: String = "",       // "{role definition} - {period}" (datapackage.py:336)
+    description: String = "") { // root concept documentation
 
   def axes: Seq[String] = primaryKey.filter(_.endsWith("axis"))
 

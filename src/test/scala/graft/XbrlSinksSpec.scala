@@ -1,0 +1,82 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.sinks.XbrlSinks
+import org.apache.spark.sql.functions._
+
+/** End-to-end extract + sinks: requested-table extraction on real ferc1
+  * data, parquet round-trip, datapackage/metadata JSON structure, and a
+  * JDBC load into embedded Derby (the engine's SQLite analog).
+  */
+class XbrlSinksSpec extends SparkSpec {
+
+  private val dataDir = "/root/reference/tests/integration/data"
+  private val requested = Set("identification_001_duration",
+    "energy_storage_operations_small_plants_419_duration")
+
+  private lazy val out = XbrlExtract.extract(
+    spark,
+    Seq(s"$dataDir/ferc1-xbrl-2021.zip"),
+    s"$dataDir/ferc1-xbrl-taxonomies.zip",
+    requestedTables = Some(requested))
+
+  test("requested-table filtering matches the reference CLI surface") {
+    assert(out.tables.keySet === requested)
+    assert(out.schemas.map(_.name).toSet === requested)
+  }
+
+  test("parquet sink round-trips the identification table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    XbrlSinks.writeParquet(out.tables.view.filterKeys(_ == "identification_001_duration").toMap, dir)
+    val back = spark.read.parquet(s"$dir/identification_001_duration")
+    assert(back.count() === 10L)
+    assert(back.filter(col("report_date") === "2022-04-13").count() >= 1L)
+  }
+
+  test("jdbc sink loads into embedded Derby") {
+    val url = s"jdbc:derby:memory:graftdb;create=true"
+    XbrlSinks.writeJdbc(
+      out.tables.view.filterKeys(_ == "identification_001_duration").toMap, url)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "identification_001_duration").load()
+    assert(back.count() === 10L)
+  }
+
+  test("datapackage descriptor mirrors the reference structure") {
+    val json = XbrlSinks.datapackageJson(out.schemas, "db_uri", formNumber = 1)
+    val root = new ObjectMapper().readTree(json)
+    assert(root.get("profile").asText === "tabular-data-package")
+    assert(root.get("name").asText === "ferc1-extracted-xbrl")
+    val resources = root.get("resources")
+    assert(resources.size === 2)
+    val ident = (0 until resources.size).map(resources.get)
+      .find(_.get("name").asText == "identification_001_duration").get
+    assert(ident.get("dialect").get("table").asText === "identification_001_duration")
+    val fields = ident.get("schema").get("fields")
+    val names = (0 until fields.size).map(fields.get(_).get("name").asText)
+    assert(names.take(5) === Seq("entity_id", "filing_name", "publication_time", "start_date", "end_date"))
+    val pk = ident.get("schema").get("primary_key")
+    assert((0 until pk.size).map(pk.get(_).asText) === names.take(5))
+    assert(fields.get(0).get("format").asText === "default")
+  }
+
+  test("taxonomy metadata json carries references, calculations, balance") {
+    val json = XbrlSinks.metadataJson(out.taxonomies)
+    val root = new ObjectMapper().readTree(json)
+    assert(root.has("identification_001_duration"))
+    // find at least one concept with an Account reference and one with calculations
+    val all = root.properties().iterator()
+    var sawAccount = false
+    var sawCalc = false
+    var sawBalance = false
+    while (all.hasNext) {
+      val entries = all.next().getValue
+      (0 until entries.size).map(entries.get).foreach { c =>
+        if (c.get("references").has("Account")) sawAccount = true
+        if (c.get("calculations").size > 0) sawCalc = true
+        if (!c.get("balance").isNull) sawBalance = true
+      }
+    }
+    assert(sawAccount && sawCalc && sawBalance)
+  }
+}
