@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs through MemoryStream -> memory sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming window agg aggregates by tumbling event-time window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowAgg(events, windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(3), "view", 5.0),
+        (ts(11), "click", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq(
+        (ts(0), "click", 2L, 3.0),
+        (ts(0), "view", 1L, 5.0),
+        (ts(10), "click", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first arrival per event_id within watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val q = StreamingOps.dedupWithinWatermark(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, 1.0), (ts(2), 2L, 2.0))
+      q.processAllAvailable()
+      input.addData((ts(3), 1L, 999.0), (ts(4), 3L, 3.0)) // dup id 1 dropped
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id", "value").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(ids === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
+}
