@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup-family specs: LSH candidate recall vs the exact shingle-join
+  * baseline, SimHash determinism, and the scale guards the operators
+  * claim (DF cap, candidate-driven verification).
+  */
+class DedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d03 MinHash-LSH finds the exact top near-duplicate pairs (recall)") {
+    val exact = Dedup.d02NgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(exact.nonEmpty, "corpus has near-dup pairs at this sf")
+    val lsh = Dedup.d03MinhashLsh(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} pairs")
+  }
+
+  test("d03 verified jaccard values match d02's exact values") {
+    val exact = Dedup.d02NgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val verified = Dedup.d03MinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assume(verified.nonEmpty)
+    verified.foreach { case (pair, j) =>
+      exact.get(pair).foreach(ej => assert(ej === j, s"pair $pair"))
+    }
+  }
+
+  test("d04 SimHash is deterministic and near-dups have small hamming") {
+    val a = Dedup.d04Simhash(spark, sf).collect().map(_.toSeq).toSeq
+    val b = Dedup.d04Simhash(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    a.foreach(r => assert(r(2).asInstanceOf[Number].longValue <= 3L))
+  }
+
+  test("d01 exact dedup groups by content hash with deterministic representative") {
+    val out = Dedup.d01ExactHash(spark, sf)
+    val n = out.count()
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(n <= docs) // one row per distinct content
+    assert(out.agg(sum("n_copies")).collect().head.getLong(0) === docs)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Multimodal, Text}
+import org.apache.spark.sql.functions._
+
+/** Text + multimodal specs for the rows-only operators (t04, m01) and
+  * cross-op consistency for the SQL-oracled ones.
+  */
+class TextSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t04 fingerprint is deterministic and order-sensitive") {
+    val a = Text.t04Fingerprint(spark, sf).collect()
+    val b = Text.t04Fingerprint(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // identical token multisets in different order must differ:
+    // build two tiny docs inline through the same expression
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = df
+      .withColumn("toks", split(col("text"), " "))
+      .select(expr(
+        """aggregate(
+          |  transform(toks, t -> pmod(xxhash64(t), CAST(2147483648 AS BIGINT))),
+          |  CAST(0 AS BIGINT),
+          |  (acc, h) -> pmod(acc * 31 + h, CAST(72057594037927936 AS BIGINT)))""".stripMargin))
+      .collect().map(_.getLong(0))
+    assert(fp(0) !== fp(1))
+  }
+
+  test("m01 multimodal decode is deterministic with stable schema") {
+    val a = Multimodal.m01MultimodalStub(spark, sf)
+    assert(a.columns.toSeq ===
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "f0", "f1"))
+    val r1 = a.collect()
+    val r2 = Multimodal.m01MultimodalStub(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    r1.foreach { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 64 && w < 256 && h >= 64 && h < 256)
+      assert(r.getAs[Long]("n_bytes") > 0L)
+    }
+  }
+
+  test("t01/t02/t03 agree on tokenization") {
+    val t1 = Text.t01LangId(spark, sf).count()
+    val t2 = Text.t02QualityScore(spark, sf).count()
+    val t3 = Text.t03TokenCount(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(t1 === docs && t2 === docs && t3.count() === docs)
+    // ws_tokens >= alpha_tokens is not guaranteed, but both positive
+    assert(t3.filter(col("ws_tokens") <= 0 || col("alpha_tokens") <= 0).count() === 0L)
+  }
+}
