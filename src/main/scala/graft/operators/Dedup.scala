@@ -34,25 +34,44 @@ object Dedup {
     */
   private[operators] val MaxShingleDF = 200L
 
-  /** Distinct word-3-gram shingles per doc with the document-frequency cap
-    * applied, plus per-doc shingle count over the capped universe. Shared
-    * by d02/d03. Two shuffles (shingle-df agg + per-doc size agg), both
-    * map-side combinable.
+  /** Shingle buckets: one row per distinct word-3-gram shingle with the
+    * sorted list of doc_ids containing it, DF-capped by filtering on the
+    * bucket size (one shuffle; the cap costs nothing extra). Shared by
+    * d02/d03 — candidate pairs come from in-bucket array combinations,
+    * which beats a shingle self-join: the exploded store shuffles ONCE
+    * (groupBy shingle) instead of twice (both join sides), and pair
+    * generation is a codegen'd array comprehension per bucket row.
     */
-  private[operators] def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, dir)
+  private[operators] def shingleBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))")))
-    val raw = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val rare = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDF)
-      .select("shingle")
-    val exploded = raw.join(rare, Seq("shingle"), "left_semi")
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxShingleDF)
+
+  /** (doc_id, shingle) long store and per-doc shingle counts over the
+    * capped universe, derived from the buckets.
+    */
+  private[operators] def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val exploded = shingleBuckets(s, dir)
+      .select(col("shingle"), explode(col("ids")).as("doc_id"))
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     (exploded, sizes)
   }
+
+  /** All in-bucket (d1 < d2) pairs from a bucketed DF with an `ids`
+    * array column — the candidate generator for d02/d03.
+    */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
 
   /** N-gram Jaccard similarity: top-100 most similar doc pairs.
     * Candidates come from an equi-join on shingle (blocking), common-count
@@ -62,11 +81,11 @@ object Dedup {
     * non-trivial.
     */
   def d02NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val (exploded, sizes) = shingled(s, dir)
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val buckets = shingleBuckets(s, dir)
+    val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = bucketPairs(buckets)
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
@@ -110,12 +129,20 @@ object Dedup {
   private val NumBands = 16
   private val RowsPerBand = NumHashes / NumBands // 4
 
+  /** Skip LSH band buckets larger than this: a bucket of b docs yields
+    * b(b-1)/2 candidates, and buckets that popular carry no dedup signal
+    * beyond what smaller buckets of the same cluster already provide.
+    */
+  private val MaxLshBucket = 1000
+
   /** MinHash + LSH banding near-dup candidates, verified with true Jaccard.
-    * 16 bands x 4 rows; candidate pairs = docs sharing any band bucket
-    * (equi-join on (band, bucket_hash)); verification joins true shingle
-    * Jaccard for candidates only. Output: verified pairs with jaccard,
-    * most-similar first. rows-only oracle (hash seeds are engine-local);
-    * DedupSpec checks candidate recall vs d02 exact top pairs.
+    * 16 bands x 4 rows; candidate pairs = in-bucket combinations after one
+    * groupBy (band, bucket_hash) — with an upper bound on bucket size so a
+    * degenerate bucket (mass-identical boilerplate) can't go quadratic;
+    * verification computes true shingle Jaccard for candidates only.
+    * Output: verified pairs with jaccard, most-similar first. rows-only
+    * oracle (hash seeds are engine-local); DedupSpec checks candidate
+    * recall vs d02 exact top pairs.
     */
   def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(s, dir)
@@ -125,12 +152,9 @@ object Dedup {
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+      .groupBy("band", "bucket").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxLshBucket)
+    val cand = bucketPairs(buckets).distinct()
 
     // Verify candidates with true (capped-universe) Jaccard. The pair set
     // drives the join — expand each candidate pair by d1's shingles, then
