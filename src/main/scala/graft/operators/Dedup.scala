@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.CosineSimilarity
 
 /** Deduplication operator family (SURVEY.md §2.3) over `documents` /
   * `embeddings`.
@@ -209,20 +210,17 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup: top-50 most similar vector pairs within
-    * label blocks. Double-precision sequential fold on both engines
-    * (Spark `aggregate`, DuckDB `list_reduce`) → bit-identical cosines.
-    * Label blocking keeps candidates linear-ish; the unblocked scale path
-    * is s02's hyperplane LSH.
+    * label blocks, scored by the native codegen'd `graft_cosine`
+    * expression (functions/CosineSimilarity.scala) — one fused loop per
+    * pair, same IEEE operation order as DuckDB's `list_reduce` folds →
+    * bit-identical cosines. Label blocking keeps candidates linear-ish;
+    * the unblocked scale path is s02's hyperplane LSH.
     */
   def d05EmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("label"), col("embedding"),
-      expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+    val e = Tables.embeddings(s, dir)
     e.as("a").join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(
-          expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        round(CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
       .limit(50)
   }

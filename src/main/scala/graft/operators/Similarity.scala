@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.CosineSimilarity
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §2.4).
@@ -11,32 +12,26 @@ import graft.Tables
   * s01 is the exact baseline (brute-force cosine top-k for a small query
   * set — broadcast the queries, never cross-join two big sides). s02 is
   * the scale path: random-hyperplane LSH bucketing so each query only
-  * scores its bucket's candidates.
+  * scores its bucket's candidates. Pair scoring uses the native
+  * codegen'd `graft_cosine` expression (functions/CosineSimilarity.scala).
   */
 object Similarity {
 
   private val K = 10
   private val NumQueries = 10
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm",
-      expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-
-  private val dotAB =
-    expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-
   /** Brute-force cosine top-k for queries vec_id < NumQueries.
     * Query side is tiny → broadcast join; the corpus side streams through
-    * codegen'd double arithmetic. One shuffle for the per-query window.
+    * the fused codegen'd cosine. One shuffle for the per-query window.
     */
   def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
+    val e = Tables.embeddings(s, dir)
     val queries = e.filter(col("vec_id") < NumQueries)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     broadcast(queries.as("a"))
       .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-        (dotAB / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cosine"), 6).as("cosine"))
@@ -77,11 +72,10 @@ object Similarity {
     * measures recall vs s01.
     */
   def s02AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
+    val e = Tables.embeddings(s, dir)
 
-    // bucket id per (vector, table): 8 sign bits of plane dot products
+    // bucket id per (vector, table): sign bits of plane dot products
     def bucketCol(t: Int) = (0 until PlanesPerTable).map { p =>
-      val lits = array(planes(t)(p).map(lit): _*)
       val dot = expr(s"aggregate(zip_with(embedding, ${planeSql(t, p)}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
       when(dot >= 0, lit(1 << p)).otherwise(0)
     }.reduce(_ + _)
@@ -89,10 +83,10 @@ object Similarity {
       planes(t)(p).mkString("array(", ", ", ")")
 
     val bucketed = e.select(
-      col("vec_id"), col("embedding"), col("nrm"),
+      col("vec_id"), col("embedding"),
       explode(array((0 until NumTables).map(t =>
         struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+      .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 
     val queries = bucketed.filter(col("vec_id") < NumQueries)
@@ -101,7 +95,7 @@ object Similarity {
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-        (dotAB / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
       .groupBy("q_id", "n_id").agg(max(col("cosine")).as("cosine")) // dedup across tables
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     cand.withColumn("rank", row_number().over(w))
