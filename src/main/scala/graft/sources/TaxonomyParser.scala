@@ -98,8 +98,7 @@ object TaxonomyParser {
     val elements = mutable.Map.empty[String, ElementDecl]
     val roleDefs = mutable.Map.empty[String, String]
     val customTypeBase = mutable.Map.empty[String, String]
-    for ((_, bytes) <- xsds) {
-      val root = loadXml(bytes)
+    for ((_, bytes) <- xsds; root <- loadXml(bytes)) {
       for (el <- (root \\ "element") if el.namespace == XsNs) {
         val id = attr(el, "id")
         if (id.nonEmpty)
@@ -137,8 +136,7 @@ object TaxonomyParser {
     val calcs = mutable.Map.empty[String, mutable.LinkedHashMap[(String, Double), Unit]]
     val refs = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Seq[(String, String)])]]
 
-    for ((_, bytes) <- linkbases) {
-      val root = loadXml(bytes)
+    for ((_, bytes) <- linkbases; root <- loadXml(bytes)) {
       if (root.label == "linkbase") {
         for (plink <- root \ "presentationLink") {
           val role = attrNs(plink, XlinkNs, "role").getOrElse("")
@@ -273,8 +271,15 @@ object TaxonomyParser {
   private val ParentChildArcrole = "http://www.xbrl.org/2003/arcrole/parent-child"
   private val SummationItemArcrole = "http://www.xbrl.org/2003/arcrole/summation-item"
 
-  private def loadXml(bytes: Array[Byte]): Elem =
-    XML.load(new ByteArrayInputStream(bytes))
+  /** Parse one archive entry; None for entries that are not well-formed
+    * XML. Real FERC taxonomy archives contain captured HTML error pages
+    * in place of a few files (e.g. form-6-2023-04-01 sched-602) — the
+    * merge keeps those tables alive from the versions that do parse, so
+    * one corrupt entry must not kill schema derivation.
+    */
+  private def loadXml(bytes: Array[Byte]): Option[Elem] =
+    try Some(XML.load(new ByteArrayInputStream(bytes)))
+    catch { case _: org.xml.sax.SAXParseException => None }
 
   private def attr(n: Node, name: String): String =
     n.attribute(name).map(_.text).getOrElse("")
