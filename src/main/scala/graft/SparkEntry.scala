@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Text}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Text, XbrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -45,6 +45,11 @@ object SparkEntry {
     "t03_token_count" -> (Text.t03TokenCount _),
     "t04_fingerprint" -> (Text.t04Fingerprint _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
+    // XBRL engine over the reference's own test archives (rows-only —
+    // no synthetic-table twin exists; see XbrlQueries scaladoc)
+    "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),
+    "x02_xbrl_fact_table" -> (XbrlQueries.x02XbrlFactTable _),
+    "x03_xbrl_coverage" -> (XbrlQueries.x03XbrlCoverage _),
   )
 
   /** DuckDB-runnable oracle SQL per queries key (identical aliases). */
