@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst column/plan conversion recurses per tree node; wide XBRL
+  // tables with per-column expressions need more than the 1 MB default
+  "-Xss64m",
 )

@@ -50,6 +50,7 @@ object SparkEntry {
     "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),
     "x02_xbrl_fact_table" -> (XbrlQueries.x02XbrlFactTable _),
     "x03_xbrl_coverage" -> (XbrlQueries.x03XbrlCoverage _),
+    "x04_xbrl_calc_validate" -> (XbrlQueries.x04XbrlCalcValidate _),
   )
 
   /** DuckDB-runnable oracle SQL per queries key (identical aliases). */

@@ -60,4 +60,64 @@ object XbrlQueries {
         round(col("coverage"), 6).as("coverage"))
       .orderBy("filing_name")
   }
+
+  /** Calculation-linkbase validations resolvable within one table: for
+    * each table, the (parent, children x weight) sets where parent and
+    * every child are numeric columns of that table. Driver-side
+    * metadata walk (taxonomy-sized, not data-sized).
+    */
+  private lazy val calcSets: Seq[(TableSchema, Seq[(String, Seq[(String, Double)])])] = {
+    val taxonomies = TaxonomyParser.parseArchive(s"$dataDir/ferc1-xbrl-taxonomies.zip")
+    tables.map { t =>
+      val numericCols = t.dataColumns.filter(_.schemaType == "number").map(_.name).toSet
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
+      def walk(c: graft.xbrl.Concept): Unit = {
+        val parent = graft.xbrl.Names.snakecase(c.name)
+        if (c.calculations.nonEmpty && numericCols.contains(parent)) {
+          val children = c.calculations.map(cal => cal.name -> cal.weight)
+          if (children.nonEmpty && children.forall(ch => numericCols.contains(ch._1)))
+            seen.getOrElseUpdate(parent, children)
+        }
+        c.children.foreach(walk)
+      }
+      for (tx <- taxonomies; role <- tx.roles
+           if FactTableSchema.cleanTableName(role.definition)
+             .exists(n => s"${n}_${t.periodType}" == t.name))
+        walk(role.concepts)
+      t -> seen.toSeq
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** x04: real calculation-linkbase validation (the downstream semantics
+    * q15 models synthetically): reported parent totals vs
+    * sum(child x weight) from the same constructed table, on the table
+    * with the most in-table calculation sets.
+    */
+  def x04XbrlCalcValidate(s: SparkSession, dir: String): DataFrame = {
+    val (schema, calcs) = calcSets.maxBy { case (t, cs) => (cs.size, t.name) }
+    val filings = FilingSource.fromZip(s, s"$dataDir/ferc1-xbrl-2021.zip")
+    val df = FactTableBuilder.build(schema, filings.facts, filings.contexts, filings.meta)
+    // balanced sum keeps expression depth O(log n) instead of a left
+    // chain — deep column trees overflow the converter's recursion
+    def balancedSum(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cols.size == 1) cols.head
+      else {
+        val (l, r) = cols.splitAt(cols.size / 2)
+        balancedSum(l) + balancedSum(r)
+      }
+    val checks = calcs.map { case (parent, children) =>
+      val computed = balancedSum(
+        children.map { case (ch, w) => coalesce(col(ch), lit(0.0)) * lit(w) })
+      struct(lit(parent).as("concept"), col(parent).as("reported"),
+        round(computed, 2).as("computed"))
+    }
+    df.select(col("filing_name"), col("entity_id"),
+        explode(array(checks: _*)).as("v"))
+      .select(col("filing_name"), col("entity_id"),
+        col("v.concept").as("concept"), col("v.reported").as("reported"),
+        col("v.computed").as("computed"),
+        (abs(col("v.reported") - col("v.computed")) < 0.01).as("consistent"))
+      .filter(col("reported").isNotNull)
+      .orderBy("filing_name", "entity_id", "concept")
+  }
 }
