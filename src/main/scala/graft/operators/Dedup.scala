@@ -44,14 +44,16 @@ object Dedup {
     * generation is a codegen'd array comprehension per bucket row.
     */
   private[operators] def shingleBuckets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= 3)
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))")))
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .groupBy("shingle").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= MaxShingleDF)
+    SharedIndex(s, dir, "shingle_buckets") {
+      Tables.documents(s, dir)
+        .withColumn("tokens", split(col("text"), " "))
+        .filter(size(col("tokens")) >= 3)
+        .withColumn("shingles", array_distinct(expr(
+          "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))")))
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .groupBy("shingle").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= MaxShingleDF)
+    }
 
   /** (doc_id, shingle) long store and per-doc shingle counts over the
     * capped universe, derived from the buckets.

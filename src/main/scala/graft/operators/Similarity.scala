@@ -82,12 +82,16 @@ object Similarity {
     def planeSql(t: Int, p: Int): String =
       planes(t)(p).mkString("array(", ", ", ")")
 
-    val bucketed = e.select(
-      col("vec_id"), col("embedding"),
-      explode(array((0 until NumTables).map(t =>
-        struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // shared per session: the query side filters the SAME cached store,
+    // so bucketing runs once instead of once per join side
+    val bucketed = SharedIndex(s, dir, "hyperplane_buckets") {
+      e.select(
+        col("vec_id"), col("embedding"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
 
     val queries = bucketed.filter(col("vec_id") < NumQueries)
     val cand = broadcast(queries.as("a"))
