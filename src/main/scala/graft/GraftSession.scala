@@ -15,6 +15,9 @@ object GraftSession {
       // events.parquet carries INT64 TIMESTAMP(NANOS); read as plain long
       // (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native graft expressions (graft_cosine) injected at session
+      // build, so every derived session resolves them in SQL
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def create(cpus: String): SparkSession = {

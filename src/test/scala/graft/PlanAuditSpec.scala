@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Text, XbrlQueries}
+import org.apache.spark.sql.DataFrame
+
+/** Shuffle-budget audit: every operator claims a shuffle count in its
+  * scaladoc; these tests pin the executed plans to those budgets so a
+  * refactor that silently adds an exchange fails CI. (Shuffle count is
+  * the property that survives a 100x scale-up — constants don't.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Count distinct shuffle exchanges executed in the final adaptive
+    * plan (reused exchanges count once — they are one physical shuffle).
+    */
+  private def shuffles(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    df.collect() // finalize AQE
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec => 0
+      case s: ShuffleExchangeLike => 1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("d01 exact dedup: one aggregation shuffle plus the presentation sort") {
+    assert(shuffles(Dedup.d01ExactHash(spark, sf)) <= 2)
+  }
+
+  test("q04 pivot: one aggregation shuffle plus the presentation sort") {
+    assert(shuffles(Relational.q04PivotWide(spark, sf)) <= 2)
+  }
+
+  test("q05/q14 window dedups: one partitioning shuffle plus the sort") {
+    assert(shuffles(Relational.q05DedupLatest(spark, sf)) <= 2)
+    assert(shuffles(Relational.q14FuzzyNumericDedup(spark, sf)) <= 2)
+  }
+
+  test("text ops are map-only up to the presentation sort") {
+    assert(shuffles(Text.t01LangId(spark, sf)) <= 1)
+    assert(shuffles(Text.t03TokenCount(spark, sf)) <= 1)
+    assert(shuffles(Text.t04Fingerprint(spark, sf)) <= 1)
+  }
+
+  test("xbrl fact-table build stays within its declared exchange budget") {
+    // facts side + contexts side + final sort; publication_time joins by
+    // broadcast; dedup agg and pivot reuse the join partitioning
+    val df = XbrlQueries.x02XbrlFactTable(spark, sf)
+    val n = shuffles(df)
+    assert(n <= 4, s"$n shuffle exchanges\n${df.queryExecution.executedPlan}")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
+}
