@@ -211,9 +211,26 @@ object SparkEntry {
         |) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
-    // d03/d04/s01/s02 are intentionally absent (rows-only): their hash
+    // d03/d04/s02 are intentionally absent (rows-only): their hash
     // seeds / hyperplanes are engine-local, so no portable SQL oracle
     // exists; ScalaTest (DedupSpec/SimilaritySpec) checks recall instead.
+    "s01_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_reduce(list_transform(list_zip(q.emb, b.emb), p -> p[1] * p[2]), (acc, v) -> acc + v) / (q.nrm * b.nrm) AS cosine
+        |  FROM q JOIN e b ON q.vec_id <> b.vec_id
+        |)
+        |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT q_id, n_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rank
+        |  FROM pairs
+        |) WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
