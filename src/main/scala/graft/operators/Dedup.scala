@@ -45,13 +45,17 @@ object Dedup {
     */
   private[operators] def shingleBuckets(s: SparkSession, dir: String): DataFrame =
     SharedIndex(s, dir, "shingle_buckets") {
+      // native word_shingles keeps the scan inside whole-stage codegen
+      // (the transform/concat_ws lambda formulation drops the stage to
+      // interpreted mode — it was most of d02's runtime); collect_set
+      // dedups (doc, shingle) in the same aggregation that builds the
+      // bucket, replacing a per-doc array_distinct
       Tables.documents(s, dir)
         .withColumn("tokens", split(col("text"), " "))
         .filter(size(col("tokens")) >= 3)
-        .withColumn("shingles", array_distinct(expr(
-          "transform(sequence(1, size(tokens) - 2), i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))")))
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .groupBy("shingle").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles.shingles(s, col("tokens"), 3)).as("shingle"))
+        .groupBy("shingle").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) <= MaxShingleDF)
     }
 
