@@ -58,6 +58,18 @@ class XbrlInstanceSpec extends SparkSpec {
     assert(ctx.head.dims === Map("utility_type_axis" -> "ferc:ElectricUtilityMember"))
   }
 
+  test("typed dimensions parse with the member element's text value") {
+    // C43 carries <xbrldi:typedMember dimension="ferc:RetainedEarningsAdjustmentsAxis">
+    //   <ferc:RetainedEarningsAdjustmentDomain>1</...>
+    val ctx = filings.contexts
+      .filter(col("filing_name") === deseret && col("c_id") === "C43")
+      .collect()
+    assert(ctx.length === 1)
+    assert(ctx.head.dims === Map("retained_earnings_adjustments_axis" -> "1"))
+    assert(!ctx.head.instant)
+    assert(ctx.head.start_date === "2021-01-01" && ctx.head.end_date === "2021-12-31")
+  }
+
   test("filing meta carries rssfeed publication time and parsed report date") {
     val meta = filings.meta.collect()
     assert(meta.length === 10)

@@ -25,6 +25,18 @@ class XbrlSinksSpec extends SparkSpec {
     assert(out.schemas.map(_.name).toSet === requested)
   }
 
+  test("instance pattern restricts extraction like the reference CLI") {
+    val filtered = XbrlExtract.extract(
+      spark,
+      Seq(s"$dataDir/ferc1-xbrl-2021.zip"),
+      s"$dataDir/ferc1-xbrl-taxonomies.zip",
+      requestedTables = Some(Set("identification_001_duration")),
+      instancePattern = Some("Deseret"))
+    val rows = filtered.tables("identification_001_duration").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("filing_name").contains("Deseret"))
+  }
+
   test("parquet sink round-trips the identification table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     XbrlSinks.writeParquet(out.tables.view.filterKeys(_ == "identification_001_duration").toMap, dir)
