@@ -52,6 +52,22 @@ object FilingSource {
     } finally zf.close()
   }
 
+  /** Parse one filing, skipping (with a task-log line) filings that are
+    * not well-formed XML — empty submissions exist in real FERC archives
+    * and the reference likewise logs and skips them (xbrl.py:159-163).
+    * One broken filing must not fail a 100 TB batch.
+    */
+  private def parseOrSkip(
+      name: String,
+      in: java.io.InputStream,
+      factPrefix: String): Option[ParsedInstance] =
+    try Some(XbrlInstanceParser.parse(name, in, factPrefix))
+    catch {
+      case e: javax.xml.stream.XMLStreamException =>
+        System.err.println(s"[graft] skipping unparseable filing $name: ${e.getMessage}")
+        None
+    }
+
   private def stem(filename: String): String = {
     val base = filename.substring(filename.lastIndexOf('/') + 1)
     val dot = base.lastIndexOf('.')
@@ -76,9 +92,9 @@ object FilingSource {
       .mapPartitions { names =>
         // one archive handle per task; each task streams only its entries
         val zf = new ZipFile(zipPath)
-        val out = names.map { entryName =>
+        val out = names.flatMap { entryName =>
           val in = zf.getInputStream(zf.getEntry(entryName))
-          try XbrlInstanceParser.parse(stem(entryName), in, factPrefix)
+          try parseOrSkip(stem(entryName), in, factPrefix)
           finally in.close()
         }.toVector
         zf.close()
@@ -98,8 +114,8 @@ object FilingSource {
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (path, bytes) =>
-        XbrlInstanceParser.parse(stem(path), new java.io.ByteArrayInputStream(bytes), factPrefix)
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        parseOrSkip(stem(path), new java.io.ByteArrayInputStream(bytes), factPrefix)
       })
     new ParsedFilings(spark, parsed, Map.empty)
   }
