@@ -40,7 +40,7 @@ object FilingSource {
       val entry = zf.getEntry("rssfeed")
       if (entry == null) return Map.empty
       val root = new ObjectMapper().readTree(zf.getInputStream(entry))
-      root.fields().asScala.flatMap { e =>
+      root.properties().asScala.iterator.flatMap { e =>
         e.getValue.elements().asScala.map { filing =>
           val filename = filing.get("filename").asText
           val published = filing.get("rss_metadata").get("published_parsed").asText
