@@ -20,13 +20,20 @@ import org.apache.spark.sql.{Column, SparkSession}
   * keeps the surrounding filter/project in the same generated function.
   *
   * Null semantics: null if either input is null (BinaryExpression
-  * default); arrays of differing lengths score only the common prefix
-  * (callers pass fixed-dimension embeddings).
+  * default) or if either vector has zero norm (0/0 would be NaN, and
+  * NaN sorts ABOVE 1.0 in `ORDER BY cosine DESC`, so a degenerate
+  * embedding would top every ranking; DuckDB's 0/0 is NULL, so null
+  * also keeps the oracle comparison aligned). Arrays of differing
+  * lengths score only the common prefix (callers pass fixed-dimension
+  * embeddings).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
+
+  // nullable even over non-null inputs: zero-norm vectors yield null
+  override def nullable: Boolean = true
 
   override lazy val resolved: Boolean = {
     def ok(e: Expression) = e.resolved && (e.dataType match {
@@ -54,7 +61,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,7 +82,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

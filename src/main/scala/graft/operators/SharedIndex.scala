@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -13,15 +13,47 @@ import org.apache.spark.storage.StorageLevel
   * times — for d03 that meant building the shingle buckets four times
   * in one query. Persisting the index once per (session, input dir) is
   * exactly what a production dedup pipeline does with its shingle index;
-  * MEMORY_AND_DISK spills under pressure and Spark's LRU evicts when the
-  * executors need the space. Index size is proportional to the distinct
-  * shingle count, far below the corpus itself.
+  * MEMORY_AND_DISK spills under pressure and Spark's LRU evicts blocks
+  * when the executors need the space. Index size is proportional to the
+  * distinct shingle count, far below the corpus itself.
+  *
+  * The cache itself is bounded (LRU, [[MaxEntries]] entries): the evicted
+  * DataFrame is unpersisted so a long-lived service cycling through many
+  * input dirs can't accumulate driver references and cached blocks.
+  * [[invalidate]] drops everything a session holds — call it before
+  * `session.stop()`.
   */
 private[operators] object SharedIndex {
 
-  private val cache = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val MaxEntries = 32
+
+  // insertion/access-ordered; all access synchronized (driver-side only,
+  // contention-free — entries are built once per query family)
+  private val cache =
+    mutable.LinkedHashMap.empty[(SparkSession, String, String), DataFrame]
 
   def apply(s: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, dir, name),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    synchronized {
+      val key = (s, dir, name)
+      cache.remove(key) match {
+        case Some(df) =>
+          cache.put(key, df) // refresh LRU position
+          df
+        case None =>
+          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          cache.put(key, df)
+          while (cache.size > MaxEntries) {
+            val (k, old) = cache.head
+            cache.remove(k)
+            old.unpersist(blocking = false)
+          }
+          df
+      }
+    }
+
+  /** Unpersist and drop every index the session holds. */
+  def invalidate(s: SparkSession): Unit = synchronized {
+    val keys = cache.keys.filter(_._1 eq s).toVector
+    keys.foreach { k => cache.remove(k).foreach(_.unpersist(blocking = false)) }
+  }
 }

@@ -15,24 +15,53 @@ import graft.xbrl.TableSchema
   */
 object XbrlQueries {
 
-  private val dataDir = "/root/reference/tests/integration/data"
+  /** Where the FERC test archives live; override with GRAFT_XBRL_DATA_DIR
+    * so the built jar isn't coupled to this container's layout.
+    */
+  private val dataDir = sys.env.getOrElse(
+    "GRAFT_XBRL_DATA_DIR", "/root/reference/tests/integration/data")
+
+  private def requireArchive(name: String): String = {
+    val path = s"$dataDir/$name"
+    if (!new java.io.File(path).isFile)
+      throw new java.io.FileNotFoundException(
+        s"XBRL test archive $path not found — set GRAFT_XBRL_DATA_DIR to a " +
+          "directory containing the FERC integration archives")
+    path
+  }
 
   /** Taxonomies + schemas parse once per JVM — metadata, not data. */
   private lazy val taxonomies: Seq[graft.xbrl.Taxonomy] =
-    TaxonomyParser.parseArchive(s"$dataDir/ferc1-xbrl-taxonomies.zip")
+    TaxonomyParser.parseArchive(requireArchive("ferc1-xbrl-taxonomies.zip"))
 
   private lazy val tables: Seq[TableSchema] = FactTableSchema.fromTaxonomies(taxonomies)
 
   /** One parsed-filings store per session: x01-x04 are projections of
     * the same persisted parse, so parsing (and caching) the archive once
     * per JVM mirrors how a real deployment would share the long tables.
+    * Bounded (a bench/test JVM holds a handful of sessions, never more):
+    * beyond [[MaxSessions]] the oldest entry is unpersisted and dropped,
+    * and [[invalidate]] releases a session's parse eagerly.
     */
+  private val MaxSessions = 4
   private val filingsCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.sources.ParsedFilings]()
+    scala.collection.mutable.LinkedHashMap.empty[SparkSession, graft.sources.ParsedFilings]
 
-  private def filings(s: SparkSession): graft.sources.ParsedFilings =
-    filingsCache.computeIfAbsent(s,
-      sess => FilingSource.fromZip(sess, s"$dataDir/ferc1-xbrl-2021.zip"))
+  private def filings(s: SparkSession): graft.sources.ParsedFilings = synchronized {
+    filingsCache.getOrElseUpdate(s, {
+      while (filingsCache.size >= MaxSessions) {
+        val (k, old) = filingsCache.head
+        filingsCache.remove(k)
+        old.unpersist()
+      }
+      FilingSource.fromZip(s, requireArchive("ferc1-xbrl-2021.zip"))
+    })
+  }
+
+  /** Release the parsed-filings store a session holds. */
+  def invalidate(s: SparkSession): Unit = synchronized {
+    filingsCache.remove(s).foreach(_.unpersist())
+  }
 
   /** x01: distributed parse of the ferc1 2021 filings archive — one
     * summary row per filing (context/fact counts by period type,
@@ -57,7 +86,10 @@ object XbrlQueries {
     * -> dedup -> pivot -> typed cast): identification_001_duration.
     */
   def x02XbrlFactTable(s: SparkSession, dir: String): DataFrame = {
-    val schema = tables.find(_.name == "identification_001_duration").get
+    val schema = tables.find(_.name == "identification_001_duration").getOrElse(
+      throw new NoSuchElementException(
+        s"table identification_001_duration not in the ${tables.size} schemas " +
+          s"derived from $dataDir/ferc1-xbrl-taxonomies.zip — wrong or stale taxonomy archive?"))
     val fs = filings(s)
     FactTableBuilder.build(schema, fs.facts, fs.contexts, fs.meta)
       .orderBy("filing_name")

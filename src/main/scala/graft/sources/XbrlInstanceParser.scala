@@ -14,9 +14,15 @@ import graft.xbrl.{Names, RawFact, XbrlContext}
   *    identifier, segment dimensions (explicitMember value text /
   *    typedMember first-child text, axis names snake_cased with prefix
   *    stripped), period (instant end date vs duration start/end).
-  *  - root children whose namespace prefix is the fact prefix
-  *    (default `ferc`) -> facts: snake_case concept name, contextRef,
-  *    text value; facts with no value are dropped (instance.py:395).
+  *  - root children in the fact namespace -> facts: snake_case concept
+  *    name, contextRef, text value; facts with no value are dropped
+  *    (instance.py:395). The fact namespace is the URI the root element
+  *    binds to `factPrefix` (default `ferc`) — matching by URI, like the
+  *    reference's `root.findall(f"{fact_prefix}:*", root.nsmap)`
+  *    (instance.py:383), so a filing that binds the FERC namespace to a
+  *    different prefix still parses. If the root does not declare the
+  *    prefix, we fall back to literal-prefix matching (the reference
+  *    would raise).
   *  - each fact's instant/duration flag comes from its context's period
   *    (instance.py:396-399). Facts referencing an undefined context are
   *    dropped (the reference would crash; at scale we tolerate and the
@@ -30,9 +36,11 @@ object XbrlInstanceParser {
 
   val XbrlInstanceNs = "http://www.xbrl.org/2003/instance"
 
-  /** Everything parsed from one filing. `totalFacts` counts distinct
-    * (c_id, name) fact ids before value/context filtering — the
-    * denominator of the reference's coverage stats (instance.py:273-285).
+  /** Everything parsed from one filing. `total_facts` counts distinct
+    * (c_id, name) fact ids after value filtering but BEFORE the
+    * undefined-context drop — the denominator of the reference's
+    * coverage stats (instance.py:273-285), which counts every fact that
+    * survives value filtering even if its context is unresolvable.
     */
   case class ParsedInstance(
       filing_name: String,
@@ -53,18 +61,29 @@ object XbrlInstanceParser {
 
     val contexts = mutable.Map.empty[String, XbrlContext]
     val pending = mutable.ArrayBuffer.empty[PendingFact]
+    // Namespace URI the ROOT element binds to factPrefix (instance.py:383
+    // resolves the prefix through root.nsmap); null until the root is seen
+    // or when the root doesn't declare the prefix.
+    var factNs: String = null
     var depth = 0
     try {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             depth += 1
-            if (depth == 2) {
+            if (depth == 1) {
+              var i = 0
+              while (i < r.getNamespaceCount) {
+                if (factPrefix == r.getNamespacePrefix(i)) factNs = r.getNamespaceURI(i)
+                i += 1
+              }
+            } else if (depth == 2) {
               if (r.getNamespaceURI == XbrlInstanceNs && r.getLocalName == "context") {
                 val ctx = parseContext(filingName, r) // consumes through END_ELEMENT
                 contexts(ctx.c_id) = ctx
                 depth -= 1
-              } else if (factPrefix == r.getPrefix) {
+              } else if (if (factNs != null) factNs == r.getNamespaceURI
+                         else factPrefix == r.getPrefix) {
                 parseFact(r).foreach(pending += _) // consumes through END_ELEMENT
                 depth -= 1
               }
@@ -80,9 +99,12 @@ object XbrlInstanceParser {
       contexts.get(f.cId).map(ctx => RawFact(filingName, f.cId, f.name, f.value, ctx.instant))
     }.toVector
 
+    // Coverage denominator over value-filtered facts only (`pending`):
+    // facts later dropped for an undefined context still count, matching
+    // the reference (instance.py:273-285 runs before any context drop).
     val idCounts = mutable.Map.empty[String, Int]
-    facts.foreach { f =>
-      val id = s"${f.c_id}:${f.name}"
+    pending.foreach { f =>
+      val id = s"${f.cId}:${f.name}"
       idCounts(id) = idCounts.getOrElse(id, 0) + 1
     }
     val reportDate = facts

@@ -47,6 +47,25 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(df(2).isNullAt(0))
   }
 
+  test("zero-norm vectors yield null, not NaN, in both eval paths") {
+    CosineSimilarity.register(spark)
+    // codegen path
+    val codegen = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+        (Array(1.0f, 2.0f), Array(0.0f, 0.0f)),
+        (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b").selectExpr("graft_cosine(a, b) AS c").collect()
+    assert(codegen.forall(_.isNullAt(0)))
+    // interpreted path (fold the same literals on the driver)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def lit(xs: Array[Float]) =
+      Literal(CatalystTypeConverters.convertToCatalyst(xs), ArrayType(FloatType))
+    val interpreted = functions.CosineSimilarity(
+      lit(Array(0.0f, 0.0f)), lit(Array(1.0f, 2.0f))).eval(null)
+    assert(interpreted == null)
+  }
+
   test("expression participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
     val df = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))

@@ -70,6 +70,44 @@ class XbrlInstanceSpec extends SparkSpec {
     assert(ctx.head.start_date === "2021-01-01" && ctx.head.end_date === "2021-12-31")
   }
 
+  test("facts match by namespace URI, not literal prefix (instance.py:383 nsmap semantics)") {
+    // Root binds the fact namespace to BOTH `ferc` and `f1`; the facts use
+    // `f1`. lxml's findall("ferc:*", root.nsmap) resolves through the URI
+    // and finds them — so must we.
+    val xml =
+      """<?xml version="1.0"?>
+        |<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance"
+        |            xmlns:ferc="http://example.com/ferc"
+        |            xmlns:f1="http://example.com/ferc">
+        |  <xbrli:context id="c1">
+        |    <xbrli:entity><xbrli:identifier scheme="x">E1</xbrli:identifier></xbrli:entity>
+        |    <xbrli:period><xbrli:instant>2021-12-31</xbrli:instant></xbrli:period>
+        |  </xbrli:context>
+        |  <f1:SomeConcept contextRef="c1">42</f1:SomeConcept>
+        |</xbrli:xbrl>""".stripMargin
+    val parsed = graft.sources.XbrlInstanceParser.parse(
+      "t", new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    assert(parsed.facts.map(f => (f.name, f.value)) === Seq(("some_concept", "42")))
+  }
+
+  test("total_facts counts facts dropped for undefined contexts (coverage denominator)") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance"
+        |            xmlns:ferc="http://example.com/ferc">
+        |  <xbrli:context id="c1">
+        |    <xbrli:entity><xbrli:identifier scheme="x">E1</xbrli:identifier></xbrli:entity>
+        |    <xbrli:period><xbrli:instant>2021-12-31</xbrli:instant></xbrli:period>
+        |  </xbrli:context>
+        |  <ferc:A contextRef="c1">1</ferc:A>
+        |  <ferc:B contextRef="missing">2</ferc:B>
+        |</xbrli:xbrl>""".stripMargin
+    val parsed = graft.sources.XbrlInstanceParser.parse(
+      "t", new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    assert(parsed.facts.size === 1) // B dropped: undefined context
+    assert(parsed.total_facts === 2L) // ...but still in the denominator
+  }
+
   test("filing meta carries rssfeed publication time and parsed report date") {
     val meta = filings.meta.collect()
     assert(meta.length === 10)
