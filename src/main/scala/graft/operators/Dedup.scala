@@ -184,21 +184,19 @@ object Dedup {
 
   /** 64-bit SimHash per doc + banded Hamming near-dup pairs.
     * Bit j of the signature = sign of sum over tokens of ±1 by bit j of
-    * xxhash64(token). Computed as 64 conditional-sum agg columns (one
-    * shuffle), assembled into a long; near-dup candidates block on four
-    * 16-bit chunks (pigeonhole: hamming<=3 pairs must share a chunk).
-    * rows-only oracle; DedupSpec asserts determinism + self-similarity.
+    * xxhash64(token), computed per row by the native `graft_simhash`
+    * expression (functions/SimHash.scala) INSIDE the scan — no token
+    * explode, no 64-column aggregation, no shuffle to build signatures
+    * (the agg formulation shuffled the entire exploded token store; at
+    * 100 TB that shuffle dominates the job). Near-dup candidates block
+    * on four 16-bit chunks (pigeonhole: hamming<=3 pairs must share a
+    * chunk). rows-only oracle; DedupSpec asserts determinism +
+    * self-similarity + equivalence with the aggregate formulation.
     */
   def d04Simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
-      .select(col("doc_id"), col("simhash"))
+    val sig = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.SimHash.simhash(s, col("text")).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("cb"))

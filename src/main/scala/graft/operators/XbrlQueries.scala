@@ -140,28 +140,7 @@ object XbrlQueries {
   def x04XbrlCalcValidate(s: SparkSession, dir: String): DataFrame = {
     val (schema, calcs) = calcSets.maxBy { case (t, cs) => (cs.size, t.name) }
     val fs = filings(s)
-    val df = FactTableBuilder.build(schema, fs.facts, fs.contexts, fs.meta)
-    // balanced sum keeps expression depth O(log n) instead of a left
-    // chain — deep column trees overflow the converter's recursion
-    def balancedSum(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-      if (cols.size == 1) cols.head
-      else {
-        val (l, r) = cols.splitAt(cols.size / 2)
-        balancedSum(l) + balancedSum(r)
-      }
-    val checks = calcs.map { case (parent, children) =>
-      val computed = balancedSum(
-        children.map { case (ch, w) => coalesce(col(ch), lit(0.0)) * lit(w) })
-      struct(lit(parent).as("concept"), col(parent).as("reported"),
-        round(computed, 2).as("computed"))
-    }
-    df.select(col("filing_name"), col("entity_id"),
-        explode(array(checks: _*)).as("v"))
-      .select(col("filing_name"), col("entity_id"),
-        col("v.concept").as("concept"), col("v.reported").as("reported"),
-        col("v.computed").as("computed"),
-        (abs(col("v.reported") - col("v.computed")) < 0.01).as("consistent"))
-      .filter(col("reported").isNotNull)
+    FactTableBuilder.validateCalculations(s, schema, calcs, fs.facts, fs.contexts)
       .orderBy("filing_name", "entity_id", "concept")
   }
 }

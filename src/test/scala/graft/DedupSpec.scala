@@ -40,6 +40,26 @@ class DedupSpec extends SparkSpec {
     a.foreach(r => assert(r(2).asInstanceOf[Number].longValue <= 3L))
   }
 
+  test("native graft_simhash equals the explode + 64-agg formulation") {
+    val docs = graft.Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val native = docs
+      .select(col("doc_id"), graft.functions.SimHash.simhash(spark, col("text")).as("simhash"))
+    // the original aggregate formulation, kept as the spec's ground truth
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+    val mismatches = native.as("n").join(agg.as("a"), "doc_id")
+      .filter(col("n.simhash") =!= col("a.simhash")).count()
+    assert(mismatches === 0L)
+    assert(native.count() === docs.count())
+  }
+
   test("d01 exact dedup groups by content hash with deterministic representative") {
     val out = Dedup.d01ExactHash(spark, sf)
     val n = out.count()
