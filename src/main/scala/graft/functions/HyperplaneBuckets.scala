@@ -104,7 +104,7 @@ object HyperplaneBuckets {
       out(t) = bucket
       t += 1
     }
-    org.apache.spark.sql.catalyst.util.UnsafeArrayDataUtils.fromPrimitiveIntArray(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   import org.apache.spark.sql.{Column, SparkSession}
