@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SimHash}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, SimHash}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+      (children: Seq[Expression]) => HyperplaneBuckets(children.head)))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HyperplaneBuckets}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §2.4).
@@ -38,59 +38,28 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes: planes(t)(p) is a 64-dim
-    * array of ±1-ish doubles derived from a splitmix64 stream — the same
-    * construction a seeded RNG would give, but reproducible across engines
-    * and sessions.
-    */
-  /** 8 tables x 4 planes: for the ~65-75 degree angles that separate
-    * top-k neighbors in this embedding space, P(bucket match per table)
-    * = (1 - theta/pi)^4 ~= 0.13-0.16, so 8 tables give ~0.67-0.75
-    * candidate recall. The earlier 4x8 configuration had ~6% recall —
-    * tighter buckets than the data's similarity structure supports.
-    * More tables = more candidates per query; the rescoring stays
-    * bucket-local either way.
-    */
-  private val Dim = 64
-  private val NumTables = 8
-  private val PlanesPerTable = 4
-  private[operators] val planes: Array[Array[Array[Double]]] = {
-    var z = 0x243F6A8885A308D3L
-    def next(): Long = {
-      z += 0x9E3779B97F4A7C15L
-      var x = z
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
-    Array.fill(NumTables, PlanesPerTable, Dim)(next().toDouble / Long.MaxValue.toDouble)
-  }
-
   /** Random-hyperplane LSH ANN: bucket = sign bits of plane dot products,
     * per hash table; candidates share a bucket in any table; exact cosine
     * rescoring within buckets only. rows-only oracle; SimilaritySpec
-    * measures recall vs s01.
+    * measures recall vs s01 and pins bucket ids bit-identical to the
+    * reference `aggregate(zip_with(...))` formulation.
+    *
+    * Bucketing is one native codegen'd expression
+    * (functions/HyperplaneBuckets.scala) computing all
+    * [[HyperplaneBuckets.NumTables]] bucket ids in a single fused loop
+    * over the embedding — map-only inside the parquet scan, so the pass
+    * stays in whole-stage codegen at any scale. The plane geometry
+    * (8 tables x 4 planes for this embedding space's ~65-75° neighbor
+    * angles → ~0.67-0.75 candidate recall) lives with the expression.
     */
   def s02AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
 
-    // bucket id per (vector, table): sign bits of plane dot products
-    def bucketCol(t: Int) = (0 until PlanesPerTable).map { p =>
-      val dot = expr(s"aggregate(zip_with(embedding, ${planeSql(t, p)}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-      when(dot >= 0, lit(1 << p)).otherwise(0)
-    }.reduce(_ + _)
-    def planeSql(t: Int, p: Int): String =
-      planes(t)(p).mkString("array(", ", ", ")")
-
     // shared per session: the query side filters the SAME cached store,
     // so bucketing runs once instead of once per join side
     val bucketed = SharedIndex(s, dir, "hyperplane_buckets") {
-      e.select(
-        col("vec_id"), col("embedding"),
-        explode(array((0 until NumTables).map(t =>
-          struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))): _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      e.select(col("vec_id"), col("embedding"),
+        posexplode(HyperplaneBuckets.buckets(s, col("embedding"))).as(Seq("tbl", "bucket")))
     }
 
     val queries = bucketed.filter(col("vec_id") < NumQueries)

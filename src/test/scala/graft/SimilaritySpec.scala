@@ -33,6 +33,27 @@ class SimilaritySpec extends SparkSpec {
     common.foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
   }
 
+  test("native graft_hyperplane_buckets is bit-identical to the HOF fold formulation") {
+    import graft.functions.HyperplaneBuckets
+    val e = Tables.embeddings(spark, sf)
+    // reference formulation: 32 aggregate(zip_with(...)) HOF dot products,
+    // the pre-r5 bucketing path the native expression replaced
+    def planeSql(t: Int, p: Int): String =
+      HyperplaneBuckets.planes(t)(p).mkString("array(", ", ", ")")
+    def hofBucket(t: Int) = (0 until HyperplaneBuckets.PlanesPerTable).map { p =>
+      val dot = expr(s"aggregate(zip_with(embedding, ${planeSql(t, p)}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(dot >= 0, lit(1 << p)).otherwise(0)
+    }.reduce(_ + _)
+    val rows = e.select(
+      array((0 until HyperplaneBuckets.NumTables).map(hofBucket): _*).as("hof"),
+      HyperplaneBuckets.buckets(spark, col("embedding")).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+  }
+
   test("s01 ranks are dense per query and ordered by cosine desc") {
     val rows = Similarity.s01AnnBruteforce(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
