@@ -67,7 +67,8 @@ object XbrlExtract {
     val out = extract(spark, filingZips, taxonomyZip, formNumber)
     XbrlSinks.writeParquet(out.tables, s"$outDir/tables")
     XbrlSinks.writeString(s"$outDir/datapackage.json",
-      XbrlSinks.datapackageJson(out.schemas, s"$outDir/tables", formNumber))
+      XbrlSinks.datapackageJson(out.schemas, s"$outDir/tables", formNumber,
+        tableNames = Some(out.tables.keySet)))
     XbrlSinks.writeString(s"$outDir/taxonomy_metadata.json",
       XbrlSinks.metadataJson(out.taxonomies))
     out

@@ -39,10 +39,41 @@ object XbrlSinks {
       df.write.mode("overwrite").jdbc(url, name, props)
     }
 
+  /** Descriptor validation before writing — the consistency checks the
+    * reference gets from Pydantic/frictionless `model_validate`
+    * (datapackage.py:57-64, surfaced in xbrl.py:257-268): non-empty
+    * unique resource names, unique field names per resource, primary key
+    * a subset of the fields, and — when the extracted table set is
+    * known — resource names exactly matching table names. Catches
+    * schema-derivation regressions at the sink boundary instead of in
+    * the downstream loader.
+    */
+  def validateSchemas(schemas: Seq[TableSchema], tableNames: Option[Set[String]] = None): Unit = {
+    val dupRes = schemas.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dupRes.isEmpty, s"duplicate resource names: ${dupRes.mkString(", ")}")
+    schemas.foreach { t =>
+      require(t.name.nonEmpty, "empty resource name")
+      val dupF = t.fields.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+      require(dupF.isEmpty, s"${t.name}: duplicate field names: ${dupF.mkString(", ")}")
+      val fieldNames = t.fields.map(_.name).toSet
+      val missing = t.primaryKey.filterNot(fieldNames)
+      require(missing.isEmpty, s"${t.name}: primary key columns not in fields: ${missing.mkString(", ")}")
+    }
+    tableNames.foreach { names =>
+      val schemaNames = schemas.map(_.name).toSet
+      require(schemaNames == names,
+        s"resource/table mismatch: only-in-schemas=${(schemaNames -- names).mkString(", ")} " +
+          s"only-in-tables=${(names -- schemaNames).mkString(", ")}")
+    }
+  }
+
   /** Frictionless datapackage descriptor (datapackage.py:19-115,
     * 292-341, 462-471), serialized with the reference's aliases.
+    * Validates schema consistency before serializing.
     */
-  def datapackageJson(schemas: Seq[TableSchema], dbUri: String, formNumber: Int = 1): String = {
+  def datapackageJson(schemas: Seq[TableSchema], dbUri: String, formNumber: Int = 1,
+      tableNames: Option[Set[String]] = None): String = {
+    validateSchemas(schemas, tableNames)
     def field(f: graft.xbrl.TableField) = ordered(
       "name" -> f.name, "title" -> f.title, "type" -> f.schemaType,
       "format" -> "default", "description" -> f.description)
@@ -56,6 +87,37 @@ object XbrlSinks {
         "description" -> t.description,
         "format" -> "sqlite",
         "mediatype" -> "application/vnd.sqlite3",
+        "schema" -> ordered(
+          "fields" -> t.fields.map(field).asJava,
+          "primary_key" -> t.primaryKey.asJava))
+    }
+    val pkg = ordered(
+      "profile" -> "tabular-data-package",
+      "name" -> s"ferc$formNumber-extracted-xbrl",
+      "title" -> "Ferc1 data extracted from XBRL filings",
+      "resources" -> resources.asJava)
+    new ObjectMapper().writerWithDefaultPrettyPrinter().writeValueAsString(pkg)
+  }
+
+  /** Parquet-flavored descriptor — the reference's converted datapackage
+    * for its parquet output (cli.py:211-230): each resource points at
+    * `<name>.parquet` with parquet format/mediatype and no dialect.
+    */
+  def datapackageParquetJson(schemas: Seq[TableSchema], formNumber: Int = 1,
+      tableNames: Option[Set[String]] = None): String = {
+    validateSchemas(schemas, tableNames)
+    def field(f: graft.xbrl.TableField) = ordered(
+      "name" -> f.name, "title" -> f.title, "type" -> f.schemaType,
+      "format" -> "default", "description" -> f.description)
+    val resources = schemas.map { t =>
+      ordered(
+        "path" -> s"${t.name}.parquet",
+        "profile" -> "tabular-data-resource",
+        "name" -> t.name,
+        "title" -> t.title,
+        "description" -> t.description,
+        "format" -> "parquet",
+        "mediatype" -> "application/vnd.apache.parquet",
         "schema" -> ordered(
           "fields" -> t.fields.map(field).asJava,
           "primary_key" -> t.primaryKey.asJava))

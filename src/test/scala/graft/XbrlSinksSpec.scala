@@ -72,6 +72,50 @@ class XbrlSinksSpec extends SparkSpec {
     assert(fields.get(0).get("format").asText === "default")
   }
 
+  test("CLI main writes the reference output layout") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_cli").toString
+    Main.main(Array(
+      s"$dataDir/ferc1-xbrl-2021.zip",
+      "--taxonomy", s"$dataDir/ferc1-xbrl-taxonomies.zip",
+      "--output-dir", dir,
+      "--form-number", "1",
+      "--requested-tables", requested.mkString(",")))
+    assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl_datapackage.json")))
+    assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl_taxonomy_metadata.json")))
+    assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl/datapackage.json")))
+    requested.foreach(t => assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl/$t"))))
+    val root = new ObjectMapper().readTree(Files.readString(Paths.get(s"$dir/ferc1_xbrl/datapackage.json")))
+    val res = root.get("resources")
+    assert(res.size === 2)
+    (0 until res.size).map(res.get).foreach { r =>
+      assert(r.get("format").asText === "parquet")
+      assert(r.get("mediatype").asText === "application/vnd.apache.parquet")
+      assert(!r.has("dialect"))
+      assert(r.get("path").asText === r.get("name").asText + ".parquet")
+    }
+    // the parquet tables round-trip through Spark
+    val back = spark.read.parquet(s"$dir/ferc1_xbrl/identification_001_duration")
+    assert(back.count() === 10L)
+  }
+
+  test("descriptor validation rejects corrupted schemas") {
+    // healthy schemas (with the matching table set) pass
+    XbrlSinks.validateSchemas(out.schemas, Some(out.tables.keySet))
+    val base = out.schemas.head
+    // primary key referencing a dropped field
+    val noPkField = base.copy(fields = base.fields.filterNot(_.name == base.primaryKey.head))
+    assertThrows[IllegalArgumentException](XbrlSinks.datapackageJson(Seq(noPkField), "db"))
+    // duplicated field name
+    val dupField = base.copy(fields = base.fields :+ base.fields.head)
+    assertThrows[IllegalArgumentException](XbrlSinks.datapackageJson(Seq(dupField), "db"))
+    // duplicated resource name
+    assertThrows[IllegalArgumentException](XbrlSinks.datapackageJson(Seq(base, base), "db"))
+    // resource set diverging from the extracted tables
+    assertThrows[IllegalArgumentException](
+      XbrlSinks.datapackageJson(out.schemas, "db", tableNames = Some(out.tables.keySet + "ghost_table")))
+  }
+
   test("taxonomy metadata json carries references, calculations, balance") {
     val json = XbrlSinks.metadataJson(out.taxonomies)
     val root = new ObjectMapper().readTree(json)
