@@ -48,14 +48,24 @@ object XbrlQueries {
     scala.collection.mutable.LinkedHashMap.empty[SparkSession, graft.sources.ParsedFilings]
 
   private def filings(s: SparkSession): graft.sources.ParsedFilings = synchronized {
-    filingsCache.getOrElseUpdate(s, {
-      while (filingsCache.size >= MaxSessions) {
-        val (k, old) = filingsCache.head
-        filingsCache.remove(k)
-        old.unpersist()
-      }
-      FilingSource.fromZip(s, requireArchive("ferc1-xbrl-2021.zip"))
-    })
+    // explicit get/evict/put (never mutate inside getOrElseUpdate's
+    // by-name default); evict stopped sessions first so a live session's
+    // persisted parse is only dropped as a last resort
+    filingsCache.get(s) match {
+      case Some(parsed) => parsed
+      case None =>
+        while (filingsCache.size >= MaxSessions) {
+          val victim = filingsCache.keys.find(_.sparkContext.isStopped)
+            .getOrElse(filingsCache.head._1)
+          filingsCache.remove(victim).foreach { old =>
+            // unpersist on a stopped context throws; the blocks are gone
+            if (!victim.sparkContext.isStopped) old.unpersist()
+          }
+        }
+        val parsed = FilingSource.fromZip(s, requireArchive("ferc1-xbrl-2021.zip"))
+        filingsCache.put(s, parsed)
+        parsed
+    }
   }
 
   /** Release the parsed-filings store a session holds. */

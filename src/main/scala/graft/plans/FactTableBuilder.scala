@@ -165,6 +165,13 @@ object FactTableBuilder {
     * and at 100 TB the heavy side (facts) streams through a single
     * shuffle on (filing, c_id, parent). A child fact missing from a
     * context contributes 0, like the wide route's coalesce(col, 0).
+    *
+    * Granularity (intended): one validation per (filing_name, c_id,
+    * parent) — the same per-context grain `build()` pivots at (its
+    * groupBy is (filing_name, c_id), never the table primary key), and
+    * the grain XBRL defines calculation consistency on. Contexts that
+    * would share a PK each validate independently rather than merging;
+    * FactTableSpec pins the 190/190-consistent ferc1-2021 regression.
     */
   def validateCalculations(
       spark: SparkSession,

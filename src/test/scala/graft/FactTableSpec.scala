@@ -60,6 +60,14 @@ class FactTableSpec extends SparkSpec {
     }
   }
 
+  test("calculation validation holds the ferc1-2021 regression: 190/190 consistent") {
+    // per-(filing, c_id, parent) grain — the same grain build() pivots at
+    val v = graft.operators.XbrlQueries.x04XbrlCalcValidate(spark, "").cache()
+    assert(v.count() === 190L)
+    assert(v.filter(col("consistent")).count() === 190L)
+    assert(v.filter(!col("consistent")).count() === 0L)
+  }
+
   test("exact + fuzzy dedup keeps the highest-precision numeric value") {
     val schema = TableSchema(
       name = "t_instant",
