@@ -123,15 +123,20 @@ object Dedup {
 
   /** MinHash signature per doc: one aggregation producing all 64 mins
     * (64 codegen'd agg columns — single shuffle, no 64x explode).
+    * Session-cached like the shingle buckets it derives from: the
+    * signatures are deterministic (seeded coefficients), so repeated
+    * d03 runs — and any future band-based candidate pruning — reuse
+    * one build instead of re-aggregating the exploded shingle store.
     */
-  private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val (exploded, _) = shingled(s, dir)
-    val hashed = exploded.withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
-    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
+  private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    SharedIndex(s, dir, "minhash_signatures") {
+      val (exploded, _) = shingled(s, dir)
+      val hashed = exploded.withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
+      val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
+      }
+      hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
 
   private val NumBands = 16
   private val RowsPerBand = NumHashes / NumBands // 4
