@@ -49,6 +49,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Text.t04Fingerprint(spark, sf)) <= 1)
   }
 
+  test("s02 bucketing is codegen'd in the scan; candidates join by broadcast") {
+    val df = graft.operators.Similarity.s02AnnLsh(spark, sf)
+    val n = shuffles(df)
+    // pair-dedup agg + per-query window + presentation sort; the
+    // candidate join itself broadcasts the query side
+    assert(n <= 3, s"$n shuffle exchanges")
+    val plan = df.queryExecution.executedPlan.toString
+    // the bucketing Generate runs inside a WholeStageCodegen stage
+    // (the `*(k)` marker) — the interpreted-HOF formulation this
+    // replaced de-codegen'd the whole embedding scan
+    assert("""\*\(\d+\) Generate posexplode\(graft_hyperplane_buckets""".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("xbrl fact-table build stays within its declared exchange budget") {
     // facts side + contexts side + final sort; publication_time joins by
     // broadcast; dedup agg and pivot reuse the join partitioning
