@@ -40,6 +40,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.d05EmbeddingCosine _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "t01_lang_id" -> (Text.t01LangId _),
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),
@@ -211,9 +212,10 @@ object SparkEntry {
         |) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
-    // d03/d04/s02 are intentionally absent (rows-only): their hash
-    // seeds / hyperplanes are engine-local, so no portable SQL oracle
-    // exists; ScalaTest (DedupSpec/SimilaritySpec) checks recall instead.
+    // d03/d04/s02/s03 are intentionally absent (rows-only): their hash
+    // seeds / hyperplanes / cell seeds are engine-local, so no portable
+    // SQL oracle exists; ScalaTest (DedupSpec/SimilaritySpec) checks
+    // recall instead.
     "s01_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb,

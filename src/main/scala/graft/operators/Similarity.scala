@@ -76,4 +76,65 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  private val NumCells = 32
+  private val NumProbes = 8
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer alternative to s02's
+    * hyperplane LSH. Cells are defined by [[NumCells]] deterministic seed
+    * vectors (the lowest vec_ids — a sampled coarse quantizer, the
+    * standard IVF baseline when no trained codebook is available); every
+    * vector lives in the cell of its nearest seed; a query probes its
+    * [[NumProbes]] nearest cells and rescores exactly (graft_cosine)
+    * inside them.
+    *
+    * Scale shape, in order:
+    * 1. cell scoring is a broadcast nested-loop of the corpus against
+    *    the [[NumCells]]-row seed table — map-only, no shuffle of the
+    *    big side;
+    * 2. assignment reduces the n x cells scores with a map-side-partial
+    *    `max_by` per vec_id, so the one shuffle carries one row per
+    *    vector (never n x cells);
+    * 3. the probe list is [[NumQueries]] x [[NumCells]] rows — broadcast;
+    * 4. rescoring joins candidates cell-equi (skew-bounded: a cell holds
+    *    ~n/cells vectors) and the per-query top-k uses the rank window's
+    *    WindowGroupLimit partial pushdown.
+    * rows-only oracle (seed choice is engine-local); SimilaritySpec
+    * measures candidate recall vs s01 and exactness of returned cosines.
+    */
+  def s03AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
+
+    // nearest-seed score for every (vector, cell): map-only over the corpus
+    val scored = SharedIndex(s, dir, "ivf_assignment") {
+      e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          CosineSimilarity.cosine(s, col("embedding"), col("seed_emb")).as("c"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell"), col("c")).as("cell"), any_value(col("embedding")).as("embedding"))
+    }
+
+    // each query probes its NumProbes nearest cells (tiny: queries x cells)
+    val probeW = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell").asc)
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        CosineSimilarity.cosine(s, col("embedding"), col("seed_emb")).as("c"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= NumProbes)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    val cand = broadcast(probes.as("a"))
+      .join(scored.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -33,6 +33,28 @@ class SimilaritySpec extends SparkSpec {
     common.foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
   }
 
+  test("s03 IVF retrieves a usable fraction of s01's exact top-k") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.s03AnnIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // probing 8 of 32 cells scans ~25% of the corpus; nearest-cell
+    // probing concentrates true neighbors far above that floor
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("s03 cosines agree exactly with s01 for common pairs") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.s03AnnIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    val common = ivf.filter { case (k, _) => exact.contains(k) }
+    assert(common.nonEmpty)
+    common.foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
+  }
+
   test("native graft_hyperplane_buckets is bit-identical to the HOF fold formulation") {
     import graft.functions.HyperplaneBuckets
     val e = Tables.embeddings(spark, sf)
