@@ -1,7 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event for [[StreamingOps.sessionize]]. */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session state held per user between triggers. */
+case class OpenSession(startMs: Long, endMs: Long, nEvents: Long, totalValue: Double)
+
+/** A closed session emitted by [[StreamingOps.sessionize]]. */
+case class UserSession(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long,
+    total_value: Double)
 
 /** Structured Streaming operators (SURVEY.md §2.5).
   *
@@ -42,4 +57,69 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based stateful sessionization — the streaming twin of batch
+    * q13_sessionize, built on `flatMapGroupsWithState` (custom state;
+    * the built-in `session_window` can't carry arbitrary per-session
+    * aggregates through custom merge logic).
+    *
+    * State = ONE [[OpenSession]] per active user, keyed by user hash in
+    * the state store — at 100 TB/day state is bounded by concurrently
+    * ACTIVE users, not by events seen. A session closes either when a
+    * later event for the user arrives more than `gapMinutes` after the
+    * session end (emitted in that trigger), or when the event-time
+    * watermark passes end + gap (event-time timeout — eviction needs no
+    * traffic from the user, so abandoned sessions can't pin state).
+    * In-trigger disorder is absorbed by sorting each user's trigger
+    * batch; cross-trigger disorder is bounded by the watermark, like
+    * every stateful op here.
+    */
+  def sessionize(
+      events: Dataset[UserEvent],
+      gapMinutes: Int = 30,
+      watermark: String = "30 minutes"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(userId: Long, s: OpenSession): UserSession =
+      UserSession(userId, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+        s.nEvents, s.totalValue)
+
+    def fn(userId: Long, evs: Iterator[UserEvent], state: GroupState[OpenSession]): Iterator[UserSession] =
+      if (state.hasTimedOut) {
+        // watermark passed end + gap: no in-horizon event can extend it
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        val sorted = evs.toIndexedSeq.sortBy(_.ts.getTime)
+        val closed = Vector.newBuilder[UserSession]
+        var open = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          open = open match {
+            case Some(s) if t <= s.endMs + gapMs =>
+              Some(OpenSession(s.startMs, math.max(s.endMs, t), s.nEvents + 1, s.totalValue + e.value))
+            case Some(s) =>
+              closed += close(userId, s)
+              Some(OpenSession(t, t, 1L, e.value))
+            case None =>
+              Some(OpenSession(t, t, 1L, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // timeout must sit beyond the current watermark; an already-
+          // expired session closes on the next trigger via the max
+          state.setTimeoutTimestamp(math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.result().iterator
+      }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionize closes sessions on gap and on watermark timeout") {
+    import graft.streaming.{UserEvent, UserSession}
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 10, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 1 min apart (one session), then a 15-min gap
+      input.addData(
+        UserEvent(1L, ts(1), 1.0), UserEvent(1L, ts(2), 2.0),
+        UserEvent(2L, ts(5), 5.0))
+      q.processAllAvailable()
+      // the gap event closes user 1's first session within the trigger
+      input.addData(UserEvent(1L, ts(17), 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past every end + gap, then let the
+      // timeout trigger fire to flush the still-open sessions
+      input.addData(UserEvent(99L, ts(59), 0.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(98L, ts(59), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[UserSession].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+        .sortBy(t => (t._1, t._2.getTime)).toSeq
+      assert(got.contains((1L, ts(1), ts(2), 2L, 3.0)),  s"gap-closed session missing: $got")
+      assert(got.contains((1L, ts(17), ts(17), 1L, 3.0)), s"timeout-closed 2nd session missing: $got")
+      assert(got.contains((2L, ts(5), ts(5), 1L, 5.0)),  s"timeout-closed user-2 session missing: $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per event_id within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
