@@ -64,6 +64,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize agrees with batch q13 on real events") {
+    import graft.streaming.{UserEvent, UserSession}
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val users = 20L
+
+    // batch truth: q13 output for the sampled users (sessions of a user
+    // are independent of other users, so filtering the output is exact)
+    val expected = graft.operators.Relational.q13Sessionize(spark, sf)
+      .filter(col("user_id") <= users)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+
+    // same events through the stateful streaming path (ts is a
+    // nanosecond long in events.parquet; sessions live at ms precision)
+    val evs = graft.Tables.events(spark, sf)
+      .filter(col("user_id") <= users)
+      .select("user_id", "ts", "value")
+      .collect()
+      .map(r => UserEvent(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L), r.getDouble(2)))
+    val input = MemoryStream[UserEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("sess_equiv").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      // two watermark-advancing triggers flush the open sessions
+      val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 24L * 3600 * 1000)
+      input.addData(UserEvent(9999L, flushTs, 0.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(9998L, flushTs, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_equiv").as[UserSession]
+        .filter(col("user_id") <= users)
+        .collect()
+        .sortBy(s => (s.user_id, s.session_start.getTime))
+        .map(s => (s.user_id, s.n_events, s.total_value)).toSeq
+      assert(got.map(t => (t._1, t._2)) === expected.map(t => (t._1, t._2)))
+      got.zip(expected).foreach { case (g, e) =>
+        assert(math.abs(g._3 - e._3) < 1e-6, s"user ${g._1}: ${g._3} vs ${e._3}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per event_id within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
