@@ -46,6 +46,7 @@ object SparkEntry {
     "t03_token_count" -> (Text.t03TokenCount _),
     "t04_fingerprint" -> (Text.t04Fingerprint _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
+    "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     // XBRL engine over the reference's own test archives (rows-only —
     // no synthetic-table twin exists; see XbrlQueries scaladoc)
     "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),

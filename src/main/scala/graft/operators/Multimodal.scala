@@ -57,14 +57,12 @@ object Multimodal {
     }
   }
 
-  /** Synthesize the media table from `documents` (payload = UTF-8 bytes
-    * standing in for an encoded frame; media_type from source round-robin)
-    * then run the partition-wise decode. Output is rows-only checked;
-    * MultimodalSpec asserts determinism, schema, and batch behavior.
+  /** The media table synthesized from `documents` (payload = UTF-8 bytes
+    * standing in for an encoded frame; media_type from source round-robin).
     */
-  def m01MultimodalStub(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def mediaTable(s: SparkSession, dir: String) = {
     import s.implicits._
-    val media = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(
         col("doc_id"),
         element_at(
@@ -72,8 +70,16 @@ object Multimodal {
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
-    media
-      .mapPartitions(records => records.map(FakeDecoder.decode))
+  }
+
+  /** Synthesize the media table then run the partition-wise decode.
+    * Output is rows-only checked; MultimodalSpec asserts determinism,
+    * schema, and batch behavior.
+    */
+  def m01MultimodalStub(s: SparkSession, dir: String): DataFrame = {
+    mediaTable(s, dir)
+      .mapPartitions(records => records.map(FakeDecoder.decode))(
+        org.apache.spark.sql.Encoders.product[DecodedMedia])
       .toDF()
       .select(
         col("doc_id"), col("media_type"), col("n_bytes"),
@@ -81,5 +87,50 @@ object Multimodal {
         round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
         round(element_at(col("features"), 2).cast("double"), 6).as("f1"))
       .orderBy("doc_id")
+  }
+
+  /** One sampled, resized frame of a video payload. */
+  case class SampledFrame(
+      doc_id: Long,
+      frame_index: Int,
+      frame_ts_ms: Long,
+      width: Int,
+      height: Int,
+      frame_checksum: Long)
+
+  /** Frames sampled uniformly per video, each resized to this edge. */
+  private val TargetEdge = 224
+  private val MaxFramesPerVideo = 4
+
+  /** m02: video frame-sampling + resize plumbing. Video rows FAN OUT —
+    * one input row becomes up to [[MaxFramesPerVideo]] frame rows — via
+    * an iterator `flatMap` inside `mapPartitions`: frames stream out as
+    * the partition iterates, so a long video never materializes all its
+    * frames at once (the property that matters when a partition holds
+    * hours of footage). Duration/fps come from the stubbed header parse
+    * (a deterministic function of the payload, standing in for a
+    * container demux); the per-frame "resize" recomputes the stub
+    * checksum at [[TargetEdge]]² — a real codec would replace ONLY
+    * the two stub calls, the fan-out/schema/partition shape is real.
+    */
+  def m02FrameSample(s: SparkSession, dir: String): DataFrame = {
+    mediaTable(s, dir)
+      // Column filter (not a typed lambda) so pruning/pushdown survive
+      .filter(col("media_type") === "video/mp4")
+      .mapPartitions(_.flatMap { r =>
+        val d = FakeDecoder.decode(r)
+        // stub header: duration 1-30 s, 4-30 fps, from the checksum
+        val durationMs = 1000L + math.floorMod(d.checksum, 29000L)
+        val fps = 4 + math.floorMod(d.checksum >>> 23, 27L).toInt
+        val nFrames = math.min(MaxFramesPerVideo, (durationMs * fps / 1000L).toInt max 1)
+        Iterator.tabulate(nFrames) { i =>
+          val tsMs = i * durationMs / nFrames // uniform sampling
+          // stub resize/re-encode: mix the frame position into the checksum
+          val frameChecksum = d.checksum ^ (31L * tsMs + i) * 0x9E3779B97F4A7C15L
+          SampledFrame(r.doc_id, i, tsMs, TargetEdge, TargetEdge, frameChecksum)
+        }
+      })(org.apache.spark.sql.Encoders.product[SampledFrame])
+      .toDF()
+      .orderBy("doc_id", "frame_index")
   }
 }

@@ -43,6 +43,31 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("m02 frame sampling fans out videos deterministically within bounds") {
+    val a = Multimodal.m02FrameSample(spark, sf)
+    assert(a.columns.toSeq ===
+      Seq("doc_id", "frame_index", "frame_ts_ms", "width", "height", "frame_checksum"))
+    val r1 = a.collect()
+    val r2 = Multimodal.m02FrameSample(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    // exactly the video third of the corpus fans out, 1..4 frames each
+    val videos = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(3)) === 2).count()
+    val byDoc = r1.groupBy(_.getLong(0))
+    assert(byDoc.size === videos)
+    byDoc.foreach { case (doc, frames) =>
+      assert(frames.length >= 1 && frames.length <= 4, s"doc $doc")
+      // frame indexes dense from 0, timestamps nondecreasing and uniform
+      val sorted = frames.sortBy(_.getAs[Int]("frame_index"))
+      assert(sorted.map(_.getAs[Int]("frame_index")).toSeq === sorted.indices.toSeq)
+      val ts = sorted.map(_.getAs[Long]("frame_ts_ms"))
+      assert(ts.head === 0L && ts.toSeq === ts.sorted.toSeq)
+      sorted.foreach { f =>
+        assert(f.getAs[Int]("width") === 224 && f.getAs[Int]("height") === 224)
+      }
+    }
+  }
+
   test("t01/t02/t03 agree on tokenization") {
     val t1 = Text.t01LangId(spark, sf).count()
     val t2 = Text.t02QualityScore(spark, sf).count()
