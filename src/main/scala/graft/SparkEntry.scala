@@ -33,6 +33,7 @@ object SparkEntry {
     "q13_sessionize" -> (Relational.q13Sessionize _),
     "q14_fuzzy_numeric_dedup" -> (Relational.q14FuzzyNumericDedup _),
     "q15_calculation_validate" -> (Relational.q15CalculationValidate _),
+    "q16_asof_join" -> (Relational.q16AsofJoin _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -212,6 +213,20 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_orderkey
         |) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // formulation; equal-ts touches dedup to max event_id on both sides
+    "q16_asof_join" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+        |), p AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id, t.event_id AS touch_id
+        |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     // d03/d04/s02/s03 are intentionally absent (rows-only): their hash
     // seeds / hyperplanes / cell seeds are engine-local, so no portable

@@ -269,4 +269,38 @@ object Relational {
         (abs(col("o_totalprice") - col("computed_total")) < 0.01).as("consistent"))
       .orderBy("o_orderkey")
   }
+
+  /** As-of join (last-touch attribution): for each `purchase` event, the
+    * same user's most recent `click`/`view` at or before it — the
+    * operator Spark has no native node for (DuckDB: `ASOF JOIN`).
+    *
+    * The scalable formulation is NOT a range join (per-key quadratic
+    * candidate explosion) and not a per-row subquery: tag both sides,
+    * union them, sort ONCE per user by (ts, side, event_id), and carry
+    * the most recent touch forward with an ignore-nulls `last` window,
+    * then keep only purchase rows. One shuffle on user_id; both sides
+    * stream through the same sort, so at 100 TB it scales exactly like
+    * the sessionize window (q13). Ties: a touch at the purchase's exact
+    * ts counts (side 0 sorts first); equal-ts touches resolve to the
+    * max event_id — the oracle dedups the same way before its ASOF.
+    */
+  def q16AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"),
+        col("event_id").as("touch_ev"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
+        lit(null).cast("long").as("touch_ev"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // no raw-gap column in the output: DuckDB reads the nano timestamps
+    // rounded to micros, so only the matched ids are oracle-portable
+    touches.unionByName(purchases)
+      .withColumn("touch_id", last(col("touch_ev"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("touch_id"))
+      .orderBy("purchase_id")
+  }
 }

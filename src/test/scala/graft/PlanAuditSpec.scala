@@ -49,6 +49,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Text.t04Fingerprint(spark, sf)) <= 1)
   }
 
+  test("q16 as-of join: one per-user window shuffle plus the sort, no join node") {
+    val df = Relational.q16AsofJoin(spark, sf)
+    assert(shuffles(df) <= 2)
+    // the whole point: the as-of is a window carry-forward, not a
+    // range/cross join that explodes per key
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"), plan.take(2000))
+  }
+
   test("s02 bucketing is codegen'd in the scan; candidates join by broadcast") {
     val df = graft.operators.Similarity.s02AnnLsh(spark, sf)
     val n = shuffles(df)
