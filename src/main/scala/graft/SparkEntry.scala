@@ -34,6 +34,7 @@ object SparkEntry {
     "q14_fuzzy_numeric_dedup" -> (Relational.q14FuzzyNumericDedup _),
     "q15_calculation_validate" -> (Relational.q15CalculationValidate _),
     "q16_asof_join" -> (Relational.q16AsofJoin _),
+    "q17_range_join" -> (Relational.q17RangeJoin _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -227,6 +228,22 @@ object SparkEntry {
         |SELECT p.event_id AS purchase_id, p.user_id, t.event_id AS touch_id
         |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    // naive inequality join is the oracle for the bucket-blocked range
+    // join; epoch_ns keeps the boundary comparisons at full precision
+    "q17_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS ts_ns
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |)
+        |SELECT p.purchase_id, p.user_id,
+        |  COALESCE(SUM(CASE WHEN t.ts_ns <= p.ts_ns AND t.ts_ns > p.ts_ns - 1800000000000 THEN 1 ELSE 0 END), 0) AS n_touches
+        |FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |GROUP BY p.purchase_id, p.user_id
+        |ORDER BY p.purchase_id""".stripMargin,
 
     // d03/d04/s02/s03 are intentionally absent (rows-only): their hash
     // seeds / hyperplanes / cell seeds are engine-local, so no portable

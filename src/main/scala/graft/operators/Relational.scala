@@ -303,4 +303,36 @@ object Relational {
       .select(col("event_id").as("purchase_id"), col("user_id"), col("touch_id"))
       .orderBy("purchase_id")
   }
+
+  /** Interval/range join: for each `purchase`, count the same user's
+    * `click`/`view` events in the preceding 30 minutes (exclusive of
+    * the purchase instant's future, inclusive of equal ts).
+    *
+    * Spark would execute the naive `a.ts BETWEEN b.ts - i AND b.ts`
+    * theta-join as a per-key nested loop (quadratic per user at 100 TB).
+    * The scale formulation blocks time into interval-width buckets:
+    * a purchase in bucket k can only match touches in buckets k-1/k, so
+    * each touch emits to (its bucket, its bucket + 1) and the join is
+    * EQUI on (user_id, bucket) with the exact range predicate as a
+    * post-filter — candidates are bounded by events per (user, hour),
+    * never all pairs per user. One extra row per touch, two shuffles.
+    */
+  def q17RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val IntervalNs = 1800L * 1000000000L
+    val bucket = expr(s"ts div $IntervalNs")
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        bucket.as("bucket"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        explode(array(bucket, bucket + 1)).as("bucket"))
+    purchases.join(touches, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        col("t_ts").isNotNull &&
+          col("t_ts") <= col("ts") && col("t_ts") > col("ts") - IntervalNs)
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_touches"))
+      .orderBy("purchase_id")
+  }
 }

@@ -58,6 +58,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"), plan.take(2000))
   }
 
+  test("q17 range join blocks on time buckets, never a nested loop") {
+    val df = Relational.q17RangeJoin(spark, sf)
+    // join sides on (user, bucket) + count agg + presentation sort
+    assert(shuffles(df) <= 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"), plan.take(2000))
+  }
+
   test("s02 bucketing is codegen'd in the scan; candidates join by broadcast") {
     val df = graft.operators.Similarity.s02AnnLsh(spark, sf)
     val n = shuffles(df)
