@@ -35,6 +35,9 @@ object SparkEntry {
     "q15_calculation_validate" -> (Relational.q15CalculationValidate _),
     "q16_asof_join" -> (Relational.q16AsofJoin _),
     "q17_range_join" -> (Relational.q17RangeJoin _),
+    // rows-only: sketch estimates (HLL++/KLL) are engine-specific;
+    // RelationalSpec bounds the error vs exact
+    "q18_approx_stats" -> (Relational.q18ApproxStats _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),

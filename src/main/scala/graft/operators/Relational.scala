@@ -335,4 +335,28 @@ object Relational {
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_touches"))
       .orderBy("purchase_id")
   }
+
+  /** Sketch-based approximate aggregates per event type: HyperLogLog++
+    * distinct users (`approx_count_distinct`) and approximate value
+    * percentiles (`percentile_approx`).
+    *
+    * At 100 TB these sketches are the ONLY viable formulation: both are
+    * mergeable partial aggregates — each partition builds a fixed-size
+    * sketch and the shuffle carries sketches, not values, so the plan is
+    * one map-side-combined aggregation regardless of cardinality. An
+    * exact countDistinct would shuffle every (type, user) pair; an exact
+    * percentile would sort every value. rows-only oracle (sketch
+    * estimates are engine-specific); RelationalSpec bounds the error
+    * against the exact answers (HLL++ rsd 0.5% default, percentile
+    * accuracy 10000).
+    */
+  def q18ApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"),
+        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)), 1), 2).as("p50_value"),
+        round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)), 2), 2).as("p95_value"))
+      .orderBy("event_type")
 }

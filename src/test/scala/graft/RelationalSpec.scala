@@ -40,6 +40,35 @@ class RelationalSpec extends SparkSpec {
     assert(exchanges.size <= 2, s"${exchanges.size} exchanges:\n$plan")
   }
 
+  test("q18 sketch estimates stay within error bounds of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.q18ApproxStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.45)").as("p50_lo"),
+        expr("percentile(value, 0.55)").as("p50_hi"),
+        expr("percentile(value, 0.92)").as("p95_lo"),
+        expr("percentile(value, 0.98)").as("p95_hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    exact.foreach { case (et, ex) =>
+      val ap = approx(et)
+      val users = ex.getAs[Long]("users").toDouble
+      // HLL++ default rsd 5%: allow 3 sigma (and ±1 at tiny cardinalities)
+      assert(math.abs(ap.getAs[Long]("approx_users") - users) <= math.max(1.0, 0.15 * users), et)
+      // rank-based bound: a quantile sketch returns an actual data value,
+      // so assert it falls inside a small rank neighborhood of the target
+      // (value-distance bounds would measure data sparsity, not error)
+      assert(ap.getAs[Double]("p50_value") >= ex.getAs[Double]("p50_lo") - 0.01 &&
+        ap.getAs[Double]("p50_value") <= ex.getAs[Double]("p50_hi") + 0.01, et)
+      assert(ap.getAs[Double]("p95_value") >= ex.getAs[Double]("p95_lo") - 0.01 &&
+        ap.getAs[Double]("p95_value") <= ex.getAs[Double]("p95_hi") + 0.01, et)
+    }
+  }
+
   test("q09 returns non-empty anti-join results at the oracle scale factor") {
     // sf0.01 is where the driver's correctness gate runs
     assert(Relational.q09AntiSemiJoin(spark, "/root/testdata/sf0.01").limit(1).count() === 1L)
