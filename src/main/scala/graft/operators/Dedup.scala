@@ -5,26 +5,40 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.CosineSimilarity
 
-/** Deduplication operator family (SURVEY.md §2.3) over `documents` /
-  * `embeddings`.
+/** Deduplication operator family (SURVEY.md §2.3).
+  *
+  * Each variant has a LIBRARY form taking any documents/embeddings
+  * DataFrame (`exactDedup`, `ngramJaccardPairs`, `minhashLshPairs`,
+  * `simhashPairs`, `embeddingDedupPairs` — input columns selectable by
+  * name, id column normalized to `doc_id`) and a gate form (`d0x...`)
+  * binding it to the standard tables with the per-session shared index
+  * cache.
   *
   * Scale notes (100 TB): every near-dup variant here generates candidate
   * pairs through an equi-join on a blocking key (shingle, LSH band bucket,
   * label block) — never a cross join. Blocking keys are computed with
-  * codegen'd built-ins (xxhash64, higher-order array functions); pair
-  * verification only runs on candidates.
+  * codegen'd built-ins (xxhash64, native shingle/simhash expressions);
+  * pair verification only runs on candidates.
   */
 object Dedup {
 
-  /** Exact dedup via content hash. One shuffle (groupBy md5).
-    * At 100 TB: hash-partition on the digest; map-side partial agg makes
-    * the shuffle carry one row per distinct digest per partition.
+  private def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Exact dedup via content hash over any documents frame. One shuffle
+    * (groupBy md5). At 100 TB: hash-partition on the digest; map-side
+    * partial agg makes the shuffle carry one row per distinct digest per
+    * partition.
     */
-  def d01ExactHash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("rep_doc_id")
+
+  /** d01: gate binding of [[exactDedup]]. */
+  def d01ExactHash(s: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.documents(s, dir))
 
   /** Max document frequency for a shingle to participate in near-dup
     * blocking. A stop-phrase shingle shared by millions of docs would make
@@ -35,39 +49,50 @@ object Dedup {
     */
   private[operators] val MaxShingleDF = 200L
 
-  /** Shingle buckets: one row per distinct word-3-gram shingle with the
-    * sorted list of doc_ids containing it, DF-capped by filtering on the
-    * bucket size (one shuffle; the cap costs nothing extra). Shared by
-    * d02/d03 — candidate pairs come from in-bucket array combinations,
-    * which beats a shingle self-join: the exploded store shuffles ONCE
-    * (groupBy shingle) instead of twice (both join sides), and pair
-    * generation is a codegen'd array comprehension per bucket row.
+  /** Shingle-bucket plan over any normalized `(doc_id, text)` frame: one
+    * row per distinct word-3-gram shingle with the sorted list of doc_ids
+    * containing it, DF-capped by filtering on the bucket size (one
+    * shuffle; the cap costs nothing extra). Candidate pairs come from
+    * in-bucket array combinations, which beats a shingle self-join: the
+    * exploded store shuffles ONCE (groupBy shingle) instead of twice
+    * (both join sides), and pair generation is a codegen'd array
+    * comprehension per bucket row.
+    */
+  private[operators] def buildShingleBuckets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    // native word_shingles keeps the scan inside whole-stage codegen
+    // (the transform/concat_ws lambda formulation drops the stage to
+    // interpreted mode — it was most of d02's runtime); collect_set
+    // dedups (doc, shingle) in the same aggregation that builds the
+    // bucket, replacing a per-doc array_distinct
+    docs
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.shingles(s, col("tokens"), 3)).as("shingle"))
+      .groupBy("shingle").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxShingleDF)
+  }
+
+  /** Session-cached shingle buckets for the standard `documents` table,
+    * shared by d02/d03.
     */
   private[operators] def shingleBuckets(s: SparkSession, dir: String): DataFrame =
     SharedIndex(s, dir, "shingle_buckets") {
-      // native word_shingles keeps the scan inside whole-stage codegen
-      // (the transform/concat_ws lambda formulation drops the stage to
-      // interpreted mode — it was most of d02's runtime); collect_set
-      // dedups (doc, shingle) in the same aggregation that builds the
-      // bucket, replacing a per-doc array_distinct
-      Tables.documents(s, dir)
-        .withColumn("tokens", split(col("text"), " "))
-        .filter(size(col("tokens")) >= 3)
-        .select(col("doc_id"),
-          explode(graft.functions.WordShingles.shingles(s, col("tokens"), 3)).as("shingle"))
-        .groupBy("shingle").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) <= MaxShingleDF)
+      buildShingleBuckets(normalized(Tables.documents(s, dir), "doc_id", "text"))
     }
 
   /** (doc_id, shingle) long store and per-doc shingle counts over the
     * capped universe, derived from the buckets.
     */
-  private[operators] def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val exploded = shingleBuckets(s, dir)
-      .select(col("shingle"), explode(col("ids")).as("doc_id"))
+  private def shingledFrom(buckets: DataFrame): (DataFrame, DataFrame) = {
+    val exploded = buckets.select(col("shingle"), explode(col("ids")).as("doc_id"))
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     (exploded, sizes)
   }
+
+  private[operators] def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    shingledFrom(shingleBuckets(s, dir))
 
   /** All in-bucket (d1 < d2) pairs from a bucketed DF with an `ids`
     * array column — the candidate generator for d02/d03.
@@ -80,15 +105,10 @@ object Dedup {
           |  (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
 
-  /** N-gram Jaccard similarity: top-100 most similar doc pairs.
-    * Candidates come from an equi-join on shingle (blocking), common-count
-    * via one aggregation, |A∪B| = |A|+|B|-common. Output ordered by
-    * similarity — synthetic corpus has no dups above any useful threshold,
-    * so a top-N (deterministic tie-break on ids) keeps the oracle
-    * non-trivial.
+  /** Top-K Jaccard pairs given a shingle-bucket store: common-count via
+    * one aggregation over in-bucket pairs, |A∪B| = |A|+|B|-common.
     */
-  def d02NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val buckets = shingleBuckets(s, dir)
+  private def jaccardTopK(buckets: DataFrame, topK: Int): DataFrame = {
     val sizes = buckets.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val common = bucketPairs(buckets)
@@ -100,8 +120,26 @@ object Dedup {
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
-      .limit(100)
+      .limit(topK)
   }
+
+  /** N-gram Jaccard near-dup pairs over any documents frame (library
+    * form; the caller may persist the input — the shingle index is built
+    * once per invocation here, or use the d02 gate form for the
+    * session-cached standard table).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 100): DataFrame =
+    jaccardTopK(buildShingleBuckets(normalized(docs, idCol, textCol)), topK)
+
+  /** d02: N-gram Jaccard similarity, top-100 most similar doc pairs on
+    * the standard table. Candidates come from an equi-join on shingle
+    * (blocking); output ordered by similarity — synthetic corpus has no
+    * dups above any useful threshold, so a top-N (deterministic
+    * tie-break on ids) keeps the oracle non-trivial.
+    */
+  def d02NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardTopK(shingleBuckets(s, dir), 100)
 
   /** Deterministic MinHash coefficients (seeded splitmix64-style mix, all
     * < P31 so (a*x + b) stays well inside a long — no ANSI overflow).
@@ -121,21 +159,26 @@ object Dedup {
     Seq.fill(NumHashes)((Math.floorMod(next(), P31 - 1) + 1, Math.floorMod(next(), P31)))
   }
 
-  /** MinHash signature per doc: one aggregation producing all 64 mins
-    * (64 codegen'd agg columns — single shuffle, no 64x explode).
-    * Session-cached like the shingle buckets it derives from: the
-    * signatures are deterministic (seeded coefficients), so repeated
-    * d03 runs — and any future band-based candidate pruning — reuse
-    * one build instead of re-aggregating the exploded shingle store.
+  /** MinHash signature plan from a shingle-bucket store: one aggregation
+    * producing all 64 mins (64 codegen'd agg columns — single shuffle,
+    * no 64x explode).
+    */
+  private def buildMinhashSignatures(buckets: DataFrame): DataFrame = {
+    val (exploded, _) = shingledFrom(buckets)
+    val hashed = exploded.withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
+    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Session-cached signatures for the standard table: repeated d03 runs
+    * reuse one build instead of re-aggregating the exploded shingle
+    * store.
     */
   private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     SharedIndex(s, dir, "minhash_signatures") {
-      val (exploded, _) = shingled(s, dir)
-      val hashed = exploded.withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
-      val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
-      }
-      hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      buildMinhashSignatures(shingleBuckets(s, dir))
     }
 
   private val NumBands = 16
@@ -147,33 +190,28 @@ object Dedup {
     */
   private val MaxLshBucket = 1000
 
-  /** MinHash + LSH banding near-dup candidates, verified with true Jaccard.
-    * 16 bands x 4 rows; candidate pairs = in-bucket combinations after one
-    * groupBy (band, bucket_hash) — with an upper bound on bucket size so a
-    * degenerate bucket (mass-identical boilerplate) can't go quadratic;
-    * verification computes true shingle Jaccard for candidates only.
-    * Output: verified pairs with jaccard, most-similar first. rows-only
-    * oracle (hash seeds are engine-local); DedupSpec checks candidate
-    * recall vs d02 exact top pairs.
+  /** MinHash + LSH banding near-dup pipeline given the bucket store and
+    * signatures: 16 bands x 4 rows; candidate pairs = in-bucket
+    * combinations after one groupBy (band, bucket_hash) — with an upper
+    * bound on bucket size so a degenerate bucket (mass-identical
+    * boilerplate) can't go quadratic; verification computes true
+    * (capped-universe) Jaccard for candidates only. The pair set drives
+    * the verify join — never generates a non-candidate pair, so
+    * verification cost is |candidates| x shingles-per-doc, not the
+    * all-pairs shingle self-join LSH exists to avoid.
     */
-  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(s, dir)
+  private def minhashLshTopK(buckets: DataFrame, sigs: DataFrame, topK: Int): DataFrame = {
     val bandCols = (0 until NumBands).map { bnd =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    val lshBuckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .groupBy("band", "bucket").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= MaxLshBucket)
-    val cand = bucketPairs(buckets).distinct()
+    val cand = bucketPairs(lshBuckets).distinct()
 
-    // Verify candidates with true (capped-universe) Jaccard. The pair set
-    // drives the join — expand each candidate pair by d1's shingles, then
-    // keep only shingles d2 also has. Never generates a non-candidate
-    // pair, so verification cost is |candidates| x shingles-per-doc, not
-    // the all-pairs shingle self-join LSH exists to avoid.
-    val (exploded, sizes) = shingled(s, dir)
+    val (exploded, sizes) = shingledFrom(buckets)
     val common = cand
       .join(exploded.withColumnRenamed("doc_id", "d1"), Seq("d1"))
       .join(exploded.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
@@ -184,22 +222,38 @@ object Dedup {
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
-      .limit(100)
+      .limit(topK)
   }
 
-  /** 64-bit SimHash per doc + banded Hamming near-dup pairs.
-    * Bit j of the signature = sign of sum over tokens of ±1 by bit j of
-    * xxhash64(token), computed per row by the native `graft_simhash`
-    * expression (functions/SimHash.scala) INSIDE the scan — no token
-    * explode, no 64-column aggregation, no shuffle to build signatures
-    * (the agg formulation shuffled the entire exploded token store; at
-    * 100 TB that shuffle dominates the job). Near-dup candidates block
-    * on four 16-bit chunks (pigeonhole: hamming<=3 pairs must share a
-    * chunk). rows-only oracle; DedupSpec asserts determinism +
-    * self-similarity + equivalence with the aggregate formulation.
+  /** MinHash+LSH near-dup pairs over any documents frame (library form;
+    * builds the shingle index and signatures for this invocation).
     */
-  def d04Simhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir)
+  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 100): DataFrame = {
+    val buckets = buildShingleBuckets(normalized(docs, idCol, textCol))
+    minhashLshTopK(buckets, buildMinhashSignatures(buckets), topK)
+  }
+
+  /** d03: gate binding with the session-cached index. rows-only oracle
+    * (hash seeds are engine-local); DedupSpec checks candidate recall vs
+    * d02 exact top pairs.
+    */
+  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshTopK(shingleBuckets(s, dir), minhashSignatures(s, dir), 100)
+
+  /** 64-bit SimHash + banded Hamming near-dup pairs over any documents
+    * frame. Bit j of the signature = sign of sum over tokens of ±1 by
+    * bit j of xxhash64(token), computed per row by the native
+    * `graft_simhash` expression (functions/SimHash.scala) INSIDE the
+    * scan — no token explode, no 64-column aggregation, no shuffle to
+    * build signatures (the agg formulation shuffled the entire exploded
+    * token store; at 100 TB that shuffle dominates the job). Near-dup
+    * candidates block on four 16-bit chunks (pigeonhole: hamming<=3
+    * pairs must share a chunk).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    val sig = normalized(docs, idCol, textCol)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.functions.SimHash.simhash(s, col("text")).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"),
@@ -218,19 +272,34 @@ object Dedup {
       .orderBy(col("hamming").asc, col("d1").asc, col("d2").asc)
   }
 
-  /** Embedding-cosine near-dup: top-50 most similar vector pairs within
-    * label blocks, scored by the native codegen'd `graft_cosine`
-    * expression (functions/CosineSimilarity.scala) — one fused loop per
-    * pair, same IEEE operation order as DuckDB's `list_reduce` folds →
-    * bit-identical cosines. Label blocking keeps candidates linear-ish;
-    * the unblocked scale path is s02's hyperplane LSH.
+  /** d04: gate binding of [[simhashPairs]]. rows-only oracle; DedupSpec
+    * asserts determinism + self-similarity + equivalence with the
+    * aggregate formulation.
     */
-  def d05EmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  def d04Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir))
+
+  /** Embedding-cosine near-dup over any embeddings frame: top-K most
+    * similar vector pairs within blocks of `blockCol`, scored by the
+    * native codegen'd `graft_cosine` expression
+    * (functions/CosineSimilarity.scala) — one fused loop per pair, same
+    * IEEE operation order as DuckDB's `list_reduce` folds →
+    * bit-identical cosines. Block keying keeps candidates linear-ish;
+    * the unblocked scale paths are s02 (LSH) / s03 (IVF).
+    */
+  def embeddingDedupPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", blockCol: String = "label", topK: Int = 50): DataFrame = {
+    val s = emb.sparkSession
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      col(blockCol).as("label"))
     e.as("a").join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         round(CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
-      .limit(50)
+      .limit(topK)
   }
+
+  /** d05: gate binding of [[embeddingDedupPairs]]. */
+  def d05EmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    embeddingDedupPairs(Tables.embeddings(s, dir))
 }

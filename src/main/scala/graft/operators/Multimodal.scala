@@ -72,14 +72,21 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Library form: partition-wise decode + feature extraction over any
+    * media Dataset — one decoder per partition, streaming over rows,
+    * never materializing the partition (the JVM analog of `mapInPandas`
+    * batch iteration).
+    */
+  def decode(media: org.apache.spark.sql.Dataset[MediaRecord]): org.apache.spark.sql.Dataset[DecodedMedia] =
+    media.mapPartitions(records => records.map(FakeDecoder.decode))(
+      org.apache.spark.sql.Encoders.product[DecodedMedia])
+
   /** Synthesize the media table then run the partition-wise decode.
     * Output is rows-only checked; MultimodalSpec asserts determinism,
     * schema, and batch behavior.
     */
   def m01MultimodalStub(s: SparkSession, dir: String): DataFrame = {
-    mediaTable(s, dir)
-      .mapPartitions(records => records.map(FakeDecoder.decode))(
-        org.apache.spark.sql.Encoders.product[DecodedMedia])
+    decode(mediaTable(s, dir))
       .toDF()
       .select(
         col("doc_id"), col("media_type"), col("n_bytes"),
@@ -113,8 +120,14 @@ object Multimodal {
     * checksum at [[TargetEdge]]² — a real codec would replace ONLY
     * the two stub calls, the fan-out/schema/partition shape is real.
     */
-  def m02FrameSample(s: SparkSession, dir: String): DataFrame = {
-    mediaTable(s, dir)
+  def m02FrameSample(s: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(s, dir)).toDF().orderBy("doc_id", "frame_index")
+
+  /** Library form of the frame sampler over any media Dataset (video
+    * rows only; others are filtered out).
+    */
+  def frameSample(media: org.apache.spark.sql.Dataset[MediaRecord]): org.apache.spark.sql.Dataset[SampledFrame] = {
+    media
       // Column filter (not a typed lambda) so pruning/pushdown survive
       .filter(col("media_type") === "video/mp4")
       .mapPartitions(_.flatMap { r =>
@@ -130,7 +143,5 @@ object Multimodal {
           SampledFrame(r.doc_id, i, tsMs, TargetEdge, TargetEdge, frameChecksum)
         }
       })(org.apache.spark.sql.Encoders.product[SampledFrame])
-      .toDF()
-      .orderBy("doc_id", "frame_index")
   }
 }

@@ -6,13 +6,19 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{CosineSimilarity, HyperplaneBuckets}
 
-/** Approximate-nearest-neighbor search over the `embeddings` table
-  * (SURVEY.md §2.4).
+/** Approximate-nearest-neighbor search (SURVEY.md §2.4).
   *
-  * s01 is the exact baseline (brute-force cosine top-k for a small query
-  * set — broadcast the queries, never cross-join two big sides). s02 is
-  * the scale path: random-hyperplane LSH bucketing so each query only
-  * scores its bucket's candidates. Pair scoring uses the native
+  * Each variant has a LIBRARY form taking any embeddings frame plus a
+  * (small) queries frame of the same shape (`annBruteforce`, `annLsh`,
+  * `annIvf` — input columns selectable by name, ids normalized to
+  * `vec_id`) and a gate form (`s0x...`) binding it to the standard
+  * `embeddings` table with queries `vec_id < 10` and the per-session
+  * shared index cache.
+  *
+  * s01 is the exact baseline (broadcast the queries, never cross-join
+  * two big sides). s02 (random-hyperplane LSH) and s03 (IVF
+  * coarse-quantizer cells) are the scale paths: each query only scores
+  * its buckets'/cells' candidates. Pair scoring uses the native
   * codegen'd `graft_cosine` expression (functions/CosineSimilarity.scala).
   */
 object Similarity {
@@ -20,73 +26,112 @@ object Similarity {
   private val K = 10
   private val NumQueries = 10
 
-  /** Brute-force cosine top-k for queries vec_id < NumQueries.
-    * Query side is tiny → broadcast join; the corpus side streams through
-    * the fused codegen'd cosine. One shuffle for the per-query window.
+  private def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+
+  /** Per-query top-k by exact cosine from a scored candidate frame
+    * (q_id, n_id, cosine): rank window with WindowGroupLimit partial
+    * pushdown, deterministic tie-break on n_id.
     */
-  def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val queries = e.filter(col("vec_id") < NumQueries)
+  private def topK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-    broadcast(queries.as("a"))
-      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-        CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy("q_id", "rank")
   }
 
-  /** Random-hyperplane LSH ANN: bucket = sign bits of plane dot products,
-    * per hash table; candidates share a bucket in any table; exact cosine
-    * rescoring within buckets only. rows-only oracle; SimilaritySpec
-    * measures recall vs s01 and pins bucket ids bit-identical to the
-    * reference `aggregate(zip_with(...))` formulation.
-    *
-    * Bucketing is one native codegen'd expression
-    * (functions/HyperplaneBuckets.scala) computing all
-    * [[HyperplaneBuckets.NumTables]] bucket ids in a single fused loop
-    * over the embedding — map-only inside the parquet scan, so the pass
-    * stays in whole-stage codegen at any scale. The plane geometry
-    * (8 tables x 4 planes for this embedding space's ~65-75° neighbor
-    * angles → ~0.67-0.75 candidate recall) lives with the expression.
+  /** Brute-force cosine top-k over any embeddings frame: the query side
+    * is broadcast; the corpus side streams through the fused codegen'd
+    * cosine. One shuffle for the per-query window. Exact — the
+    * correctness baseline the approximate variants are measured against.
+    */
+  def annBruteforce(emb: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = K): DataFrame = {
+    val s = emb.sparkSession
+    val e = normalized(emb, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+    topK(
+      broadcast(q.as("a"))
+        .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine")),
+      k)
+  }
+
+  /** s01: gate binding of [[annBruteforce]] with queries vec_id < 10. */
+  def s01AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annBruteforce(e, e.filter(col("vec_id") < NumQueries))
+  }
+
+  /** (vec_id, embedding, tbl, bucket) store: all hyperplane-LSH bucket
+    * ids per vector in one codegen'd pass (see HyperplaneBuckets).
+    */
+  private def lshBucketed(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      posexplode(HyperplaneBuckets.buckets(e.sparkSession, col("embedding"))).as(Seq("tbl", "bucket")))
+
+  /** Candidate join + exact rescore from bucketed corpus/query stores:
+    * candidates share a bucket in any table; `max` dedups across tables.
+    */
+  private def lshTopK(bucketed: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val s = bucketed.sparkSession
+    topK(
+      broadcast(queries.as("a"))
+        .join(bucketed.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
+        .groupBy("q_id", "n_id").agg(max(col("cosine")).as("cosine")),
+      k)
+  }
+
+  /** Random-hyperplane LSH ANN over any embeddings frame (library form;
+    * the caller may persist the input — the corpus is bucketed once per
+    * invocation here, or use the s02 gate form for the session-cached
+    * standard table). Bucketing is one native codegen'd expression
+    * computing all [[HyperplaneBuckets.NumTables]] bucket ids in a
+    * single fused loop over the embedding — map-only inside the scan,
+    * so the pass stays in whole-stage codegen at any scale.
+    */
+  def annLsh(emb: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = K): DataFrame =
+    lshTopK(lshBucketed(normalized(emb, idCol, vecCol)),
+      lshBucketed(normalized(queries, idCol, vecCol)), k)
+
+  /** s02: gate binding with the session-cached bucket store — the query
+    * side filters the SAME cached store, so bucketing runs once instead
+    * of once per join side. rows-only oracle; SimilaritySpec measures
+    * recall vs s01 and pins bucket ids bit-identical to the reference
+    * `aggregate(zip_with(...))` formulation.
     */
   def s02AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-
-    // shared per session: the query side filters the SAME cached store,
-    // so bucketing runs once instead of once per join side
     val bucketed = SharedIndex(s, dir, "hyperplane_buckets") {
-      e.select(col("vec_id"), col("embedding"),
-        posexplode(HyperplaneBuckets.buckets(s, col("embedding"))).as(Seq("tbl", "bucket")))
+      lshBucketed(Tables.embeddings(s, dir))
     }
-
-    val queries = bucketed.filter(col("vec_id") < NumQueries)
-    val cand = broadcast(queries.as("a"))
-      .join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-        CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
-      .groupBy("q_id", "n_id").agg(max(col("cosine")).as("cosine")) // dedup across tables
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("q_id", "rank")
+    lshTopK(bucketed, bucketed.filter(col("vec_id") < NumQueries), K)
   }
 
   private val NumCells = 32
   private val NumProbes = 8
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer alternative to s02's
-    * hyperplane LSH. Cells are defined by [[NumCells]] deterministic seed
-    * vectors (the lowest vec_ids — a sampled coarse quantizer, the
-    * standard IVF baseline when no trained codebook is available); every
-    * vector lives in the cell of its nearest seed; a query probes its
-    * [[NumProbes]] nearest cells and rescores exactly (graft_cosine)
-    * inside them.
+  /** Per-(vector, cell) cosine scores against the seed table — map-only
+    * over the corpus (broadcast nested-loop of the tiny seed side).
+    */
+  private def cellScores(e: DataFrame, seeds: DataFrame): DataFrame =
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        CosineSimilarity.cosine(e.sparkSession, col("embedding"), col("seed_emb")).as("c"))
+
+  /** IVF (inverted-file) ANN over any embeddings frame — the
+    * coarse-quantizer alternative to hyperplane LSH. Cells are defined
+    * by [[NumCells]] deterministic seed vectors (the lowest vec_ids — a
+    * sampled coarse quantizer, the standard IVF baseline when no trained
+    * codebook is available); every vector lives in the cell of its
+    * nearest seed; a query probes its [[NumProbes]] nearest cells and
+    * rescores exactly (graft_cosine) inside them.
     *
     * Scale shape, in order:
     * 1. cell scoring is a broadcast nested-loop of the corpus against
@@ -95,46 +140,57 @@ object Similarity {
     * 2. assignment reduces the n x cells scores with a map-side-partial
     *    `max_by` per vec_id, so the one shuffle carries one row per
     *    vector (never n x cells);
-    * 3. the probe list is [[NumQueries]] x [[NumCells]] rows — broadcast;
+    * 3. the probe list is |queries| x [[NumCells]] rows — broadcast;
     * 4. rescoring joins candidates cell-equi (skew-bounded: a cell holds
     *    ~n/cells vectors) and the per-query top-k uses the rank window's
     *    WindowGroupLimit partial pushdown.
-    * rows-only oracle (seed choice is engine-local); SimilaritySpec
-    * measures candidate recall vs s01 and exactness of returned cosines.
+    */
+  def annIvf(emb: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = K): DataFrame = {
+    val e = normalized(emb, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+    val seeds = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
+    val assigned = cellScores(e, seeds)
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), col("c")).as("cell"), any_value(col("embedding")).as("embedding"))
+    ivfTopK(assigned, probes(q, seeds), k)
+  }
+
+  /** Each query's NumProbes nearest cells (tiny: queries x cells). */
+  private def probes(q: DataFrame, seeds: DataFrame): DataFrame = {
+    val probeW = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell").asc)
+    cellScores(q, seeds)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= NumProbes)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  private def ivfTopK(assigned: DataFrame, probed: DataFrame, k: Int): DataFrame = {
+    val s = assigned.sparkSession
+    topK(
+      broadcast(probed.as("a"))
+        .join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine")),
+      k)
+  }
+
+  /** s03: gate binding of [[annIvf]] with the session-cached cell
+    * assignment. rows-only oracle (seed choice is engine-local);
+    * SimilaritySpec measures candidate recall vs s01 and exactness of
+    * returned cosines.
     */
   def s03AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val seeds = e.filter(col("vec_id") < NumCells)
       .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
-
-    // nearest-seed score for every (vector, cell): map-only over the corpus
-    val scored = SharedIndex(s, dir, "ivf_assignment") {
-      e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          CosineSimilarity.cosine(s, col("embedding"), col("seed_emb")).as("c"))
+    val assigned = SharedIndex(s, dir, "ivf_assignment") {
+      cellScores(e, seeds)
         .groupBy("vec_id")
         .agg(max_by(col("cell"), col("c")).as("cell"), any_value(col("embedding")).as("embedding"))
     }
-
-    // each query probes its NumProbes nearest cells (tiny: queries x cells)
-    val probeW = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell").asc)
-    val probes = e.filter(col("vec_id") < NumQueries)
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        CosineSimilarity.cosine(s, col("embedding"), col("seed_emb")).as("c"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= NumProbes)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-
-    val cand = broadcast(probes.as("a"))
-      .join(scored.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-        CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("q_id", "rank")
+    ivfTopK(assigned, probes(e.filter(col("vec_id") < NumQueries), seeds), K)
   }
 }

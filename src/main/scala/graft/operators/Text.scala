@@ -4,8 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Text-analysis operator family over `documents` (SURVEY.md §2.4):
-  * language ID, quality scoring, token counting, fingerprinting.
+/** Text-analysis operator family (SURVEY.md §2.4): language ID, quality
+  * scoring, token counting, fingerprinting.
+  *
+  * Each operator has a LIBRARY form taking any `(id, text)` DataFrame
+  * (`langId` / `qualityScore` / `tokenCount` / `fingerprint` — input
+  * columns are selectable by name, output id column is normalized to
+  * `doc_id`) and a gate form (`t0x...`) binding it to the standard
+  * `documents` table.
   *
   * All four are per-row projections built from codegen'd built-ins
   * (split / higher-order array functions / regexp) — no UDFs, no
@@ -32,13 +38,16 @@ object Text {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** t01: stopword-ratio language ID. Hit counts per language set via
-    * `filter` on the token array; argmax with fixed precedence
-    * en > fr > es > de; all-zero → 'unknown'.
+  private def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Stopword-ratio language ID over any documents frame. Hit counts per
+    * language set via `filter` on the token array; argmax with fixed
+    * precedence en > fr > es > de; all-zero → 'unknown'.
     */
-  def t01LangId(s: SparkSession, dir: String): DataFrame = {
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val withHits = stopwords.foldLeft(
-      Tables.documents(s, dir).withColumn("toks", split(col("text"), " "))) {
+      normalized(docs, idCol, textCol).withColumn("toks", split(col("text"), " "))) {
       case (df, (lang, words)) =>
         df.withColumn(s"${lang}_h",
           expr(s"size(filter(toks, x -> x IN ${inList(words)}))").cast("long"))
@@ -57,13 +66,17 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** t02: document quality features + composite score.
-    * length saturation, vocabulary diversity, stopword presence — the
-    * standard cheap pre-training quality gates.
+  /** t01: gate binding of [[langId]] to the `documents` table. */
+  def t01LangId(s: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(s, dir))
+
+  /** Document quality features + composite score over any documents
+    * frame: length saturation, vocabulary diversity, stopword presence —
+    * the standard cheap pre-training quality gates.
     */
-  def t02QualityScore(s: SparkSession, dir: String): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val enList = inList(stopwords.head._2)
-    Tables.documents(s, dir)
+    normalized(docs, idCol, textCol)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_alpha_chars", length(regexp_replace(col("text"), " ", "")).cast("long"))
@@ -82,12 +95,16 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** t03: token counting three ways — whitespace split, alpha-run regex
-    * (BPE-ish subword proxy), and the chars/4 BPE estimate every LLM
-    * pipeline uses for budget math.
+  /** t02: gate binding of [[qualityScore]]. */
+  def t02QualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(s, dir))
+
+  /** Token counting three ways over any documents frame — whitespace
+    * split, alpha-run regex (BPE-ish subword proxy), and the chars/4 BPE
+    * estimate every LLM pipeline uses for budget math.
     */
-  def t03TokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def tokenCount(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
@@ -95,15 +112,19 @@ object Text {
         ceil(length(col("text")).cast("double") / 4.0).cast("long").as("bpe_est"))
       .orderBy("doc_id")
 
-  /** t04: rolling polynomial fingerprint over tokens:
+  /** t03: gate binding of [[tokenCount]]. */
+  def t03TokenCount(s: SparkSession, dir: String): DataFrame =
+    tokenCount(Tables.documents(s, dir))
+
+  /** Rolling polynomial fingerprint over tokens:
     * fold(acc * 31 + (xxhash64(token) mod 2^31), start 0) mod 2^56.
     * Bounds keep every intermediate < 2^62 — no long overflow even under
     * ANSI mode. Order-sensitive (unlike a bag-of-words hash) so token
     * swaps change the fingerprint. rows-only oracle (xxhash64 is
     * engine-local); TextSpec asserts determinism and order sensitivity.
     */
-  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -115,4 +136,8 @@ object Text {
           .as("fingerprint"),
         size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
+
+  /** t04: gate binding of [[fingerprint]]. */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.documents(s, dir))
 }
