@@ -336,6 +336,59 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Generic as-of join library form: for each `left` row, attach the
+    * most recent `right` row with the same `on` key whose `timeCol` is
+    * at or before the left row's. Right columns come back prefixed
+    * (null when no match). Same scale shape as q16: union + one per-key
+    * window carry-forward, never a range join. Ties at equal time
+    * resolve to the greatest right payload (struct ordering, so put the
+    * tiebreak column first after timeCol); right columns must be
+    * orderable (no maps).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: String, timeCol: String,
+      rightPrefix: String = "right_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val lCols = left.columns.filterNot(_ == on).toSeq
+    val rCols = right.columns.filterNot(_ == on).toSeq
+    val lPayloadT = StructType(left.schema.fields.filterNot(_.name == on))
+    val rPayloadT = StructType(right.schema.fields.filterNot(_.name == on))
+    val lu = left.select(col(on), col(timeCol).as("__t"), lit(1).as("__side"),
+      struct(lCols.map(col): _*).as("__lp"), lit(null).cast(rPayloadT).as("__p"))
+    val ru = right.select(col(on), col(timeCol).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lPayloadT).as("__lp"), struct(rCols.map(col): _*).as("__p"))
+    val w = Window.partitionBy(on)
+      .orderBy(col("__t"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col(on) +:
+        (lCols.map(c => col(s"__lp.$c").as(c)) ++
+          rCols.map(c => col(s"__m.$c").as(s"$rightPrefix$c"))): _*)
+  }
+
+  /** Generic interval-join count library form: for each `left` row, the
+    * number of `right` rows with the same `on` key whose `timeCol` lies
+    * in (left.time - interval, left.time]. Same scale shape as q17:
+    * interval-width time buckets turn the range predicate into an
+    * equi-join with a bounded post-filter. Left rows must be distinct
+    * (the count groups by the full left row).
+    */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, on: String, timeCol: String,
+      intervalNs: Long, countName: String = "n_matches"): DataFrame = {
+    val bucket = expr(s"$timeCol div $intervalNs")
+    val l = left.withColumn("__bucket", bucket)
+    val r = right.select(col(on), col(timeCol).as("__rt"),
+      explode(array(bucket, bucket + 1)).as("__bucket"))
+    l.join(r, Seq(on, "__bucket"), "left")
+      .withColumn("__hit",
+        col("__rt").isNotNull &&
+          col("__rt") <= col(timeCol) && col("__rt") > col(timeCol) - intervalNs)
+      .groupBy(l.columns.map(col): _*)
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as(countName))
+      .drop("__bucket")
+  }
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).

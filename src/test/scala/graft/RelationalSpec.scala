@@ -69,6 +69,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("generic asofJoin reproduces q16 on the events table") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val generic = Relational.asofJoin(purchases, touches, "user_id", "ts")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("right_event_id").as("touch_id"))
+      .orderBy("purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val specialized = Relational.q16AsofJoin(spark, sf).collect().map(_.toSeq).toSeq
+    assert(generic === specialized)
+  }
+
+  test("generic rangeJoinCount reproduces q17 on the events table") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"))
+    val generic = Relational.rangeJoinCount(
+      purchases, touches, "user_id", "ts", 1800L * 1000000000L, "n_touches")
+      .select("purchase_id", "user_id", "n_touches")
+      .orderBy("purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val specialized = Relational.q17RangeJoin(spark, sf).collect().map(_.toSeq).toSeq
+    assert(generic === specialized)
+  }
+
   test("q09 returns non-empty anti-join results at the oracle scale factor") {
     // sf0.01 is where the driver's correctness gate runs
     assert(Relational.q09AntiSemiJoin(spark, "/root/testdata/sf0.01").limit(1).count() === 1L)
