@@ -38,6 +38,7 @@ object SparkEntry {
     // rows-only: sketch estimates (HLL++/KLL) are engine-specific;
     // RelationalSpec bounds the error vs exact
     "q18_approx_stats" -> (Relational.q18ApproxStats _),
+    "q19_deterministic_split" -> (Relational.q19DeterministicSplit _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -231,6 +232,16 @@ object SparkEntry {
         |SELECT p.event_id AS purchase_id, p.user_id, t.event_id AS touch_id
         |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    // md5 hex is engine-portable, so the hash-split assignment is
+    // exactly checkable
+    "q19_deterministic_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29' THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '52' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // naive inequality join is the oracle for the bucket-blocked range
     // join; epoch_ns keeps the boundary comparisons at full precision

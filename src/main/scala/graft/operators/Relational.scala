@@ -389,6 +389,32 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Deterministic dataset splitting library form: assign each row to a
+    * named split by a content-stable hash of its id — the reproducible
+    * train/val/test partitioner every training pipeline needs (stable
+    * under reruns, re-partitioning, and engine changes, unlike
+    * `randomSplit`). Map-only; the md5-hex prefix is compared lexically
+    * so the same assignment is computable in any engine.
+    * `fractions` are (name, cumulative upper bound in 0..256) over the
+    * first two hex digits.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Int)] = Seq("val" -> 41, "test" -> 82, "train" -> 256)): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 2)
+    val assign = fractions.init.foldRight(lit(fractions.last._1)) {
+      case ((name, bound), other) => when(h < lit(f"${bound}%02x"), name).otherwise(other)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** q19: gate binding of [[deterministicSplit]] on `documents` —
+    * emits each doc's assignment (16% val / 16% test / 68% train).
+    */
+  def q19DeterministicSplit(s: SparkSession, dir: String): DataFrame =
+    deterministicSplit(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      .orderBy("doc_id")
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).
