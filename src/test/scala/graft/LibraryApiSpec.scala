@@ -61,6 +61,52 @@ class LibraryApiSpec extends SparkSpec {
     ivf.foreach(r => assert(Set(2L, 3L, 4L).contains(r.getAs[Long]("n_id"))))
   }
 
+  test("asofJoin: empty right side and unmatched keys yield null matches") {
+    import graft.operators.Relational
+    val left = Seq((1L, 100L, "a"), (2L, 200L, "b")).toDF("k", "t", "payload")
+    val right = Seq((1L, 50L, "early"), (1L, 150L, "late"), (9L, 10L, "other-key"))
+      .toDF("k", "t", "tag")
+    val out = Relational.asofJoin(left, right, "k", "t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("right_tag"))).toMap
+    assert(out(1L) === "early") // t=100 matches t=50, not t=150
+    assert(out(2L) === null)    // key 2 has no right rows at all
+    val empty = right.filter(col("k") === -1L)
+    val outEmpty = Relational.asofJoin(left, empty, "k", "t").collect()
+    assert(outEmpty.length === 2 && outEmpty.forall(_.getAs[String]("right_tag") == null))
+  }
+
+  test("rangeJoinCount: zero matches and interval boundaries are exact") {
+    import graft.operators.Relational
+    val left = Seq((1L, 1000L, 10L), (2L, 1000L, 20L)).toDF("id", "t", "k")
+      .select(col("id"), col("k"), col("t"))
+    val right = Seq(
+      (10L, 1000L),  // equal ts: counts (inclusive upper bound)
+      (10L, 1L),     // t - 999: inside (t-1000, t]
+      (10L, 0L),     // exactly t - interval: excluded (exclusive lower)
+      (20L, 2000L))  // after left's t: excluded
+      .toDF("k", "t")
+    val out = Relational.rangeJoinCount(left, right, "k", "t", 1000L, "n").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    assert(out(1L) === 2L && out(2L) === 0L)
+  }
+
+  test("deterministicSplit is stable and fractions are sane") {
+    import graft.operators.Relational
+    val df = spark.range(0, 2000).toDF("doc_id")
+    val a = Relational.deterministicSplit(df, "doc_id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 16%/16%/68% of 2000 with hash noise
+    assert(a("val") > 200 && a("val") < 450, a.toString)
+    assert(a("test") > 200 && a("test") < 450, a.toString)
+    assert(a("train") > 1100 && a("train") < 1550, a.toString)
+    // same rows, different partitioning → identical assignment
+    val b = Relational.deterministicSplit(df.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aRows = Relational.deterministicSplit(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(aRows === b)
+  }
+
   test("embedding dedup pairs over renamed columns") {
     val emb = Seq(
       (1L, Array(1f, 0f), "a"),
