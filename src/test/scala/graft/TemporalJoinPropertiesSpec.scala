@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Relational
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based verification of the generic temporal joins: on random
+  * small datasets the distributed formulations must match brute-force
+  * reference implementations computed on the driver.
+  */
+class TemporalJoinPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling loop (no scalatest-scalacheck bridge in the
+    * offline cache); fewer samples than PropertiesSpec because each one
+    * runs Spark jobs.
+    */
+  private def forAllSampled[A](gen: Gen[A], samples: Int)(check: A => Unit): Unit =
+    (0 until samples).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  // (key, time) rows with intentional key collisions and time ties;
+  // ids globally unique so tie-break rules are observable
+  private val datasetGen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+    nl <- Gen.choose(0, 25)
+    nr <- Gen.choose(0, 25)
+    lks <- Gen.listOfN(nl, Gen.choose(0L, 4L))
+    lts <- Gen.listOfN(nl, Gen.choose(0L, 40L))
+    rks <- Gen.listOfN(nr, Gen.choose(0L, 4L))
+    rts <- Gen.listOfN(nr, Gen.choose(0L, 40L))
+  } yield (lks.zip(lts), rks.zip(rts))
+
+  test("asofJoin matches the brute-force model on random data") {
+    forAllSampled(datasetGen, 30) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = rRows.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val lDf = left.toDF("k", "t", "lid")
+      val rDf = right.toDF("k", "t", "rid")
+      val got = Relational.asofJoin(lDf, rDf, "k", "t").collect()
+        .map(r => r.getAs[Long]("lid") ->
+          Option(r.getAs[java.lang.Long]("right_rid")).map(_.toLong))
+        .toMap
+      // model: most recent right at-or-before; ties at equal t resolve to
+      // the greatest (t, rid) payload — i.e. max rid among max t
+      val expected = left.map { case (k, t, lid) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got === expected, s"left=$left right=$right")
+    }
+  }
+
+  test("rangeJoinCount matches the brute-force model on random data") {
+    val interval = 7L
+    forAllSampled(datasetGen, 30) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val lDf = left.toDF("lid", "k", "t")
+      val rDf = rRows.toDF("k", "t")
+      val got = Relational.rangeJoinCount(lDf, rDf, "k", "t", interval, "n").collect()
+        .map(r => r.getAs[Long]("lid") -> r.getAs[Long]("n")).toMap
+      val expected = left.map { case (lid, k, t) =>
+        lid -> rRows.count(r => r._1 == k && r._2 <= t && r._2 > t - interval).toLong
+      }.toMap
+      assert(got === expected, s"left=$left right=$rRows")
+    }
+  }
+}
