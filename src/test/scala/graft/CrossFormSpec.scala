@@ -37,6 +37,26 @@ class CrossFormSpec extends SparkSpec {
     }
   }
 
+  test("CLI generalizes: form 2 across two filing years in one run") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.countDistinct
+    val dir = Files.createTempDirectory("graft_cli_f2").toString
+    Main.main(Array(
+      s"$dataDir/ferc2-xbrl-2021.zip",
+      s"$dataDir/ferc2-xbrl-2022.zip",
+      "--taxonomy", s"$dataDir/ferc2-xbrl-taxonomies.zip",
+      "--output-dir", dir,
+      "--form-number", "2",
+      "--requested-tables", "identification_001_duration"))
+    assert(Files.exists(Paths.get(s"$dir/ferc2_xbrl_datapackage.json")))
+    assert(Files.exists(Paths.get(s"$dir/ferc2_xbrl/datapackage.json")))
+    val back = spark.read.parquet(s"$dir/ferc2_xbrl/identification_001_duration")
+    // both years' filings land in one table
+    val years = back.select(countDistinct(org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.col("report_date"), 1, 4))).collect()(0).getLong(0)
+    assert(back.count() > 0L && years >= 2L, s"rows=${back.count()} years=$years")
+  }
+
   test("form 714 filings carry a report date via the fallback concept") {
     val filings = FilingSource.fromZip(spark, s"$dataDir/ferc714-xbrl-2021.zip")
     val meta = filings.meta.collect()
