@@ -37,6 +37,21 @@ class CrossFormSpec extends SparkSpec {
     }
   }
 
+  test("2023 filings clear the coverage thresholds on every form") {
+    for (form <- Seq(1, 2, 6, 60, 714)) {
+      val taxonomies = TaxonomyParser.parseArchive(s"$dataDir/ferc$form-xbrl-taxonomies.zip")
+      val tables = FactTableSchema.fromTaxonomies(taxonomies)
+      val filings = FilingSource.fromZip(spark, s"$dataDir/ferc$form-xbrl-2023.zip")
+      val st = FactTableBuilder.stats(spark, tables, filings.facts, filings.contexts, filings.meta)
+        .collect()
+      assert(st.nonEmpty, s"form $form 2023: no filings")
+      val totalUsed = st.map(_.getAs[Long]("used_facts")).sum.toDouble
+      val totalFacts = st.map(_.getAs[Long]("total_facts")).sum.toDouble
+      assert(totalUsed / totalFacts > 0.99, s"form $form 2023 coverage ${totalUsed / totalFacts}")
+      filings.unpersist()
+    }
+  }
+
   test("CLI generalizes: form 2 across two filing years in one run") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.countDistinct
