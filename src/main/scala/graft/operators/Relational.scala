@@ -384,7 +384,7 @@ object Relational {
       .withColumn("__hit",
         col("__rt").isNotNull &&
           col("__rt") <= col(timeCol) && col("__rt") > col(timeCol) - intervalNs)
-      .groupBy(l.columns.map(col): _*)
+      .groupBy(l.columns.toIndexedSeq.map(col): _*)
       .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as(countName))
       .drop("__bucket")
   }
