@@ -18,6 +18,19 @@ case class UserSession(
     n_events: Long,
     total_value: Double)
 
+/** One event for [[StreamingOps.asofAttribution]]: `kind` is "touch"
+  * (attributable) or "purchase" (to be attributed).
+  */
+case class AttributionEvent(user_id: Long, ts: java.sql.Timestamp, kind: String, event_id: Long)
+
+/** Most recent touch held per user between triggers. */
+case class LastTouch(tsMs: Long, eventId: Long)
+
+/** An attributed purchase: `touch_id` is null when the user had no
+  * touch at or before the purchase.
+  */
+case class AttributedPurchase(purchase_id: Long, user_id: Long, touch_id: java.lang.Long)
+
 /** Structured Streaming operators (SURVEY.md §2.5).
   *
   * Both take an unbounded DataFrame (readStream source) and return a
@@ -115,6 +128,67 @@ object StreamingOps {
           state.setTimeoutTimestamp(math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.result().iterator
+      }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming as-of attribution — the streaming twin of batch
+    * q16_asof_join: each `purchase` event emits with the same user's
+    * most recent `touch` at or before it. Custom state = ONE
+    * [[LastTouch]] per user, so state is bounded by active users (and
+    * evicted entirely once the watermark passes the last touch by
+    * `maxIdleMinutes` — the bounded-lookback tradeoff a stream must
+    * make; batch q16 keeps unbounded lookback).
+    *
+    * In-trigger disorder is absorbed by sorting each user's batch by
+    * (ts, kind, event_id) — touches sort before purchases at equal ts,
+    * and equal-ts touches resolve to the max event_id, matching q16 and
+    * its oracle. Cross-trigger late touches beyond the watermark are
+    * dropped, like every stateful op here.
+    */
+  def asofAttribution(
+      events: Dataset[AttributionEvent],
+      watermark: String = "30 minutes",
+      maxIdleMinutes: Int = 7 * 24 * 60): Dataset[AttributedPurchase] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleMs = maxIdleMinutes * 60000L
+
+    def fn(userId: Long, evs: Iterator[AttributionEvent],
+        state: GroupState[LastTouch]): Iterator[AttributedPurchase] =
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        // touches ("touch" < "purchase" lexically) before purchases at
+        // equal ts; max event_id wins among equal-ts touches
+        val sorted = evs.toIndexedSeq.sortBy(e => (e.ts.getTime, if (e.kind == "touch") 0 else 1, e.event_id))
+        val out = Vector.newBuilder[AttributedPurchase]
+        var last = state.getOption
+        for (e <- sorted) {
+          if (e.kind == "touch") {
+            // keep the lexicographically greatest (ts, event_id): a
+            // within-watermark late touch must not clobber a later one
+            // already in state from a previous trigger
+            val t = e.ts.getTime
+            if (last.forall(s => t > s.tsMs || (t == s.tsMs && e.event_id > s.eventId)))
+              last = Some(LastTouch(t, e.event_id))
+          } else {
+            out += AttributedPurchase(e.event_id, userId,
+              last.map(s => java.lang.Long.valueOf(s.eventId)).orNull)
+          }
+        }
+        last match {
+          case Some(s) =>
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(s.tsMs + idleMs, state.getCurrentWatermarkMs() + 1))
+          case None => ()
+        }
+        out.result().iterator
       }
 
     events

@@ -108,6 +108,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming asofAttribution agrees with batch q16 on real events") {
+    import graft.streaming.{AttributionEvent, AttributedPurchase}
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val users = 20L
+
+    val expected = graft.operators.Relational.q16AsofJoin(spark, sf)
+      .filter(col("user_id") <= users)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") <= users &&
+        col("event_type").isin("purchase", "click", "view"))
+      .select("user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => AttributionEvent(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L),
+        if (r.getString(2) == "purchase") "purchase" else "touch", r.getLong(3)))
+    val input = MemoryStream[AttributionEvent]
+    val q = StreamingOps.asofAttribution(input.toDS(), watermark = "0 minutes")
+      .writeStream.format("memory").queryName("asof_attr").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("asof_attr").as[AttributedPurchase].collect()
+        .map(p => p.purchase_id -> Option(p.touch_id).map(_.toLong)).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per event_id within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
