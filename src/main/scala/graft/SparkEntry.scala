@@ -51,6 +51,8 @@ object SparkEntry {
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),
     "t04_fingerprint" -> (Text.t04Fingerprint _),
+    // rows-only: bin assignment depends on the engine-local shard hash
+    "t05_pack_sequences" -> (Text.t05PackSequences _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     // XBRL engine over the reference's own test archives (rows-only —

@@ -140,4 +140,55 @@ object Text {
   /** t04: gate binding of [[fingerprint]]. */
   def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
     fingerprint(Tables.documents(s, dir))
+
+  /** One packed document: bin_id groups docs whose token counts sum to
+    * at most the budget (a single over-budget doc gets its own bin).
+    */
+  case class PackedDoc(doc_id: Long, n_tokens: Long, bin_id: Long)
+
+  /** Sequence packing over any documents frame: greedy-pack docs into
+    * bins of at most `budgetTokens` whitespace tokens — the batch
+    * construction step of every pretraining pipeline (fill each context
+    * window, waste nothing).
+    *
+    * Global greedy packing is inherently sequential, so the scalable
+    * formulation shards first: hash-repartition by doc id into `nShards`
+    * deterministic shards, sort within each, and pack each shard with a
+    * per-partition greedy pass (`mapPartitions` — the legitimate use of
+    * partition-wise imperative logic: a streaming fold no expression can
+    * state). Bin ids are (shard << 40 | local bin), so the output is
+    * deterministic for a given (input, nShards) regardless of cluster
+    * layout, and each executor packs its shard independently — no
+    * shuffle beyond the one repartition, state O(1) per partition.
+    */
+  def packSequences(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      budgetTokens: Long = 2048L, nShards: Int = 32): DataFrame = {
+    val counted = normalized(docs, idCol, textCol)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartition(nShards, pmod(col("doc_id"), lit(nShards.toLong)))
+      .sortWithinPartitions("doc_id")
+    counted.mapPartitions { rows =>
+      val shard = org.apache.spark.TaskContext.getPartitionId().toLong
+      var localBin = 0L
+      var used = 0L
+      var first = true
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        if (!first && used + n > budgetTokens) { localBin += 1; used = 0L }
+        first = false
+        used += n
+        PackedDoc(id, n, (shard << 40) | localBin)
+      }
+    }(org.apache.spark.sql.Encoders.product[PackedDoc])
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** t05: gate binding of [[packSequences]]. rows-only oracle (bin
+    * assignment depends on the shard hash); TextSpec asserts the budget
+    * invariant, completeness, and determinism.
+    */
+  def t05PackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
 }

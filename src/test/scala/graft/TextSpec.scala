@@ -68,6 +68,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t05 sequence packing respects the budget, covers all docs, is deterministic") {
+    val budget = 2048L
+    val a = Text.t05PackSequences(spark, sf)
+    val r1 = a.collect()
+    val r2 = Text.t05PackSequences(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    // complete: every doc packed exactly once
+    assert(r1.map(_.getLong(0)).toSet === Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // budget invariant: a bin's tokens fit, unless it is a single
+    // over-budget doc in its own bin
+    r1.groupBy(_.getAs[Long]("bin_id")).foreach { case (bin, docs) =>
+      val total = docs.map(_.getAs[Long]("n_tokens")).sum
+      assert(total <= budget || docs.length === 1, s"bin $bin total $total")
+    }
+    // packing is non-trivial: bins hold multiple docs on this corpus
+    assert(r1.groupBy(_.getAs[Long]("bin_id")).exists(_._2.length > 1))
+  }
+
   test("t01/t02/t03 agree on tokenization") {
     val t1 = Text.t01LangId(spark, sf).count()
     val t2 = Text.t02QualityScore(spark, sf).count()
