@@ -44,6 +44,7 @@ object SparkEntry {
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
     "d04_dedup_simhash" -> (Dedup.d04Simhash _),
     "d05_dedup_embedding" -> (Dedup.d05EmbeddingCosine _),
+    "d06_contamination" -> (Dedup.d06Contamination _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -307,6 +308,29 @@ object SparkEntry {
         |SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
         |FROM common JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
         |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin,
+
+    "d06_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks
+        |), corpus AS (
+        |  SELECT doc_id, shingle FROM sh WHERE doc_id % 10 != 7
+        |), bench AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1
+        |), hits AS (
+        |  SELECT c.doc_id, count(*) AS h
+        |  FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY 1
+        |)
+        |SELECT s.doc_id, s.n AS n_shingles, COALESCE(h.h, 0) AS n_contaminated,
+        |  round(CAST(COALESCE(h.h, 0) AS DOUBLE) / s.n, 6) AS contamination
+        |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        |ORDER BY contamination DESC, s.doc_id LIMIT 100""".stripMargin,
 
     "d05_dedup_embedding" ->
       """WITH e AS (

@@ -302,4 +302,47 @@ object Dedup {
   /** d05: gate binding of [[embeddingDedupPairs]]. */
   def d05EmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     embeddingDedupPairs(Tables.embeddings(s, dir))
+
+  /** Benchmark-contamination check over any corpus/benchmark frames:
+    * for each corpus doc, the fraction of its distinct word-3-gram
+    * shingles that appear ANYWHERE in the benchmark set — the standard
+    * test-set leakage detector a training pipeline runs before a data
+    * release.
+    *
+    * Scale shape: the benchmark's pooled distinct shingle set is small
+    * relative to the corpus (benchmarks are), so the hit join
+    * broadcasts it while the corpus shingle store streams map-side —
+    * one aggregation per side, one equi-join, never doc x doc pairs.
+    */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", topK: Int = 100): DataFrame = {
+    val s = corpus.sparkSession
+    def shingleStore(df: DataFrame) = normalized(df, idCol, textCol)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.WordShingles.shingles(s, col("tokens"), 3))).as("shingle"))
+    val cs = shingleStore(corpus)
+    val bs = shingleStore(benchmark).select("shingle").distinct()
+    val sizes = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = cs.join(bs, Seq("shingle")).groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .orderBy(col("contamination").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** d06: gate binding of [[contaminationCheck]] — docs with
+    * doc_id % 10 == 7 stand in as the held-out benchmark, the rest as
+    * the training corpus.
+    */
+  def d06Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contaminationCheck(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L),
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 7L))
+  }
 }
