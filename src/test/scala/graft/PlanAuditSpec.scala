@@ -81,6 +81,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("t05 packing: the shard repartition plus the presentation sort") {
+    assert(shuffles(graft.operators.Text.t05PackSequences(spark, sf)) <= 2)
+  }
+
+  test("q19 split is map-only up to the presentation sort") {
+    assert(shuffles(Relational.q19DeterministicSplit(spark, sf)) <= 1)
+  }
+
+  test("d06 contamination: per-side aggs + hit join + sort, no doc-pair explosion") {
+    val df = Dedup.d06Contamination(spark, sf)
+    assert(shuffles(df) <= 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
+  }
+
   test("xbrl fact-table build stays within its declared exchange budget") {
     // facts side + contexts side + final sort; publication_time joins by
     // broadcast; dedup agg and pivot reuse the join partitioning. +1
