@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneBuckets, SimHash}
+import graft.functions.{CosineSimilarity, HyperplaneBuckets, SimHash, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -30,5 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (children: Seq[Expression]) => HyperplaneBuckets(children.head)))
+    // shingle width is baked into the function name (the expression is
+    // unary); k=3 is the width the dedup family standardizes on
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles_3"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles_3"),
+      (children: Seq[Expression]) => WordShingles(children.head, 3)))
   }
 }

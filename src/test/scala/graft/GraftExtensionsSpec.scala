@@ -16,4 +16,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("every graft expression resolves by SQL name in a derived session") {
+    val derived = spark.newSession()
+    val sh = derived.sql("SELECT graft_simhash('hello world again')").collect().head.getLong(0)
+    assert(sh === derived.sql("SELECT graft_simhash('hello world again')").collect().head.getLong(0))
+    val buckets = derived.sql(
+      "SELECT graft_hyperplane_buckets(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)))")
+      .collect().head.getSeq[Int](0)
+    assert(buckets.length === graft.functions.HyperplaneBuckets.NumTables)
+    val shingles = derived.sql(
+      "SELECT graft_shingles_3(array('a','b','c','d'))")
+      .collect().head.getSeq[String](0)
+    assert(shingles === Seq("a b c", "b c d"))
+  }
 }
