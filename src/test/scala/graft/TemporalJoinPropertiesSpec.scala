@@ -52,6 +52,40 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("deterministicSplit matches a pure md5 model on random ids") {
+    val idsGen = Gen.listOfN(200, Gen.choose(-1000000L, 1000000L))
+    forAllSampled(idsGen, 5) { ids =>
+      val got = Relational.deterministicSplit(ids.distinct.toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = ids.distinct.map { id =>
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 2)
+        id -> (if (hex < "29") "val" else if (hex < "52") "test" else "train")
+      }.toMap
+      assert(got === expected)
+    }
+  }
+
+  test("packSequences invariants hold on random token counts") {
+    val docsGen = Gen.listOfN(120, Gen.choose(1, 60))
+    forAllSampled(docsGen, 5) { lens =>
+      val budget = 100L
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = graft.operators.Text.packSequences(docs, budgetTokens = budget).collect()
+      // complete, token counts correct
+      assert(out.map(_.getLong(0)).toSet === lens.indices.map(_.toLong).toSet)
+      out.foreach(r => assert(r.getLong(1) === lens(r.getLong(0).toInt).toLong))
+      // budget invariant per bin
+      out.groupBy(_.getLong(2)).foreach { case (bin, ds) =>
+        val total = ds.map(_.getLong(1)).sum
+        assert(total <= budget || ds.length === 1, s"bin $bin total $total")
+      }
+    }
+  }
+
   test("rangeJoinCount matches the brute-force model on random data") {
     val interval = 7L
     forAllSampled(datasetGen, 30) { case (lRows, rRows) =>
