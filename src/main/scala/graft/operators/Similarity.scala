@@ -149,7 +149,9 @@ object Similarity {
       vecCol: String = "embedding", k: Int = K): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
     val q = normalized(queries, idCol, vecCol)
-    val seeds = e.filter(col("vec_id") < NumCells)
+    // the NumCells smallest ids, whatever the caller's id domain —
+    // executes as TakeOrdered (no full sort), never silently empty
+    val seeds = e.orderBy("vec_id").limit(NumCells)
       .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
     val assigned = cellScores(e, seeds)
       .groupBy("vec_id")
@@ -184,7 +186,9 @@ object Similarity {
     */
   def s03AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val seeds = e.filter(col("vec_id") < NumCells)
+    // identical seed set to the library form: ids are 0..n-1 here, so
+    // the NumCells smallest ids == vec_id < NumCells
+    val seeds = e.orderBy("vec_id").limit(NumCells)
       .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
     val assigned = SharedIndex(s, dir, "ivf_assignment") {
       cellScores(e, seeds)

@@ -107,6 +107,16 @@ class LibraryApiSpec extends SparkSpec {
     assert(aRows === b)
   }
 
+  test("annIvf works when caller ids do not start at zero") {
+    val emb = Seq(
+      (1001L, Array(1f, 0f)),
+      (1002L, Array(0.9f, 0.1f)),
+      (1003L, Array(0f, 1f))).toDF("id", "vec")
+    val out = Similarity.annIvf(emb, emb.filter(col("id") === 1001L), "id", "vec", k = 1)
+      .collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_id") === 1002L)
+  }
+
   test("embedding dedup pairs over renamed columns") {
     val emb = Seq(
       (1L, Array(1f, 0f), "a"),
