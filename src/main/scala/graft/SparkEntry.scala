@@ -247,7 +247,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // naive inequality join is the oracle for the bucket-blocked range
-    // join; epoch_ns keeps the boundary comparisons at full precision
+    // join; epoch_ns keeps the boundary comparisons at full precision.
+    // CAST ... AS BIGINT: DuckDB's SUM over integer literals is HUGEINT,
+    // which pandas materializes as float64 and the driver's hash would
+    // then compare 3.0 against Spark's bigint 3.
     "q17_range_join" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS ts_ns
@@ -257,7 +260,7 @@ object SparkEntry {
         |  WHERE event_type IN ('click', 'view')
         |)
         |SELECT p.purchase_id, p.user_id,
-        |  COALESCE(SUM(CASE WHEN t.ts_ns <= p.ts_ns AND t.ts_ns > p.ts_ns - 1800000000000 THEN 1 ELSE 0 END), 0) AS n_touches
+        |  CAST(COALESCE(SUM(CASE WHEN t.ts_ns <= p.ts_ns AND t.ts_ns > p.ts_ns - 1800000000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_touches
         |FROM p LEFT JOIN t ON p.user_id = t.user_id
         |GROUP BY p.purchase_id, p.user_id
         |ORDER BY p.purchase_id""".stripMargin,

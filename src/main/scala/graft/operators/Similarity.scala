@@ -115,7 +115,8 @@ object Similarity {
   }
 
   private val NumCells = 32
-  private val NumProbes = 8
+  private val NumProbes = 12
+  private val AssignReplicas = 3
 
   /** Per-(vector, cell) cosine scores against the seed table — map-only
     * over the corpus (broadcast nested-loop of the tiny seed side).
@@ -125,46 +126,100 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"),
         CosineSimilarity.cosine(e.sparkSession, col("embedding"), col("seed_emb")).as("c"))
 
+  /** `numCells` deterministic seed vectors: the smallest `xxhash64`
+    * of the id, tie-broken on the id. A hash order is a uniform sample
+    * of the corpus whatever the caller's id assignment — the previous
+    * "smallest ids" rule coupled quantizer quality to insertion order,
+    * so ids correlated with content (e.g. time-ordered ingest of
+    * clustered sources) collapsed all seeds into one region. Still
+    * executes as TakeOrdered (no full sort), still reproducible
+    * run-to-run and engine-to-engine.
+    */
+  private def ivfSeeds(e: DataFrame, numCells: Int): DataFrame =
+    e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(numCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
+
   /** IVF (inverted-file) ANN over any embeddings frame — the
     * coarse-quantizer alternative to hyperplane LSH. Cells are defined
-    * by [[NumCells]] deterministic seed vectors (the lowest vec_ids — a
-    * sampled coarse quantizer, the standard IVF baseline when no trained
-    * codebook is available); every vector lives in the cell of its
-    * nearest seed; a query probes its [[NumProbes]] nearest cells and
-    * rescores exactly (graft_cosine) inside them.
+    * by `numCells` deterministic seed vectors (a hash-ordered sample —
+    * see [[ivfSeeds]] — the standard sampled coarse quantizer when no
+    * trained codebook is available); every vector lives in the cells of
+    * its `assignReplicas` nearest seeds (multi-assignment — the
+    * standard IVF recall lever: a vector near a cell boundary is
+    * findable from either side); a query probes its `numProbes` nearest
+    * cells and rescores exactly (graft_cosine) inside them.
+    *
+    * Tuning: recall ~ corpus coverage x neighbor concentration.
+    * On clustered corpora the concentration is high, so few probes and
+    * `assignReplicas = 1` suffice; on unclustered (near-orthogonal)
+    * embeddings no quantizer concentrates neighbors and recall tracks
+    * coverage ~ 1 - (1 - numProbes/numCells)^assignReplicas. The
+    * defaults hit recall >= 0.9 at ~75% coverage on the synthetic
+    * benchmark embeddings; real-world clustered corpora should lower
+    * both knobs.
     *
     * Scale shape, in order:
     * 1. cell scoring is a broadcast nested-loop of the corpus against
-    *    the [[NumCells]]-row seed table — map-only, no shuffle of the
+    *    the `numCells`-row seed table — map-only, no shuffle of the
     *    big side;
-    * 2. assignment reduces the n x cells scores with a map-side-partial
-    *    `max_by` per vec_id, so the one shuffle carries one row per
-    *    vector (never n x cells);
-    * 3. the probe list is |queries| x [[NumCells]] rows — broadcast;
-    * 4. rescoring joins candidates cell-equi (skew-bounded: a cell holds
-    *    ~n/cells vectors) and the per-query top-k uses the rank window's
-    *    WindowGroupLimit partial pushdown.
+    * 2. assignment reduces the n x cells scores per vec_id with a
+    *    map-side-partial collect_list (each vec_id's rows sit in one
+    *    map partition, so the shuffle carries ONE row per vector
+    *    holding a cells-length score array — comparable in bytes to
+    *    the embedding itself, never n x cells rows), then keeps the
+    *    top `assignReplicas` cells;
+    * 3. the probe list is |queries| x numCells rows — broadcast;
+    * 4. rescoring joins candidates cell-equi (skew-bounded: a cell
+    *    holds ~n*replicas/cells vectors), dedups the (query,
+    *    candidate) pairs that met in several probed cells with a
+    *    map-side-partial max, and takes per-query top-k through the
+    *    rank window's WindowGroupLimit partial pushdown.
     */
   def annIvf(emb: DataFrame, queries: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", k: Int = K): DataFrame = {
+      vecCol: String = "embedding", k: Int = K, numCells: Int = NumCells,
+      numProbes: Int = NumProbes, assignReplicas: Int = AssignReplicas): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
-    val q = normalized(queries, idCol, vecCol)
-    // the NumCells smallest ids, whatever the caller's id domain —
-    // executes as TakeOrdered (no full sort), never silently empty
-    val seeds = e.orderBy("vec_id").limit(NumCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
-    val assigned = cellScores(e, seeds)
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), col("c")).as("cell"), any_value(col("embedding")).as("embedding"))
-    ivfTopK(assigned, probes(q, seeds), k)
+    annIvfCore(e, normalized(queries, idCol, vecCol), ivfSeeds(e, numCells),
+      k, numProbes, assignReplicas)
   }
 
-  /** Each query's NumProbes nearest cells (tiny: queries x cells). */
-  private def probes(q: DataFrame, seeds: DataFrame): DataFrame = {
+  /** [[annIvf]] with a caller-supplied coarse quantizer: `codebook` is a
+    * small (cell id, centroid vector) frame — e.g. a trained k-means
+    * codebook — used verbatim instead of the hash-sampled seeds. It is
+    * broadcast, so it must stay driver-small (hundreds of cells, not
+    * millions).
+    */
+  def annIvfWithCodebook(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "cell", centroidCol: String = "centroid", k: Int = K,
+      numProbes: Int = NumProbes, assignReplicas: Int = AssignReplicas): DataFrame =
+    annIvfCore(normalized(emb, idCol, vecCol), normalized(queries, idCol, vecCol),
+      codebook.select(col(cellCol).as("cell"), col(centroidCol).as("seed_emb")),
+      k, numProbes, assignReplicas)
+
+  /** (vec_id, embedding, cell) with each vector in its `replicas`
+    * top-scoring cells. See [[annIvf]] scale note 2 for why this
+    * shuffles one array-bearing row per vector, not n x cells rows.
+    */
+  private def assignCells(e: DataFrame, seeds: DataFrame, replicas: Int): DataFrame =
+    cellScores(e, seeds)
+      .groupBy("vec_id")
+      .agg(
+        slice(reverse(array_sort(collect_list(struct(col("c"), col("cell"))))), 1, replicas)
+          .getField("cell").as("cells"),
+        any_value(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), explode(col("cells")).as("cell"))
+
+  private def annIvfCore(e: DataFrame, q: DataFrame, seeds: DataFrame, k: Int,
+      numProbes: Int, assignReplicas: Int): DataFrame =
+    ivfTopK(assignCells(e, seeds, assignReplicas), probes(q, seeds, numProbes), k)
+
+  /** Each query's numProbes nearest cells (tiny: queries x cells). */
+  private def probes(q: DataFrame, seeds: DataFrame, numProbes: Int): DataFrame = {
     val probeW = Window.partitionBy("vec_id").orderBy(col("c").desc, col("cell").asc)
     cellScores(q, seeds)
       .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= NumProbes)
+      .filter(col("pr") <= numProbes)
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
@@ -175,7 +230,10 @@ object Similarity {
         .join(assigned.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine")),
+          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")).as("cosine"))
+        // multi-assignment means a pair can meet in several probed
+        // cells; max dedups (cosines are identical per pair)
+        .groupBy("q_id", "n_id").agg(max(col("cosine")).as("cosine")),
       k)
   }
 
@@ -186,15 +244,11 @@ object Similarity {
     */
   def s03AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    // identical seed set to the library form: ids are 0..n-1 here, so
-    // the NumCells smallest ids == vec_id < NumCells
-    val seeds = e.orderBy("vec_id").limit(NumCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("seed_emb"))
+    // identical hash-sampled seed set to the library form
+    val seeds = ivfSeeds(e, NumCells)
     val assigned = SharedIndex(s, dir, "ivf_assignment") {
-      cellScores(e, seeds)
-        .groupBy("vec_id")
-        .agg(max_by(col("cell"), col("c")).as("cell"), any_value(col("embedding")).as("embedding"))
+      assignCells(e, seeds, AssignReplicas)
     }
-    ivfTopK(assigned, probes(e.filter(col("vec_id") < NumQueries), seeds), K)
+    ivfTopK(assigned, probes(e.filter(col("vec_id") < NumQueries), seeds, NumProbes), K)
   }
 }
