@@ -11,7 +11,7 @@ import graft.sinks.XbrlSinks
   *     --output-dir <dir> [--form-number N] [--requested-tables t1,t2,...] \
   *     [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N]
   *
-  * Writes `<out>/fercN_xbrl/<table>/` parquet directories, the
+  * Writes `<out>/fercN_xbrl/<table>.parquet/` parquet directories, the
   * sqlite-style descriptor `<out>/fercN_xbrl_datapackage.json`, the
   * parquet descriptor `<out>/fercN_xbrl/datapackage.json`
   * (cli.py:211-236), and `<out>/fercN_xbrl_taxonomy_metadata.json`.

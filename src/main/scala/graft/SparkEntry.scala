@@ -36,8 +36,10 @@ object SparkEntry {
     "q16_asof_join" -> (Relational.q16AsofJoin _),
     "q17_range_join" -> (Relational.q17RangeJoin _),
     // rows-only: sketch estimates (HLL++/KLL) are engine-specific;
-    // RelationalSpec bounds the error vs exact
+    // RelationalSpec bounds the error vs exact. The exact half of the
+    // profile is split into q18_exact_stats, which IS fully oracled.
     "q18_approx_stats" -> (Relational.q18ApproxStats _),
+    "q18_exact_stats" -> (Relational.q18ExactStats _),
     "q19_deterministic_split" -> (Relational.q19DeterministicSplit _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
@@ -179,6 +181,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    // exact half of the q18 profile (the sketch half is rows-only)
+    "q18_exact_stats" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+        |  CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q13_sessionize" ->
       """WITH gapped AS (

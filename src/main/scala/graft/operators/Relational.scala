@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -345,6 +345,12 @@ object Relational {
     * tiebreak column first after timeCol); right columns must be
     * orderable (no maps).
     */
+  /** Backtick-quote an identifier for `col`, so caller column names
+    * containing dots, spaces, or keywords resolve as plain names
+    * instead of being parsed as field paths.
+    */
+  private def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   def asofJoin(left: DataFrame, right: DataFrame, on: String, timeCol: String,
       rightPrefix: String = "right_"): DataFrame = {
     import org.apache.spark.sql.types.StructType
@@ -352,19 +358,19 @@ object Relational {
     val rCols = right.columns.filterNot(_ == on).toSeq
     val lPayloadT = StructType(left.schema.fields.filterNot(_.name == on))
     val rPayloadT = StructType(right.schema.fields.filterNot(_.name == on))
-    val lu = left.select(col(on), col(timeCol).as("__t"), lit(1).as("__side"),
-      struct(lCols.map(col): _*).as("__lp"), lit(null).cast(rPayloadT).as("__p"))
-    val ru = right.select(col(on), col(timeCol).as("__t"), lit(0).as("__side"),
-      lit(null).cast(lPayloadT).as("__lp"), struct(rCols.map(col): _*).as("__p"))
-    val w = Window.partitionBy(on)
+    val lu = left.select(q(on), q(timeCol).as("__t"), lit(1).as("__side"),
+      struct(lCols.map(q): _*).as("__lp"), lit(null).cast(rPayloadT).as("__p"))
+    val ru = right.select(q(on), q(timeCol).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lPayloadT).as("__lp"), struct(rCols.map(q): _*).as("__p"))
+    val w = Window.partitionBy(q(on))
       .orderBy(col("__t"), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lu.unionByName(ru)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col(on) +:
-        (lCols.map(c => col(s"__lp.$c").as(c)) ++
-          rCols.map(c => col(s"__m.$c").as(s"$rightPrefix$c"))): _*)
+      .select(q(on) +:
+        (lCols.map(c => col("__lp").getField(c).as(c)) ++
+          rCols.map(c => col("__m").getField(c).as(s"$rightPrefix$c"))): _*)
   }
 
   /** Generic interval-join count library form: for each `left` row, the
@@ -376,15 +382,19 @@ object Relational {
     */
   def rangeJoinCount(left: DataFrame, right: DataFrame, on: String, timeCol: String,
       intervalNs: Long, countName: String = "n_matches"): DataFrame = {
-    val bucket = expr(s"$timeCol div $intervalNs")
+    // bucket START via exact long arithmetic (t - t mod i): Column-API
+    // only — no SQL-string interpolation, so a timeCol needing backticks
+    // works — and no double division, which would lose ns precision
+    // above 2^53
+    val bucket = q(timeCol) - pmod(q(timeCol), lit(intervalNs))
     val l = left.withColumn("__bucket", bucket)
-    val r = right.select(col(on), col(timeCol).as("__rt"),
-      explode(array(bucket, bucket + 1)).as("__bucket"))
+    val r = right.select(q(on), q(timeCol).as("__rt"),
+      explode(array(bucket, bucket + lit(intervalNs))).as("__bucket"))
     l.join(r, Seq(on, "__bucket"), "left")
       .withColumn("__hit",
         col("__rt").isNotNull &&
-          col("__rt") <= col(timeCol) && col("__rt") > col(timeCol) - intervalNs)
-      .groupBy(l.columns.toIndexedSeq.map(col): _*)
+          col("__rt") <= q(timeCol) && col("__rt") > q(timeCol) - intervalNs)
+      .groupBy(l.columns.toIndexedSeq.map(q): _*)
       .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as(countName))
       .drop("__bucket")
   }
@@ -437,5 +447,21 @@ object Relational {
         count(lit(1)).as("n_events"),
         round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)), 1), 2).as("p50_value"),
         round(element_at(percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)), 2), 2).as("p95_value"))
+      .orderBy("event_type")
+
+  /** The exact half of the q18 per-type profile, split out so it can be
+    * held to the full DuckDB oracle (the sketch half stays rows-only by
+    * design — HLL++/KLL estimates are engine-specific). Same plan shape
+    * as q18: one map-side-combined hash aggregation; count/min/max and
+    * the DECIMAL-stabilized sum are all O(1) partial-agg state.
+    */
+  def q18ExactStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr(s"CAST(SUM(CAST(value AS $D)) AS DOUBLE)").as("total_value"),
+        expr(s"CAST(MIN(CAST(value AS $D)) AS DOUBLE)").as("min_value"),
+        expr(s"CAST(MAX(CAST(value AS $D)) AS DOUBLE)").as("max_value"))
       .orderBy("event_type")
 }

@@ -21,9 +21,14 @@ import graft.xbrl.{Concept, TableSchema, Taxonomy}
   */
 object XbrlSinks {
 
+  /** Each table lands at `<outDir>/<name>.parquet` — a Spark parquet
+    * directory whose name carries the suffix so the layout agrees with
+    * the datapackage descriptor's `path` (the reference CLI writes
+    * literal `<table>.parquet` files; cli.py:211-230).
+    */
   def writeParquet(tables: Map[String, DataFrame], outDir: String): Unit =
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
 
   def writeCsv(tables: Map[String, DataFrame], outDir: String): Unit =

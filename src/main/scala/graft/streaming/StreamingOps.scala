@@ -178,8 +178,15 @@ object StreamingOps {
             if (last.forall(s => t > s.tsMs || (t == s.tsMs && e.event_id > s.eventId)))
               last = Some(LastTouch(t, e.event_id))
           } else {
+            // at-or-before guard: state may hold a touch NEWER than this
+            // purchase (the purchase arrived in a later trigger, within
+            // the watermark) — a future touch must never attribute.
+            // Single-touch state cannot recover an older superseded
+            // touch in that case, so the purchase emits unattributed:
+            // the bounded-state tradeoff vs batch q16's full lookback.
             out += AttributedPurchase(e.event_id, userId,
-              last.map(s => java.lang.Long.valueOf(s.eventId)).orNull)
+              last.filter(_.tsMs <= e.ts.getTime)
+                .map(s => java.lang.Long.valueOf(s.eventId)).orNull)
           }
         }
         last match {

@@ -90,6 +90,21 @@ class LibraryApiSpec extends SparkSpec {
     assert(out(1L) === 2L && out(2L) === 0L)
   }
 
+  test("rangeJoinCount and asofJoin accept column names needing backticks") {
+    import graft.operators.Relational
+    // dots, spaces, and a reserved keyword as column names — these
+    // break any implementation that splices names into SQL strings
+    val left = Seq((1L, 1000L), (2L, 5000L)).toDF("the.key", "event time")
+    val right = Seq((1L, 900L, "x"), (1L, 400L, "y"), (2L, 100L, "z"))
+      .toDF("the.key", "event time", "select")
+    val counts = Relational.rangeJoinCount(left, right, "the.key", "event time", 1000L, "n")
+      .collect().map(r => r.getAs[Long]("the.key") -> r.getAs[Long]("n")).toMap
+    assert(counts === Map(1L -> 2L, 2L -> 0L))
+    val asof = Relational.asofJoin(left, right, "the.key", "event time")
+      .collect().map(r => (r.getAs[Long]("the.key"), r.getAs[String]("right_select"))).toMap
+    assert(asof === Map(1L -> "x", 2L -> "z"))
+  }
+
   test("deterministicSplit is stable and fractions are sane") {
     import graft.operators.Relational
     val df = spark.range(0, 2000).toDF("doc_id")

@@ -139,6 +139,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofAttribution never attributes a purchase to a future touch across triggers") {
+    import graft.streaming.{AttributionEvent, AttributedPurchase}
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[AttributionEvent]
+    val q = StreamingOps.asofAttribution(input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("asof_guard").outputMode("append").start()
+    try {
+      input.addData(AttributionEvent(1L, ts(10), "touch", 100L))
+      q.processAllAvailable()
+      // within-watermark purchases arriving a trigger later: one with
+      // event time BEFORE the state's touch (must NOT attribute to the
+      // future touch), one after it (must attribute)
+      input.addData(
+        AttributionEvent(1L, ts(5), "purchase", 200L),
+        AttributionEvent(1L, ts(12), "purchase", 201L))
+      q.processAllAvailable()
+      // a late touch older than state must neither clobber state nor
+      // become visible to a later out-of-order purchase (single-touch
+      // state: superseded touches are unrecoverable by design)
+      input.addData(AttributionEvent(1L, ts(3), "touch", 101L))
+      q.processAllAvailable()
+      input.addData(AttributionEvent(1L, ts(4), "purchase", 202L))
+      q.processAllAvailable()
+      val got = spark.table("asof_guard").as[AttributedPurchase].collect()
+        .map(p => p.purchase_id -> Option(p.touch_id).map(_.toLong)).toMap
+      assert(got === Map(200L -> None, 201L -> Some(100L), 202L -> None))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per event_id within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

@@ -100,4 +100,54 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
       assert(got === expected, s"left=$left right=$rRows")
     }
   }
+
+  /** Shared runner for the adversarial cases: execute rangeJoinCount and
+    * check it against the (exclusive lower, inclusive upper] model.
+    */
+  private def checkRange(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long)],
+      interval: Long): Map[Long, Long] = {
+    val got = Relational.rangeJoinCount(
+      left.toDF("lid", "k", "t"), right.toDF("k", "t"), "k", "t", interval, "n")
+      .collect().map(r => r.getAs[Long]("lid") -> r.getAs[Long]("n")).toMap
+    val expected = left.map { case (lid, k, t) =>
+      lid -> right.count(r => r._1 == k && r._2 <= t && r._2 > t - interval).toLong
+    }.toMap
+    assert(got === expected, s"interval=$interval left=$left right=$right")
+    got
+  }
+
+  test("rangeJoinCount adversarial interval boundaries") {
+    // a right row exactly at t - interval is EXCLUDED, equal ts INCLUDED
+    val c1 = checkRange(Seq((1L, 1L, 1000L)), Seq((1L, 0L), (1L, 1L), (1L, 1000L)), 1000L)
+    assert(c1(1L) === 2L)
+    // interval = 1: only the exact instant matches
+    val c2 = checkRange(Seq((1L, 1L, 5L)), Seq((1L, 4L), (1L, 5L), (1L, 6L)), 1L)
+    assert(c2(1L) === 1L)
+    // empty right side: every left row counts zero
+    val c3 = checkRange(Seq((1L, 1L, 5L), (2L, 2L, 9L)), Seq.empty[(Long, Long)], 10L)
+    assert(c3 === Map(1L -> 0L, 2L -> 0L))
+    // negative times straddling zero: bucketing must floor, not
+    // truncate toward zero
+    checkRange(Seq((1L, 1L, 0L), (2L, 1L, -3L), (3L, 1L, 3L)),
+      Seq((1L, -7L), (1L, -1L), (1L, 0L), (1L, 2L)), 5L)
+    // bulk equal-ts ties on both boundaries
+    checkRange(Seq((1L, 1L, 100L)),
+      Seq.fill(10)((1L, 100L)) ++ Seq.fill(5)((1L, 93L)) ++ Seq.fill(4)((1L, 94L)), 7L)
+  }
+
+  test("rangeJoinCount matches the model with interval=1 and negative times") {
+    val gen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+      nl <- Gen.choose(0, 20)
+      nr <- Gen.choose(0, 20)
+      lks <- Gen.listOfN(nl, Gen.choose(0L, 3L))
+      lts <- Gen.listOfN(nl, Gen.choose(-15L, 15L))
+      rks <- Gen.listOfN(nr, Gen.choose(0L, 3L))
+      rts <- Gen.listOfN(nr, Gen.choose(-15L, 15L))
+    } yield (lks.zip(lts), rks.zip(rts))
+    for (interval <- Seq(1L, 4L))
+      forAllSampled(gen, 10) { case (lRows, rRows) =>
+        val left = lRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        checkRange(left, rRows, interval)
+      }
+  }
 }

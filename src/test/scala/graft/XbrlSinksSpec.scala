@@ -40,7 +40,7 @@ class XbrlSinksSpec extends SparkSpec {
   test("parquet sink round-trips the identification table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     XbrlSinks.writeParquet(out.tables.view.filterKeys(_ == "identification_001_duration").toMap, dir)
-    val back = spark.read.parquet(s"$dir/identification_001_duration")
+    val back = spark.read.parquet(s"$dir/identification_001_duration.parquet")
     assert(back.count() === 10L)
     assert(back.filter(col("report_date") === "2022-04-13").count() >= 1L)
   }
@@ -84,7 +84,8 @@ class XbrlSinksSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl_datapackage.json")))
     assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl_taxonomy_metadata.json")))
     assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl/datapackage.json")))
-    requested.foreach(t => assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl/$t"))))
+    // the on-disk layout must agree with the descriptor's `path`
+    requested.foreach(t => assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl/$t.parquet"))))
     val root = new ObjectMapper().readTree(Files.readString(Paths.get(s"$dir/ferc1_xbrl/datapackage.json")))
     val res = root.get("resources")
     assert(res.size === 2)
@@ -95,7 +96,7 @@ class XbrlSinksSpec extends SparkSpec {
       assert(r.get("path").asText === r.get("name").asText + ".parquet")
     }
     // the parquet tables round-trip through Spark
-    val back = spark.read.parquet(s"$dir/ferc1_xbrl/identification_001_duration")
+    val back = spark.read.parquet(s"$dir/ferc1_xbrl/identification_001_duration.parquet")
     assert(back.count() === 10L)
   }
 
