@@ -133,6 +133,8 @@ object TaxonomyParser {
     val presentation = mutable.Map.empty[String, (mutable.LinkedHashMap[String, Unit], mutable.ArrayBuffer[Arc])]
     val labels = mutable.Map.empty[String, String] // conceptId -> standard label
     val docs = mutable.Map.empty[String, String] // conceptId -> documentation
+    // conceptId -> role URI -> text (ALL roles, first-wins per role)
+    val allLabels = mutable.Map.empty[String, mutable.LinkedHashMap[String, String]]
     val calcs = mutable.Map.empty[String, mutable.LinkedHashMap[(String, Double), Unit]]
     val refs = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Seq[(String, String)])]]
 
@@ -171,6 +173,8 @@ object TaxonomyParser {
             for (cid <- locs.get(from); rs <- resources.get(to); (role, text) <- rs) {
               if (role == StandardLabelRole) labels.getOrElseUpdate(cid, text)
               else if (role == DocumentationRole) docs.getOrElseUpdate(cid, text)
+              allLabels.getOrElseUpdate(cid, mutable.LinkedHashMap.empty)
+                .getOrElseUpdate(role, text)
             }
           }
         }
@@ -243,7 +247,8 @@ object TaxonomyParser {
             Calculation(Names.snakecase(elements.get(childId).map(_.name).getOrElse(childId)), w)
           }.toSeq).getOrElse(Seq.empty),
           references = referencesOf(cid),
-          children = kids)
+          children = kids,
+          labels = allLabels.get(cid).map(_.toMap).getOrElse(Map.empty))
       }
 
     val roles = presentation.toSeq.sortBy(_._1).flatMap { case (role, (concepts, arcs)) =>

@@ -85,7 +85,11 @@ case class Concept(
     balance: Option[String], // credit | debit | None
     calculations: Seq[Calculation],
     references: Map[String, Seq[Map[String, String]]],
-    children: Seq[Concept])
+    children: Seq[Concept],
+    // every label linkbase role for the concept (role URI -> text),
+    // like Arelle's label store; standardLabel/documentation above are
+    // the two the reference's own model surfaces (taxonomy.py:115-116)
+    labels: Map[String, String] = Map.empty)
 
 /** Calculation-linkbase edge: this concept = sum(child x weight).
   * Reference: arelle_interface.py:78-90.

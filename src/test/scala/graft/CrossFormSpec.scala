@@ -65,7 +65,7 @@ class CrossFormSpec extends SparkSpec {
       "--requested-tables", "identification_001_duration"))
     assert(Files.exists(Paths.get(s"$dir/ferc2_xbrl_datapackage.json")))
     assert(Files.exists(Paths.get(s"$dir/ferc2_xbrl/datapackage.json")))
-    val back = spark.read.parquet(s"$dir/ferc2_xbrl/identification_001_duration")
+    val back = spark.read.parquet(s"$dir/ferc2_xbrl/identification_001_duration.parquet")
     // both years' filings land in one table
     val years = back.select(countDistinct(org.apache.spark.sql.functions.substring(
       org.apache.spark.sql.functions.col("report_date"), 1, 4))).collect()(0).getLong(0)

@@ -58,6 +58,29 @@ class TaxonomySpec extends AnyFunSuite {
     assert(tables.flatMap(_.dataColumns).exists(_.schemaType == "boolean"))
   }
 
+  test("all label roles are retained per concept, consistent with the two surfaced fields") {
+    val StandardRole = "http://www.xbrl.org/2003/role/label"
+    val DocRole = "http://www.xbrl.org/2003/role/documentation"
+    val concepts = (for {
+      tx <- taxonomies
+      role <- tx.roles
+      c <- Iterator.unfold(List(role.concepts)) {
+        case Nil => None
+        case h :: t => Some((h, h.children.toList ++ t))
+      }
+    } yield c).toSeq
+    // the FERC taxonomy labels concepts with both a terse standard label
+    // and verbose documentation — both roles must survive in `labels`
+    val multiRole = concepts.filter(c =>
+      c.labels.contains(StandardRole) && c.labels.contains(DocRole))
+    assert(multiRole.nonEmpty)
+    // the surfaced fields are exactly the corresponding role entries
+    concepts.foreach { c =>
+      c.labels.get(StandardRole).foreach(l => assert(l === c.standardLabel, c.name))
+      c.labels.get(DocRole).foreach(d => assert(d === c.documentation, c.name))
+    }
+  }
+
   test("calculation metadata carries summation weights") {
     val withCalcs = for {
       tx <- taxonomies
