@@ -56,6 +56,7 @@ object SparkEntry {
     "t04_fingerprint" -> (Text.t04Fingerprint _),
     // rows-only: bin assignment depends on the engine-local shard hash
     "t05_pack_sequences" -> (Text.t05PackSequences _),
+    "t06_repetition_stats" -> (Text.t06RepetitionStats _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     // XBRL engine over the reference's own test archives (rows-only —
@@ -277,6 +278,31 @@ object SparkEntry {
         |FROM p LEFT JOIN t ON p.user_id = t.user_id
         |GROUP BY p.purchase_id, p.user_id
         |ORDER BY p.purchase_id""".stripMargin,
+
+    // integer repetition counts are engine-exact; ratios are left to the
+    // consumer (shared denominators carry no extra information)
+    "t06_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_2grams,
+        |    CAST(len(list_distinct(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS n_uniq_2grams
+        |  FROM toks
+        |), words AS (
+        |  SELECT doc_id, unnest(t) AS w FROM toks
+        |), wc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_n, CAST(SUM(c) AS BIGINT) AS n_words
+        |  FROM wc GROUP BY 1
+        |)
+        |SELECT g.doc_id,
+        |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(a.top_word_n, 0) AS BIGINT) AS top_word_n,
+        |  g.n_2grams, g.n_uniq_2grams
+        |FROM grams g LEFT JOIN agg a USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
 
     // d03/d04/s02/s03 are intentionally absent (rows-only): their hash
     // seeds / hyperplanes / cell seeds are engine-local, so no portable

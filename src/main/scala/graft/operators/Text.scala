@@ -191,4 +191,44 @@ object Text {
     */
   def t05PackSequences(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(s, dir))
+
+  /** Repetition statistics per document — the cheap repetition filters
+    * (modal-word share, duplicate-bigram share) every pretraining
+    * quality pipeline applies before anything expensive. Outputs are
+    * raw integer counts, not ratios: every ratio shares the per-doc
+    * denominator, so the counts carry the same information and hash
+    * exactly against any engine (no float-division/rounding trap).
+    *
+    * Scale shape: bigram stats are per-row map-only (native codegen'd
+    * `word_shingles`, no shuffle); modal-word count is the classic
+    * two-level word-count — explode to (doc, word), map-side-combined
+    * count, then a per-doc max/sum over the already-tiny counts. The
+    * bigram scalars ride through the explode as constants (any_value)
+    * so no join-back is needed. A doc with no words keeps a row via
+    * explode_outer (all counts 0).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    normalized(docs, idCol, textCol)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("n_2grams", greatest(size(col("toks")) - 1, lit(0)).cast("long"))
+      .withColumn("n_uniq_2grams",
+        size(array_distinct(graft.functions.WordShingles.shingles(s, col("toks"), 2))).cast("long"))
+      .select(col("doc_id"), col("n_2grams"), col("n_uniq_2grams"),
+        explode_outer(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(col("w")).as("c"),
+        any_value(col("n_2grams")).as("g"), any_value(col("n_uniq_2grams")).as("u"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_words"),
+        max(col("c")).cast("long").as("top_word_n"),
+        any_value(col("g")).as("n_2grams"),
+        any_value(col("u")).as("n_uniq_2grams"))
+      .orderBy("doc_id")
+  }
+
+  /** t06: gate binding of [[repetitionStats]]. */
+  def t06RepetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(s, dir))
 }

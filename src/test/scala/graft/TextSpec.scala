@@ -87,6 +87,25 @@ class TextSpec extends SparkSpec {
     assert(r1.groupBy(_.getAs[Long]("bin_id")).exists(_._2.length > 1))
   }
 
+  test("t06 repetition stats handle empty, single-word, and fully-repeated docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""),                       // no words at all
+      (2L, "word"),                   // one word, no bigrams
+      (3L, "spam spam spam spam"),    // fully repeated: 1 unique bigram
+      (4L, "a b a b a"),              // alternating: 4 bigrams, 2 unique
+      (5L, "  double  spaced  ")      // empty tokens filtered out
+    ).toDF("id", "body")
+    val got = Text.repetitionStats(df, "id", "body").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    //                 n_words top_word n_2grams n_uniq_2grams
+    assert(got(1L) === (0L, 0L, 0L, 0L))
+    assert(got(2L) === (1L, 1L, 0L, 0L))
+    assert(got(3L) === (4L, 4L, 3L, 1L))
+    assert(got(4L) === (5L, 3L, 4L, 2L))
+    assert(got(5L) === (2L, 1L, 1L, 1L))
+  }
+
   test("t01/t02/t03 agree on tokenization") {
     val t1 = Text.t01LangId(spark, sf).count()
     val t2 = Text.t02QualityScore(spark, sf).count()
