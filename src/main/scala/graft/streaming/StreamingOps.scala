@@ -31,6 +31,16 @@ case class LastTouch(tsMs: Long, eventId: Long)
   */
 case class AttributedPurchase(purchase_id: Long, user_id: Long, touch_id: java.lang.Long)
 
+/** Touch timestamps (epoch ms) retained per user between triggers for
+  * [[StreamingOps.rangeCountAttribution]] — only those still inside the
+  * count horizon survive pruning, so the buffer is bounded by the
+  * user's touch rate x interval, not by history.
+  */
+case class TouchBuffer(tsMs: Seq[Long])
+
+/** A purchase with its preceding-interval touch count. */
+case class RangeCounted(purchase_id: Long, user_id: Long, n_touches: Long)
+
 /** Structured Streaming operators (SURVEY.md §2.5).
   *
   * Both take an unbounded DataFrame (readStream source) and return a
@@ -194,6 +204,65 @@ object StreamingOps {
             state.update(s)
             state.setTimeoutTimestamp(math.max(s.tsMs + idleMs, state.getCurrentWatermarkMs() + 1))
           case None => ()
+        }
+        out.result().iterator
+      }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming interval-count — the streaming twin of batch
+    * q17_range_join / `Relational.rangeJoinCount`: each `purchase`
+    * emits with the count of the same user's `touch` events in
+    * (purchase - interval, purchase]. Unlike [[asofAttribution]]'s
+    * single-touch state, state here is EVERY touch still inside the
+    * horizon — so out-of-order purchases within the watermark count
+    * correctly against touches from earlier triggers, including
+    * future-dated ones (the count predicate filters them per purchase).
+    *
+    * State is bounded: after each trigger the buffer drops touches at
+    * or below `watermark - interval` — no in-horizon purchase
+    * (ts >= watermark) can ever count them — so per-user state is
+    * touch-rate x (interval + allowed lateness), independent of stream
+    * length; the event-time timeout evicts idle users entirely.
+    */
+  def rangeCountAttribution(
+      events: Dataset[AttributionEvent],
+      intervalMinutes: Int = 30,
+      watermark: String = "30 minutes"): Dataset[RangeCounted] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val intervalMs = intervalMinutes * 60000L
+
+    def fn(userId: Long, evs: Iterator[AttributionEvent],
+        state: GroupState[TouchBuffer]): Iterator[RangeCounted] =
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        // touches before purchases at equal ts, matching the batch
+        // inclusive upper bound
+        val sorted = evs.toIndexedSeq.sortBy(e =>
+          (e.ts.getTime, if (e.kind == "touch") 0 else 1, e.event_id))
+        var touches = state.getOption.map(_.tsMs.toVector).getOrElse(Vector.empty)
+        val out = Vector.newBuilder[RangeCounted]
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          if (e.kind == "touch") touches = touches :+ t
+          else out += RangeCounted(e.event_id, userId,
+            touches.count(x => x <= t && x > t - intervalMs).toLong)
+        }
+        val horizon = state.getCurrentWatermarkMs() - intervalMs
+        val kept = touches.filter(_ > horizon)
+        if (kept.nonEmpty) {
+          state.update(TouchBuffer(kept))
+          state.setTimeoutTimestamp(
+            math.max(kept.max + intervalMs, state.getCurrentWatermarkMs() + 1))
+        } else if (state.exists) {
+          state.remove()
         }
         out.result().iterator
       }

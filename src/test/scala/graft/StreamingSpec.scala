@@ -168,6 +168,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rangeCountAttribution agrees with batch rangeJoinCount on real events") {
+    import graft.streaming.{AttributionEvent, RangeCounted}
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val users = 20L
+
+    // ms-truncated once, then fed to BOTH the batch library operator and
+    // the stream, so the equivalence is exact by construction
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") <= users &&
+        col("event_type").isin("purchase", "click", "view"))
+      .select("user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => AttributionEvent(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L),
+        if (r.getString(2) == "purchase") "purchase" else "touch", r.getLong(3)))
+    val intervalMs = 30L * 60000L
+    val purchases = evs.filter(_.kind == "purchase")
+      .map(e => (e.event_id, e.user_id, e.ts.getTime)).toSeq
+      .toDF("purchase_id", "user_id", "t")
+    val touches = evs.filter(_.kind == "touch")
+      .map(e => (e.user_id, e.ts.getTime)).toSeq.toDF("user_id", "t")
+    val expected = graft.operators.Relational
+      .rangeJoinCount(purchases, touches, "user_id", "t", intervalMs, "n")
+      .collect().map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("n")).toMap
+
+    val input = MemoryStream[AttributionEvent]
+    val q = StreamingOps.rangeCountAttribution(input.toDS(), watermark = "0 minutes")
+      .writeStream.format("memory").queryName("range_attr").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("range_attr").as[RangeCounted].collect()
+        .map(p => p.purchase_id -> p.n_touches).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("rangeCountAttribution counts across triggers, out of order, never future touches") {
+    import graft.streaming.{AttributionEvent, RangeCounted}
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[AttributionEvent]
+    val q = StreamingOps.rangeCountAttribution(input.toDS(),
+      intervalMinutes = 10, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("range_guard").outputMode("append").start()
+    try {
+      input.addData(
+        AttributionEvent(1L, ts(10), "touch", 100L),
+        AttributionEvent(1L, ts(14), "touch", 101L))
+      q.processAllAvailable()
+      // purchase arrives a trigger later, BETWEEN the two buffered
+      // touches in event time: counts ts(10) in (ts(2), ts(12)], not
+      // the future ts(14)
+      input.addData(AttributionEvent(1L, ts(12), "purchase", 200L))
+      q.processAllAvailable()
+      // 201 at ts(24): its window is (ts(14), ts(24)] — the touch AT
+      // ts(14) sits exactly on the exclusive lower bound, count 0.
+      // 202 at ts(14): window (ts(4), ts(14)] — counts both touches.
+      input.addData(
+        AttributionEvent(1L, ts(24), "purchase", 201L),
+        AttributionEvent(1L, ts(14), "purchase", 202L))
+      q.processAllAvailable()
+      val got = spark.table("range_guard").as[RangeCounted].collect()
+        .map(p => p.purchase_id -> p.n_touches).toMap
+      assert(got === Map(200L -> 1L, 201L -> 0L, 202L -> 2L))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per event_id within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
