@@ -41,6 +41,7 @@ object SparkEntry {
     "q18_approx_stats" -> (Relational.q18ApproxStats _),
     "q18_exact_stats" -> (Relational.q18ExactStats _),
     "q19_deterministic_split" -> (Relational.q19DeterministicSplit _),
+    "q20_stratified_sample" -> (Relational.q20StratifiedSample _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -258,6 +259,14 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '52' THEN 'test'
         |       ELSE 'train' END AS split
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // same portable md5-prefix trick as q19, with a per-source threshold
+    "q20_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'c000' WHEN 'src1' THEN '8000'
+        |              WHEN 'src2' THEN '4000' ELSE '2000' END
         |ORDER BY doc_id""".stripMargin,
 
     // naive inequality join is the oracle for the bucket-blocked range

@@ -425,6 +425,40 @@ object Relational {
       Tables.documents(s, dir).select(col("doc_id")), "doc_id")
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling: keep each row with its group's
+    * probability (`fractions`, else `defaultFraction`), decided by the
+    * same content-stable md5-prefix trick as [[deterministicSplit]] —
+    * the source-quota / domain-mixing step of a training pipeline
+    * (up-weight curated sources, down-weight crawl), reproducible
+    * across reruns, partitionings, and engines, unlike `sample()`.
+    * Map-only: the per-group threshold is a CASE over `groupCol` and
+    * the keep decision compares 4 md5 hex digits lexically (16-bit
+    * resolution; a fraction >= 1 keeps everything via a sentinel above
+    * the hex alphabet).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    def thr(f: Double): String =
+      if (f >= 1.0) "g" else f"${math.max((f * 65536).toInt, 0)}%04x"
+    val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    val bound = fractions.toSeq.sortBy(_._1).foldRight(lit(thr(defaultFraction))) {
+      case ((g, f), other) => when(col(groupCol) === g, lit(thr(f))).otherwise(other)
+    }
+    df.filter(h < bound)
+  }
+
+  /** q20: gate binding of [[stratifiedSample]] on `documents` per
+    * `source` — a curated-heavy mixture (75%/50%/25% for src0-2, 12.5%
+    * for the long tail).
+    */
+  def q20StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source",
+      Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25),
+      defaultFraction = 0.125)
+      .orderBy("doc_id")
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).

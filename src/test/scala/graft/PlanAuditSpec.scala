@@ -89,6 +89,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Relational.q19DeterministicSplit(spark, sf)) <= 1)
   }
 
+  test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {
+    val df = Text.t06RepetitionStats(spark, sf)
+    assert(shuffles(df) <= 3)
+    // the bigram scalars ride through the explode as agg constants —
+    // a Join node would mean the map-only half got computed twice
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("d06 contamination: per-side aggs + hit join + sort, no doc-pair explosion") {
     val df = Dedup.d06Contamination(spark, sf)
     assert(shuffles(df) <= 5)

@@ -67,6 +67,35 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample matches a pure md5 model and honors edge fractions") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex4(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 4)
+    val idsGen = Gen.listOfN(300, Gen.zip(Gen.choose(-100000L, 100000L), Gen.oneOf("a", "b", "c")))
+    val fractions = Map("a" -> 0.75, "b" -> 0.25)
+    forAllSampled(idsGen, 5) { rows =>
+      val distinct = rows.distinctBy(_._1)
+      val got = Relational.stratifiedSample(
+        distinct.toDF("doc_id", "src"), "doc_id", "src", fractions, defaultFraction = 0.125)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val expected = distinct.filter { case (id, g) =>
+        hex4(id) < (fractions.get(g) match {
+          case Some(0.75) => "c000"
+          case Some(0.25) => "4000"
+          case _ => "2000"
+        })
+      }.toSet
+      assert(got === expected)
+      // fraction 1.0 keeps everything, 0.0 keeps nothing
+      val all = Relational.stratifiedSample(
+        distinct.toDF("doc_id", "src"), "doc_id", "src", Map.empty, defaultFraction = 1.0)
+      assert(all.count() === distinct.size.toLong)
+      val none = Relational.stratifiedSample(
+        distinct.toDF("doc_id", "src"), "doc_id", "src", Map.empty, defaultFraction = 0.0)
+      assert(none.count() === 0L)
+    }
+  }
+
   test("packSequences invariants hold on random token counts") {
     val docsGen = Gen.listOfN(120, Gen.choose(1, 60))
     forAllSampled(docsGen, 5) { lens =>
