@@ -399,6 +399,30 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Skew-safe inner equi-join on `on`: every build-side row is
+    * replicated `salt` ways and each probe row is scattered to one
+    * replica by a deterministic hash of its full row, so a hot key
+    * spreads over `salt` shuffle partitions instead of melting a
+    * single reducer. The result is exactly the plain inner join (each
+    * probe row meets exactly one replica of each matching build row —
+    * multiplicities preserved).
+    *
+    * When to reach for it at 100 TB: AQE's runtime skew split already
+    * rebalances sort-merge joins, but it cannot help a shuffled hash
+    * join, a join feeding a same-key aggregation, or a case where the
+    * skew is known up front and deterministic planning is wanted. The
+    * build side grows salt-fold — keep `salt` modest (8-64) and the
+    * build side the smaller input.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, on: String, salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"salt must be positive, got $salt")
+    val probeSalted = probe.withColumn("__salt",
+      pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(q): _*)), lit(salt.toLong)).cast("int"))
+    val buildSalted = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    probeSalted.join(buildSalted, Seq(on, "__salt"), "inner").drop("__salt")
+  }
+
   /** Deterministic dataset splitting library form: assign each row to a
     * named split by a content-stable hash of its id — the reproducible
     * train/val/test partitioner every training pipeline needs (stable

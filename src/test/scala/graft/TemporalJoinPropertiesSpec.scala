@@ -67,6 +67,25 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain inner join on random skewed data") {
+    // heavy key collisions: key 0 is hot by construction
+    val gen = for {
+      np <- Gen.choose(0, 40)
+      nb <- Gen.choose(0, 15)
+      pks <- Gen.listOfN(np, Gen.frequency(3 -> Gen.const(0L), 1 -> Gen.choose(1L, 4L)))
+      bks <- Gen.listOfN(nb, Gen.frequency(2 -> Gen.const(0L), 1 -> Gen.choose(1L, 4L)))
+    } yield (pks, bks)
+    forAllSampled(gen, 10) { case (pks, bks) =>
+      val probe = pks.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "pid")
+      val build = bks.zipWithIndex.map { case (k, i) => (k, 100L + i) }.toDF("k", "bid")
+      val salted = Relational.saltedJoin(probe, build, "k", salt = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val plain = probe.join(build, Seq("k"), "inner")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(salted === plain, s"probe=$pks build=$bks")
+    }
+  }
+
   test("stratifiedSample matches a pure md5 model and honors edge fractions") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex4(id: Long): String =
