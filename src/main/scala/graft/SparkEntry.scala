@@ -48,6 +48,7 @@ object SparkEntry {
     "d04_dedup_simhash" -> (Dedup.d04Simhash _),
     "d05_dedup_embedding" -> (Dedup.d05EmbeddingCosine _),
     "d06_contamination" -> (Dedup.d06Contamination _),
+    "d07_dup_clusters" -> (Dedup.d07DupClusters _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -67,6 +68,29 @@ object SparkEntry {
     "x03_xbrl_coverage" -> (XbrlQueries.x03XbrlCoverage _),
     "x04_xbrl_calc_validate" -> (XbrlQueries.x04XbrlCalcValidate _),
   )
+
+  /** d02's oracle, shared: d07 clusters exactly these pairs. */
+  private val D02OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM toks
+      |), capped AS (
+      |  SELECT doc_id, shingle FROM sh
+      |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id
+      |), common AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+      |FROM common JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin
 
   /** DuckDB-runnable oracle SQL per queries key (identical aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -338,27 +362,20 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
 
-    "d02_dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-        |  FROM toks
-        |), capped AS (
-        |  SELECT doc_id, shingle FROM sh
-        |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200)
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id
-        |), common AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
-        |FROM common JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-        |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin,
+    "d02_dedup_ngram_jaccard" -> D02OracleSql,
+
+    // connected components over the d02 pairs via transitive closure;
+    // the recursive CTE's UNION dedups, so it reaches the fixpoint
+    "d07_dup_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($D02OracleSql)),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b
+         |)
+         |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+         |ORDER BY doc_id""".stripMargin,
 
     "d06_contamination" ->
       """WITH toks AS (

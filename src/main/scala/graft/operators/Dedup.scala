@@ -141,6 +141,56 @@ object Dedup {
   def d02NgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardTopK(shingleBuckets(s, dir), 100)
 
+  /** Connected components over near-dup pairs: each involved doc gets
+    * `cluster_id` = the smallest doc id reachable through the pair
+    * graph — the resolution step that turns any pair generator's output
+    * (d02/d03/d04/d05) into "keep one representative per duplicate
+    * cluster".
+    *
+    * Algorithm: iterative min-label propagation (each node takes the
+    * min of its own label and its neighbors'), the standard distributed
+    * connected-components approach when components are small — dup
+    * clusters are near-cliques, so convergence takes O(cluster
+    * diameter) ~ a handful of rounds, each one equi-join + one
+    * aggregation over the edge list. Convergence is detected by the
+    * label sum (labels only ever decrease, so an unchanged sum is a
+    * fixpoint — no extra join to diff generations); `localCheckpoint`
+    * truncates the growing lineage each round, which is what makes the
+    * loop viable on a long-running cluster job.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "d1", bCol: String = "d2",
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nlabel"))
+      labels = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
+  /** d07: gate binding of [[dupClusters]] over the d02 near-dup pairs —
+    * the full pair-generate -> cluster-resolve dedup pipeline on the
+    * standard table.
+    */
+  def d07DupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusters(d02NgramJaccard(s, dir))
+
   /** Deterministic MinHash coefficients (seeded splitmix64-style mix, all
     * < P31 so (a*x + b) stays well inside a long — no ANSI overflow).
     */

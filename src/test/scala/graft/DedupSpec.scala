@@ -60,6 +60,43 @@ class DedupSpec extends SparkSpec {
     assert(native.count() === docs.count())
   }
 
+  test("dupClusters matches a driver union-find on random pair graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 60
+      val pairs = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.dupClusters(pairs.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: union-find with min-id representative
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      pairs.foreach { case (a, b) => union(a, b) }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got === expected, s"pairs=$pairs")
+    }
+  }
+
+  test("dupClusters handles an empty pair set and a long chain") {
+    import spark.implicits._
+    val empty = Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    assert(empty.count() === 0L)
+    // a 12-node path needs several propagation rounds to converge
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val got = Dedup.dupClusters(chain.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 11L).map(_ -> 0L).toMap)
+  }
+
   test("d01 exact dedup groups by content hash with deterministic representative") {
     val out = Dedup.d01ExactHash(spark, sf)
     val n = out.count()
