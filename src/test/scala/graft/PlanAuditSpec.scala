@@ -89,6 +89,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Relational.q19DeterministicSplit(spark, sf)) <= 1)
   }
 
+  test("q20 stratified sample is map-only and prunes to the two used columns") {
+    val df = Relational.q20StratifiedSample(spark, sf)
+    assert(shuffles(df) <= 1) // presentation sort only
+    // the md5 filter cannot push to parquet, but pruning must: the scan
+    // reads doc_id + source, never text
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("text"), scan.take(2000))
+  }
+
   test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {
     val df = Text.t06RepetitionStats(spark, sf)
     assert(shuffles(df) <= 3)
