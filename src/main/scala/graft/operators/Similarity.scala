@@ -197,6 +197,40 @@ object Similarity {
       codebook.select(col(cellCol).as("cell"), col(centroidCol).as("seed_emb")),
       k, numProbes, assignReplicas)
 
+  /** Train an IVF coarse quantizer: hash-sampled init ([[ivfSeeds]])
+    * refined by `iterations` Lloyd rounds — assign every vector to its
+    * nearest centroid (cosine), recompute each cell's centroid as the
+    * element-wise mean of its members. Returns a (cell, centroid)
+    * codebook for [[annIvfWithCodebook]]; on clustered corpora the
+    * refined centroids snap to the cluster structure, concentrating
+    * neighbors into fewer probed cells than a raw sample can.
+    *
+    * Scale shape per round: assignment is the map-only broadcast
+    * scoring pass + one row per vector through the shuffle
+    * ([[assignCells]]); the mean is a (cell, dimension) aggregation
+    * whose map-side partials compress the explode to cells x dim rows
+    * per partition. A cell that loses every member keeps its previous
+    * centroid, so the codebook never shrinks; `localCheckpoint` per
+    * round truncates the iterative lineage.
+    */
+  def trainIvfCodebook(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      numCells: Int = NumCells, iterations: Int = 2): DataFrame = {
+    val e = normalized(emb, idCol, vecCol)
+    var seeds = ivfSeeds(e, numCells)
+    for (_ <- 1 to iterations) {
+      val means = assignCells(e, seeds, replicas = 1)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).getField("m")
+          .cast("array<float>").as("seed_emb"))
+      seeds = means
+        .unionByName(seeds.join(means.select("cell"), Seq("cell"), "left_anti"))
+        .localCheckpoint()
+    }
+    seeds.select(col("cell"), col("seed_emb").as("centroid"))
+  }
+
   /** (vec_id, embedding, cell) with each vector in its `replicas`
     * top-scoring cells. See [[annIvf]] scale note 2 for why this
     * shuffles one array-bearing row per vector, not n x cells rows.

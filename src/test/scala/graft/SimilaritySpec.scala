@@ -81,13 +81,11 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("hash-sampled IVF seeds survive cluster-correlated id assignment that collapses smallest-id seeds") {
-    // Adversarial corpus: 20 tight clusters x 25 vectors, ids assigned
-    // IN CLUSTER ORDER so the 32 smallest ids all fall in clusters 0-1.
-    // A smallest-id coarse quantizer then has every seed in one region
-    // and scatters the other 18 clusters across near-identical cells;
-    // a hash-ordered sample stays uniform over the corpus regardless of
-    // how ids were handed out.
+  /** Adversarial clustered corpus: 20 tight clusters x 25 vectors, ids
+    * assigned IN CLUSTER ORDER so the 32 smallest ids all fall in
+    * clusters 0-1, plus one mid-cluster query per cluster.
+    */
+  private lazy val clusteredCorpus: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val rnd = new scala.util.Random(42)
     val dim = 16
     val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian().toFloat))
@@ -100,16 +98,25 @@ class SimilaritySpec extends SparkSpec {
     )
     import spark.implicits._
     val emb = rows.toDF("vec_id", "embedding")
-    // one query from the middle of each cluster
     val queryIds = (0 until 20).map(c => (c * 25 + 12).toLong)
-    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+    (emb, emb.filter(col("vec_id").isin(queryIds: _*)))
+  }
+
+  private def clusteredRecallOf(df: org.apache.spark.sql.DataFrame): Double = {
+    val (emb, queries) = clusteredCorpus
     val exact = Similarity.annBruteforce(emb, queries)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    exact.count(got.contains).toDouble / exact.size
+  }
 
-    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      exact.count(got.contains).toDouble / exact.size
-    }
+  test("hash-sampled IVF seeds survive cluster-correlated id assignment that collapses smallest-id seeds") {
+    // A smallest-id coarse quantizer has every seed in clusters 0-1 and
+    // scatters the other 18 clusters across near-identical cells; a
+    // hash-ordered sample stays uniform over the corpus regardless of
+    // how ids were handed out.
+    val (emb, queries) = clusteredCorpus
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = clusteredRecallOf(df)
     val hashRecall = recallOf(Similarity.annIvf(emb, queries))
     // the pre-r6 seed rule, reproduced via the codebook form: the 32
     // smallest ids as centroids
@@ -119,6 +126,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hashRecall > smallestRecall,
       s"hash-sampled seeds ($hashRecall) should beat cluster-collapsed smallest-id seeds ($smallestRecall)")
     assert(hashRecall >= 0.8, s"hash-sampled recall $hashRecall")
+  }
+
+  test("Lloyd-trained codebook keeps full size and clustered recall") {
+    val (emb, queries) = clusteredCorpus
+    val codebook = Similarity.trainIvfCodebook(emb, iterations = 2)
+    assert(codebook.count() === 32L) // empty cells keep their old centroid
+    val trained = clusteredRecallOf(
+      Similarity.annIvfWithCodebook(emb, queries, codebook))
+    val sampled = clusteredRecallOf(Similarity.annIvf(emb, queries))
+    info(s"trained codebook recall $trained vs sampled seeds $sampled")
+    // refined centroids snap to cluster means: never meaningfully worse
+    // than the raw sample, and strong in absolute terms
+    assert(trained >= sampled - 0.05, s"trained $trained vs sampled $sampled")
+    assert(trained >= 0.85, s"trained recall $trained")
   }
 
   test("s01 ranks are dense per query and ordered by cosine desc") {
