@@ -147,16 +147,21 @@ object Dedup {
     * (d02/d03/d04/d05) into "keep one representative per duplicate
     * cluster".
     *
-    * Algorithm: iterative min-label propagation (each node takes the
-    * min of its own label and its neighbors'), the standard distributed
-    * connected-components approach when components are small — dup
-    * clusters are near-cliques, so convergence takes O(cluster
-    * diameter) ~ a handful of rounds, each one equi-join + one
-    * aggregation over the edge list. Convergence is detected by the
-    * label sum (labels only ever decrease, so an unchanged sum is a
-    * fixpoint — no extra join to diff generations); `localCheckpoint`
-    * truncates the growing lineage each round, which is what makes the
-    * loop viable on a long-running cluster job.
+    * Algorithm: iterative min-label propagation with pointer-doubling —
+    * each round a node takes the min of its own label, its neighbors'
+    * labels, and its LABEL'S label (the shortcutting step; a label is
+    * always itself a node id, so the self-join is total). Plain
+    * propagation advances one hop per round and a path component of
+    * diameter d needs d rounds; shortcutting halves the remaining
+    * distance each round, so `maxIterations` = 20 covers component
+    * diameters around 2^20 — far beyond any duplicate cluster. Each
+    * round is two equi-joins + one aggregation over the edge list.
+    * Convergence is detected by the label sum (labels only ever
+    * decrease, so an unchanged sum is a fixpoint — no extra join to
+    * diff generations); `localCheckpoint` truncates the growing lineage
+    * each round, which is what makes the loop viable on a long-running
+    * cluster job. Throws instead of returning mid-propagation labels if
+    * the cap is ever hit unconverged.
     */
   def dupClusters(pairs: DataFrame, aCol: String = "d1", bCol: String = "d2",
       maxIterations: Int = 20): DataFrame = {
@@ -168,19 +173,26 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIterations) {
       val neighborMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nlabel"))
-      labels = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+      val propagated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // shortcut: follow the label one more step (label -> its label)
+      val byId = propagated.select(col("id").as("lid"), col("label").as("llabel"))
+      labels = propagated.join(byId, propagated("label") === byId("lid"))
+        .select(col("id"), least(col("label"), col("llabel")).as("label"))
         .localCheckpoint()
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIterations rounds — component diameter beyond 2^$maxIterations?")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 

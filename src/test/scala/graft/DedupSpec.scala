@@ -86,15 +86,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("dupClusters handles an empty pair set and a long chain") {
+  test("dupClusters handles an empty pair set and a path longer than the round cap") {
     import spark.implicits._
     val empty = Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("d1", "d2"))
     assert(empty.count() === 0L)
-    // a 12-node path needs several propagation rounds to converge
-    val chain = (0L until 11L).map(i => (i, i + 1))
+    // a 60-node path has diameter 59 > maxIterations: only the
+    // pointer-doubling shortcut converges it inside the cap
+    val chain = (0L until 59L).map(i => (i, i + 1))
     val got = Dedup.dupClusters(chain.toDF("d1", "d2"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === (0L to 11L).map(_ -> 0L).toMap)
+    assert(got === (0L to 59L).map(_ -> 0L).toMap)
   }
 
   test("d01 exact dedup groups by content hash with deterministic representative") {
