@@ -13,9 +13,10 @@ package graft
   * repetition so background-load noise (±30% run-to-run on this box)
   * stays visible per query.
   *
-  * The JSON line is also written to /root/repo/bench_last.json: terminal
-  * tail-capture truncated the r5 line mid-object, so the artifact must
-  * not depend on stdout surviving intact.
+  * The JSON line is also written to a file (`SPARK_GRAFT_BENCH_OUT`,
+  * default ./bench_last.json): terminal tail-capture truncated the r5
+  * line mid-object, so the artifact must not depend on stdout
+  * surviving intact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,7 +34,9 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    def r3(x: Double): String = f"$x%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render "1,234"
+    // and corrupt the JSON
+    def r3(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       runOnce(name, fn) // untimed warmup rep
       name -> Seq.fill(math.max(1, reps))(runOnce(name, fn))
@@ -45,10 +48,11 @@ object Bench {
     val total = results.map { case (_, v) => median(v) }.sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","headline":"median_of_${reps}_reps_after_warmup","queries":$qs,"reps":$rs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try {
-      val w = new java.io.PrintWriter("/root/repo/bench_last.json")
+      val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed ($outPath): ${e.getMessage}") }
     println(line)
     spark.stop()
   }

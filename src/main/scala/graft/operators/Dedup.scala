@@ -165,7 +165,10 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, aCol: String = "d1", bCol: String = "d2",
       maxIterations: Int = 20): DataFrame = {
+    // null ids are not nodes: dropped up front, deterministically —
+    // otherwise they would vanish silently inside the shortcut join
     val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .na.drop()
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
@@ -178,8 +181,12 @@ object Dedup {
     while (!converged && i < maxIterations) {
       val neighborMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nlabel"))
+      // checkpoint before the self-join: both branches of the shortcut
+      // read `propagated`, and column pruning would otherwise make the
+      // neighbor join + aggregation execute twice per round
       val propagated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
       // shortcut: follow the label one more step (label -> its label)
       val byId = propagated.select(col("id").as("lid"), col("label").as("llabel"))
       labels = propagated.join(byId, propagated("label") === byId("lid"))

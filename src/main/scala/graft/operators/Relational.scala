@@ -336,6 +336,12 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Backtick-quote an identifier for `col`, so caller column names
+    * containing dots, spaces, or keywords resolve as plain names
+    * instead of being parsed as field paths.
+    */
+  private def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   /** Generic as-of join library form: for each `left` row, attach the
     * most recent `right` row with the same `on` key whose `timeCol` is
     * at or before the left row's. Right columns come back prefixed
@@ -345,12 +351,6 @@ object Relational {
     * tiebreak column first after timeCol); right columns must be
     * orderable (no maps).
     */
-  /** Backtick-quote an identifier for `col`, so caller column names
-    * containing dots, spaces, or keywords resolve as plain names
-    * instead of being parsed as field paths.
-    */
-  private def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
-
   def asofJoin(left: DataFrame, right: DataFrame, on: String, timeCol: String,
       rightPrefix: String = "right_"): DataFrame = {
     import org.apache.spark.sql.types.StructType
@@ -464,9 +464,9 @@ object Relational {
       fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
     def thr(f: Double): String =
       if (f >= 1.0) "g" else f"${math.max((f * 65536).toInt, 0)}%04x"
-    val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    val h = substring(md5(q(idCol).cast("string").cast("binary")), 1, 4)
     val bound = fractions.toSeq.sortBy(_._1).foldRight(lit(thr(defaultFraction))) {
-      case ((g, f), other) => when(col(groupCol) === g, lit(thr(f))).otherwise(other)
+      case ((g, f), other) => when(q(groupCol) === g, lit(thr(f))).otherwise(other)
     }
     df.filter(h < bound)
   }

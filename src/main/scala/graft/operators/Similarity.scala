@@ -218,12 +218,16 @@ object Similarity {
     val e = normalized(emb, idCol, vecCol)
     var seeds = ivfSeeds(e, numCells)
     for (_ <- 1 to iterations) {
+      // checkpoint before the two uses below (union branch + left_anti
+      // probe): column pruning makes the subplans differ, so without it
+      // the full scoring pass and both aggregations would run twice
       val means = assignCells(e, seeds, replicas = 1)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).getField("m")
           .cast("array<float>").as("seed_emb"))
+        .localCheckpoint()
       seeds = means
         .unionByName(seeds.join(means.select("cell"), Seq("cell"), "left_anti"))
         .localCheckpoint()

@@ -103,6 +103,9 @@ class LibraryApiSpec extends SparkSpec {
     val asof = Relational.asofJoin(left, right, "the.key", "event time")
       .collect().map(r => (r.getAs[Long]("the.key"), r.getAs[String]("right_select"))).toMap
     assert(asof === Map(1L -> "x", 2L -> "z"))
+    val sampled = Relational.stratifiedSample(
+      right, "the.key", "select", Map.empty, defaultFraction = 1.0)
+    assert(sampled.count() === 3L)
   }
 
   test("deterministicSplit is stable and fractions are sane") {
