@@ -56,7 +56,6 @@ object SparkEntry {
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),
     "t04_fingerprint" -> (Text.t04Fingerprint _),
-    // rows-only: bin assignment depends on the engine-local shard hash
     "t05_pack_sequences" -> (Text.t05PackSequences _),
     "t06_repetition_stats" -> (Text.t06RepetitionStats _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
@@ -311,6 +310,28 @@ object SparkEntry {
         |FROM p LEFT JOIN t ON p.user_id = t.user_id
         |GROUP BY p.purchase_id, p.user_id
         |ORDER BY p.purchase_id""".stripMargin,
+
+    // the greedy shard-local fold is sequential per shard, which SQL
+    // expresses as a recursive CTE advancing every shard's cursor one
+    // row per step; shard/bin ids are portable integer math
+    "t05_pack_sequences" ->
+      """WITH RECURSIVE docs2 AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    doc_id % 32 AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack(shard, rn, doc_id, n, used, bin) AS (
+        |  SELECT shard, rn, doc_id, n, n AS used, CAST(0 AS BIGINT) AS bin
+        |  FROM docs2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.n,
+        |    CASE WHEN p.used + d.n > 2048 THEN d.n ELSE p.used + d.n END,
+        |    CASE WHEN p.used + d.n > 2048 THEN p.bin + 1 ELSE p.bin END
+        |  FROM docs2 d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(shard * 1099511627776 + bin AS BIGINT) AS bin_id
+        |FROM pack ORDER BY doc_id""".stripMargin,
 
     // integer repetition counts are engine-exact; ratios are left to the
     // consumer (shared denominators carry no extra information)

@@ -152,41 +152,43 @@ object Text {
     * window, waste nothing).
     *
     * Global greedy packing is inherently sequential, so the scalable
-    * formulation shards first: hash-repartition by doc id into `nShards`
-    * deterministic shards, sort within each, and pack each shard with a
-    * per-partition greedy pass (`mapPartitions` — the legitimate use of
-    * partition-wise imperative logic: a streaming fold no expression can
-    * state). Bin ids are (shard << 40 | local bin), so the output is
-    * deterministic for a given (input, nShards) regardless of cluster
-    * layout, and each executor packs its shard independently — no
-    * shuffle beyond the one repartition, state O(1) per partition.
+    * formulation shards first: shard = doc_id mod `nShards`, then each
+    * shard is packed independently by a doc_id-ordered greedy fold
+    * (`flatMapSortedGroups` — grouped per SHARD, not per partition, so
+    * the result is a pure function of (input, nShards, budget): no
+    * dependence on Spark's hash partitioning, cluster layout, or
+    * engine. Earlier this used mapPartitions keyed by partition id,
+    * which silently tied bin ids to the engine's shard-to-partition
+    * hash). Bin ids are (shard << 40 | local bin). One shuffle (the
+    * groupBy), O(1) fold state per shard.
     */
   def packSequences(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       budgetTokens: Long = 2048L, nShards: Int = 32): DataFrame = {
-    val counted = normalized(docs, idCol, textCol)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .repartition(nShards, pmod(col("doc_id"), lit(nShards.toLong)))
-      .sortWithinPartitions("doc_id")
-    counted.mapPartitions { rows =>
-      val shard = org.apache.spark.TaskContext.getPartitionId().toLong
-      var localBin = 0L
-      var used = 0L
-      var first = true
-      rows.map { r =>
-        val id = r.getLong(0)
-        val n = r.getLong(1)
-        if (!first && used + n > budgetTokens) { localBin += 1; used = 0L }
-        first = false
-        used += n
-        PackedDoc(id, n, (shard << 40) | localBin)
+    val session = docs.sparkSession
+    import session.implicits._
+    normalized(docs, idCol, textCol)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapSortedGroups(col("doc_id")) { (shard: Long, rows: Iterator[(Long, Long, Long)]) =>
+        var localBin = 0L
+        var used = 0L
+        var first = true
+        rows.map { case (id, n, _) =>
+          if (!first && used + n > budgetTokens) { localBin += 1; used = 0L }
+          first = false
+          used += n
+          PackedDoc(id, n, (shard << 40) | localBin)
+        }
       }
-    }(org.apache.spark.sql.Encoders.product[PackedDoc])
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** t05: gate binding of [[packSequences]]. rows-only oracle (bin
-    * assignment depends on the shard hash); TextSpec asserts the budget
+  /** t05: gate binding of [[packSequences]] — fully oracle-checked (the
+    * shard hash and greedy fold are portable integer math; the DuckDB
+    * twin is a recursive CTE); TextSpec additionally asserts the budget
     * invariant, completeness, and determinism.
     */
   def t05PackSequences(s: SparkSession, dir: String): DataFrame =
