@@ -56,6 +56,7 @@ object SparkEntry {
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),
     "t04_fingerprint" -> (Text.t04Fingerprint _),
+    // oracle: identical md5-derived rolling fold via list_reduce
     "t05_pack_sequences" -> (Text.t05PackSequences _),
     "t06_repetition_stats" -> (Text.t06RepetitionStats _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
@@ -310,6 +311,14 @@ object SparkEntry {
         |FROM p LEFT JOIN t ON p.user_id = t.user_id
         |GROUP BY p.purchase_id, p.user_id
         |ORDER BY p.purchase_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        |    (acc, h) -> (acc * 31 + h) % 72057594037927936) AS fingerprint,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the greedy shard-local fold is sequential per shard, which SQL
     // expresses as a recursive CTE advancing every shard's cursor one

@@ -117,11 +117,13 @@ object Text {
     tokenCount(Tables.documents(s, dir))
 
   /** Rolling polynomial fingerprint over tokens:
-    * fold(acc * 31 + (xxhash64(token) mod 2^31), start 0) mod 2^56.
-    * Bounds keep every intermediate < 2^62 — no long overflow even under
-    * ANSI mode. Order-sensitive (unlike a bag-of-words hash) so token
-    * swaps change the fingerprint. rows-only oracle (xxhash64 is
-    * engine-local); TextSpec asserts determinism and order sensitivity.
+    * fold(acc * 31 + h(token), start 0) mod 2^56, where h(token) is the
+    * first 8 md5 hex digits as an integer (engine-portable, unlike
+    * xxhash64 which this replaced). Bounds keep every intermediate
+    * < 2^62 — no long overflow even under ANSI mode. Order-sensitive
+    * (unlike a bag-of-words hash) so token swaps change the
+    * fingerprint. Fully oracle-checked (DuckDB list_reduce twin);
+    * TextSpec additionally asserts determinism and order sensitivity.
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     normalized(docs, idCol, textCol)
@@ -130,7 +132,7 @@ object Text {
         col("doc_id"),
         expr(
           """aggregate(
-            |  transform(toks, t -> pmod(xxhash64(t), CAST(2147483648 AS BIGINT))),
+            |  transform(toks, t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT)),
             |  CAST(0 AS BIGINT),
             |  (acc, h) -> pmod(acc * 31 + h, CAST(72057594037927936 AS BIGINT)))""".stripMargin)
           .as("fingerprint"),

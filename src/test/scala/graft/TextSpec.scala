@@ -14,18 +14,10 @@ class TextSpec extends SparkSpec {
     val a = Text.t04Fingerprint(spark, sf).collect()
     val b = Text.t04Fingerprint(spark, sf).collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
-    // identical token multisets in different order must differ:
-    // build two tiny docs inline through the same expression
+    // identical token multisets in different order must differ
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
-    val fp = df
-      .withColumn("toks", split(col("text"), " "))
-      .select(expr(
-        """aggregate(
-          |  transform(toks, t -> pmod(xxhash64(t), CAST(2147483648 AS BIGINT))),
-          |  CAST(0 AS BIGINT),
-          |  (acc, h) -> pmod(acc * 31 + h, CAST(72057594037927936 AS BIGINT)))""".stripMargin))
-      .collect().map(_.getLong(0))
+    val fp = Text.fingerprint(df).collect().map(_.getLong(1))
     assert(fp(0) !== fp(1))
   }
 
