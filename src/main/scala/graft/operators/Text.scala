@@ -119,24 +119,21 @@ object Text {
   /** Rolling polynomial fingerprint over tokens:
     * fold(acc * 31 + h(token), start 0) mod 2^56, where h(token) is the
     * first 8 md5 hex digits as an integer (engine-portable, unlike
-    * xxhash64 which this replaced). Bounds keep every intermediate
-    * < 2^62 — no long overflow even under ANSI mode. Order-sensitive
-    * (unlike a bag-of-words hash) so token swaps change the
-    * fingerprint. Fully oracle-checked (DuckDB list_reduce twin);
-    * TextSpec additionally asserts determinism and order sensitivity.
+    * xxhash64 which this replaced). Order-sensitive (unlike a
+    * bag-of-words hash) so token swaps change the fingerprint.
+    * Computed by the native codegen'd `graft_fingerprint` expression —
+    * one static call inside the scan; the equivalent
+    * aggregate/transform HOF would de-codegen the stage (see
+    * functions/Fingerprint.scala, which also pins bit-identity to the
+    * HOF form in TextSpec). Fully oracle-checked (DuckDB list_reduce
+    * twin).
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     normalized(docs, idCol, textCol)
-      .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
-        expr(
-          """aggregate(
-            |  transform(toks, t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT)),
-            |  CAST(0 AS BIGINT),
-            |  (acc, h) -> pmod(acc * 31 + h, CAST(72057594037927936 AS BIGINT)))""".stripMargin)
-          .as("fingerprint"),
-        size(col("toks")).cast("long").as("n_tokens"))
+        graft.functions.Fingerprint.fingerprint(docs.sparkSession, col("text")).as("fingerprint"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
   /** t04: gate binding of [[fingerprint]]. */

@@ -29,5 +29,8 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_shingles_3(array('a','b','c','d'))")
       .collect().head.getSeq[String](0)
     assert(shingles === Seq("a b c", "b c d"))
+    val fp = derived.sql("SELECT graft_fingerprint('hello world')").collect().head.getLong(0)
+    assert(fp === derived.sql("SELECT graft_fingerprint('hello world')").collect().head.getLong(0))
+    assert(fp !== derived.sql("SELECT graft_fingerprint('world hello')").collect().head.getLong(0))
   }
 }

@@ -21,6 +21,30 @@ class TextSpec extends SparkSpec {
     assert(fp(0) !== fp(1))
   }
 
+  test("native graft_fingerprint is bit-identical to the md5/conv HOF formulation") {
+    import spark.implicits._
+    // empty text, multi-space runs, unicode, and real corpus rows all
+    // fold identically through the native loop and the composed HOF
+    val inline = Seq((1L, ""), (2L, "  a  b "), (3L, "café über zürich"), (4L, "one"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    for (df <- Seq(inline, docs)) {
+      val rows = df
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          graft.functions.Fingerprint.fingerprint(spark, col("text")).as("native"),
+          expr(
+            """aggregate(
+              |  transform(toks, t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT)),
+              |  CAST(0 AS BIGINT),
+              |  (acc, h) -> pmod(acc * 31 + h, CAST(72057594037927936 AS BIGINT)))""".stripMargin)
+            .as("hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+  }
+
   test("m01 multimodal decode is deterministic with stable schema") {
     val a = Multimodal.m01MultimodalStub(spark, sf)
     assert(a.columns.toSeq ===
