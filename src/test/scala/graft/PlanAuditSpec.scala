@@ -98,6 +98,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.contains("ReadSchema") && !scan.contains("text"), scan.take(2000))
   }
 
+  test("t04 fingerprint runs inside whole-stage codegen via the native expression") {
+    val df = Text.t04Fingerprint(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(k)` marker on the Project proves the scan stage did not
+    // fall back to interpreted mode (the HOF formulation did)
+    assert("""\*\(\d+\) Project \[.*graft_fingerprint""".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+  }
+
   test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {
     val df = Text.t06RepetitionStats(spark, sf)
     assert(shuffles(df) <= 3)
