@@ -136,10 +136,14 @@ object Dedup {
     * the standard table. Candidates come from an equi-join on shingle
     * (blocking); output ordered by similarity — synthetic corpus has no
     * dups above any useful threshold, so a top-N (deterministic
-    * tie-break on ids) keeps the oracle non-trivial.
+    * tie-break on ids) keeps the oracle non-trivial. The pair set is
+    * session-cached: d07 clusters exactly these pairs, so both gate
+    * entries share one computation.
     */
   def d02NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardTopK(shingleBuckets(s, dir), 100)
+    SharedIndex(s, dir, "ngram_jaccard_top_pairs") {
+      jaccardTopK(shingleBuckets(s, dir), 100)
+    }
 
   /** Connected components over near-dup pairs: each involved doc gets
     * `cluster_id` = the smallest doc id reachable through the pair
