@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Text}
+import org.apache.spark.sql.functions._
+
+/** End-to-end composition of the LLM-data-pipeline library surface:
+  * quality-filter -> exact dedup -> near-dup cluster resolution ->
+  * train/val/test split -> sequence packing, all over the standard
+  * corpus. Each stage consumes the previous stage's DataFrame through
+  * the public library API — this pins that the operators actually
+  * compose (column contracts line up) and that the end state satisfies
+  * the invariants a training-data build needs.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quality -> dedup -> cluster -> split -> pack composes end to end") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+
+    // 1. quality gate: keep docs above a (permissive) composite score
+    val quality = Text.qualityScore(docs)
+    val kept = docs.join(quality.filter(col("quality") > 0.3).select("doc_id"), "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= total)
+
+    // 2. exact dedup: keep each content hash's representative
+    val reps = Dedup.exactDedup(kept)
+    val exactDeduped = kept.join(
+      reps.select(col("rep_doc_id").as("doc_id")), "doc_id")
+    val nExact = exactDeduped.count()
+    assert(nExact <= nKept)
+    // representatives are unique by content
+    assert(exactDeduped.select("text").distinct().count() === nExact)
+
+    // 3. near-dup cluster resolution: drop every clustered doc that is
+    // not its cluster's representative (min id)
+    val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(exactDeduped))
+    val nonReps = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val resolved = exactDeduped.join(nonReps, Seq("doc_id"), "left_anti")
+    val nResolved = resolved.count()
+    assert(nResolved <= nExact && nResolved > 0)
+
+    // 4. deterministic split
+    val split = Relational.deterministicSplit(resolved.select("doc_id", "text"), "doc_id")
+    assert(split.count() === nResolved)
+    assert(split.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+
+    // 5. pack the train split into token-budget bins
+    val train = split.filter(col("split") === "train").select("doc_id", "text")
+    val packed = Text.packSequences(train, budgetTokens = 256L)
+    assert(packed.count() === train.count())
+    // budget invariant: a bin either fits the budget or is one oversized doc
+    packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .collect()
+      .foreach(r => assert(r.getLong(1) <= 256L || r.getLong(2) === 1L, r.toString))
+  }
+}
