@@ -5,13 +5,19 @@ package graft
   * datasource (full execution of every operator — including final sorts
   * and projections that `.count()` would let Catalyst prune away).
   *
-  * Per query: ONE untimed warmup rep (JIT compile, codegen cache, OS page
-  * cache, SharedIndex builds settle) followed by `SPARK_GRAFT_REPS` timed
-  * reps (default 3). The headline `queries`/`value` numbers are the MEDIAN
-  * of the timed reps — steady-state throughput, which is the number that
-  * scales to a long-running cluster job; `reps` carries every timed
-  * repetition so background-load noise (±30% run-to-run on this box)
-  * stays visible per query.
+  * Rep structure: one full UNTIMED pass over the whole suite first (JIT
+  * compile, codegen cache, OS page cache, SharedIndex builds settle —
+  * its wall-times are still recorded as `cold` so cold-cost changes
+  * stay visible round-over-round), then `SPARK_GRAFT_REPS` timed passes
+  * run ROUND-ROBIN over the suite — rep i of every query completes
+  * before rep i+1 of any query starts. Interleaving is what makes the
+  * medians trustworthy on a shared box: a transient load spike lands on
+  * one rep of many queries instead of all reps of one query (r6's
+  * back-to-back reps recorded an 8.2 s median for a 1 s aggregate that
+  * way). The headline `queries`/`value` numbers are the MEDIAN of the
+  * timed reps; `min` is the per-query best rep (the least-contaminated
+  * observation); any query whose median exceeds 3x its min is listed in
+  * `suspect` — treat its median as box noise, not plan cost.
   *
   * The JSON line is also written to a file (`SPARK_GRAFT_BENCH_OUT`,
   * default ./bench_last.json): terminal tail-capture truncated the r5
@@ -22,7 +28,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val spark = GraftSession.create(cpus)
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -37,17 +43,33 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would render "1,234"
     // and corrupt the JSON
     def r3(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      runOnce(name, fn) // untimed warmup rep
-      name -> Seq.fill(math.max(1, reps))(runOnce(name, fn))
+    def obj(kv: Seq[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    val cold = suite.map { case (name, fn) => name -> runOnce(name, fn) }
+    val timed = scala.collection.mutable.LinkedHashMap(
+      suite.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to reps; (name, fn) <- suite)
+      timed(name) = timed(name) :+ runOnce(name, fn)
+
+    val medians = timed.map { case (k, v) => k -> median(v) }
+    val mins = timed.map { case (k, v) => k -> v.min }
+    val suspect = suite.collect {
+      case (name, _) if medians(name) > 3.0 * mins(name) => name
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(median(v)) }
-      .mkString("{", ",", "}")
-    val rs = results.map { case (k, v) => "\"" + k + "\":" + v.map(r3).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = results.map { case (_, v) => median(v) }.sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","headline":"median_of_${reps}_reps_after_warmup","queries":$qs,"reps":$rs,"sf":"$sfDir"}"""
+    val total = medians.values.sum
+    val line = obj(Seq(
+      "metric" -> "\"total\"",
+      "value" -> r3(total),
+      "unit" -> "\"sec\"",
+      "headline" -> s""""median_of_${reps}_interleaved_reps_after_warmup"""",
+      "queries" -> obj(suite.map { case (k, _) => k -> r3(medians(k)) }),
+      "min" -> obj(suite.map { case (k, _) => k -> r3(mins(k)) }),
+      "cold" -> obj(cold.map { case (k, v) => k -> r3(v) }),
+      "suspect" -> suspect.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "reps" -> obj(suite.map { case (k, _) => k -> timed(k).map(r3).mkString("[", ",", "]") }),
+      "sf" -> ("\"" + sfDir + "\"")))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try {
       val w = new java.io.PrintWriter(outPath)

@@ -52,6 +52,9 @@ object SparkEntry {
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
+    // rows-only like s02/s03 (trained centroids are engine-local);
+    // SimilaritySpec holds trained recall >= hash-sampled recall
+    "s04_ann_ivf_trained" -> (Similarity.s04AnnIvfTrained _),
     "t01_lang_id" -> (Text.t01LangId _),
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),

@@ -162,49 +162,68 @@ object Dedup {
     * round is two equi-joins + one aggregation over the edge list.
     * Convergence is detected by the label sum (labels only ever
     * decrease, so an unchanged sum is a fixpoint — no extra join to
-    * diff generations); `localCheckpoint` truncates the growing lineage
-    * each round, which is what makes the loop viable on a long-running
-    * cluster job. Throws instead of returning mid-propagation labels if
-    * the cap is ever hit unconverged.
+    * diff generations), and the sum piggybacks on the checkpoint's own
+    * materialization job via `observe` — convergence costs ZERO extra
+    * jobs per round. `localCheckpoint` truncates the growing lineage
+    * each round, and each superseded generation's storage is released
+    * explicitly once its successor materializes ([[IterativeCheckpoint]]
+    * — storage stays flat however many rounds run, instead of leaking
+    * until driver GC). Throws instead of returning mid-propagation
+    * labels if the cap is ever hit unconverged.
     */
   def dupClusters(pairs: DataFrame, aCol: String = "d1", bCol: String = "d2",
       maxIterations: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Observation
     // null ids are not nodes: dropped up front, deterministically —
     // otherwise they would vanish silently inside the shortcut join
     val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .na.drop()
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+    val symGen = IterativeCheckpoint(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val sym = symGen.df
+    // label sum + node count ride the checkpoint's materialization job
+    def checkpointWithSum(df: DataFrame): (IterativeCheckpoint.Generation, java.math.BigDecimal, Long) = {
+      val obs = Observation()
+      val gen = IterativeCheckpoint(df.observe(obs,
+        sum(col("label").cast("decimal(38,0)")).as("lsum"), count(lit(1)).as("cnt")))
+      val m = obs.get
+      (gen, m("lsum").asInstanceOf[java.math.BigDecimal], m("cnt").asInstanceOf[Long])
+    }
+    var (labelsGen, prevSum, nodeCount) = checkpointWithSum(
+      sym.select(col("a").as("id")).distinct().withColumn("label", col("id")))
+    var converged = nodeCount == 0L
     var i = 0
     while (!converged && i < maxIterations) {
+      val labels = labelsGen.df
       val neighborMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nlabel"))
       // checkpoint before the self-join: both branches of the shortcut
       // read `propagated`, and column pruning would otherwise make the
       // neighbor join + aggregation execute twice per round
-      val propagated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+      val propagatedGen = IterativeCheckpoint(
+        labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+      val propagated = propagatedGen.df
       // shortcut: follow the label one more step (label -> its label)
       val byId = propagated.select(col("id").as("lid"), col("label").as("llabel"))
-      labels = propagated.join(byId, propagated("label") === byId("lid"))
-        .select(col("id"), least(col("label"), col("llabel")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(labels)
+      val (nextGen, s, _) = checkpointWithSum(
+        propagated.join(byId, propagated("label") === byId("lid"))
+          .select(col("id"), least(col("label"), col("llabel")).as("label")))
+      // the new generation is materialized: its inputs are dead weight
+      propagatedGen.release()
+      labelsGen.release()
+      labelsGen = nextGen
       converged = s == prevSum
       prevSum = s
       i += 1
     }
-    if (!converged)
+    symGen.release() // the result plan reads only the final labels
+    if (!converged) {
+      labelsGen.release()
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIterations rounds — component diameter beyond 2^$maxIterations?")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+    }
+    labelsGen.df.select(col("id").as("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
   /** d07: gate binding of [[dupClusters]] over the d02 near-dup pairs —

@@ -211,26 +211,35 @@ object Similarity {
     * whose map-side partials compress the explode to cells x dim rows
     * per partition. A cell that loses every member keeps its previous
     * centroid, so the codebook never shrinks; `localCheckpoint` per
-    * round truncates the iterative lineage.
+    * round truncates the iterative lineage, and each superseded round's
+    * checkpoint storage is released explicitly once its successor
+    * materializes ([[IterativeCheckpoint]] — flat storage however many
+    * rounds run).
     */
   def trainIvfCodebook(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       numCells: Int = NumCells, iterations: Int = 2): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
     var seeds = ivfSeeds(e, numCells)
+    var prevSeedsGen: Option[IterativeCheckpoint.Generation] = None
     for (_ <- 1 to iterations) {
       // checkpoint before the two uses below (union branch + left_anti
       // probe): column pruning makes the subplans differ, so without it
       // the full scoring pass and both aggregations would run twice
-      val means = assignCells(e, seeds, replicas = 1)
+      val meansGen = IterativeCheckpoint(assignCells(e, seeds, replicas = 1)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).getField("m")
-          .cast("array<float>").as("seed_emb"))
-        .localCheckpoint()
-      seeds = means
-        .unionByName(seeds.join(means.select("cell"), Seq("cell"), "left_anti"))
-        .localCheckpoint()
+          .cast("array<float>").as("seed_emb")))
+      val means = meansGen.df
+      val seedsGen = IterativeCheckpoint(means
+        .unionByName(seeds.join(means.select("cell"), Seq("cell"), "left_anti")))
+      // the new seeds are materialized: the round's means and the prior
+      // round's seeds are dead weight
+      meansGen.release()
+      prevSeedsGen.foreach(_.release())
+      prevSeedsGen = Some(seedsGen)
+      seeds = seedsGen.df
     }
     seeds.select(col("cell"), col("seed_emb").as("centroid"))
   }
@@ -288,5 +297,21 @@ object Similarity {
       assignCells(e, seeds, AssignReplicas)
     }
     ivfTopK(assigned, probes(e.filter(col("vec_id") < NumQueries), seeds, NumProbes), K)
+  }
+
+  /** s04: gate binding of the TRAINED-quantizer ANN path —
+    * [[trainIvfCodebook]] (2 Lloyd rounds over the standard embeddings,
+    * session-cached alongside the cell assignment it induces) feeding
+    * [[annIvfWithCodebook]]. rows-only oracle (the learned centroids are
+    * engine-local floats); SimilaritySpec asserts the trained codebook's
+    * recall vs exact s01 is >= the raw hash-sampled IVF's on the same
+    * corpus — training must never cost recall.
+    */
+  def s04AnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val codebook = SharedIndex(s, dir, "ivf_trained_codebook") {
+      trainIvfCodebook(e)
+    }
+    annIvfWithCodebook(e, e.filter(col("vec_id") < NumQueries), codebook)
   }
 }

@@ -98,6 +98,34 @@ class DedupSpec extends SparkSpec {
     assert(got === (0L to 59L).map(_ -> 0L).toMap)
   }
 
+  test("dupClusters releases superseded checkpoint storage (flat footprint)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a 59-diameter path drives ~6 pointer-doubling rounds; each round
+    // checkpoints two new generations, so an unreleased loop would leave
+    // ~13 persisted RDDs behind — only the FINAL labels generation (the
+    // one backing the returned frame) may remain
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val out = Dedup.dupClusters(chain.toDF("d1", "d2"))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"persistent RDDs grew $before -> $after")
+    assert(out.count() === 60L)
+  }
+
+  test("trainIvfCodebook releases superseded checkpoint storage (flat footprint)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = Seq.tabulate(200)(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val codebook = graft.operators.Similarity.trainIvfCodebook(emb, iterations = 3)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // 3 Lloyd rounds x 2 checkpoints each; only the final seeds
+    // generation may survive the loop
+    assert(after - before <= 1, s"persistent RDDs grew $before -> $after")
+    assert(codebook.count() === 32L)
+  }
+
   test("d01 exact dedup groups by content hash with deterministic representative") {
     val out = Dedup.d01ExactHash(spark, sf)
     val n = out.count()

@@ -142,6 +142,27 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.85, s"trained recall $trained")
   }
 
+  test("s04 trained-IVF gate keeps recall and exact cosines vs s01") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val sampled = Similarity.s03AnnIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val trained = Similarity.s04AnnIvfTrained(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(trained.nonEmpty)
+    val sampledRecall = exact.keySet.count(sampled.contains).toDouble / exact.size
+    val trainedRecall = exact.keySet.count(k => trained.exists(_._1 == k)).toDouble / exact.size
+    info(s"s04 trained recall $trainedRecall vs s03 sampled $sampledRecall")
+    // training must never cost recall (beyond sf-noise) on the same
+    // corpus/probe config; the clustered-corpus test above holds the
+    // stronger >= sampled - 0.05 bound with adversarial id assignment
+    assert(trainedRecall >= sampledRecall - 0.05,
+      s"trained $trainedRecall vs sampled $sampledRecall")
+    // returned cosines are exact rescores, like every ANN variant here
+    trained.filter { case (k, _) => exact.contains(k) }
+      .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
+  }
+
   test("s01 ranks are dense per query and ordered by cosine desc") {
     val rows = Similarity.s01AnnBruteforce(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
