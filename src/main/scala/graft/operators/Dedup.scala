@@ -23,7 +23,7 @@ import graft.functions.CosineSimilarity
 object Dedup {
 
   private def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    docs.select(Cols.q(idCol).as("doc_id"), Cols.q(textCol).as("text"))
 
   /** Exact dedup via content hash over any documents frame. One shuffle
     * (groupBy md5). At 100 TB: hash-partition on the digest; map-side
@@ -176,7 +176,7 @@ object Dedup {
     import org.apache.spark.sql.Observation
     // null ids are not nodes: dropped up front, deterministically —
     // otherwise they would vanish silently inside the shortcut join
-    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val edges = pairs.select(Cols.q(aCol).cast("long").as("a"), Cols.q(bCol).cast("long").as("b"))
       .na.drop()
     val symGen = IterativeCheckpoint(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct())
@@ -382,8 +382,8 @@ object Dedup {
   def embeddingDedupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", blockCol: String = "label", topK: Int = 50): DataFrame = {
     val s = emb.sparkSession
-    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-      col(blockCol).as("label"))
+    val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"),
+      Cols.q(blockCol).as("label"))
     e.as("a").join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         round(CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")), 6).as("cosine"))

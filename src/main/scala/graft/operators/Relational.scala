@@ -336,11 +336,8 @@ object Relational {
       .orderBy("purchase_id")
   }
 
-  /** Backtick-quote an identifier for `col`, so caller column names
-    * containing dots, spaces, or keywords resolve as plain names
-    * instead of being parsed as field paths.
-    */
-  private def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
+  /** Backtick-quote an identifier for `col` — see [[Cols.q]]. */
+  private def q(name: String): Column = Cols.q(name)
 
   /** Generic as-of join library form: for each `left` row, attach the
     * most recent `right` row with the same `on` key whose `timeCol` is
@@ -434,7 +431,7 @@ object Relational {
     */
   def deterministicSplit(df: DataFrame, idCol: String,
       fractions: Seq[(String, Int)] = Seq("val" -> 41, "test" -> 82, "train" -> 256)): DataFrame = {
-    val h = substring(md5(col(idCol).cast("string").cast("binary")), 1, 2)
+    val h = substring(md5(q(idCol).cast("string").cast("binary")), 1, 2)
     val assign = fractions.init.foldRight(lit(fractions.last._1)) {
       case ((name, bound), other) => when(h < lit(f"${bound}%02x"), name).otherwise(other)
     }

@@ -27,7 +27,7 @@ object Similarity {
   private val NumQueries = 10
 
   private def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
 
   /** Per-query top-k by exact cosine from a scored candidate frame
     * (q_id, n_id, cosine): rank window with WindowGroupLimit partial
@@ -194,7 +194,7 @@ object Similarity {
       cellCol: String = "cell", centroidCol: String = "centroid", k: Int = K,
       numProbes: Int = NumProbes, assignReplicas: Int = AssignReplicas): DataFrame =
     annIvfCore(normalized(emb, idCol, vecCol), normalized(queries, idCol, vecCol),
-      codebook.select(col(cellCol).as("cell"), col(centroidCol).as("seed_emb")),
+      codebook.select(Cols.q(cellCol).as("cell"), Cols.q(centroidCol).as("seed_emb")),
       k, numProbes, assignReplicas)
 
   /** Train an IVF coarse quantizer: hash-sampled init ([[ivfSeeds]])

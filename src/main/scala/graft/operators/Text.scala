@@ -39,7 +39,7 @@ object Text {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   private def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    docs.select(Cols.q(idCol).as("doc_id"), Cols.q(textCol).as("text"))
 
   /** Stopword-ratio language ID over any documents frame. Hit counts per
     * language set via `filter` on the token array; argmax with fixed

@@ -236,6 +236,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rangeCountAttribution state is bounded: watermark evicts stale touch buffers") {
+    import graft.streaming.AttributionEvent
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[AttributionEvent]
+    val q = StreamingOps.rangeCountAttribution(input.toDS(),
+      intervalMinutes = 10, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("range_state").outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // five users buffer one touch each
+      input.addData((1L to 5L).map(u => AttributionEvent(u, ts(u.toInt), "touch", u)): _*)
+      q.processAllAvailable()
+      val afterLoad = stateRows
+      assert(afterLoad >= 5L, s"expected 5 buffered users, state=$afterLoad")
+      // two watermark-advancing triggers: batch 2 moves the watermark to
+      // ts(50); batch 3 runs WITH that watermark, fires the event-time
+      // timeouts (every buffer's horizon is <= ts(15)), and evicts all
+      // five users' state — without any further traffic from them
+      input.addData(AttributionEvent(99L, ts(50), "touch", 990L))
+      q.processAllAvailable()
+      input.addData(AttributionEvent(98L, ts(51), "touch", 991L))
+      q.processAllAvailable()
+      val afterAdvance = stateRows
+      assert(afterAdvance < afterLoad,
+        s"state must shrink once the watermark passes the horizon: $afterLoad -> $afterAdvance")
+      assert(afterAdvance <= 2L, s"only the two fresh users may hold state, got $afterAdvance")
+    } finally q.stop()
+  }
+
+  test("asofAttribution state is bounded: idle users are evicted after maxIdleMinutes") {
+    import graft.streaming.{AttributionEvent, AttributedPurchase}
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[AttributionEvent]
+    val q = StreamingOps.asofAttribution(input.toDS(),
+      watermark = "0 minutes", maxIdleMinutes = 10)
+      .writeStream.format("memory").queryName("asof_state").outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      input.addData(AttributionEvent(1L, ts(1), "touch", 100L))
+      q.processAllAvailable()
+      assert(stateRows >= 1L)
+      // advance the watermark past ts(1) + 10 min idle; the next batch
+      // fires user 1's timeout and drops the LastTouch state
+      input.addData(AttributionEvent(99L, ts(40), "touch", 990L))
+      q.processAllAvailable()
+      input.addData(AttributionEvent(98L, ts(41), "touch", 991L))
+      q.processAllAvailable()
+      // user 1's purchase after eviction: unattributed, because the
+      // bounded-lookback state no longer remembers the idle touch
+      input.addData(AttributionEvent(1L, ts(42), "purchase", 200L))
+      q.processAllAvailable()
+      val got = spark.table("asof_state").as[AttributedPurchase].collect()
+        .map(p => p.purchase_id -> Option(p.touch_id).map(_.toLong)).toMap
+      assert(got === Map(200L -> None), s"evicted state must not attribute: $got")
+      // state never grows past the set of non-idle users (98, 99, and
+      // user 1's fresh re-appearance)
+      assert(stateRows <= 3L, s"state=$stateRows")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per event_id within watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]

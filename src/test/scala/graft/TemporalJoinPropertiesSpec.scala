@@ -115,6 +115,98 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin spreads a hot key over many shuffle partitions") {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val abt = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shp = conf.get("spark.sql.shuffle.partitions")
+    // pin a plain shuffled join: AQE coalescing and auto-broadcast would
+    // both hide the reducer layout this test inspects; the test session's
+    // 4 shuffle partitions are too coarse to observe a 16-way spread
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.shuffle.partitions", "256")
+    try {
+      val salt = 16
+      val probe = (0 until 10000).map(i => ("hot", i.toLong)).toDF("k", "pid")
+      val build = Seq(("hot", 0L)).toDF("k", "bid")
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect().toSeq
+      val plain = partSizes(probe.join(build, Seq("k"), "inner"))
+      val salted = partSizes(Relational.saltedJoin(probe, build, "k", salt))
+      assert(plain.sum === 10000L && salted.sum === 10000L)
+      // unsalted: the single hot key melts one reducer
+      assert(plain.max === 10000L, s"plain=$plain")
+      // salted: the key's rows land on >= salt/2 reducers (a few of the
+      // 16 salt values may still share a hash partition) and the
+      // busiest reducer stays far below the unsalted pile-up
+      info(s"salted partition sizes: ${salted.filter(_ > 0).sorted.reverse}")
+      assert(salted.count(_ > 0) >= salt / 2, s"spread=$salted")
+      assert(salted.max.toDouble / salted.sum < 3.0 / salt,
+        s"max share ${salted.max.toDouble / salted.sum}")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      conf.set("spark.sql.shuffle.partitions", shp)
+    }
+  }
+
+  test("stratifiedSample handles fractions beyond [0,1] and tracks requested rates") {
+    val df = (0L until 3000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "src")
+    // > 1 takes the sentinel threshold: the whole group survives
+    val over = Relational.stratifiedSample(df, "doc_id", "src", Map("a" -> 2.5))
+      .collect().map(_.getString(1))
+    assert(over.length === 1500 && over.forall(_ == "a"))
+    // negative clamps to an all-drop threshold; other groups untouched
+    val neg = Relational.stratifiedSample(df, "doc_id", "src", Map("a" -> -0.5),
+      defaultFraction = 1.0).collect().map(_.getString(1))
+    assert(neg.length === 1500 && neg.forall(_ == "b"))
+    // observed per-group keep rates track the requested fractions
+    // (16-bit md5 threshold; binomial 3-sigma on 1500 ids ~ 0.035)
+    val kept = Relational.stratifiedSample(df, "doc_id", "src",
+      Map("a" -> 0.75, "b" -> 0.125))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("a") / 1500.0 - 0.75) < 0.05, s"a rate ${kept("a") / 1500.0}")
+    assert(math.abs(kept.getOrElse("b", 0L) / 1500.0 - 0.125) < 0.05,
+      s"b rate ${kept.getOrElse("b", 0L) / 1500.0}")
+  }
+
+  test("library forms accept column names needing backticks (dots, spaces)") {
+    import org.apache.spark.sql.functions.col
+    // temporal joins
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 50L)).toDF("l.id", "the key", "event.time")
+    val right = Seq((1L, 95L), (1L, 40L)).toDF("the key", "event.time")
+    val rj = Relational.rangeJoinCount(left, right, "the key", "event.time", 10L, "n")
+      .collect().map(r => r.getAs[Long]("l.id") -> r.getAs[Long]("n")).toMap
+    assert(rj === Map(1L -> 1L, 2L -> 0L))
+    val aj = Relational.asofJoin(left, right, "the key", "event.time")
+      .collect().map(r => r.getAs[Long]("l.id") -> r.getAs[Long]("right_event.time")).toMap
+    assert(aj === Map(1L -> 95L, 2L -> 40L))
+    val sj = Relational.saltedJoin(
+      Seq(("k", 1L)).toDF("join.key", "p.v"), Seq(("k", 2L)).toDF("join.key", "b.v"),
+      "join.key", salt = 4)
+    assert(sj.count() === 1L)
+    // samplers
+    assert(Relational.deterministicSplit(Seq(Tuple1(7L)).toDF("doc.id"), "doc.id")
+      .count() === 1L)
+    assert(Relational.stratifiedSample(Seq((7L, "g")).toDF("doc.id", "the src"),
+      "doc.id", "the src", Map("g" -> 1.0)).count() === 1L)
+    // dedup family
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc.id", "the text")
+    assert(graft.operators.Dedup.exactDedup(docs, "doc.id", "the text").count() === 1L)
+    val clusters = graft.operators.Dedup.dupClusters(
+      Seq((1L, 2L)).toDF("pair.a", "pair.b"), "pair.a", "pair.b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters === Set((1L, 1L), (2L, 1L)))
+    // text + similarity
+    assert(graft.operators.Text.tokenCount(docs, "doc.id", "the text").count() === 2L)
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0.1f)), (2L, Array(0f, 1f)))
+      .toDF("vec.id", "the emb")
+    val ann = graft.operators.Similarity.annBruteforce(
+      emb, emb.filter(col("`vec.id`") === 0L), "vec.id", "the emb", k = 2)
+    assert(ann.count() === 2L)
+  }
+
   test("packSequences invariants hold on random token counts") {
     val docsGen = Gen.listOfN(120, Gen.choose(1, 60))
     forAllSampled(docsGen, 5) { lens =>
