@@ -27,9 +27,14 @@ private[graft] object IterativeCheckpoint {
   }
 
   /** Eagerly localCheckpoint `df`, capturing exactly the RDDs the call
-    * newly persisted.
+    * newly persisted. The capture section is locked: two driver threads
+    * running iterative loops concurrently must not attribute each
+    * other's fresh checkpoints to themselves — releasing a live
+    * checkpoint is fatal (its lineage is truncated, so the data cannot
+    * be recomputed). The lock serializes only the checkpoint
+    * materialization calls; the jobs inside still use every executor.
     */
-  def apply(df: DataFrame): Generation = {
+  def apply(df: DataFrame): Generation = synchronized {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()

@@ -81,6 +81,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("s04 trained IVF: seed scoring broadcasts, candidates join cell-equi") {
+    val df = graft.operators.Similarity.s04AnnIvfTrained(spark, sf)
+    // assignment agg + pair-dedup agg + per-query window + presentation
+    // sort; the corpus-vs-codebook scoring is a broadcast of the tiny
+    // codebook side, never a shuffled cartesian
+    assert(shuffles(df) <= 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+  }
+
   test("t05 packing: the shard repartition plus the presentation sort") {
     assert(shuffles(graft.operators.Text.t05PackSequences(spark, sf)) <= 2)
   }
