@@ -49,6 +49,9 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.d05EmbeddingCosine _),
     "d06_contamination" -> (Dedup.d06Contamination _),
     "d07_dup_clusters" -> (Dedup.d07DupClusters _),
+    // rows-only (hyperplane buckets are engine-local); DedupSpec holds
+    // recall vs the exact all-pairs near-dup set + cosine exactness
+    "d08_dedup_embedding_lsh" -> (Dedup.d08EmbeddingLsh _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),

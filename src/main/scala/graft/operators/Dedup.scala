@@ -391,6 +391,66 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Embedding near-dup pairs WITHOUT a blocking label — the 100 TB
+    * path for corpora where no curated block key exists. Candidates
+    * block on the same random-hyperplane LSH buckets as s02
+    * ([[Similarity.lshBucketed]]: every bucket id computed in one
+    * codegen'd pass inside the scan); in-bucket (v1 < v2) pairs are
+    * generated per (table, bucket) with a size cap so a degenerate
+    * bucket (mass-identical vectors) can't go quadratic; verification
+    * rescores ONLY the candidates with the exact native `graft_cosine`
+    * and keeps pairs at or above `minCosine`.
+    *
+    * Scale shape: one groupBy over the (vectors x tables) bucket store,
+    * pair explode bounded by `maxBucketSize`, a pair `distinct` (a true
+    * near-dup pair collides in several tables), and two id-equi joins
+    * to fetch the embeddings back for exact rescoring. Never an
+    * all-pairs step. Recall for genuine near-dups is high by
+    * construction: at cosine 0.9 a 4-plane table collides with p~0.54,
+    * so 8 tables miss with p~(1-0.54)^8 < 0.3%.
+    */
+  def embeddingLshPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.9,
+      maxBucketSize: Int = 1000, topK: Int = 100): DataFrame = {
+    val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
+    embeddingLshTopK(e, Similarity.lshBucketed(e), minCosine, maxBucketSize, topK)
+  }
+
+  private[operators] def embeddingLshTopK(e: DataFrame, bucketed: DataFrame,
+      minCosine: Double, maxBucketSize: Int, topK: Int): DataFrame = {
+    val s = e.sparkSession
+    val buckets = bucketed
+      .groupBy("tbl", "bucket").agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxBucketSize)
+    val cand = bucketPairs(buckets).distinct()
+    cand
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
+      .select(col("d1").as("v1"), col("d2").as("v2"),
+        round(CosineSimilarity.cosine(s, col("e1"), col("e2")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
+      .limit(topK)
+  }
+
+  /** d08: gate binding of [[embeddingLshPairs]] sharing s02's
+    * session-cached hyperplane bucket store. The synthetic embeddings
+    * are near-orthogonal (max pairwise cosine ~0.5), so the gate
+    * threshold is 0.3 — the top of THIS corpus's similarity range; a
+    * real near-dup corpus would run the 0.9 default. rows-only oracle
+    * (bucket membership is engine-local); DedupSpec measures top-pair
+    * recall vs the exact all-pairs set and proves 100% recall on
+    * planted near-identical vectors.
+    */
+  def d08EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bucketed = SharedIndex(s, dir, "hyperplane_buckets") {
+      Similarity.lshBucketed(e)
+    }
+    embeddingLshTopK(e.select(col("vec_id"), col("embedding")), bucketed,
+      minCosine = 0.3, maxBucketSize = 1000, topK = 100)
+  }
+
   /** d05: gate binding of [[embeddingDedupPairs]]. */
   def d05EmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     embeddingDedupPairs(Tables.embeddings(s, dir))

@@ -67,8 +67,10 @@ object Similarity {
 
   /** (vec_id, embedding, tbl, bucket) store: all hyperplane-LSH bucket
     * ids per vector in one codegen'd pass (see HyperplaneBuckets).
+    * Shared with [[Dedup.embeddingLshPairs]], which blocks on the same
+    * buckets for label-free embedding near-dup detection.
     */
-  private def lshBucketed(e: DataFrame): DataFrame =
+  private[operators] def lshBucketed(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       posexplode(HyperplaneBuckets.buckets(e.sparkSession, col("embedding"))).as(Seq("tbl", "bucket")))
 

@@ -126,6 +126,71 @@ class DedupSpec extends SparkSpec {
     assert(codebook.count() === 32L)
   }
 
+  private def driverCos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+    d / math.sqrt(na * nb)
+  }
+
+  test("d08 LSH embedding pairs recall the corpus's top exact pairs without a label") {
+    // exact model: all-pairs cosine on the driver (500 vectors at this
+    // sf). The synthetic corpus is near-orthogonal (top cosines ~0.4-
+    // 0.5), which is LSH's HARD regime — wide angles collide rarely —
+    // so the bound here is candidate-recall-grade; the near-dup regime
+    // the operator is built for is proven at ~1.0 recall below.
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val exact = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+    } yield {
+      val (a, b) = (rows(i)._1, rows(j)._1)
+      (math.min(a, b), math.max(a, b)) -> driverCos(rows(i)._2, rows(j)._2)
+    }).toMap
+    val topExact = exact.toSeq.filter(_._2 >= 0.3)
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(100)
+    assume(topExact.nonEmpty, "corpus has pairs above the gate threshold")
+    val got = graft.operators.Dedup.d08EmbeddingLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val recall = topExact.count { case (p, _) => got.contains(p) }.toDouble / topExact.size
+    info(s"d08 recall over ${topExact.size} exact pairs: $recall")
+    assert(recall >= 0.5, s"recall $recall")
+    // returned cosines are exact rescores (round-6 match vs the model)
+    got.foreach { case (p, c) =>
+      exact.get(p).foreach(ec => assert(math.abs(ec - c) < 5e-7, s"pair $p: $ec vs $c"))
+    }
+  }
+
+  test("d08 finds every planted near-identical pair (the near-dup regime)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 24
+    // 400 random noise vectors + 30 planted pairs at cosine ~0.999
+    val noise = Seq.tabulate(400)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 30).flatMap { p =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((1000L + 2 * p, base), (1000L + 2 * p + 1, dup))
+    }
+    val emb = (noise ++ planted).toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup.embeddingLshPairs(emb, minCosine = 0.9, topK = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+    // every planted pair must surface (at cosine ~1 a table misses with
+    // p ~ (1 - ~1)^4 ~ 0, so 8 tables essentially cannot all miss);
+    // noise pairs are excluded by the 0.9 exact-rescore threshold
+    assert(expected.subsetOf(got), s"missing ${expected -- got}")
+    assert(got.forall(p => expected.contains(p) ||
+      driverCosOf(emb, p._1, p._2) >= 0.9 - 1e-6))
+  }
+
+  private def driverCosOf(emb: org.apache.spark.sql.DataFrame, a: Long, b: Long): Double = {
+    val m = emb.filter(col("vec_id").isin(a, b)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    driverCos(m(a), m(b))
+  }
+
   test("d01 exact dedup groups by content hash with deterministic representative") {
     val out = Dedup.d01ExactHash(spark, sf)
     val n = out.count()
