@@ -42,6 +42,7 @@ object SparkEntry {
     "q18_exact_stats" -> (Relational.q18ExactStats _),
     "q19_deterministic_split" -> (Relational.q19DeterministicSplit _),
     "q20_stratified_sample" -> (Relational.q20StratifiedSample _),
+    "q21_token_budget_sample" -> (Relational.q21TokenBudgetSample _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -297,6 +298,27 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE source WHEN 'src0' THEN 'c000' WHEN 'src1' THEN '8000'
         |              WHEN 'src2' THEN '4000' ELSE '2000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // the keep fraction is budget / group-token-total computed in the
+    // query itself; md5 prefix compares as a portable integer
+    // (('0x'||hex)::INT == Spark's conv(hex,16,10)); FLOOR before the
+    // int cast because DuckDB's cast rounds where Spark truncates
+    "q21_token_budget_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, SUM(n_tokens) AS total FROM d GROUP BY source
+        |)
+        |SELECT d.doc_id, d.source, d.n_tokens
+        |FROM d JOIN t USING (source)
+        |WHERE CASE d.source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 END IS NULL
+        |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT <
+        |      CAST(FLOOR(LEAST(1.0,
+        |        CAST(CASE d.source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 END AS DOUBLE)
+        |          / CAST(total AS DOUBLE)) * 65536) AS INT)
         |ORDER BY doc_id""".stripMargin,
 
     // naive inequality join is the oracle for the bucket-blocked range

@@ -480,6 +480,56 @@ object Relational {
       defaultFraction = 0.125)
       .orderBy("doc_id")
 
+  /** Deterministic token-budget mixture sampling — the domain-mixing
+    * step of a pretraining data build: down-sample each group to
+    * approximately `budgets(group)` TOKENS (not rows). The keep
+    * fraction is computed FROM the data (budget / group token total,
+    * capped at 1) and applied with the same content-stable md5-prefix
+    * decision as q19/q20, so the sample is reproducible across reruns,
+    * partitionings, and engines, and the md5 integer compares portably
+    * (`conv(hex, 16, 10)` here == `('0x' || hex)::INT` in DuckDB).
+    * Groups without a budget pass through untouched; a budget of 0
+    * drops its group; a budget >= the group total keeps everything.
+    *
+    * Scale shape: one map-side-combined aggregation for the per-group
+    * token totals (one tiny row per group, broadcast back), then a
+    * map-only keep decision — no shuffle of the big side. Row-level
+    * sampling hits the token budget in expectation; exact-cut packing
+    * is t05's job.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    val totals = df.groupBy(q(groupCol).as("__g"))
+      .agg(sum(q(tokenCol).cast("long")).as("__total"))
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (other, (g, b)) =>
+        when(col("__g") === g, lit(b)).otherwise(other)
+      }
+    val joined = df.join(broadcast(totals.withColumn("__budget", budget)),
+      q(groupCol) === col("__g"), "left")
+    // floor() before the int cast: Spark truncates double->int, DuckDB
+    // rounds — floored values agree in both
+    val threshold = floor(
+      least(lit(1.0), col("__budget").cast("double") / col("__total").cast("double")) * 65536)
+      .cast("int")
+    val hv = conv(substring(md5(q(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int")
+    joined.filter(col("__budget").isNull || hv < threshold)
+      .drop("__g", "__total", "__budget")
+  }
+
+  /** q21: gate binding of [[tokenBudgetSample]] on `documents` per
+    * `source`, tokens = whitespace token count: quota src0 to 400
+    * tokens and src1 to 700, leave every other source untouched.
+    */
+  def q21TokenBudgetSample(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "doc_id", "source", "n_tokens",
+      Map("src0" -> 400L, "src1" -> 700L))
+      .orderBy("doc_id")
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).

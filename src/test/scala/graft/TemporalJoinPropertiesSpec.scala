@@ -171,6 +171,34 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
       s"b rate ${kept.getOrElse("b", 0L) / 1500.0}")
   }
 
+  test("tokenBudgetSample quotas budgeted groups and passes others through") {
+    import org.apache.spark.sql.functions.col
+    // group a: 2000 rows x 10 tokens = 20000; group b: 400 rows x 25 = 10000
+    val rows = (0L until 2000L).map(i => (i, "a", 10L)) ++
+      (10000L until 10400L).map(i => (i, "b", 25L))
+    val df = rows.toDF("id", "g", "toks")
+    val out = Relational.tokenBudgetSample(df, "id", "g", "toks", Map("a" -> 5000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // unbudgeted group passes through completely
+    assert(out.count(_._2 == "b") === 400)
+    // budgeted group lands near its token quota (md5 uniformity over
+    // 2000 ids; binomial 3-sigma ~ 0.03)
+    val aTokens = out.filter(_._2 == "a").map(_._3).sum
+    assert(math.abs(aTokens / 20000.0 - 0.25) < 0.04, s"a token rate ${aTokens / 20000.0}")
+    // exact md5 model agreement for the kept set
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(id: Long): Int = Integer.parseInt(
+      md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 4), 16)
+    val thr = math.floor(0.25 * 65536).toInt
+    val expectedA = (0L until 2000L).filter(hv(_) < thr).toSet
+    assert(out.filter(_._2 == "a").map(_._1).toSet === expectedA)
+    // zero budget drops the group; budget >= total keeps it whole
+    assert(Relational.tokenBudgetSample(df, "id", "g", "toks", Map("a" -> 0L))
+      .filter(col("g") === "a").count() === 0L)
+    assert(Relational.tokenBudgetSample(df, "id", "g", "toks", Map("a" -> 999999L))
+      .count() === 2400L)
+  }
+
   test("library forms accept column names needing backticks (dots, spaces)") {
     import org.apache.spark.sql.functions.col
     // temporal joins
