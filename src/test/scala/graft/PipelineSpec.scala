@@ -58,4 +58,33 @@ class PipelineSpec extends SparkSpec {
       .collect()
       .foreach(r => assert(r.getLong(1) <= 256L || r.getLong(2) === 1L, r.toString))
   }
+
+  test("embedding pairs -> cluster -> keep-one composes without a label column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    // 3 planted duplicate groups (sizes 4/3/2) + 200 noise vectors: the
+    // label-free pipeline must collapse each group to one representative
+    val groups = Seq(4, 3, 2).zipWithIndex.flatMap { case (sz, g) =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until sz).map(i =>
+        (5000L + 10L * g + i, base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    }
+    val noise = Seq.tabulate(200)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = (groups ++ noise).toDF("vec_id", "embedding")
+
+    val pairs = Dedup.embeddingLshPairs(emb, minCosine = 0.9, topK = 10000)
+    val clusters = Dedup.dupClusters(pairs, aCol = "v1", bCol = "v2")
+    val nonReps = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    val resolved = emb.join(nonReps, Seq("vec_id"), "left_anti")
+
+    // each planted group collapses to exactly its min id; noise survives
+    val survivors = resolved.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(Set(5000L, 5001L, 5002L, 5003L)) === Set(5000L))
+    assert(survivors.intersect(Set(5010L, 5011L, 5012L)) === Set(5010L))
+    assert(survivors.intersect(Set(5020L, 5021L)) === Set(5020L))
+    assert((0L until 200L).forall(survivors.contains),
+      "noise vectors must survive label-free dedup")
+  }
 }
