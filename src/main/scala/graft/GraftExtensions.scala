@@ -33,7 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
-      (children: Seq[Expression]) => HyperplaneBuckets(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(e) => HyperplaneBuckets(e)
+        case Seq(e, t, p) => HyperplaneBuckets(e,
+          t.eval().asInstanceOf[Number].intValue(),
+          p.eval().asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"graft_hyperplane_buckets takes 1 or 3 arguments, got ${other.size}")
+      }))
     // shingle width is baked into the function name (the expression is
     // unary); k=3 is the width the dedup family standardizes on
     ext.injectFunction((

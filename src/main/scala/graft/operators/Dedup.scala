@@ -405,15 +405,23 @@ object Dedup {
     * pair explode bounded by `maxBucketSize`, a pair `distinct` (a true
     * near-dup pair collides in several tables), and two id-equi joins
     * to fetch the embeddings back for exact rescoring. Never an
-    * all-pairs step. Recall for genuine near-dups is high by
-    * construction: at cosine 0.9 a 4-plane table collides with p~0.54,
-    * so 8 tables miss with p~(1-0.54)^8 < 0.3%.
+    * all-pairs step. The default blocking is FINER than s02's (8 tables
+    * x 8 planes = 256 buckets each vs 8x4's 16): near-dup candidates
+    * sit at tiny angles that survive long plane conjunctions, and the
+    * finer the buckets the smaller the quadratic in-bucket term —
+    * at 1e9+ vectors callers raise `planesPerTable` (and `numTables`
+    * with it) so expected bucket size stays under `maxBucketSize`.
+    * Recall for genuine near-dups stays high by construction: at cosine
+    * 0.95 an 8-plane table collides with p~0.43, so 8 tables miss with
+    * p~(1-0.43)^8 ~ 1%; at cosine 0.99, p_miss ~ 1e-4.
     */
   def embeddingLshPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.9,
-      maxBucketSize: Int = 1000, topK: Int = 100): DataFrame = {
+      maxBucketSize: Int = 1000, topK: Int = 100,
+      numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
     val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
-    embeddingLshTopK(e, Similarity.lshBucketed(e), minCosine, maxBucketSize, topK)
+    embeddingLshTopK(e, Similarity.lshBucketed(e, numTables, planesPerTable),
+      minCosine, maxBucketSize, topK)
   }
 
   private[operators] def embeddingLshTopK(e: DataFrame, bucketed: DataFrame,
@@ -433,19 +441,19 @@ object Dedup {
       .limit(topK)
   }
 
-  /** d08: gate binding of [[embeddingLshPairs]] sharing s02's
-    * session-cached hyperplane bucket store. The synthetic embeddings
+  /** d08: gate binding of [[embeddingLshPairs]] with its own
+    * session-cached fine (8x8) bucket store. The synthetic embeddings
     * are near-orthogonal (max pairwise cosine ~0.5), so the gate
     * threshold is 0.3 — the top of THIS corpus's similarity range; a
     * real near-dup corpus would run the 0.9 default. rows-only oracle
-    * (bucket membership is engine-local); DedupSpec measures top-pair
-    * recall vs the exact all-pairs set and proves 100% recall on
-    * planted near-identical vectors.
+    * (bucket membership is engine-local); DedupSpec pins exact-rescore
+    * values and proves ~100% recall on planted near-identical vectors
+    * (the regime the fine blocking is tuned for).
     */
   def d08EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val bucketed = SharedIndex(s, dir, "hyperplane_buckets") {
-      Similarity.lshBucketed(e)
+    val bucketed = SharedIndex(s, dir, "hyperplane_buckets_fine") {
+      Similarity.lshBucketed(e, numTables = 8, planesPerTable = 8)
     }
     embeddingLshTopK(e.select(col("vec_id"), col("embedding")), bucketed,
       minCosine = 0.3, maxBucketSize = 1000, topK = 100)

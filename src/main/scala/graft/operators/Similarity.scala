@@ -67,12 +67,16 @@ object Similarity {
 
   /** (vec_id, embedding, tbl, bucket) store: all hyperplane-LSH bucket
     * ids per vector in one codegen'd pass (see HyperplaneBuckets).
-    * Shared with [[Dedup.embeddingLshPairs]], which blocks on the same
-    * buckets for label-free embedding near-dup detection.
+    * Neighbor search (s02) keeps the coarse 8x4 default; near-dup
+    * blocking ([[Dedup.embeddingLshPairs]]) passes a finer config —
+    * bucket granularity is the knob that scales each use case.
     */
-  private[operators] def lshBucketed(e: DataFrame): DataFrame =
+  private[operators] def lshBucketed(e: DataFrame,
+      numTables: Int = HyperplaneBuckets.NumTables,
+      planesPerTable: Int = HyperplaneBuckets.PlanesPerTable): DataFrame =
     e.select(col("vec_id"), col("embedding"),
-      posexplode(HyperplaneBuckets.buckets(e.sparkSession, col("embedding"))).as(Seq("tbl", "bucket")))
+      posexplode(HyperplaneBuckets.buckets(e.sparkSession, col("embedding"),
+        numTables, planesPerTable)).as(Seq("tbl", "bucket")))
 
   /** Candidate join + exact rescore from bucketed corpus/query stores:
     * candidates share a bucket in any table; `max` dedups across tables.
