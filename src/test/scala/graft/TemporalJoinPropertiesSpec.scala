@@ -233,6 +233,13 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
     val ann = graft.operators.Similarity.annBruteforce(
       emb, emb.filter(col("`vec.id`") === 0L), "vec.id", "the emb", k = 2)
     assert(ann.count() === 2L)
+    val lshPairs = graft.operators.Dedup.embeddingLshPairs(emb, "vec.id", "the emb",
+      minCosine = 0.99)
+    assert(lshPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    val quota = Relational.tokenBudgetSample(
+      Seq((1L, "g", 5L)).toDF("doc.id", "the src", "tok count"),
+      "doc.id", "the src", "tok count", Map("g" -> 100L))
+    assert(quota.count() === 1L)
   }
 
   test("packSequences invariants hold on random token counts") {
