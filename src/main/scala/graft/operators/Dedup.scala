@@ -58,20 +58,46 @@ object Dedup {
     * (both join sides), and pair generation is a codegen'd array
     * comprehension per bucket row.
     */
+  /** (key..., ids) buckets with the size cap enforced BEFORE the list
+    * aggregation: a count-only pre-aggregation (O(1) partial state per
+    * key, spill-safe) drops over-cap keys, and only surviving groups
+    * reach the list-collect. The one-pass collect-then-filter
+    * formulation this replaces was a 100 TB OOM: collect_list/set
+    * buffers do not spill, so a degenerate hot bucket (stop-phrase
+    * shingle, dense LSH cell) would materialize its full multi-million
+    * id array in one reducer just to be discarded by the size filter.
+    * `minSize` additionally drops singleton buckets when the only
+    * consumer is pair generation.
+    */
+  private def cappedIdBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+      cap: Long, minSize: Long, distinctIds: Boolean): DataFrame = {
+    val keyCols = keys.map(col)
+    val counter = if (distinctIds) count_distinct(col(idCol)) else count(col(idCol))
+    val surviving = df.groupBy(keyCols: _*).agg(counter.as("__n"))
+      .filter(col("__n") <= cap && col("__n") >= minSize)
+      .select(keyCols: _*)
+    val collector = if (distinctIds) collect_set(col(idCol)) else collect_list(col(idCol))
+    // co-partitioned equi join: the groupBy below reuses its partitioning
+    df.join(surviving, keys)
+      .groupBy(keyCols: _*).agg(sort_array(collector).as("ids"))
+  }
+
   private[operators] def buildShingleBuckets(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     // native word_shingles keeps the scan inside whole-stage codegen
     // (the transform/concat_ws lambda formulation drops the stage to
     // interpreted mode — it was most of d02's runtime); collect_set
     // dedups (doc, shingle) in the same aggregation that builds the
-    // bucket, replacing a per-doc array_distinct
-    docs
-      .withColumn("tokens", split(col("text"), " "))
-      .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"),
-        explode(graft.functions.WordShingles.shingles(s, col("tokens"), 3)).as("shingle"))
-      .groupBy("shingle").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= MaxShingleDF)
+    // bucket, replacing a per-doc array_distinct. minSize stays 1:
+    // singleton buckets carry no pairs but DO define each doc's
+    // capped-universe shingle count (the Jaccard denominator).
+    cappedIdBuckets(
+      docs
+        .withColumn("tokens", split(col("text"), " "))
+        .filter(size(col("tokens")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles.shingles(s, col("tokens"), 3)).as("shingle")),
+      Seq("shingle"), "doc_id", MaxShingleDF, minSize = 1L, distinctIds = true)
   }
 
   /** Session-cached shingle buckets for the standard `documents` table,
@@ -297,10 +323,10 @@ object Dedup {
       val cols = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
     }
-    val lshBuckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .groupBy("band", "bucket").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= MaxLshBucket)
+    val lshBuckets = cappedIdBuckets(
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), "doc_id", MaxLshBucket, minSize = 2L, distinctIds = false)
     val cand = bucketPairs(lshBuckets).distinct()
 
     val (exploded, sizes) = shingledFrom(buckets)
@@ -427,9 +453,8 @@ object Dedup {
   private[operators] def embeddingLshTopK(e: DataFrame, bucketed: DataFrame,
       minCosine: Double, maxBucketSize: Int, topK: Int): DataFrame = {
     val s = e.sparkSession
-    val buckets = bucketed
-      .groupBy("tbl", "bucket").agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxBucketSize)
+    val buckets = cappedIdBuckets(bucketed.select(col("tbl"), col("bucket"), col("vec_id")),
+      Seq("tbl", "bucket"), "vec_id", maxBucketSize.toLong, minSize = 2L, distinctIds = false)
     val cand = bucketPairs(buckets).distinct()
     cand
       .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
