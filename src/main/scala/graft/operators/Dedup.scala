@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.CosineSimilarity
 
@@ -59,36 +60,37 @@ object Dedup {
     * comprehension per bucket row.
     */
   /** (key..., ids) buckets with the size cap enforced BEFORE the list
-    * aggregation: a count-only pre-aggregation (O(1) partial state per
-    * key, spill-safe) drops over-cap keys, and only surviving groups
-    * reach the list-collect. The one-pass collect-then-filter
-    * formulation this replaces was a 100 TB OOM: collect_list/set
-    * buffers do not spill, so a degenerate hot bucket (stop-phrase
-    * shingle, dense LSH cell) would materialize its full multi-million
-    * id array in one reducer just to be discarded by the size filter.
-    * `minSize` additionally drops singleton buckets when the only
-    * consumer is pair generation.
+    * aggregation: a window count over the bucket key decides the cap,
+    * and only surviving rows reach the list-collect. The one-pass
+    * collect-then-filter formulation this replaces was a 100 TB OOM:
+    * collect_list buffers do not spill, so a degenerate hot bucket
+    * (stop-phrase shingle, dense LSH cell) would materialize its full
+    * multi-million id array in one reducer just to be discarded by the
+    * size filter. The window's row buffer DOES spill
+    * (ExternalAppendOnlyUnsafeRowArray), so a hot bucket costs disk
+    * churn instead of an executor; ONE exchange covers everything —
+    * the groupBy reuses the window's hash partitioning. Callers must
+    * hand in (key..., id) rows that are already distinct. `minSize`
+    * additionally drops singleton buckets when the only consumer is
+    * pair generation.
     */
   private def cappedIdBuckets(df: DataFrame, keys: Seq[String], idCol: String,
-      cap: Long, minSize: Long, distinctIds: Boolean): DataFrame = {
+      cap: Long, minSize: Long): DataFrame = {
     val keyCols = keys.map(col)
-    val counter = if (distinctIds) count_distinct(col(idCol)) else count(col(idCol))
-    val surviving = df.groupBy(keyCols: _*).agg(counter.as("__n"))
+    val w = Window.partitionBy(keyCols: _*)
+    df.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= cap && col("__n") >= minSize)
-      .select(keyCols: _*)
-    val collector = if (distinctIds) collect_set(col(idCol)) else collect_list(col(idCol))
-    // co-partitioned equi join: the groupBy below reuses its partitioning
-    df.join(surviving, keys)
-      .groupBy(keyCols: _*).agg(sort_array(collector).as("ids"))
+      .groupBy(keyCols: _*).agg(sort_array(collect_list(col(idCol))).as("ids"))
   }
 
   private[operators] def buildShingleBuckets(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     // native word_shingles keeps the scan inside whole-stage codegen
     // (the transform/concat_ws lambda formulation drops the stage to
-    // interpreted mode — it was most of d02's runtime); collect_set
-    // dedups (doc, shingle) in the same aggregation that builds the
-    // bucket, replacing a per-doc array_distinct. minSize stays 1:
+    // interpreted mode — it was most of d02's runtime); array_distinct
+    // dedups each doc's shingles INSIDE the scan (bounded by doc
+    // length), so (doc, shingle) rows are unique by construction and
+    // the bucket build needs no distinct aggregation. minSize stays 1:
     // singleton buckets carry no pairs but DO define each doc's
     // capped-universe shingle count (the Jaccard denominator).
     cappedIdBuckets(
@@ -96,8 +98,9 @@ object Dedup {
         .withColumn("tokens", split(col("text"), " "))
         .filter(size(col("tokens")) >= 3)
         .select(col("doc_id"),
-          explode(graft.functions.WordShingles.shingles(s, col("tokens"), 3)).as("shingle")),
-      Seq("shingle"), "doc_id", MaxShingleDF, minSize = 1L, distinctIds = true)
+          explode(array_distinct(
+            graft.functions.WordShingles.shingles(s, col("tokens"), 3))).as("shingle")),
+      Seq("shingle"), "doc_id", MaxShingleDF, minSize = 1L)
   }
 
   /** Session-cached shingle buckets for the standard `documents` table,
@@ -326,7 +329,7 @@ object Dedup {
     val lshBuckets = cappedIdBuckets(
       sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
-      Seq("band", "bucket"), "doc_id", MaxLshBucket, minSize = 2L, distinctIds = false)
+      Seq("band", "bucket"), "doc_id", MaxLshBucket, minSize = 2L)
     val cand = bucketPairs(lshBuckets).distinct()
 
     val (exploded, sizes) = shingledFrom(buckets)
@@ -454,7 +457,7 @@ object Dedup {
       minCosine: Double, maxBucketSize: Int, topK: Int): DataFrame = {
     val s = e.sparkSession
     val buckets = cappedIdBuckets(bucketed.select(col("tbl"), col("bucket"), col("vec_id")),
-      Seq("tbl", "bucket"), "vec_id", maxBucketSize.toLong, minSize = 2L, distinctIds = false)
+      Seq("tbl", "bucket"), "vec_id", maxBucketSize.toLong, minSize = 2L)
     val cand = bucketPairs(buckets).distinct()
     cand
       .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
