@@ -93,6 +93,28 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("d08 embedding LSH pairs: window-capped buckets, no cartesian") {
+    val df = Dedup.d08EmbeddingLsh(spark, sf)
+    // bucket window (groupBy reuses its partitioning) + pair distinct +
+    // two id-equi rescore joins + presentation sort
+    assert(shuffles(df) <= 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the cap must run BEFORE the list aggregation: the Window (count)
+    // sits below the collect_list aggregate in the plan
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("q21 token-budget sample: one totals agg broadcast back, map-only keep") {
+    val df = Relational.q21TokenBudgetSample(spark, sf)
+    // totals aggregation + presentation sort; the totals join must
+    // broadcast (one tiny row per group), never shuffle the big side
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("t05 packing: the shard repartition plus the presentation sort") {
     assert(shuffles(graft.operators.Text.t05PackSequences(spark, sf)) <= 2)
   }
