@@ -123,6 +123,23 @@ object Dedup {
   private[operators] def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     shingledFrom(shingleBuckets(s, dir))
 
+  /** Per-doc sorted shingle arrays over the capped universe, inverted
+    * from the bucket store: candidate verification intersects two
+    * bounded arrays (`array_intersect`, codegen'd) instead of
+    * double-joining the exploded long store and re-aggregating — three
+    * fewer shuffles per verify pass. Array length is bounded by the
+    * doc's own shingle count, so the collect is reducer-safe.
+    */
+  private def docSetsFrom(buckets: DataFrame): DataFrame =
+    buckets.select(col("shingle"), explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+
+  /** Session-cached per-doc shingle sets for the standard table. */
+  private def docShingleSets(s: SparkSession, dir: String): DataFrame =
+    SharedIndex(s, dir, "doc_shingle_sets") {
+      docSetsFrom(shingleBuckets(s, dir))
+    }
+
   /** All in-bucket (d1 < d2) pairs from a bucketed DF with an `ids`
     * array column — the candidate generator for d02/d03.
     */
@@ -311,17 +328,18 @@ object Dedup {
     */
   private val MaxLshBucket = 1000
 
-  /** MinHash + LSH banding near-dup pipeline given the bucket store and
-    * signatures: 16 bands x 4 rows; candidate pairs = in-bucket
-    * combinations after one groupBy (band, bucket_hash) — with an upper
-    * bound on bucket size so a degenerate bucket (mass-identical
-    * boilerplate) can't go quadratic; verification computes true
-    * (capped-universe) Jaccard for candidates only. The pair set drives
-    * the verify join — never generates a non-candidate pair, so
-    * verification cost is |candidates| x shingles-per-doc, not the
-    * all-pairs shingle self-join LSH exists to avoid.
+  /** MinHash + LSH banding near-dup pipeline given the per-doc shingle
+    * sets and signatures: 16 bands x 4 rows; candidate pairs =
+    * in-bucket combinations after one groupBy (band, bucket_hash) —
+    * with an upper bound on bucket size so a degenerate bucket
+    * (mass-identical boilerplate) can't go quadratic; verification
+    * computes true (capped-universe) Jaccard for candidates only, by
+    * attaching each side's shingle array (two id-equi joins) and
+    * intersecting in one codegen'd expression — the pair set drives
+    * the verify, never generates a non-candidate pair, and no exploded
+    * long store is re-joined or re-aggregated.
     */
-  private def minhashLshTopK(buckets: DataFrame, sigs: DataFrame, topK: Int): DataFrame = {
+  private def minhashLshTopK(sets: DataFrame, sigs: DataFrame, topK: Int): DataFrame = {
     val bandCols = (0 until NumBands).map { bnd =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -331,15 +349,16 @@ object Dedup {
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
       Seq("band", "bucket"), "doc_id", MaxLshBucket, minSize = 2L)
     val cand = bucketPairs(lshBuckets).distinct()
-
-    val (exploded, sizes) = shingledFrom(buckets)
-    val common = cand
-      .join(exploded.withColumnRenamed("doc_id", "d1"), Seq("d1"))
-      .join(exploded.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shingles").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("s1"), col("s2"))).as("common"),
+        size(col("s1")).as("n1"), size(col("s2")).as("n2"))
+      // band collisions with zero shared shingles are hash luck, not
+      // near-dups (the exploded-store formulation dropped them in its
+      // inner join)
+      .filter(col("common") >= 1)
       .select(col("d1"), col("d2"),
         round(col("common").cast("double") / (col("n1") + col("n2") - col("common")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1").asc, col("d2").asc)
@@ -352,15 +371,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", topK: Int = 100): DataFrame = {
     val buckets = buildShingleBuckets(normalized(docs, idCol, textCol))
-    minhashLshTopK(buckets, buildMinhashSignatures(buckets), topK)
+    minhashLshTopK(docSetsFrom(buckets), buildMinhashSignatures(buckets), topK)
   }
 
-  /** d03: gate binding with the session-cached index. rows-only oracle
+  /** d03: gate binding with the session-cached indexes. rows-only oracle
     * (hash seeds are engine-local); DedupSpec checks candidate recall vs
     * d02 exact top pairs.
     */
   def d03MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashLshTopK(shingleBuckets(s, dir), minhashSignatures(s, dir), 100)
+    minhashLshTopK(docShingleSets(s, dir), minhashSignatures(s, dir), 100)
 
   /** 64-bit SimHash + banded Hamming near-dup pairs over any documents
     * frame. Bit j of the signature = sign of sum over tokens of ±1 by
