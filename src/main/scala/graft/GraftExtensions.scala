@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, SimHash, WordShingles}
+import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, NfcNormalize, SimHash, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_hyperplane_buckets takes 1 or 3 arguments, got ${other.size}")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     // shingle width is baked into the function name (the expression is
     // unary); k=3 is the width the dedup family standardizes on
     ext.injectFunction((

@@ -66,6 +66,7 @@ object SparkEntry {
     // oracle: identical md5-derived rolling fold via list_reduce
     "t05_pack_sequences" -> (Text.t05PackSequences _),
     "t06_repetition_stats" -> (Text.t06RepetitionStats _),
+    "t07_normalize" -> (Text.t07Normalize _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     // XBRL engine over the reference's own test archives (rows-only —
@@ -516,6 +517,14 @@ object SparkEntry {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
         |  CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // NFC is the identity on the ASCII corpus; lower / \s+ collapse /
+    // trim / length agree between Java regex and RE2 on this input
+    "t07_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

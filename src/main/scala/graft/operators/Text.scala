@@ -232,4 +232,32 @@ object Text {
   /** t06: gate binding of [[repetitionStats]]. */
   def t06RepetitionStats(s: SparkSession, dir: String): DataFrame =
     repetitionStats(Tables.documents(s, dir))
+
+  /** Text canonicalization — the normalization step that runs BEFORE
+    * exact dedup so visually identical documents hash identically:
+    * Unicode NFC composition (native `graft_nfc`; é as one code point,
+    * not e + combining acute), lowercase, collapse every whitespace run
+    * to one space, trim. Map-only, fully inside whole-stage codegen.
+    * `nfc = false` skips the composition pass for corpora known to be
+    * ASCII/already-composed.
+    */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nfc: Boolean = true): DataFrame = {
+    val s = docs.sparkSession
+    val base = normalized(docs, idCol, textCol)
+    val composed = if (nfc) graft.functions.NfcNormalize.nfc(s, col("text")) else col("text")
+    base.select(col("doc_id"),
+      trim(regexp_replace(lower(composed), "\\s+", " ")).as("norm_text"))
+  }
+
+  /** t07: gate binding of [[normalizeText]] with the char count. Fully
+    * oracled: NFC is the identity on the ASCII corpus, and
+    * lower/regexp_replace('\s+')/trim/length agree between engines
+    * (TextSpec proves the non-ASCII composition semantics on planted
+    * strings).
+    */
+  def t07Normalize(s: SparkSession, dir: String): DataFrame =
+    normalizeText(Tables.documents(s, dir))
+      .withColumn("n_chars", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
 }

@@ -122,6 +122,38 @@ class TextSpec extends SparkSpec {
     assert(got(5L) === (2L, 1L, 1L, 1L))
   }
 
+  test("normalizeText composes NFC so visually identical docs dedup exactly") {
+    import spark.implicits._
+    // "café" precomposed (U+00E9) vs decomposed (e + U+0301), plus
+    // case and whitespace noise — all four must canonicalize equal
+    val composed = "café latte"
+    val decomposed = "cafe\u0301 latte" // e + combining acute, escaped on purpose
+    assert(composed !== decomposed) // genuinely different code points
+    val docs = Seq(
+      (1L, composed),
+      (2L, decomposed),
+      (3L, "  CAFÉ   latte "),
+      (4L, "Café\tlatte"),
+      (5L, "different doc")).toDF("id", "body")
+    val out = Text.normalizeText(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === composed.toLowerCase)
+    assert(Set(1L, 2L, 3L, 4L).map(out).size === 1, s"not canonical: $out")
+    // the canonical form feeds exact dedup: one representative survives
+    val deduped = graft.operators.Dedup.exactDedup(
+      Text.normalizeText(docs, "id", "body"), "doc_id", "norm_text")
+    assert(deduped.count() === 2L)
+    // idempotent
+    val again = Text.normalizeText(
+      Text.normalizeText(docs, "id", "body"), "doc_id", "norm_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === out)
+    // nfc=false leaves composition forms distinct
+    val raw = Text.normalizeText(docs, "id", "body", nfc = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(raw(1L) !== raw(2L))
+  }
+
   test("t01/t02/t03 agree on tokenization") {
     val t1 = Text.t01LangId(spark, sf).count()
     val t2 = Text.t02QualityScore(spark, sf).count()
