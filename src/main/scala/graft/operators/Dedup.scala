@@ -391,21 +391,27 @@ object Dedup {
     * candidates block on four 16-bit chunks (pigeonhole: hamming<=3
     * pairs must share a chunk).
     */
-  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 1000): DataFrame = {
     val s = docs.sparkSession
     val sig = normalized(docs, idCol, textCol)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.functions.SimHash.simhash(s, col("text")).as("simhash"))
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    // (doc_id, simhash) rides the bucket rows as one struct, so pair
+    // generation needs no join back to the signature store (and the
+    // whole pipeline reads the text exactly once). The bucket cap
+    // matters here like everywhere else: a corpus with millions of
+    // near-empty docs collapses them all onto simhash 0, and an
+    // uncapped chunk self-join would go quadratic on that key.
+    val chunks = sig.select(struct(col("doc_id"), col("simhash")).as("ds"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("cb"))
-      .select(col("doc_id"), col("simhash"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .select(col("ds"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    bucketPairs(cappedIdBuckets(chunks, Seq("chunk", "key"), "ds",
+        maxBucketSize.toLong, minSize = 2L))
       .distinct()
+      .select(col("d1.doc_id").as("d1"), col("d2.doc_id").as("d2"),
+        bit_count(col("d1.simhash").bitwiseXOR(col("d2.simhash"))).as("hamming"))
       // 4 chunks of 16 bits guarantee recall only for hamming <= 3
       // (pigeonhole); pairs beyond that are luck, so don't emit them.
       .filter(col("hamming") <= 3)
