@@ -69,6 +69,7 @@ object SparkEntry {
     "t07_normalize" -> (Text.t07Normalize _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
+    "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
     // XBRL engine over the reference's own test archives (rows-only —
     // no synthetic-table twin exists; see XbrlQueries scaladoc)
     "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),

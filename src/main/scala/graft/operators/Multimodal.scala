@@ -123,6 +123,61 @@ object Multimodal {
   def m02FrameSample(s: SparkSession, dir: String): DataFrame =
     frameSample(mediaTable(s, dir)).toDF().orderBy("doc_id", "frame_index")
 
+  /** One fixed-length analysis window of an audio payload. */
+  case class AudioWindow(
+      doc_id: Long,
+      window_index: Int,
+      start_ms: Long,
+      end_ms: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      energy: Double)
+
+  private val WindowMs = 1000L
+  private val HopMs = 500L
+
+  /** m03: audio windowing (framing) plumbing — the segmentation step
+    * every speech/audio feature pipeline runs before anything expensive
+    * (fbank/MFCC, ASR chunking). Audio rows FAN OUT into fixed-length
+    * overlapping windows ([[WindowMs]] long, [[HopMs]] hop) through the
+    * same streaming iterator shape as m02: windows emit as the
+    * partition iterates, a long recording never materializes all its
+    * windows at once. Sample rate and duration come from the stubbed
+    * header parse (deterministic function of the payload standing in
+    * for a WAV/FLAC header read); per-window sample counts are real
+    * arithmetic; `energy` is the stub stand-in for the frame feature a
+    * codec-backed implementation would compute. A clip shorter than one
+    * window emits a single partial window; otherwise every window is
+    * full-length and any sub-hop tail is dropped (standard framing).
+    */
+  def m03AudioWindows(s: SparkSession, dir: String): DataFrame =
+    audioWindows(mediaTable(s, dir)).toDF()
+      .withColumn("energy", round(col("energy"), 6))
+      .orderBy("doc_id", "window_index")
+
+  /** Library form of the audio windower over any media Dataset (audio
+    * rows only; others are filtered out).
+    */
+  def audioWindows(media: org.apache.spark.sql.Dataset[MediaRecord]): org.apache.spark.sql.Dataset[AudioWindow] =
+    media
+      .filter(col("media_type") === "audio/wav")
+      .mapPartitions(_.flatMap { r =>
+        val d = FakeDecoder.decode(r)
+        // stub header: 8/16/24 kHz, 0.5-4 s, from the checksum
+        val sampleRate = (8000L * (1L + math.floorMod(d.checksum >>> 11, 3L))).toInt
+        val durationMs = 500L + math.floorMod(d.checksum >>> 7, 3500L)
+        val n =
+          if (durationMs < WindowMs) 1
+          else ((durationMs - WindowMs) / HopMs + 1L).toInt
+        Iterator.tabulate(n) { i =>
+          val start = i * HopMs
+          val end = math.min(start + WindowMs, durationMs)
+          val nSamples = (end - start) * sampleRate / 1000L
+          val energy = math.floorMod(d.checksum ^ (i * 0x9E3779B97F4A7C15L), 10000L) / 10000.0
+          AudioWindow(r.doc_id, i, start, end, sampleRate, nSamples, energy)
+        }
+      })(org.apache.spark.sql.Encoders.product[AudioWindow])
+
   /** Library form of the frame sampler over any media Dataset (video
     * rows only; others are filtered out).
     */

@@ -84,6 +84,37 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("m03 audio windowing emits dense overlapping windows within header bounds") {
+    val a = Multimodal.m03AudioWindows(spark, sf)
+    assert(a.columns.toSeq === Seq(
+      "doc_id", "window_index", "start_ms", "end_ms", "sample_rate", "n_samples", "energy"))
+    val r1 = a.collect()
+    val r2 = Multimodal.m03AudioWindows(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    // exactly the audio third of the corpus fans out
+    val audio = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(3)) === 0).count()
+    val byDoc = r1.groupBy(_.getLong(0))
+    assert(byDoc.size === audio)
+    byDoc.foreach { case (doc, ws) =>
+      val sorted = ws.sortBy(_.getAs[Int]("window_index"))
+      // dense indexes, 500ms hop starts, full 1s windows except a
+      // single short-clip partial
+      assert(sorted.map(_.getAs[Int]("window_index")).toSeq === sorted.indices.toSeq)
+      sorted.foreach { w =>
+        val start = w.getAs[Long]("start_ms"); val end = w.getAs[Long]("end_ms")
+        assert(start === w.getAs[Int]("window_index") * 500L, s"doc $doc")
+        assert(end > start && end - start <= 1000L, s"doc $doc")
+        assert(end - start === 1000L || sorted.length === 1, s"doc $doc partial mid-clip")
+        val rate = w.getAs[Int]("sample_rate")
+        assert(Set(8000, 16000, 24000).contains(rate), s"doc $doc rate $rate")
+        assert(w.getAs[Long]("n_samples") === (end - start) * rate / 1000L)
+        val e = w.getAs[Double]("energy")
+        assert(e >= 0.0 && e <= 1.0)
+      }
+    }
+  }
+
   test("t05 sequence packing respects the budget, covers all docs, is deterministic") {
     val budget = 2048L
     val a = Text.t05PackSequences(spark, sf)
