@@ -33,14 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
-      (children: Seq[Expression]) => children match {
-        case Seq(e) => HyperplaneBuckets(e)
-        case Seq(e, t, p) => HyperplaneBuckets(e,
-          t.eval().asInstanceOf[Number].intValue(),
-          p.eval().asInstanceOf[Number].intValue())
-        case other => throw new IllegalArgumentException(
-          s"graft_hyperplane_buckets takes 1 or 3 arguments, got ${other.size}")
-      }))
+      HyperplaneBuckets.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),

@@ -156,16 +156,30 @@ object HyperplaneBuckets {
       lit(numTables), lit(planesPerTable))
   }
 
+  private def intArg(e: Expression, what: String): Int =
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"graft_hyperplane_buckets: $what must be an integer literal")
+    else e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_buckets: $what must be an integer literal, got $other")
+    }
+
+  /** Shared registry builder (FunctionRegistry + SparkSessionExtensions):
+    * `graft_hyperplane_buckets(emb)` for the default 8x4 config, or
+    * `(emb, numTables, planesPerTable)` with integer-literal config.
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(e) => HyperplaneBuckets(e)
+    case Seq(e, t, p) =>
+      HyperplaneBuckets(e, intArg(t, "numTables"), intArg(p, "planesPerTable"))
+    case other => throw new IllegalArgumentException(
+      s"graft_hyperplane_buckets takes 1 or 3 arguments, got ${other.size}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
-      (children: Seq[Expression]) => children match {
-        case Seq(e) => HyperplaneBuckets(e)
-        case Seq(e, t, p) => HyperplaneBuckets(e,
-          t.eval().asInstanceOf[Number].intValue(),
-          p.eval().asInstanceOf[Number].intValue())
-        case other => throw new IllegalArgumentException(
-          s"graft_hyperplane_buckets takes 1 or 3 arguments, got ${other.size}")
-      })
+      builder)
 }

@@ -389,7 +389,12 @@ object Dedup {
     * build signatures (the agg formulation shuffled the entire exploded
     * token store; at 100 TB that shuffle dominates the job). Near-dup
     * candidates block on four 16-bit chunks (pigeonhole: hamming<=3
-    * pairs must share a chunk).
+    * pairs must share a chunk). The pigeonhole recall guarantee holds
+    * only for pairs whose shared chunk sits in a bucket at or under
+    * `maxBucketSize`: an over-cap bucket (mass-identical signatures) is
+    * dropped like in every other candidate generator here, trading the
+    * quadratic blowup for missed pairs inside that degenerate mass —
+    * raise the cap if such a corpus genuinely needs those pairs.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxBucketSize: Int = 1000): DataFrame = {
@@ -413,7 +418,8 @@ object Dedup {
       .select(col("d1.doc_id").as("d1"), col("d2.doc_id").as("d2"),
         bit_count(col("d1.simhash").bitwiseXOR(col("d2.simhash"))).as("hamming"))
       // 4 chunks of 16 bits guarantee recall only for hamming <= 3
-      // (pigeonhole); pairs beyond that are luck, so don't emit them.
+      // (pigeonhole, modulo the bucket cap — see scaladoc); pairs
+      // beyond that are luck, so don't emit them.
       .filter(col("hamming") <= 3)
       .orderBy(col("hamming").asc, col("d1").asc, col("d2").asc)
   }
@@ -505,8 +511,12 @@ object Dedup {
     */
   def d08EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // cache only the bucket assignment: the rescore re-joins the source
+    // embeddings by id, so persisting the 64-float embedding once per
+    // LSH table (8x the whole payload) would be pure wasted storage
     val bucketed = SharedIndex(s, dir, "hyperplane_buckets_fine") {
       Similarity.lshBucketed(e, numTables = 8, planesPerTable = 8)
+        .select("vec_id", "tbl", "bucket")
     }
     embeddingLshTopK(e.select(col("vec_id"), col("embedding")), bucketed,
       minCosine = 0.3, maxBucketSize = 1000, topK = 100)

@@ -91,11 +91,14 @@ class TextSpec extends SparkSpec {
     val r1 = a.collect()
     val r2 = Multimodal.m03AudioWindows(spark, sf).collect()
     assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
-    // exactly the audio third of the corpus fans out
+    // exactly the audio third of the corpus fans out (mediaTable maps
+    // doc_id%3==1 to audio/wav); assert the IDENTITY of the docs, not
+    // just the count — residue-class counts can coincide
     val audio = Tables.documents(spark, sf)
-      .filter(pmod(col("doc_id"), lit(3)) === 0).count()
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     val byDoc = r1.groupBy(_.getLong(0))
-    assert(byDoc.size === audio)
+    assert(byDoc.keySet === audio)
     byDoc.foreach { case (doc, ws) =>
       val sorted = ws.sortBy(_.getAs[Int]("window_index"))
       // dense indexes, 500ms hop starts, full 1s windows except a
