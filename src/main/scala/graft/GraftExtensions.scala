@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, NfcNormalize, SimHash, WordShingles}
+import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -44,5 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles_3"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles_3"),
       (children: Seq[Expression]) => WordShingles(children.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => L2Squared(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      PqEncode.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
   }
 }

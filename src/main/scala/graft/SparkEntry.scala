@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Text, XbrlQueries}
+import graft.operators.{Dedup, Multimodal, ProductQuantization, Relational, Similarity, Text, XbrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -59,6 +59,9 @@ object SparkEntry {
     // rows-only like s02/s03 (trained centroids are engine-local);
     // SimilaritySpec holds trained recall >= hash-sampled recall
     "s04_ann_ivf_trained" -> (Similarity.s04AnnIvfTrained _),
+    // rows-only (learned PQ codebook is engine-local); SimilaritySpec
+    // holds shortlist recall vs exact s01 + the planted-duplicate pin
+    "s05_ann_pq" -> (ProductQuantization.s05AnnPq _),
     "t01_lang_id" -> (Text.t01LangId _),
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),

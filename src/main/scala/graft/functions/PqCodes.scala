@@ -1,0 +1,284 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expressions backing product-quantization ANN
+  * (operators/ProductQuantization.scala): squared-L2 distance for
+  * codebook training, subspace code assignment for corpus encoding, and
+  * the asymmetric-distance (ADC) scan for querying. All three follow
+  * the [[CosineSimilarity]] pattern — one fused loop per row with
+  * `doGenCode`, so the encode and ADC passes stay inside whole-stage
+  * codegen at any scale (SURVEY.md §4).
+  */
+
+/** `graft_l2sq(a, b)` → squared Euclidean distance between two
+  * `Array[Float]` vectors in double precision. Arrays of differing
+  * lengths measure only the common prefix (callers pass
+  * fixed-dimension subvectors); used by PQ training (Lloyd assignment)
+  * and per-query lookup-table construction.
+  */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_l2sq"
+
+  override lazy val resolved: Boolean = {
+    def ok(e: Expression) = e.resolved && (e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    ok(left) && ok(right)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs.getFloat(i).toDouble - ys.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2Squared {
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => L2Squared(children(0), children(1)))
+
+  def l2sq(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_l2sq", a, b)
+  }
+}
+
+/** `graft_pq_encode(emb, codebook, m)` → `Array[Int]` of `m` subspace
+  * codes for an `Array[Float]` embedding: the vector is split into `m`
+  * contiguous subvectors and each is assigned its nearest (squared-L2,
+  * ties to the lowest cell id) centroid from the flattened codebook.
+  *
+  * `codebook` is the training output flattened in (sub, cell)-major
+  * order — `kCodes` centroids per subspace, so entry `(s, c)` occupies
+  * `codebook[(s*kCodes + c)*subDim ..< +subDim]`. `kCodes` is derived
+  * per row as `codebook.length / emb.length`, so one expression serves
+  * any codebook size. The codebook arrives as a one-row broadcast
+  * column (never a driver-collected literal), and the whole encode is
+  * map-only inside the scan. Null if the geometry is inconsistent
+  * (embedding not divisible into `m` subvectors, codebook not a whole
+  * number of centroid blocks).
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression with Serializable {
+
+  require(m >= 1, s"graft_pq_encode: m must be >= 1, got $m")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_pq_encode"
+
+  override lazy val resolved: Boolean = {
+    def ok(e: Expression) = e.resolved && (e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    ok(left) && ok(right)
+  }
+
+  /** Codes for one embedding (codegen calls this). */
+  def computeRow(emb: ArrayData, cb: ArrayData): ArrayData = {
+    val dim = emb.numElements()
+    if (dim == 0 || dim % m != 0) return null
+    val subDim = dim / m
+    val cbLen = cb.numElements()
+    if (cbLen == 0 || cbLen % dim != 0) return null
+    val kCodes = cbLen / dim
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < kCodes) {
+        val off = (s * kCodes + c) * subDim
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = emb.getFloat(s * subDim + j).toDouble - cb.getFloat(off + j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    computeRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = $ref.computeRow($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncode {
+
+  private def intArg(e: Expression): Int =
+    if (!e.foldable) throw new IllegalArgumentException(
+      "graft_pq_encode: m must be an integer literal")
+    else e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_encode: m must be an integer literal, got $other")
+    }
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(e, cb, m) => PqEncode(e, cb, intArg(m))
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_encode takes 3 arguments, got ${other.size}")
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      builder)
+
+  def encode(spark: SparkSession, emb: Column, codebook: Column, m: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pq_encode",
+      emb, codebook, org.apache.spark.sql.functions.lit(m))
+  }
+}
+
+/** `graft_pq_adc(codes, lut)` → asymmetric-distance score: with
+  * `codes` an `Array[Int]` of `m` subspace codes and `lut` an
+  * `Array[Float]` of per-(sub, cell) partial distances in (sub,
+  * cell)-major order, returns `sum_s lut[s*kCodes + codes[s]]` —
+  * the exact squared L2 distance between the query and the row's
+  * RECONSTRUCTION, in `m` array lookups instead of `dim` multiplies
+  * over data 32x smaller than the float vectors. `kCodes` is derived
+  * as `lut.length / codes.length`. Null on inconsistent geometry or an
+  * out-of-range code.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_pq_adc"
+
+  override lazy val resolved: Boolean = {
+    def okCodes = left.resolved && (left.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    def okLut = right.resolved && (right.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    okCodes && okLut
+  }
+
+  /** ADC sum for one row (codegen calls this; boxed Double for null). */
+  def computeRow(codes: ArrayData, lut: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    val lutLen = lut.numElements()
+    if (m == 0 || lutLen == 0 || lutLen % m != 0) return null
+    val kCodes = lutLen / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= kCodes) return null
+      acc += lut.getFloat(s * kCodes + c).toDouble
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    computeRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    val boxed = ctx.freshName("boxed")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double $boxed = $ref.computeRow($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1)))
+
+  def adc(spark: SparkSession, codes: Column, lut: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pq_adc", codes, lut)
+  }
+}

@@ -26,14 +26,14 @@ object Similarity {
   private val K = 10
   private val NumQueries = 10
 
-  private def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
 
   /** Per-query top-k by exact cosine from a scored candidate frame
     * (q_id, n_id, cosine): rank window with WindowGroupLimit partial
     * pushdown, deterministic tie-break on n_id.
     */
-  private def topK(cand: DataFrame, k: Int): DataFrame = {
+  private[operators] def topK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

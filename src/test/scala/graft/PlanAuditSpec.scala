@@ -93,6 +93,20 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("s05 PQ: ADC code scan is codegen'd and broadcast-only; shortlist joins back broadcast") {
+    val df = graft.operators.ProductQuantization.s05AnnPq(spark, sf)
+    // LUT build agg + shortlist window + final top-k window +
+    // presentation sort; the code scan and both rescore joins are
+    // broadcasts of the tiny query/shortlist sides
+    assert(shuffles(df) <= 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the ADC scan runs inside whole-stage codegen: graft_pq_adc is
+    // projected in a `*(k)` stage, not an interpreted fallback
+    assert("""\*\(\d+\) Project \[.*graft_pq_adc""".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("d08 embedding LSH pairs: window-capped buckets, no cartesian") {
     val df = Dedup.d08EmbeddingLsh(spark, sf)
     // bucket window (groupBy reuses its partitioning) + pair distinct +

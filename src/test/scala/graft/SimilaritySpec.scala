@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{ProductQuantization, Similarity}
 import org.apache.spark.sql.functions._
 
 /** ANN specs: LSH recall against the brute-force baseline, plus the
@@ -161,6 +161,63 @@ class SimilaritySpec extends SparkSpec {
     // returned cosines are exact rescores, like every ANN variant here
     trained.filter { case (k, _) => exact.contains(k) }
       .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
+  }
+
+  test("s05 PQ gate keeps usable recall and exact cosines vs s01") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pq = ProductQuantization.s05AnnPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(pq.nonEmpty)
+    val recall = exact.keySet.count(k => pq.exists(_._1 == k)).toDouble / exact.size
+    info(s"s05 PQ recall vs s01: $recall")
+    // 8x16 codes on near-orthogonal synthetic vectors with a
+    // 64-candidate shortlist (~13% of the sf0.001 corpus = the
+    // chance-level floor); measured 0.79 — assert well above chance
+    // with headroom for sf-noise
+    assert(recall >= 0.6, s"recall $recall")
+    // returned cosines are exact rescores on the original floats
+    pq.filter { case (k, _) => exact.contains(k) }
+      .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
+  }
+
+  test("PQ on the clustered corpus: trained codebook recalls cluster neighbors") {
+    val (emb, queries) = clusteredCorpus
+    val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
+    assert(codebook.count() === 64L) // 4 subspaces x 16 cells, none lost
+    val recall = clusteredRecallOf(
+      ProductQuantization.annPq(emb, queries, codebook, m = 4))
+    info(s"PQ clustered recall: $recall")
+    // tight clusters quantize cleanly: cluster members share codes, so
+    // the ADC shortlist is dominated by the query's own cluster
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
+  test("PQ finds a planted identical vector (codes equal => ADC zero)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // vector 500 is an exact copy of vector 3
+    val emb = (base :+ ((500L, base(3)._2.clone()))).toDF("vec_id", "embedding")
+    val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
+    val res = ProductQuantization.annPq(emb, emb.filter(col("vec_id") === 3L),
+      codebook, m = 4, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(res.length === 1)
+    assert(res.head._2 === 500L, s"expected the planted copy, got ${res.head}")
+    assert(math.abs(res.head._3 - 1.0) < 1e-9)
+  }
+
+  test("pqEncode emits m in-range codes per vector") {
+    val e = Tables.embeddings(spark, sf)
+    val codebook = ProductQuantization.trainPqCodebook(e)
+    val codes = ProductQuantization.pqEncode(e, codebook)
+      .collect().map(r => r.getSeq[Int](1))
+    assert(codes.nonEmpty)
+    codes.foreach { cs =>
+      assert(cs.length === 8)
+      cs.foreach(c => assert(c >= 0 && c < 16, s"code $c out of range"))
+    }
   }
 
   test("s01 ranks are dense per query and ordered by cosine desc") {
