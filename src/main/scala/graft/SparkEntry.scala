@@ -70,6 +70,7 @@ object SparkEntry {
     "t05_pack_sequences" -> (Text.t05PackSequences _),
     "t06_repetition_stats" -> (Text.t06RepetitionStats _),
     "t07_normalize" -> (Text.t07Normalize _),
+    "t08_pii_redact" -> (Text.t08PiiRedact _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -530,5 +531,34 @@ object SparkEntry {
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
         |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical deterministic PII injection + the same three STAGED
+    // regex passes (emails, then phones on the email-redacted text,
+    // then IPs) — the patterns sit in the Java/RE2-shared regex subset
+    "t08_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM inj
+        |), s2 AS (
+        |  SELECT doc_id, n_emails,
+        |    CAST(len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |    regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2
+        |  FROM s1
+        |)
+        |SELECT doc_id, n_emails, n_phones,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -260,4 +260,58 @@ object Text {
     normalizeText(Tables.documents(s, dir))
       .withColumn("n_chars", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
+
+  /** PII patterns — deliberately SYNTACTIC (no 0-255 octet or TLD
+    * validation): scrubbing favors recall, and every pattern stays in
+    * the regex subset Java and RE2 (DuckDB) match identically, so the
+    * operator is engine-portable and fully oracle-checkable.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction over any documents frame — the scrubbing pass every
+    * training-data pipeline runs before text ships anywhere: emails,
+    * phone numbers (123-456-7890 / 123.456.7890), and IPv4 literals
+    * replaced by <EMAIL>/<PHONE>/<IP> placeholder tokens, with a count
+    * per category. The three passes are STAGED (emails first, then
+    * phones on the email-redacted text, then IPs) so each count is
+    * exactly what its pass replaced and a dotted phone can never be
+    * half-eaten as an IP. Map-only: three regexp_replace + three
+    * regexp_count projections inside the scan, no shuffle except the
+    * deterministic presentation sort.
+    */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)).cast("long"))
+      .withColumn("t1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phones", regexp_count(col("t1"), lit(PhoneRe)).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), PhoneRe, "<PHONE>"))
+      .withColumn("n_ips", regexp_count(col("t2"), lit(IpRe)).cast("long"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        regexp_replace(col("t2"), IpRe, "<IP>").as("redacted"))
+      .orderBy("doc_id")
+
+  /** t08: gate binding of [[redactPii]]. The synthetic corpus contains
+    * no natural PII, so redacting it raw would oracle only the identity
+    * path; instead the gate appends a DETERMINISTIC contact suffix
+    * (email, dashed phone, IPv4 — all derived from doc_id with integer
+    * math both engines share) and redacts that. The DuckDB twin builds
+    * the identical suffix, so the oracle hash-checks real match+replace
+    * semantics on every row; TextSpec covers the planted edge cases
+    * (multiple hits, dotted phones, boundaries, non-matches).
+    */
+  def t08PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+    redactPii(injected)
+  }
 }

@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Text.t01LangId(spark, sf)) <= 1)
     assert(shuffles(Text.t03TokenCount(spark, sf)) <= 1)
     assert(shuffles(Text.t04Fingerprint(spark, sf)) <= 1)
+    assert(shuffles(Text.t08PiiRedact(spark, sf)) <= 1)
   }
 
   test("q16 as-of join: one per-user window shuffle plus the sort, no join node") {

@@ -188,6 +188,41 @@ class TextSpec extends SparkSpec {
     assert(raw(1L) !== raw(2L))
   }
 
+  test("redactPii scrubs planted PII and leaves clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to a.smith+tag@corp.example.org and b@x.io today"),
+      (2L, "call 555-123-4567 or 555.987.6543 now"),
+      (3L, "server at 10.0.254.7 and gateway 192.168.1.1"),
+      (4L, "no pii here at all"),
+      (5L, "mixed: c@d.net on 555-000-1111 via 8.8.8.8"),
+      // non-matches: no TLD, digit runs that aren't phones/IPs
+      (6L, "a@b is not an email, 12-34-56 not a phone, 1.2.3 not an ip"),
+      // syntactic scrubbing: out-of-range octets still redact (recall
+      // over precision — documented contract)
+      (7L, "weird 999.999.999.999 still scrubbed")
+    ).toDF("id", "body")
+    val out = Text.redactPii(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((2L, 0L, 0L, "write to <EMAIL> and <EMAIL> today")))
+    assert(out(2L) === ((0L, 2L, 0L, "call <PHONE> or <PHONE> now")))
+    assert(out(3L) === ((0L, 0L, 2L, "server at <IP> and gateway <IP>")))
+    assert(out(4L) === ((0L, 0L, 0L, "no pii here at all")))
+    assert(out(5L) === ((1L, 1L, 1L, "mixed: <EMAIL> on <PHONE> via <IP>")))
+    assert(out(6L) === ((0L, 0L, 0L, "a@b is not an email, 12-34-56 not a phone, 1.2.3 not an ip")))
+    assert(out(7L) === ((0L, 0L, 1L, "weird <IP> still scrubbed")))
+  }
+
+  test("t08 injects one email/phone/ip per doc and scrubs them all") {
+    val out = Text.t08PiiRedact(spark, sf)
+    assert(out.count() === Tables.documents(spark, sf).count())
+    // every row: exactly the injected hits, nothing left unredacted
+    assert(out.filter(col("n_emails") =!= 1L || col("n_phones") =!= 1L || col("n_ips") =!= 1L).count() === 0L)
+    assert(out.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<PHONE>") || !col("redacted").contains("<IP>")).count() === 0L)
+    assert(out.filter(col("redacted").rlike("\\d{3}[-.]\\d{3}[-.]\\d{4}")).count() === 0L)
+  }
+
   test("t01/t02/t03 agree on tokenization") {
     val t1 = Text.t01LangId(spark, sf).count()
     val t2 = Text.t02QualityScore(spark, sf).count()
