@@ -62,6 +62,9 @@ object SparkEntry {
     // rows-only (learned PQ codebook is engine-local); SimilaritySpec
     // holds shortlist recall vs exact s01 + the planted-duplicate pin
     "s05_ann_pq" -> (ProductQuantization.s05AnnPq _),
+    // rows-only (both codebooks engine-local); SimilaritySpec holds
+    // recall vs s01 >= plain PQ's (residuals quantize tighter)
+    "s06_ann_ivfpq" -> (ProductQuantization.s06AnnIvfPq _),
     "t01_lang_id" -> (Text.t01LangId _),
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),

@@ -58,12 +58,36 @@ object ProductQuantization {
     transform(sequence(lit(0), lit(m - 1)), i => slice(vecCol, i * subDim + 1, subDim))
   }
 
-  /** (vec_id, embedding original, unit) from any embeddings frame. */
-  private def withUnit(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** (vec_id, embedding original, unit) from any embeddings frame.
+    * `normalize = false` passes the raw vector through as `unit` — the
+    * residual-PQ path (s06) quantizes residuals, which live in the
+    * already-normalized space and must NOT be re-normalized.
+    */
+  private def withUnit(emb: DataFrame, idCol: String, vecCol: String,
+      normalize: Boolean = true): DataFrame = {
     val s = emb.sparkSession
-    emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"),
-      unit(s, Cols.q(vecCol)).as("unit"))
+    val v = Cols.q(vecCol)
+    emb.select(Cols.q(idCol).as("vec_id"), v.as("embedding"),
+      (if (normalize) unit(s, v) else v).as("unit"))
   }
+
+  /** Public helper: (vec_id, embedding) with each vector unit-length —
+    * the space every PQ/IVF-PQ artifact lives in. Train the coarse
+    * quantizer for [[annIvfPq]] on THIS frame (the s06 gate does) so
+    * cell centroids and residuals share the unit space.
+    */
+  def unitVectors(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    withUnit(emb, idCol, vecCol).select(col("vec_id"), col("unit").as("embedding"))
+
+  /** One-row (sub, cell)-major flattened codebook for broadcast into
+    * the encode scan (the layout `graft_pq_encode`/`graft_pq_adc`
+    * index into).
+    */
+  private def flatCodebook(codebook: DataFrame): DataFrame =
+    codebook.agg(flatten(
+      array_sort(collect_list(struct(col("sub"), col("cell"), col("centroid"))))
+        .getField("centroid")).as("cb"))
 
   /** Train a per-subspace PQ codebook: (sub, cell, centroid) with
     * `kCodes` centroids per subspace, Lloyd-refined for `iterations`
@@ -78,9 +102,9 @@ object ProductQuantization {
     */
   def trainPqCodebook(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", m: Int = M, kCodes: Int = KCodes,
-      iterations: Int = 2): DataFrame = {
+      iterations: Int = 2, normalize: Boolean = true): DataFrame = {
     val s = emb.sparkSession
-    val subs = withUnit(emb, idCol, vecCol)
+    val subs = withUnit(emb, idCol, vecCol, normalize)
       .select(col("vec_id"), posexplode(subVectors(col("unit"), m)).as(Seq("sub", "subvec")))
     // hash-ordered sample per subspace: same order-bias-free rule as
     // Similarity.ivfSeeds, applied within each subspace partition
@@ -122,13 +146,10 @@ object ProductQuantization {
     * (native `graft_pq_encode`), no shuffle of the corpus.
     */
   def pqEncode(emb: DataFrame, codebook: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", m: Int = M): DataFrame = {
+      vecCol: String = "embedding", m: Int = M, normalize: Boolean = true): DataFrame = {
     val s = emb.sparkSession
-    val flat = codebook.agg(flatten(
-      array_sort(collect_list(struct(col("sub"), col("cell"), col("centroid"))))
-        .getField("centroid")).as("cb"))
-    withUnit(emb, idCol, vecCol)
-      .crossJoin(broadcast(flat))
+    withUnit(emb, idCol, vecCol, normalize)
+      .crossJoin(broadcast(flatCodebook(codebook)))
       .select(col("vec_id"), PqEncode.encode(s, col("unit"), col("cb"), m).as("codes"))
   }
 
@@ -151,11 +172,29 @@ object ProductQuantization {
           .getField("d").cast("array<float>").as("lut"))
   }
 
+  /** Shortlist the `shortlist` lowest ADC distances per query
+    * (WindowGroupLimit pushes partial limits into the shuffle), then
+    * rescore exactly: the tiny broadcast shortlist joins back to the
+    * float corpus and `graft_cosine` scores the originals.
+    */
+  private def shortlistRescore(corpus: DataFrame, cand: DataFrame,
+      queryEmb: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    val short = cand.withColumn("r", row_number().over(w))
+      .filter(col("r") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+    val rescored = corpus
+      .join(broadcast(short), col("vec_id") === col("n_id"))
+      .join(broadcast(queryEmb.select(col("q_id").as("qid2"), col("q_emb"))),
+        col("q_id") === col("qid2"))
+      .select(col("q_id"), col("n_id"),
+        CosineSimilarity.cosine(s, col("q_emb"), col("embedding")).as("cosine"))
+    Similarity.topK(rescored, k)
+  }
+
   /** ADC scan -> shortlist -> exact rescore. The scan streams the CODE
-    * table once per query batch (broadcast LUTs, m lookups per row);
-    * the shortlist window pushes partial top-`shortlist` limits into
-    * the shuffle (WindowGroupLimit); the rescore joins the tiny
-    * broadcast shortlist back to the float corpus and scores exactly.
+    * table once per query batch (broadcast LUTs, m lookups per row).
     */
   private def pqTopK(corpus: DataFrame, encoded: DataFrame, luts: DataFrame,
       k: Int, shortlist: Int): DataFrame = {
@@ -165,17 +204,8 @@ object ProductQuantization {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         PqAdc.adc(s, col("codes"), col("lut")).as("adist"))
-    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
-    val short = cand.withColumn("r", row_number().over(w))
-      .filter(col("r") <= shortlist)
-      .select(col("q_id"), col("n_id"))
-    val rescored = corpus
-      .join(broadcast(short), col("vec_id") === col("n_id"))
-      .join(broadcast(luts.select(col("vec_id").as("qid2"), col("q_emb"))),
-        col("q_id") === col("qid2"))
-      .select(col("q_id"), col("n_id"),
-        CosineSimilarity.cosine(s, col("q_emb"), col("embedding")).as("cosine"))
-    Similarity.topK(rescored, k)
+    shortlistRescore(corpus, cand,
+      luts.select(col("vec_id").as("q_id"), col("q_emb")), k, shortlist)
   }
 
   /** Library form: PQ ANN over any embeddings frame with a trained
@@ -211,5 +241,143 @@ object ProductQuantization {
       queryLuts(withUnit(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding"),
         codebook, M),
       K, Shortlist)
+  }
+
+  // ----- IVF-PQ (s06): coarse cells + PQ-encoded residuals -----
+
+  private val NumCells = 32
+  private val NumProbes = 12
+  private val AssignReplicas = 3
+
+  /** residual = vec - centroid, element-wise (build/query-time only —
+    * the hot scan reads pre-encoded codes, never residual floats).
+    */
+  private def residualOf(vec: Column, centroid: Column): Column =
+    zip_with(vec, centroid, (x, y) => x - y).cast("array<float>")
+
+  /** Train the residual PQ codebook for an IVF-PQ index: assign the
+    * unit corpus to its nearest coarse cell, subtract that centroid,
+    * and Lloyd-train per-subspace codes on the residuals
+    * (`normalize = false` — residuals live in the already-unit space).
+    * Residuals are far more concentrated than raw vectors (the coarse
+    * quantizer has removed the cell mean), which is why IVF-PQ recovers
+    * precision plain PQ loses at the same code budget.
+    */
+  def trainIvfPqCodebook(emb: DataFrame, coarse: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding", m: Int = M,
+      kCodes: Int = KCodes, iterations: Int = 2): DataFrame = {
+    val u = withUnit(emb, idCol, vecCol)
+    val assigned = Similarity.assignCells(
+      u.select(col("vec_id"), col("unit").as("embedding")),
+      coarse.select(col("cell"), col("centroid").as("seed_emb")), replicas = 1)
+    trainPqCodebook(
+      assigned.join(broadcast(coarse), Seq("cell"))
+        .select(col("vec_id"), residualOf(col("embedding"), col("centroid")).as("residual")),
+      vecCol = "residual", m = m, kCodes = kCodes, iterations = iterations,
+      normalize = false)
+  }
+
+  /** Build the IVF-PQ store: (vec_id, cell, codes) — each vector lives
+    * in its `replicas` nearest coarse cells (multi-assignment, the same
+    * recall lever as s03: each copy encodes ITS OWN residual vs that
+    * cell's centroid), with the residual PQ-encoded to m codes. The
+    * per-cell code lists are the only thing a query scan touches.
+    */
+  def ivfPqEncode(emb: DataFrame, coarse: DataFrame, pqCodebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding", m: Int = M,
+      replicas: Int = AssignReplicas): DataFrame = {
+    val s = emb.sparkSession
+    val u = withUnit(emb, idCol, vecCol)
+    Similarity.assignCells(
+        u.select(col("vec_id"), col("unit").as("embedding")),
+        coarse.select(col("cell"), col("centroid").as("seed_emb")), replicas)
+      .join(broadcast(coarse), Seq("cell"))
+      .crossJoin(broadcast(flatCodebook(pqCodebook)))
+      .select(col("vec_id"), col("cell"),
+        PqEncode.encode(s, residualOf(col("embedding"), col("centroid")), col("cb"), m)
+          .as("codes"))
+  }
+
+  /** IVF-PQ ANN — the standard billion-scale index architecture,
+    * composed Spark-first from the coarse quantizer (s03/s04 machinery)
+    * and PQ (s05 machinery): a query probes its `numProbes` nearest
+    * coarse cells, builds one ADC lookup table PER PROBED CELL from its
+    * residual against that cell's centroid, and equi-joins the
+    * (cell, lut) pairs against the code store — so the scan touches
+    * only the probed cells' codes (cell-equi, skew-bounded like s03),
+    * never the whole corpus, and reads m bytes-ish per vector, never
+    * floats. Pairs met in several probed cells keep their lowest ADC
+    * distance (map-side-partial min); shortlist then exact rescore as
+    * in s05.
+    */
+  def annIvfPq(emb: DataFrame, queries: DataFrame, coarse: DataFrame,
+      pqCodebook: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = K, numProbes: Int = NumProbes, shortlist: Int = Shortlist,
+      m: Int = M): DataFrame =
+    ivfPqTopK(Similarity.normalized(emb, idCol, vecCol),
+      ivfPqEncode(emb, coarse, pqCodebook, idCol, vecCol, m),
+      withUnit(queries, idCol, vecCol), coarse, pqCodebook, k, numProbes, shortlist, m)
+
+  private def ivfPqTopK(corpus: DataFrame, encoded: DataFrame, q: DataFrame,
+      coarse: DataFrame, pqCodebook: DataFrame, k: Int, numProbes: Int,
+      shortlist: Int, m: Int): DataFrame = {
+    val s = corpus.sparkSession
+    // each query's numProbes nearest coarse cells, carrying the cell
+    // centroid for the residual LUT (tiny: queries x cells)
+    val pw = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(coarse))
+      .select(col("vec_id").as("q_id"), col("embedding"), col("unit"), col("cell"),
+        col("centroid"),
+        CosineSimilarity.cosine(s, col("unit"), col("centroid")).as("c"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= numProbes)
+    // one LUT per (query, probed cell): the query's residual vs that
+    // cell, against the residual PQ codebook (queries x probes x m x
+    // kCodes rows — still tiny, still broadcast)
+    val pq = pqCodebook.select(col("sub"), col("cell").as("code"),
+      col("centroid").as("pq_centroid"))
+    val luts = probed
+      .select(col("q_id"), col("embedding"), col("cell"),
+        posexplode(subVectors(residualOf(col("unit"), col("centroid")), m))
+          .as(Seq("sub", "qsub")))
+      .join(broadcast(pq), Seq("sub"))
+      .select(col("q_id"), col("embedding"), col("cell"), col("sub"), col("code"),
+        L2Squared.l2sq(s, col("qsub"), col("pq_centroid")).as("d"))
+      .groupBy("q_id", "cell")
+      .agg(any_value(col("embedding")).as("q_emb"),
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d"))))
+          .getField("d").cast("array<float>").as("lut"))
+    val cand = encoded
+      .join(broadcast(luts.select(col("q_id"), col("cell"), col("lut"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        PqAdc.adc(s, col("codes"), col("lut")).as("adist"))
+      // multi-assignment: a pair met in several probed cells keeps its
+      // best (lowest) reconstruction distance
+      .groupBy("q_id", "n_id").agg(min(col("adist")).as("adist"))
+    shortlistRescore(corpus, cand,
+      luts.groupBy("q_id").agg(any_value(col("q_emb")).as("q_emb")), k, shortlist)
+  }
+
+  /** s06: gate binding of the IVF-PQ path — coarse codebook Lloyd-
+    * trained on the unit corpus, residual PQ codebook and code store
+    * session-cached, queries vec_id < 10. rows-only oracle (both
+    * codebooks are engine-local floats); SimilaritySpec holds recall vs
+    * exact s01 and the exact-cosine rescore.
+    */
+  def s06AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = SharedIndex(s, dir, "ivfpq_coarse") {
+      Similarity.trainIvfCodebook(unitVectors(e), numCells = NumCells)
+    }
+    val pqCb = SharedIndex(s, dir, "ivfpq_codebook") {
+      trainIvfPqCodebook(e, coarse)
+    }
+    val encoded = SharedIndex(s, dir, "ivfpq_codes") {
+      ivfPqEncode(e, coarse, pqCb)
+    }
+    ivfPqTopK(Similarity.normalized(e, "vec_id", "embedding"), encoded,
+      withUnit(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding"),
+      coarse, pqCb, K, NumProbes, Shortlist, M)
   }
 }

@@ -254,7 +254,7 @@ object Similarity {
     * top-scoring cells. See [[annIvf]] scale note 2 for why this
     * shuffles one array-bearing row per vector, not n x cells rows.
     */
-  private def assignCells(e: DataFrame, seeds: DataFrame, replicas: Int): DataFrame =
+  private[operators] def assignCells(e: DataFrame, seeds: DataFrame, replicas: Int): DataFrame =
     cellScores(e, seeds)
       .groupBy("vec_id")
       .agg(

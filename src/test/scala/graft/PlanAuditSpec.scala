@@ -108,6 +108,18 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("s06 IVF-PQ: probed-cell equi-join on codes, codegen'd ADC, no cartesian") {
+    val df = graft.operators.ProductQuantization.s06AnnIvfPq(spark, sf)
+    // probe window + LUT agg + pair-min agg + shortlist window + final
+    // top-k window + presentation sort; the code scan joins the
+    // broadcast (cell, lut) side cell-equi — never the whole corpus
+    assert(shuffles(df) <= 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("graft_pq_adc"), plan.take(3000))
+  }
+
   test("d08 embedding LSH pairs: window-capped buckets, no cartesian") {
     val df = Dedup.d08EmbeddingLsh(spark, sf)
     // bucket window (groupBy reuses its partitioning) + pair distinct +

@@ -208,6 +208,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(res.head._3 - 1.0) < 1e-9)
   }
 
+  test("s06 IVF-PQ gate keeps recall and exact cosines vs s01") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val plainPq = ProductQuantization.s05AnnPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = ProductQuantization.s06AnnIvfPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(ivfpq.nonEmpty)
+    val pqRecall = exact.keySet.count(plainPq.contains).toDouble / exact.size
+    val recall = exact.keySet.count(k => ivfpq.exists(_._1 == k)).toDouble / exact.size
+    info(s"s06 IVF-PQ recall $recall vs s05 plain PQ $pqRecall")
+    // the scan only touches 12/32 probed cells (x3 replicas), yet the
+    // residual codes quantize far tighter than raw-vector codes
+    assert(recall >= 0.6, s"recall $recall")
+    ivfpq.filter { case (k, _) => exact.contains(k) }
+      .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
+  }
+
+  test("IVF-PQ on the clustered corpus recalls cluster neighbors through residual codes") {
+    val (emb, queries) = clusteredCorpus
+    val coarse = Similarity.trainIvfCodebook(
+      ProductQuantization.unitVectors(emb), numCells = 32)
+    val pqCb = ProductQuantization.trainIvfPqCodebook(emb, coarse, m = 4)
+    val recall = clusteredRecallOf(
+      ProductQuantization.annIvfPq(emb, queries, coarse, pqCb, m = 4))
+    info(s"IVF-PQ clustered recall: $recall")
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("pqEncode emits m in-range codes per vector") {
     val e = Tables.embeddings(spark, sf)
     val codebook = ProductQuantization.trainPqCodebook(e)
