@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, WordShingles}
+import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, UnitVector, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -51,10 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      PqEncode.builder))
+      (children: Seq[Expression]) => PqEncode(children(0), children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unit"),
+      new ExpressionInfo(classOf[UnitVector].getName, "graft_unit"),
+      (children: Seq[Expression]) => UnitVector(children.head)))
   }
 }

@@ -63,7 +63,8 @@ object SparkEntry {
     // holds shortlist recall vs exact s01 + the planted-duplicate pin
     "s05_ann_pq" -> (ProductQuantization.s05AnnPq _),
     // rows-only (both codebooks engine-local); SimilaritySpec holds
-    // recall vs s01 >= plain PQ's (residuals quantize tighter)
+    // recall vs s01 within 0.1 of plain PQ's while scanning only
+    // probed cells' codes
     "s06_ann_ivfpq" -> (ProductQuantization.s06AnnIvfPq _),
     "t01_lang_id" -> (Text.t01LangId _),
     "t02_quality_score" -> (Text.t02QualityScore _),

@@ -86,6 +86,75 @@ object L2Squared {
   }
 }
 
+/** `graft_unit(vec)` → the unit-length (L2-normalized) copy of an
+  * `Array[Float]` vector; zero vectors pass through unchanged rather
+  * than dividing by zero. One fused loop (norm + scale) per row in
+  * double precision, cast back to float per element — replaces a
+  * higher-order `transform` formulation whose lambda re-evaluated the
+  * norm subtree per ELEMENT (O(dim^2) per row, interpreted) on the
+  * index-build paths.
+  */
+case class UnitVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def prettyName: String = "graft_unit"
+
+  override lazy val resolved: Boolean =
+    child.resolved && (child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+
+  /** Normalize one vector (codegen calls this). */
+  def computeRow(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var n2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      n2 += x * x
+      i += 1
+    }
+    val out = new Array[Float](n)
+    if (n2 == 0.0) {
+      i = 0
+      while (i < n) { out(i) = arr.getFloat(i); i += 1 }
+    } else {
+      val norm = math.sqrt(n2)
+      i = 0
+      while (i < n) { out(i) = (arr.getFloat(i).toDouble / norm).toFloat; i += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unitVec", this, classOf[UnitVector].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.computeRow($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnitVector {
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_unit"),
+      new ExpressionInfo(classOf[UnitVector].getName, "graft_unit"),
+      (children: Seq[Expression]) => UnitVector(children.head))
+
+  def unit(spark: SparkSession, vec: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_unit", vec)
+  }
+}
+
 /** `graft_pq_encode(emb, codebook, m)` → `Array[Int]` of `m` subspace
   * codes for an `Array[Float]` embedding: the vector is split into `m`
   * contiguous subvectors and each is assigned its nearest (squared-L2,
@@ -101,10 +170,8 @@ object L2Squared {
   * (embedding not divisible into `m` subvectors, codebook not a whole
   * number of centroid blocks).
   */
-case class PqEncode(left: Expression, right: Expression, m: Int)
-    extends BinaryExpression with Serializable {
-
-  require(m >= 1, s"graft_pq_encode: m must be >= 1, got $m")
+case class PqEncode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with Serializable {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -113,17 +180,17 @@ case class PqEncode(left: Expression, right: Expression, m: Int)
   override def prettyName: String = "graft_pq_encode"
 
   override lazy val resolved: Boolean = {
-    def ok(e: Expression) = e.resolved && (e.dataType match {
+    def vec(e: Expression) = e.resolved && (e.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     })
-    ok(left) && ok(right)
+    vec(first) && vec(second) && third.resolved && third.dataType == IntegerType
   }
 
   /** Codes for one embedding (codegen calls this). */
-  def computeRow(emb: ArrayData, cb: ArrayData): ArrayData = {
+  def computeRow(emb: ArrayData, cb: ArrayData, m: Int): ArrayData = {
     val dim = emb.numElements()
-    if (dim == 0 || dim % m != 0) return null
+    if (m < 1 || dim == 0 || dim % m != 0) return null
     val subDim = dim / m
     val cbLen = cb.numElements()
     if (cbLen == 0 || cbLen % dim != 0) return null
@@ -152,50 +219,41 @@ case class PqEncode(left: Expression, right: Expression, m: Int)
     UnsafeArrayData.fromPrimitiveArray(codes)
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    computeRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    computeRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
       s"""
-         |${ev.value} = $ref.computeRow($a, $b);
+         |${ev.value} = $ref.computeRow($a, $b, $c);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object PqEncode {
-
-  private def intArg(e: Expression): Int =
-    if (!e.foldable) throw new IllegalArgumentException(
-      "graft_pq_encode: m must be an integer literal")
-    else e.eval() match {
-      case n: Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"graft_pq_encode: m must be an integer literal, got $other")
-    }
-
-  val builder: Seq[Expression] => Expression = {
-    case Seq(e, cb, m) => PqEncode(e, cb, intArg(m))
-    case other => throw new IllegalArgumentException(
-      s"graft_pq_encode takes 3 arguments, got ${other.size}")
-  }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      builder)
+      (children: Seq[Expression]) => PqEncode(children(0), children(1), children(2)))
 
-  def encode(spark: SparkSession, emb: Column, codebook: Column, m: Int): Column = {
+  /** `m` is a COLUMN so callers can derive it from the codebook row
+    * itself (operators/ProductQuantization.flatCodebook does) — the
+    * encode geometry then cannot desynchronize from the codebook it
+    * scans against.
+    */
+  def encode(spark: SparkSession, emb: Column, codebook: Column, m: Column): Column = {
     register(spark)
-    org.apache.spark.sql.functions.call_function("graft_pq_encode",
-      emb, codebook, org.apache.spark.sql.functions.lit(m))
+    org.apache.spark.sql.functions.call_function("graft_pq_encode", emb, codebook, m)
   }
 }
 

@@ -37,25 +37,43 @@ object ProductQuantization {
   private val M = 8
   private val KCodes = 16
   private val Shortlist = 64
-  private val K = 10
-  private val NumQueries = 10
+  // top-k / query-set / IVF geometry shared with the s01-s04 gates so
+  // the cross-gate recall comparisons in SimilaritySpec compare
+  // identically-configured indexes
+  private def K = Similarity.K
+  private def NumQueries = Similarity.NumQueries
 
   /** Unit-normalize an `Array[Float]` vector column (zero vectors pass
-    * through unchanged rather than dividing by zero). |v|^2 via the
-    * fused native `graft_l2sq` against a same-length zero vector; the
-    * element scaling is a build-time-only higher-order `transform`
-    * (never in the query scan, which reads pre-encoded codes).
+    * through unchanged rather than dividing by zero): the native fused
+    * `graft_unit` — one codegen'd loop per row. (A `transform` lambda
+    * formulation re-evaluated its norm subtree per ELEMENT — O(dim^2)
+    * interpreted work on every index-build row.)
     */
-  private def unit(s: SparkSession, vecCol: Column): Column = {
-    val n2 = L2Squared.l2sq(s, vecCol, array_repeat(lit(0.0f), size(vecCol)))
-    when(n2 === 0.0, vecCol)
-      .otherwise(transform(vecCol, x => x / sqrt(n2)).cast("array<float>"))
+  private def unit(s: SparkSession, vecCol: Column): Column =
+    graft.functions.UnitVector.unit(s, vecCol)
+
+  /** Split a vector column into `m` contiguous subvectors. Explicit
+    * integer division: a dimension not divisible by `m` produces
+    * truncated subDim slices here, null codes from `graft_pq_encode`,
+    * and (via nulls-last shortlists) an empty result — a visible
+    * failure, never silent garbage neighbors.
+    */
+  private def subVectors(vecCol: Column, m: Int): Column = {
+    val subDim = (size(vecCol) / lit(m)).cast("int")
+    transform(sequence(lit(0), lit(m - 1)), i => slice(vecCol, i * subDim + 1, subDim))
   }
 
-  /** Split a vector column into `m` contiguous subvectors. */
-  private def subVectors(vecCol: Column, m: Int): Column = {
-    val subDim = size(vecCol) / lit(m)
-    transform(sequence(lit(0), lit(m - 1)), i => slice(vecCol, i * subDim + 1, subDim))
+  /** The `m` a codebook was trained with (tiny driver-side agg over the
+    * broadcast-small codebook) — public query entry points fail fast on
+    * an m mismatch instead of scanning with misaligned lookup tables.
+    */
+  private def codebookM(codebook: DataFrame): Int =
+    codebook.agg(max(col("sub"))).head().getInt(0) + 1
+
+  private def requireM(codebook: DataFrame, m: Int): Unit = {
+    val mCb = codebookM(codebook)
+    require(mCb == m,
+      s"PQ codebook was trained with m=$mCb but the query was built with m=$m")
   }
 
   /** (vec_id, embedding original, unit) from any embeddings frame.
@@ -85,9 +103,14 @@ object ProductQuantization {
     * index into).
     */
   private def flatCodebook(codebook: DataFrame): DataFrame =
-    codebook.agg(flatten(
-      array_sort(collect_list(struct(col("sub"), col("cell"), col("centroid"))))
-        .getField("centroid")).as("cb"))
+    codebook.agg(
+      flatten(
+        array_sort(collect_list(struct(col("sub"), col("cell"), col("centroid"))))
+          .getField("centroid")).as("cb"),
+      // m derived from the codebook itself: the encode scan reads it
+      // from this row, so encode geometry cannot desync from the
+      // codebook it scans against
+      (max(col("sub")) + 1).as("cb_m"))
 
   /** Train a per-subspace PQ codebook: (sub, cell, centroid) with
     * `kCodes` centroids per subspace, Lloyd-refined for `iterations`
@@ -146,11 +169,12 @@ object ProductQuantization {
     * (native `graft_pq_encode`), no shuffle of the corpus.
     */
   def pqEncode(emb: DataFrame, codebook: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", m: Int = M, normalize: Boolean = true): DataFrame = {
+      vecCol: String = "embedding", normalize: Boolean = true): DataFrame = {
     val s = emb.sparkSession
     withUnit(emb, idCol, vecCol, normalize)
       .crossJoin(broadcast(flatCodebook(codebook)))
-      .select(col("vec_id"), PqEncode.encode(s, col("unit"), col("cb"), m).as("codes"))
+      .select(col("vec_id"),
+        PqEncode.encode(s, col("unit"), col("cb"), col("cb_m")).as("codes"))
   }
 
   /** Per-query ADC lookup tables: (q_id, q_emb original, lut) where
@@ -180,7 +204,9 @@ object ProductQuantization {
   private def shortlistRescore(corpus: DataFrame, cand: DataFrame,
       queryEmb: DataFrame, k: Int, shortlist: Int): DataFrame = {
     val s = corpus.sparkSession
-    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    // nulls LAST: a null ADC distance (inconsistent geometry) must
+    // never outrank a real candidate
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc_nulls_last, col("n_id").asc)
     val short = cand.withColumn("r", row_number().over(w))
       .filter(col("r") <= shortlist)
       .select(col("q_id"), col("n_id"))
@@ -217,11 +243,13 @@ object ProductQuantization {
     */
   def annPq(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding", k: Int = K,
-      shortlist: Int = Shortlist, m: Int = M): DataFrame =
+      shortlist: Int = Shortlist, m: Int = M): DataFrame = {
+    requireM(codebook, m)
     pqTopK(Similarity.normalized(emb, idCol, vecCol),
-      pqEncode(emb, codebook, idCol, vecCol, m),
+      pqEncode(emb, codebook, idCol, vecCol),
       queryLuts(withUnit(queries, idCol, vecCol), codebook, m),
       k, shortlist)
+  }
 
   /** s05: gate binding — codebook trained (2 Lloyd rounds) and corpus
     * encoded once per session (SharedIndex), queries vec_id < 10.
@@ -244,10 +272,11 @@ object ProductQuantization {
   }
 
   // ----- IVF-PQ (s06): coarse cells + PQ-encoded residuals -----
+  // (cell geometry shared with the s03/s04 gates — see K above)
 
-  private val NumCells = 32
-  private val NumProbes = 12
-  private val AssignReplicas = 3
+  private def NumCells = Similarity.NumCells
+  private def NumProbes = Similarity.NumProbes
+  private def AssignReplicas = Similarity.AssignReplicas
 
   /** residual = vec - centroid, element-wise (build/query-time only —
     * the hot scan reads pre-encoded codes, never residual floats).
@@ -284,7 +313,7 @@ object ProductQuantization {
     * per-cell code lists are the only thing a query scan touches.
     */
   def ivfPqEncode(emb: DataFrame, coarse: DataFrame, pqCodebook: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding", m: Int = M,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       replicas: Int = AssignReplicas): DataFrame = {
     val s = emb.sparkSession
     val u = withUnit(emb, idCol, vecCol)
@@ -294,8 +323,8 @@ object ProductQuantization {
       .join(broadcast(coarse), Seq("cell"))
       .crossJoin(broadcast(flatCodebook(pqCodebook)))
       .select(col("vec_id"), col("cell"),
-        PqEncode.encode(s, residualOf(col("embedding"), col("centroid")), col("cb"), m)
-          .as("codes"))
+        PqEncode.encode(s, residualOf(col("embedding"), col("centroid")),
+          col("cb"), col("cb_m")).as("codes"))
   }
 
   /** IVF-PQ ANN — the standard billion-scale index architecture,
@@ -313,10 +342,12 @@ object ProductQuantization {
   def annIvfPq(emb: DataFrame, queries: DataFrame, coarse: DataFrame,
       pqCodebook: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = K, numProbes: Int = NumProbes, shortlist: Int = Shortlist,
-      m: Int = M): DataFrame =
+      m: Int = M): DataFrame = {
+    requireM(pqCodebook, m)
     ivfPqTopK(Similarity.normalized(emb, idCol, vecCol),
-      ivfPqEncode(emb, coarse, pqCodebook, idCol, vecCol, m),
+      ivfPqEncode(emb, coarse, pqCodebook, idCol, vecCol),
       withUnit(queries, idCol, vecCol), coarse, pqCodebook, k, numProbes, shortlist, m)
+  }
 
   private def ivfPqTopK(corpus: DataFrame, encoded: DataFrame, q: DataFrame,
       coarse: DataFrame, pqCodebook: DataFrame, k: Int, numProbes: Int,

@@ -23,8 +23,8 @@ import graft.functions.{CosineSimilarity, HyperplaneBuckets}
   */
 object Similarity {
 
-  private val K = 10
-  private val NumQueries = 10
+  private[operators] val K = 10
+  private[operators] val NumQueries = 10
 
   private[operators] def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
@@ -120,9 +120,9 @@ object Similarity {
     lshTopK(bucketed, bucketed.filter(col("vec_id") < NumQueries), K)
   }
 
-  private val NumCells = 32
-  private val NumProbes = 12
-  private val AssignReplicas = 3
+  private[operators] val NumCells = 32
+  private[operators] val NumProbes = 12
+  private[operators] val AssignReplicas = 3
 
   /** Per-(vector, cell) cosine scores against the seed table — map-only
     * over the corpus (broadcast nested-loop of the tiny seed side).

@@ -32,5 +32,24 @@ class GraftExtensionsSpec extends SparkSpec {
     val fp = derived.sql("SELECT graft_fingerprint('hello world')").collect().head.getLong(0)
     assert(fp === derived.sql("SELECT graft_fingerprint('hello world')").collect().head.getLong(0))
     assert(fp !== derived.sql("SELECT graft_fingerprint('world hello')").collect().head.getLong(0))
+    val nfc = derived.sql("SELECT graft_nfc('abc')").collect().head.getString(0)
+    assert(nfc === "abc")
+    val l2 = derived.sql(
+      "SELECT graft_l2sq(array(CAST(0.0 AS FLOAT), CAST(3.0 AS FLOAT)), array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(l2 === 16.0)
+    val u = derived.sql(
+      "SELECT graft_unit(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .collect().head.getSeq[Float](0)
+    assert(math.abs(u(0) - 0.6f) < 1e-6 && math.abs(u(1) - 0.8f) < 1e-6)
+    // 2-dim vector, m=1, one centroid equal to the vector: code 0, ADC 0
+    val codes = derived.sql(
+      "SELECT graft_pq_encode(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 1)")
+      .collect().head.getSeq[Int](0)
+    assert(codes === Seq(0))
+    val adc = derived.sql(
+      "SELECT graft_pq_adc(array(0), array(CAST(0.25 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(math.abs(adc - 0.25) < 1e-7)
   }
 }

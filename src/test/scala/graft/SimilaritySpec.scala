@@ -220,8 +220,11 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.keySet.count(k => ivfpq.exists(_._1 == k)).toDouble / exact.size
     info(s"s06 IVF-PQ recall $recall vs s05 plain PQ $pqRecall")
     // the scan only touches 12/32 probed cells (x3 replicas), yet the
-    // residual codes quantize far tighter than raw-vector codes
+    // residual codes quantize tightly enough to stay within tolerance
+    // of plain PQ's full-corpus scan (measured 0.78 vs 0.79)
     assert(recall >= 0.6, s"recall $recall")
+    assert(recall >= pqRecall - 0.1,
+      s"IVF-PQ recall $recall fell more than 0.1 below plain PQ $pqRecall")
     ivfpq.filter { case (k, _) => exact.contains(k) }
       .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
   }
@@ -235,6 +238,15 @@ class SimilaritySpec extends SparkSpec {
       ProductQuantization.annIvfPq(emb, queries, coarse, pqCb, m = 4))
     info(s"IVF-PQ clustered recall: $recall")
     assert(recall >= 0.85, s"recall $recall")
+  }
+
+  test("annPq fails fast when the codebook was trained with a different m") {
+    val (emb, queries) = clusteredCorpus
+    val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantization.annPq(emb, queries, codebook, m = 8)
+    }
+    assert(e.getMessage.contains("m=4"), e.getMessage)
   }
 
   test("pqEncode emits m in-range codes per vector") {
