@@ -75,6 +75,8 @@ object SparkEntry {
     "t06_repetition_stats" -> (Text.t06RepetitionStats _),
     "t07_normalize" -> (Text.t07Normalize _),
     "t08_pii_redact" -> (Text.t08PiiRedact _),
+    "t09_boilerplate_spans" -> (Text.t09BoilerplateSpans _),
+    "t10_quality_buckets" -> (Text.t10QualityBuckets _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -564,5 +566,50 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
         |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // identical 5-token spans, COUNT document frequency, CASE rollup;
+    // CAST the CASE sum (DuckDB SUM -> HUGEINT, the q17 lesson)
+    "t09_boilerplate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS span
+        |  FROM toks WHERE len(t) >= 5
+        |), df AS (
+        |  SELECT span, count(*) AS ndocs FROM sp GROUP BY span
+        |), per AS (
+        |  SELECT sp.doc_id, count(*) AS n_spans,
+        |    CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans
+        |  FROM sp JOIN df USING (span) GROUP BY sp.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(per.n_spans, 0) AS n_spans,
+        |  COALESCE(per.n_shared_spans, 0) AS n_shared_spans
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same rounded-quality histogram + pure-integer DIV bucket rule
+    // (equal-quality docs share a bucket; no float boundary math)
+    "t10_quality_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+        |      + least(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM d
+        |), h AS (
+        |  SELECT quality, count(*) AS c FROM f GROUP BY quality
+        |), cum AS (
+        |  SELECT quality,
+        |    COALESCE(SUM(c) OVER (ORDER BY quality ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rank_lo,
+        |    SUM(c) OVER () AS total
+        |  FROM h
+        |)
+        |SELECT f.doc_id, f.quality,
+        |  CAST((rank_lo * 10) // total AS BIGINT) AS bucket
+        |FROM f JOIN cum USING (quality) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -99,9 +99,12 @@ case class WordShingles(child: Expression, k: Int)
 object WordShingles {
   import org.apache.spark.sql.{Column, SparkSession}
 
-  /** Column-API entry point through the FunctionRegistry. */
+  /** Column-API entry point through the FunctionRegistry (registers
+    * the requested width, whatever it is — the Seq(2,3,4) default on
+    * [[register]] only covers the SQL-facing standard trio).
+    */
   def shingles(spark: SparkSession, tokens: Column, k: Int): Column = {
-    register(spark)
+    register(spark, Seq(k))
     org.apache.spark.sql.functions.call_function(s"graft_shingles_$k", tokens)
   }
 

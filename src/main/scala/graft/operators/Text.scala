@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text-analysis operator family (SURVEY.md §2.4): language ID, quality
@@ -260,6 +261,83 @@ object Text {
     normalizeText(Tables.documents(s, dir))
       .withColumn("n_chars", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
+
+  /** Cross-document repeated-span detection — the boilerplate filter
+    * (headers, footers, templates) web-corpus pipelines run before
+    * training: every distinct `w`-token span per doc, a document
+    * frequency per span, and per doc the count of spans shared by at
+    * least `minDocs` documents. A high shared fraction marks
+    * boilerplate-heavy docs.
+    *
+    * Scale shape: span generation is map-only (native `word_shingles`
+    * inside the scan, distinct per doc); the document-frequency agg is
+    * a mergeable COUNT on the span key (map-side partials — never a
+    * list, so hot spans cost nothing); the join back is span-equi and
+    * reuses the agg's partitioning; the per-doc rollup is one more
+    * mergeable agg. Integer outputs hash exactly against the oracle.
+    * Docs shorter than `w` tokens keep a zero row via explode_outer.
+    */
+  def boilerplateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 5, minDocs: Int = 2): DataFrame = {
+    val s = docs.sparkSession
+    val pairs = normalized(docs, idCol, textCol)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"),
+        explode_outer(array_distinct(
+          graft.functions.WordShingles.shingles(s, col("toks"), w))).as("span"))
+    val spanDf = pairs.filter(col("span").isNotNull)
+      .groupBy("span").agg(count(lit(1)).as("ndocs"))
+    pairs.join(spanDf, Seq("span"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("span")).as("n_spans"),
+        coalesce(sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)), lit(0L))
+          .as("n_shared_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** t09: gate binding of [[boilerplateSpans]] (5-token spans, shared =
+    * appearing in >= 2 docs). Fully oracled: span construction, COUNT
+    * document frequency, and the CASE rollup are identical integer
+    * math in the DuckDB twin.
+    */
+  def t09BoilerplateSpans(s: SparkSession, dir: String): DataFrame =
+    boilerplateSpans(Tables.documents(s, dir))
+
+  /** Quality-quantile bucket assignment — the curriculum / quality-mix
+    * step (sample bucket 9 more than bucket 0, or train high-quality
+    * last): bucket = (docs with strictly lower quality) * nBuckets DIV
+    * total, so equal-quality docs always share a bucket and the math is
+    * pure integers (engine-exact).
+    *
+    * Deliberately NOT a global ntile: ntile needs one totally-ordered
+    * partition — a single-task sort of the corpus at 100 TB. Here the
+    * corpus-sized passes are one mergeable groupBy on the ROUNDED
+    * quality value (bounded distinct values) and a broadcast join back;
+    * only the tiny histogram crosses a single-partition window (the
+    * same shape as q21's totals).
+    */
+  def qualityBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 10): DataFrame = {
+    val q = qualityScore(docs, idCol, textCol).select(col("doc_id"), col("quality"))
+    val hist = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
+    val wLo = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, -1)
+    val thresholds = hist
+      .withColumn("rank_lo", coalesce(sum(col("c")).over(wLo), lit(0L)))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+      .select(col("quality"),
+        expr(s"(rank_lo * $nBuckets) DIV total").as("bucket"))
+    q.join(broadcast(thresholds), Seq("quality"))
+      .select(col("doc_id"), col("quality"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** t10: gate binding of [[qualityBuckets]] (deciles). Fully oracled:
+    * the DuckDB twin shares the rounded-quality histogram and the
+    * integer DIV bucket rule.
+    */
+  def t10QualityBuckets(s: SparkSession, dir: String): DataFrame =
+    qualityBuckets(Tables.documents(s, dir))
 
   /** PII patterns — deliberately SYNTACTIC (no 0-255 octet or TLD
     * validation): scrubbing favors recall, and every pattern stays in

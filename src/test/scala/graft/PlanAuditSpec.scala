@@ -169,6 +169,26 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("t09 boilerplate spans: mergeable count aggs + span-equi join, no list buffering") {
+    val df = Text.t09BoilerplateSpans(spark, sf)
+    // span-frequency agg + pairs-side exchange for the span join +
+    // per-doc agg + presentation sort
+    assert(shuffles(df) <= 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("collect_list"), plan.take(2000))
+  }
+
+  test("t10 quality buckets: histogram agg + tiny-window thresholds joined broadcast") {
+    val df = Text.t10QualityBuckets(spark, sf)
+    // quality histogram agg + single-partition threshold window (tiny
+    // side) + presentation sort; the corpus-side assignment is a
+    // broadcast join, never a corpus-wide total-order window
+    assert(shuffles(df) <= 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {
     val df = Text.t06RepetitionStats(spark, sf)
     assert(shuffles(df) <= 3)

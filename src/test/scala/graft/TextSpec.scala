@@ -223,6 +223,44 @@ class TextSpec extends SparkSpec {
     assert(out.filter(col("redacted").rlike("\\d{3}[-.]\\d{3}[-.]\\d{4}")).count() === 0L)
   }
 
+  test("boilerplateSpans flags shared spans and zero-fills short docs") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact the site team"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"one two three four five six $boiler"),
+      (3L, "totally unique content with no repeats anywhere at all"),
+      (4L, "too short") // < 5 tokens: no spans
+    ).toDF("id", "body")
+    val out = Text.boilerplateSpans(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 12 tokens -> 8 spans, doc 2: 13 -> 9; the 3 spans fully
+    // inside the shared 7-token boilerplate tail appear in both
+    assert(out(1L) === ((8L, 3L)), s"got ${out(1L)}")
+    assert(out(2L) === ((9L, 3L)), s"got ${out(2L)}")
+    assert(out(3L) === ((5L, 0L)))
+    assert(out(4L) === ((0L, 0L)))
+  }
+
+  test("qualityBuckets is monotone in quality and groups equal-quality docs") {
+    val out = Text.t10QualityBuckets(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length === Tables.documents(spark, sf).count())
+    // monotone: sorting by quality never decreases the bucket
+    val byQ = out.sortBy(_._2)
+    byQ.sliding(2).foreach {
+      case Array((_, _, b1), (_, _, b2)) => assert(b1 <= b2)
+      case _ =>
+    }
+    // equal quality -> equal bucket
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).distinct.length === 1)
+    }
+    // deciles span the range and are roughly balanced
+    val sizes = out.groupBy(_._3).map { case (b, rs) => b -> rs.length }
+    assert(sizes.keySet.max <= 9L && sizes.keySet.min === 0L)
+  }
+
   test("t01/t02/t03 agree on tokenization") {
     val t1 = Text.t01LangId(spark, sf).count()
     val t2 = Text.t02QualityScore(spark, sf).count()
