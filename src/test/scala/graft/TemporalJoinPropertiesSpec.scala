@@ -240,6 +240,19 @@ class TemporalJoinPropertiesSpec extends SparkSpec {
       Seq((1L, "g", 5L)).toDF("doc.id", "the src", "tok count"),
       "doc.id", "the src", "tok count", Map("g" -> 100L))
     assert(quota.count() === 1L)
+    // round-7 text ops
+    assert(graft.operators.Text.redactPii(docs, "doc.id", "the text").count() === 2L)
+    assert(graft.operators.Text.boilerplateSpans(docs, "doc.id", "the text").count() === 2L)
+    assert(graft.operators.Text.qualityBuckets(docs, "doc.id", "the text").count() === 2L)
+    // PQ family
+    val pqEmb = Seq((0L, Array(1f, 0f, 0f, 1f)), (1L, Array(1f, 0.1f, 0f, 1f)),
+      (2L, Array(0f, 1f, 1f, 0f))).toDF("vec.id", "the emb")
+    val pqCb = graft.operators.ProductQuantization.trainPqCodebook(
+      pqEmb, "vec.id", "the emb", m = 2, kCodes = 2)
+    val pqAnn = graft.operators.ProductQuantization.annPq(
+      pqEmb, pqEmb.filter(col("`vec.id`") === 0L), pqCb, "vec.id", "the emb",
+      k = 2, m = 2)
+    assert(pqAnn.count() === 2L)
   }
 
   test("packSequences invariants hold on random token counts") {

@@ -261,6 +261,27 @@ class TextSpec extends SparkSpec {
     assert(sizes.keySet.max <= 9L && sizes.keySet.min === 0L)
   }
 
+  test("t08/t09/t10 are partition-independent and redaction is idempotent") {
+    val docs = Tables.documents(spark, sf)
+    val shuffled = docs.repartition(7, col("source"))
+    // same rows whatever the physical layout — the property that must
+    // survive a 1000-executor cluster
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Text.boilerplateSpans(docs)) === rows(Text.boilerplateSpans(shuffled)))
+    assert(rows(Text.qualityBuckets(docs)) === rows(Text.qualityBuckets(shuffled)))
+    assert(rows(Text.redactPii(docs)) === rows(Text.redactPii(shuffled)))
+    // redacting already-redacted text changes nothing (placeholders
+    // contain no redactable patterns)
+    val once = Text.redactPii(docs)
+    val twice = Text.redactPii(once.select(col("doc_id"), col("redacted")),
+      textCol = "redacted")
+    assert(twice.filter(col("n_emails") =!= 0L || col("n_phones") =!= 0L ||
+      col("n_ips") =!= 0L).count() === 0L)
+    assert(rows(twice.select(col("doc_id"), col("redacted"))) ===
+      rows(once.select(col("doc_id"), col("redacted"))))
+  }
+
   test("t01/t02/t03 agree on tokenization") {
     val t1 = Text.t01LangId(spark, sf).count()
     val t2 = Text.t02QualityScore(spark, sf).count()
