@@ -77,6 +77,7 @@ object SparkEntry {
     "t08_pii_redact" -> (Text.t08PiiRedact _),
     "t09_boilerplate_spans" -> (Text.t09BoilerplateSpans _),
     "t10_quality_buckets" -> (Text.t10QualityBuckets _),
+    "t11_corpus_vocab" -> (Text.t11CorpusVocab _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -588,6 +589,24 @@ object SparkEntry {
         |  COALESCE(per.n_spans, 0) AS n_spans,
         |  COALESCE(per.n_shared_spans, 0) AS n_shared_spans
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // identical two-level word count; top-k by (count desc, word asc);
+    // integer cum/total so the hash is exact
+    "t11_corpus_vocab" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        |  FROM documents
+        |), counts AS (
+        |  SELECT word, count(*) AS n FROM words GROUP BY word
+        |), top AS (
+        |  SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 100
+        |)
+        |SELECT
+        |  CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS vocab_rank,
+        |  word, n,
+        |  CAST(SUM(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_count,
+        |  (SELECT CAST(SUM(n) AS BIGINT) FROM counts) AS total_count
+        |FROM top ORDER BY vocab_rank""".stripMargin,
 
     // same rounded-quality histogram + pure-integer DIV bucket rule
     // (equal-quality docs share a bucket; no float boundary math)

@@ -339,6 +339,44 @@ object Text {
   def t10QualityBuckets(s: SparkSession, dir: String): DataFrame =
     qualityBuckets(Tables.documents(s, dir))
 
+  /** Corpus vocabulary statistics — the tokenizer-prep step (vocab
+    * construction, OOV-rate estimation): the `topK` most frequent words
+    * with occurrence counts and cumulative coverage of all word
+    * occurrences. Counts stay integers (cum_count / total_count) so the
+    * oracle hashes exactly; coverage ratios are one division away for
+    * callers.
+    *
+    * Scale shape: two-level word count (explode → mergeable groupBy —
+    * the map-side partials absorb the explode), then the top-k is an
+    * ORDER BY + LIMIT over the word-count table — Spark plans
+    * TakeOrdered (per-partition heaps + driver merge of k rows), never
+    * a corpus-wide sort — and only the k selected rows cross the
+    * cumulative window.
+    */
+  def corpusVocab(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 100): DataFrame = {
+    val counts = normalized(docs, idCol, textCol)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("word").asc).limit(topK)
+    val wCum = Window.orderBy(col("n").desc, col("word").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total_count"))))
+      .withColumn("vocab_rank", row_number().over(
+        Window.orderBy(col("n").desc, col("word").asc)))
+      .withColumn("cum_count", sum(col("n")).over(wCum))
+      .select(col("vocab_rank"), col("word"), col("n"), col("cum_count"),
+        col("total_count"))
+      .orderBy("vocab_rank")
+  }
+
+  /** t11: gate binding of [[corpusVocab]] (top 100). Fully oracled:
+    * integer counts, deterministic (count desc, word asc) order.
+    */
+  def t11CorpusVocab(s: SparkSession, dir: String): DataFrame =
+    corpusVocab(Tables.documents(s, dir))
+
   /** PII patterns — deliberately SYNTACTIC (no 0-255 octet or TLD
     * validation): scrubbing favors recall, and every pattern stays in
     * the regex subset Java and RE2 (DuckDB) match identically, so the

@@ -189,6 +189,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("t11 corpus vocab: top-k via TakeOrdered, never a corpus-wide sort") {
+    val df = Text.t11CorpusVocab(spark, sf)
+    // word-count agg (+ its possible reuse for the total) + the tiny
+    // single-partition window + presentation sort
+    assert(shuffles(df) <= 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {
     val df = Text.t06RepetitionStats(spark, sf)
     assert(shuffles(df) <= 3)

@@ -261,6 +261,21 @@ class TextSpec extends SparkSpec {
     assert(sizes.keySet.max <= 9L && sizes.keySet.min === 0L)
   }
 
+  test("corpusVocab ranks by frequency with exact cumulative coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b  d")  // double space: empty token filtered
+    ).toDF("id", "body")
+    val out = Text.corpusVocab(docs, "id", "body", topK = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // counts: a=4, b=3, c=1, d=1 (total 9); top-3 ties break on word asc
+    assert(out.toSeq === Seq(
+      (1, "a", 4L, 4L, 9L),
+      (2, "b", 3L, 7L, 9L),
+      (3, "c", 1L, 8L, 9L)))
+  }
+
   test("t08/t09/t10 are partition-independent and redaction is idempotent") {
     val docs = Tables.documents(spark, sf)
     val shuffled = docs.repartition(7, col("source"))
