@@ -171,21 +171,21 @@ object UnitVector {
   * number of centroid blocks).
   */
 case class PqEncode(first: Expression, second: Expression, third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with Serializable {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+    with Serializable {
+
+  // the analyzer coerces a BIGINT-literal m (or double arrays) here
+  // instead of leaving the call opaquely unresolved (return type
+  // inferred: AbstractDataType itself is private[sql] in Spark 4)
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullable: Boolean = true
 
   override def prettyName: String = "graft_pq_encode"
-
-  override lazy val resolved: Boolean = {
-    def vec(e: Expression) = e.resolved && (e.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    vec(first) && vec(second) && third.resolved && third.dataType == IntegerType
-  }
 
   /** Codes for one embedding (codegen calls this). */
   def computeRow(emb: ArrayData, cb: ArrayData, m: Int): ArrayData = {
@@ -240,11 +240,21 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
 
 object PqEncode {
 
+  /** Shared registry builder (FunctionRegistry + SparkSessionExtensions)
+    * with an arity check — a 2-argument SQL call gets a clear error,
+    * not an IndexOutOfBoundsException from inside resolution.
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(e, cb, m) => PqEncode(e, cb, m)
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_encode takes 3 arguments (embedding, codebook, m), got ${other.size}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      (children: Seq[Expression]) => PqEncode(children(0), children(1), children(2)))
+      builder)
 
   /** `m` is a COLUMN so callers can derive it from the codebook row
     * itself (operators/ProductQuantization.flatCodebook does) — the

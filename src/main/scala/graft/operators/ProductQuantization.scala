@@ -66,9 +66,15 @@ object ProductQuantization {
   /** The `m` a codebook was trained with (tiny driver-side agg over the
     * broadcast-small codebook) — public query entry points fail fast on
     * an m mismatch instead of scanning with misaligned lookup tables.
+    * This is an eager validation action at query-build time; callers
+    * passing an expensively-derived codebook should checkpoint/persist
+    * it first (trainPqCodebook outputs already are).
     */
-  private def codebookM(codebook: DataFrame): Int =
-    codebook.agg(max(col("sub"))).head().getInt(0) + 1
+  private def codebookM(codebook: DataFrame): Int = {
+    val row = codebook.agg(max(col("sub"))).head()
+    require(!row.isNullAt(0), "PQ codebook is empty — train one first")
+    row.getInt(0) + 1
+  }
 
   private def requireM(codebook: DataFrame, m: Int): Unit = {
     val mCb = codebookM(codebook)
@@ -204,10 +210,13 @@ object ProductQuantization {
   private def shortlistRescore(corpus: DataFrame, cand: DataFrame,
       queryEmb: DataFrame, k: Int, shortlist: Int): DataFrame = {
     val s = corpus.sparkSession
-    // nulls LAST: a null ADC distance (inconsistent geometry) must
-    // never outrank a real candidate
-    val w = Window.partitionBy("q_id").orderBy(col("adist").asc_nulls_last, col("n_id").asc)
-    val short = cand.withColumn("r", row_number().over(w))
+    // a null ADC distance (inconsistent geometry, e.g. dim not
+    // divisible by m) must never enter the shortlist: with every
+    // distance null the result is EMPTY — a visible failure — instead
+    // of an arbitrary subset rescored into plausible-looking neighbors
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    val short = cand.filter(col("adist").isNotNull)
+      .withColumn("r", row_number().over(w))
       .filter(col("r") <= shortlist)
       .select(col("q_id"), col("n_id"))
     val rescored = corpus

@@ -189,13 +189,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
-  test("t11 corpus vocab: top-k via TakeOrdered, never a corpus-wide sort") {
+  test("t11 corpus vocab: top-k via TakeOrdered, word-count exchange reused for the total") {
     val df = Text.t11CorpusVocab(spark, sf)
-    // word-count agg (+ its possible reuse for the total) + the tiny
-    // single-partition window + presentation sort
+    // word-count agg + the tiny single-partition window + presentation
+    // sort; the total_count subtree must REUSE the word-count exchange
+    // (pinned below), not rescan the corpus
     assert(shuffles(df) <= 4)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
   }
 
   test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {

@@ -240,6 +240,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("annPq with an indivisible dimension returns empty, never arbitrary neighbors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 10-dim vectors with m=4: subVectors truncates, graft_pq_encode
+    // nulls every code, null ADC distances are filtered out of the
+    // shortlist -> EMPTY result (visible failure), not a plausible
+    // top-k drawn from an arbitrary candidate subset
+    val emb = (0L until 50L).map(i => (i, Array.fill(10)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 4)
+    val res = ProductQuantization.annPq(emb, emb.filter(col("vec_id") === 0L),
+      codebook, m = 4, k = 5)
+    assert(res.count() === 0L)
+  }
+
   test("annPq fails fast when the codebook was trained with a different m") {
     val (emb, queries) = clusteredCorpus
     val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
