@@ -59,6 +59,52 @@ class PipelineSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) <= 256L || r.getLong(2) === 1L, r.toString))
   }
 
+  test("normalize -> redact -> quality-bucket -> budget-sample -> vocab composes (round-7 surface)") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+
+    // 1. canonicalize, then scrub PII from the canonical text
+    val normed = Text.normalizeText(docs)
+    val scrubbed = Text.redactPii(normed, textCol = "norm_text")
+      .select(col("doc_id"), col("redacted"))
+    assert(scrubbed.count() === total)
+
+    // 2. quality deciles on the scrubbed text; keep the top half
+    val buckets = Text.qualityBuckets(scrubbed, textCol = "redacted")
+    val top = buckets.filter(col("bucket") >= 5).select("doc_id", "bucket")
+    val nTop = top.count()
+    assert(nTop > 0 && nTop < total)
+
+    // 3. token-budget mixture sampling per bucket (tight budget on the
+    // best bucket, everything else passes through)
+    val withTok = top
+      .join(Text.tokenCount(scrubbed, textCol = "redacted")
+        .select(col("doc_id"), col("ws_tokens")), "doc_id")
+      .withColumn("grp", concat(lit("b"), col("bucket")))
+    val sampled = Relational.tokenBudgetSample(withTok, "doc_id", "grp", "ws_tokens",
+      Map("b9" -> 200L))
+    val nSampled = sampled.count()
+    assert(nSampled > 0 && nSampled <= nTop)
+    // the budgeted bucket actually shrank to (about) its budget
+    val b9Tokens = sampled.filter(col("grp") === "b9")
+      .agg(coalesce(sum("ws_tokens"), lit(0L))).head().getLong(0)
+    val b9Before = withTok.filter(col("grp") === "b9")
+      .agg(coalesce(sum("ws_tokens"), lit(0L))).head().getLong(0)
+    assert(b9Before === 0L || b9Tokens < b9Before)
+
+    // 4. vocabulary of the final training corpus
+    val finalDocs = scrubbed.join(sampled.select("doc_id"), "doc_id")
+    val vocab = Text.corpusVocab(finalDocs, textCol = "redacted").collect()
+    assert(vocab.nonEmpty)
+    val totalCount = vocab.head.getLong(4)
+    // cumulative coverage is monotone and bounded by the corpus total
+    vocab.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(3))
+      case _ =>
+    }
+    assert(vocab.last.getLong(3) <= totalCount)
+  }
+
   test("embedding pairs -> cluster -> keep-one composes without a label column") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
