@@ -270,29 +270,31 @@ object Text {
     * boilerplate-heavy docs.
     *
     * Scale shape: span generation is map-only (native `word_shingles`
-    * inside the scan, distinct per doc); the document-frequency agg is
-    * a mergeable COUNT on the span key (map-side partials — never a
-    * list, so hot spans cost nothing); the join back is span-equi and
-    * reuses the agg's partitioning; the per-doc rollup is one more
+    * inside the scan, distinct per doc); the document frequency is a
+    * WINDOW count over the span key — ONE shuffle of the span pairs
+    * serving both the frequency and the rollup, one corpus pass (the
+    * agg+join formulation this replaced planned two separate exchanges
+    * of the same explode because the frequency side's null filter
+    * defeated exchange reuse). The window's row buffer spills under a
+    * degenerate hot span — disk churn, never an executor (the same
+    * d02/d08 house rule for blocking keys); the per-doc rollup is a
     * mergeable agg. Integer outputs hash exactly against the oracle.
-    * Docs shorter than `w` tokens keep a zero row via explode_outer.
+    * Docs shorter than `w` tokens keep a zero row via explode_outer
+    * (their null span counts 0 in its window partition).
     */
   def boilerplateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 5, minDocs: Int = 2): DataFrame = {
     val s = docs.sparkSession
-    val pairs = normalized(docs, idCol, textCol)
+    normalized(docs, idCol, textCol)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"),
         explode_outer(array_distinct(
           graft.functions.WordShingles.shingles(s, col("toks"), w))).as("span"))
-    val spanDf = pairs.filter(col("span").isNotNull)
-      .groupBy("span").agg(count(lit(1)).as("ndocs"))
-    pairs.join(spanDf, Seq("span"), "left")
+      .withColumn("ndocs", count(col("span")).over(Window.partitionBy("span")))
       .groupBy("doc_id")
       .agg(
         count(col("span")).as("n_spans"),
-        coalesce(sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)), lit(0L))
-          .as("n_shared_spans"))
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_shared_spans"))
       .orderBy("doc_id")
   }
 
