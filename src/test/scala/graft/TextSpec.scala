@@ -276,6 +276,29 @@ class TextSpec extends SparkSpec {
       (3, "c", 1L, 8L, 9L)))
   }
 
+  test("qualityBuckets edge cases: one bucket, more buckets than docs, uniform quality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short one"),
+      (2L, "a slightly longer document with more words inside"),
+      (3L, "short one")
+    ).toDF("id", "body")
+    // nBuckets = 1: everything lands in bucket 0
+    val one = Text.qualityBuckets(docs, "id", "body", nBuckets = 1)
+      .collect().map(_.getLong(2))
+    assert(one.toSet === Set(0L))
+    // more buckets than docs: buckets stay in [0, n), strictly fewer
+    // distinct buckets than requested, still monotone
+    val many = Text.qualityBuckets(docs, "id", "body", nBuckets = 100)
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(many.forall { case (_, b) => b >= 0L && b < 100L })
+    assert(many.sortBy(_._1).map(_._2).toSeq === many.sortBy(_._1).map(_._2).sorted.toSeq)
+    // uniform quality: every doc shares bucket 0 whatever nBuckets is
+    val same = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z")).toDF("id", "body")
+    assert(Text.qualityBuckets(same, "id", "body", nBuckets = 10)
+      .collect().map(_.getLong(2)).toSet === Set(0L))
+  }
+
   test("t08/t09/t10 are partition-independent and redaction is idempotent") {
     val docs = Tables.documents(spark, sf)
     val shuffled = docs.repartition(7, col("source"))
