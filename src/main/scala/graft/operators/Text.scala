@@ -284,6 +284,11 @@ object Text {
     */
   def boilerplateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 5, minDocs: Int = 2): DataFrame = {
+    // minDocs < 1 would count a short doc's null span as "shared"
+    // (ndocs = 0 in its window partition), and a 1-doc threshold marks
+    // every span shared — neither is a meaningful boilerplate filter
+    require(w >= 1 && minDocs >= 2,
+      s"boilerplateSpans needs w >= 1 and minDocs >= 2, got w=$w minDocs=$minDocs")
     val s = docs.sparkSession
     normalized(docs, idCol, textCol)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
