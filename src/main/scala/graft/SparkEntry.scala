@@ -53,6 +53,7 @@ object SparkEntry {
     // rows-only (hyperplane buckets are engine-local); DedupSpec holds
     // recall vs the exact all-pairs near-dup set + cosine exactness
     "d08_dedup_embedding_lsh" -> (Dedup.d08EmbeddingLsh _),
+    "d09_winnow_dups" -> (Dedup.d09WinnowDups _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -589,6 +590,31 @@ object SparkEntry {
         |  COALESCE(per.n_spans, 0) AS n_spans,
         |  COALESCE(per.n_shared_spans, 0) AS n_shared_spans
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // identical md5-prefix gram hash (conv == '0x' cast), window-min
+    // winnowing, DF cap in [2,200], integer pair counts
+    "d09_winnow_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents
+        |), gh AS (
+        |  SELECT doc_id, list_transform(range(1, len(t) - 2),
+        |    i -> CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 8)) AS BIGINT)) AS g
+        |  FROM toks WHERE len(t) >= 7
+        |), pr0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(g) - 2), j -> list_min(g[j:j+3]))) AS fp
+        |  FROM gh
+        |), pr AS (
+        |  SELECT DISTINCT doc_id, fp FROM pr0
+        |), capped AS (
+        |  SELECT doc_id, fp FROM pr
+        |  WHERE fp IN (SELECT fp FROM pr GROUP BY fp HAVING count(*) BETWEEN 2 AND 200)
+        |)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_prints
+        |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY shared_prints DESC, d1, d2 LIMIT 100""".stripMargin,
 
     // identical two-level word count; top-k by (count desc, word asc);
     // integer cum/total so the hash is exact

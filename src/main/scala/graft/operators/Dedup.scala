@@ -191,6 +191,50 @@ object Dedup {
       jaccardTopK(shingleBuckets(s, dir), 100)
     }
 
+  /** MOSS-style winnowing fingerprints + shared-print pairs — the
+    * exact-substring dup-candidate detector (the dedup flavor the
+    * shingle-Jaccard family doesn't give): per doc, hash every w-token
+    * gram (portable md5-prefix integers, the q19/t04 house hash), then
+    * WINNOW — each run of `window` consecutive gram hashes contributes
+    * only its minimum. The winnowing guarantee: any token run of at
+    * least w + window - 1 shared tokens yields at least one shared
+    * selected fingerprint, while only ~2/(window+1) of the grams are
+    * stored. Docs pair by shared selected prints (count desc).
+    *
+    * Scale shape: gram hashing and winnowing are per-row in the scan;
+    * the fingerprint index reuses the shingle machinery — window-capped
+    * buckets (DF in [2, 200]) and in-bucket codegen'd pair expansion,
+    * one exchange for bucket + cap, one agg for pair counts.
+    */
+  def winnowDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 4, window: Int = 4,
+      topK: Int = 100): DataFrame = {
+    require(w >= 1 && window >= 1,
+      s"winnowDups needs w >= 1 and window >= 1, got w=$w window=$window")
+    val s = docs.sparkSession
+    val prints = normalized(docs, idCol, textCol)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) >= w + window - 1)
+      .withColumn("gh", transform(
+        graft.functions.WordShingles.shingles(s, col("toks"), w),
+        g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("gh")) - window + 1),
+        j => array_min(slice(col("gh"), j, lit(window)))))).as("fp"))
+    bucketPairs(cappedIdBuckets(prints, Seq("fp"), "doc_id", MaxShingleDF, minSize = 2L))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared_prints"))
+      .orderBy(col("shared_prints").desc, col("d1").asc, col("d2").asc)
+      .limit(topK)
+  }
+
+  /** d09: gate binding of [[winnowDups]] (4-token grams, window 4 —
+    * detects shared runs of >= 7 tokens). Fully oracled: the md5-prefix
+    * gram hash, window-min selection, DF cap, and pair counts are
+    * identical integer math in the DuckDB twin.
+    */
+  def d09WinnowDups(s: SparkSession, dir: String): DataFrame =
+    winnowDups(Tables.documents(s, dir))
+
   /** Connected components over near-dup pairs: each involved doc gets
     * `cluster_id` = the smallest doc id reachable through the pair
     * graph — the resolution step that turns any pair generator's output

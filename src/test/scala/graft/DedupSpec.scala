@@ -193,6 +193,34 @@ class DedupSpec extends SparkSpec {
     driverCos(m(a), m(b))
   }
 
+  test("winnowDups honors the winnowing guarantee on planted shared runs") {
+    import spark.implicits._
+    val run = "alpha bravo charlie delta echo foxtrot golf" // 7 tokens = w+window-1
+    val docs = Seq(
+      (1L, s"unique lead text one two $run"),
+      (2L, s"$run completely different tail words here"),
+      (3L, "nothing shared with anything else at all whatsoever today"),
+      (4L, "another fully distinct document about other things entirely")
+    ).toDF("id", "body")
+    val pairs = Dedup.winnowDups(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the guarantee: a shared token run of >= w + window - 1 tokens
+    // MUST yield at least one shared selected fingerprint
+    assert(pairs.exists { case (d1, d2, n) => d1 == 1L && d2 == 2L && n >= 1L },
+      s"planted pair missing from ${pairs.toSeq}")
+    // unrelated docs never pair
+    assert(!pairs.exists { case (d1, d2, _) => d1 == 3L || d2 == 3L || d1 == 4L || d2 == 4L })
+  }
+
+  test("winnowDups is partition-independent on the standard corpus") {
+    val docs = Tables.documents(spark, sf)
+    val a = Dedup.winnowDups(docs).collect().map(_.toString).toSeq
+    val b = Dedup.winnowDups(docs.repartition(13, org.apache.spark.sql.functions.col("source")))
+      .collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("d01 exact dedup groups by content hash with deterministic representative") {
     val out = Dedup.d01ExactHash(spark, sf)
     val n = out.count()

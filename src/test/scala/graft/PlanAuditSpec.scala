@@ -169,6 +169,17 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("d09 winnow dups: window-capped fingerprint buckets, in-bucket pairs, no self-join") {
+    val df = Dedup.d09WinnowDups(spark, sf)
+    // bucket window+groupBy (one exchange) + pair-count agg +
+    // presentation TakeOrdered; never a fingerprint self-join (two
+    // exchanges of the exploded store) or a cartesian
+    assert(shuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("t09 boilerplate spans: one span shuffle (window count), no join, no list buffering") {
     val df = Text.t09BoilerplateSpans(spark, sf)
     // span window + per-doc agg + presentation sort — the document
