@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, UnitVector, WordShingles}
+import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, UnitVector, WinnowPrints, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -60,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_unit"),
       new ExpressionInfo(classOf[UnitVector].getName, "graft_unit"),
       (children: Seq[Expression]) => UnitVector(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowPrints].getName, "graft_winnow"),
+      WinnowPrints.builder))
   }
 }

@@ -201,7 +201,10 @@ object Dedup {
     * selected fingerprint, while only ~2/(window+1) of the grams are
     * stored. Docs pair by shared selected prints (count desc).
     *
-    * Scale shape: gram hashing and winnowing are per-row in the scan;
+    * Scale shape: tokenize + gram hashing + window-min selection are
+    * ONE native codegen'd call in the scan (`graft_winnow`, see
+    * functions/WinnowPrints.scala — the three-HOF-lambda formulation it
+    * replaced dropped the scan to interpreted mode, the d02 trap);
     * the fingerprint index reuses the shingle machinery — window-capped
     * buckets (DF in [2, 200]) and in-bucket codegen'd pair expansion,
     * one exchange for bucket + cap, one agg for pair counts.
@@ -213,14 +216,8 @@ object Dedup {
       s"winnowDups needs w >= 1 and window >= 1, got w=$w window=$window")
     val s = docs.sparkSession
     val prints = normalized(docs, idCol, textCol)
-      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-      .filter(size(col("toks")) >= w + window - 1)
-      .withColumn("gh", transform(
-        graft.functions.WordShingles.shingles(s, col("toks"), w),
-        g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")))
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("gh")) - window + 1),
-        j => array_min(slice(col("gh"), j, lit(window)))))).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowPrints.winnow(s, col("text"), w, window)).as("fp"))
     bucketPairs(cappedIdBuckets(prints, Seq("fp"), "doc_id", MaxShingleDF, minSize = 2L))
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared_prints"))
       .orderBy(col("shared_prints").desc, col("d1").asc, col("d2").asc)

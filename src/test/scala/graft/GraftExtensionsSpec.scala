@@ -51,5 +51,14 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_pq_adc(array(0), array(CAST(0.25 AS FLOAT)))")
       .collect().head.getDouble(0)
     assert(math.abs(adc - 0.25) < 1e-7)
+    // 7 tokens, w=4, window=4: exactly one selected fingerprint, and it
+    // equals the house md5-prefix hash of one of the four 4-grams
+    val wn = derived.sql(
+      "SELECT graft_winnow('a b c d e f g', 4, 4)").collect().head.getSeq[Long](0)
+    val gramHashes = derived.sql(
+      """SELECT transform(array('a b c d', 'b c d e', 'c d e f', 'd e f g'),
+        |  g -> CAST(conv(substr(md5(CAST(g AS BINARY)), 1, 8), 16, 10) AS BIGINT))""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(wn === Seq(gramHashes.min))
   }
 }
