@@ -21,7 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      CosineSimilarity.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
@@ -47,7 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
-      (children: Seq[Expression]) => L2Squared(children(0), children(1))))
+      L2Squared.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
@@ -55,11 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
-      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+      PqAdc.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_unit"),
       new ExpressionInfo(classOf[UnitVector].getName, "graft_unit"),
-      (children: Seq[Expression]) => UnitVector(children.head)))
+      UnitVector.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "graft_winnow"),

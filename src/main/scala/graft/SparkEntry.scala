@@ -88,6 +88,9 @@ object SparkEntry {
     "x02_xbrl_fact_table" -> (XbrlQueries.x02XbrlFactTable _),
     "x03_xbrl_coverage" -> (XbrlQueries.x03XbrlCoverage _),
     "x04_xbrl_calc_validate" -> (XbrlQueries.x04XbrlCalcValidate _),
+    // the reference's headline CLI workload whole: all 255 tables built
+    // from one persisted parse + the full parquet datapackage written
+    "x05_xbrl_full_extract" -> (XbrlQueries.x05XbrlFullExtract _),
   )
 
   /** d02's oracle, shared: d07 clusters exactly these pairs. */

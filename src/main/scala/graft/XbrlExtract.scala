@@ -55,6 +55,61 @@ object XbrlExtract {
     ExtractOutput(taxonomies, schemas, tables, stats)
   }
 
+  /** The reference CLI's full parquet workload over an ALREADY-PARSED
+    * filing store (xbrl.py:86-140 + cli.py:101-130, one measured run):
+    * build every table in `schemas` from the shared parse, write each to
+    * `<outDir>/tables/<name>.parquet`, write the validated parquet
+    * datapackage descriptor and the taxonomy metadata JSON, and return
+    * one summary row per table `(table_name, n_rows, n_cols)`.
+    *
+    * Scale shape: every table build is a projection of the one persisted
+    * parse the caller holds — the archive is parsed once, never per
+    * table. Row counts piggyback on the write jobs via `observe` (no
+    * second pass over any table). The independent per-table jobs are
+    * submitted from a bounded driver pool — exactly how this schedules
+    * on a real cluster, where concurrent small jobs backfill executor
+    * slots a single serial loop would leave idle; the driver holds only
+    * table names and counts (metadata), never table data.
+    */
+  def writeParquetDatapackage(
+      spark: SparkSession,
+      taxonomies: Seq[graft.xbrl.Taxonomy],
+      schemas: Seq[TableSchema],
+      parsed: graft.sources.ParsedFilings,
+      outDir: String,
+      formNumber: Int = 1,
+      poolSize: Int = 8): DataFrame = {
+    // descriptors first: datapackageParquetJson validates the schema set
+    // at the sink boundary before any table job runs
+    XbrlSinks.writeString(s"$outDir/datapackage.json",
+      XbrlSinks.datapackageParquetJson(schemas, formNumber,
+        tableNames = Some(schemas.map(_.name).toSet)))
+    XbrlSinks.writeString(s"$outDir/taxonomy_metadata.json",
+      XbrlSinks.metadataJson(taxonomies))
+    val (facts, contexts, meta) = (parsed.facts, parsed.contexts, parsed.meta)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val summary =
+      try {
+        val jobs = schemas.map { t =>
+          scala.concurrent.Future {
+            val obs = org.apache.spark.sql.Observation()
+            FactTableBuilder.build(t, facts, contexts, meta)
+              .observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$outDir/tables/${t.name}.parquet")
+            (t.name, obs.get("n").asInstanceOf[Long], t.fields.size)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(jobs),
+          scala.concurrent.duration.Duration(30, "min"))
+      } finally pool.shutdown()
+    import spark.implicits._
+    summary.toDF("table_name", "n_rows", "n_cols").orderBy("table_name")
+  }
+
   /** Extract + write everything the reference CLI writes (cli.py:101-130):
     * parquet tables, datapackage.json, taxonomy metadata JSON.
     */

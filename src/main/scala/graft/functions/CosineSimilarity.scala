@@ -96,6 +96,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
+  /** Arity-checked registry builder (the PqEncode pattern): a
+    * wrong-arity SQL call gets a clear error, never an
+    * IndexOutOfBoundsException from inside analyzer resolution.
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_cosine takes 2 arguments (vector, vector), got ${other.size}")
+  }
+
   /** Register `graft_cosine` in the session's FunctionRegistry so both
     * SQL (`SELECT graft_cosine(x, y)`) and the Column API resolve it.
     * Idempotent; called by every operator that uses `cosine`.
@@ -104,7 +114,7 @@ object CosineSimilarity {
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+      builder)
 
   /** Column-API entry point (resolves through the FunctionRegistry). */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {

@@ -18,14 +18,18 @@ import org.apache.spark.sql.{Column, SparkSession}
 
 /** `graft_l2sq(a, b)` → squared Euclidean distance between two
   * `Array[Float]` vectors in double precision. Arrays of differing
-  * lengths measure only the common prefix (callers pass
-  * fixed-dimension subvectors); used by PQ training (Lloyd assignment)
-  * and per-query lookup-table construction.
+  * lengths yield NULL — a dimension mismatch must surface as missing,
+  * never as a plausible-looking common-prefix distance (the function is
+  * public SQL surface via `graft_l2sq`). Internal callers (PQ Lloyd
+  * assignment, per-query lookup tables) always compare equal-length
+  * fixed-dimension subvectors, so they never see the null path.
   */
 case class L2Squared(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def prettyName: String = "graft_l2sq"
 
@@ -40,7 +44,8 @@ case class L2Squared(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -58,13 +63,17 @@ case class L2Squared(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -74,11 +83,21 @@ case class L2Squared(left: Expression, right: Expression)
 
 object L2Squared {
 
+  /** Shared registry builder with an arity check (the PqEncode pattern):
+    * a wrong-arity SQL call gets a clear error, not an
+    * IndexOutOfBoundsException from inside analyzer resolution.
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => L2Squared(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_l2sq takes 2 arguments (vector, vector), got ${other.size}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
-      (children: Seq[Expression]) => L2Squared(children(0), children(1)))
+      builder)
 
   def l2sq(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
@@ -143,11 +162,18 @@ case class UnitVector(child: Expression)
 
 object UnitVector {
 
+  /** Arity-checked registry builder (see [[L2Squared.builder]]). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(v) => UnitVector(v)
+    case other => throw new IllegalArgumentException(
+      s"graft_unit takes 1 argument (vector), got ${other.size}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_unit"),
       new ExpressionInfo(classOf[UnitVector].getName, "graft_unit"),
-      (children: Seq[Expression]) => UnitVector(children.head))
+      builder)
 
   def unit(spark: SparkSession, vec: Column): Column = {
     register(spark)
@@ -339,11 +365,18 @@ case class PqAdc(left: Expression, right: Expression)
 
 object PqAdc {
 
+  /** Arity-checked registry builder (see [[L2Squared.builder]]). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(codes, lut) => PqAdc(codes, lut)
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_adc takes 2 arguments (codes, lut), got ${other.size}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
-      (children: Seq[Expression]) => PqAdc(children(0), children(1)))
+      builder)
 
   def adc(spark: SparkSession, codes: Column, lut: Column): Column = {
     register(spark)

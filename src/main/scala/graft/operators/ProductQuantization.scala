@@ -63,24 +63,25 @@ object ProductQuantization {
     transform(sequence(lit(0), lit(m - 1)), i => slice(vecCol, i * subDim + 1, subDim))
   }
 
-  /** The `m` a codebook was trained with (tiny driver-side agg over the
-    * broadcast-small codebook) — public query entry points fail fast on
-    * an m mismatch instead of scanning with misaligned lookup tables.
-    * This is an eager validation action at query-build time; callers
-    * passing an expensively-derived codebook should checkpoint/persist
-    * it first (trainPqCodebook outputs already are).
+  /** In-plan geometry validation, FREE in the scan: every code array's
+    * length IS the codebook's m (the encode expression reads `cb_m`
+    * from the flat-codebook broadcast row, so the store cannot desync
+    * from the codebook it was encoded against) — an m mismatch between
+    * index and query therefore fails AT FIRST MATERIALIZATION with both
+    * geometries in the message. Query construction stays lazy: no
+    * extra driver job (the r7 `codebookM` ran an eager `.head()` here)
+    * and no extra exchange (an earlier cb_m-agg guard cost one
+    * single-row shuffle per pruned LUT branch). NULL codes pass
+    * through unguarded on purpose: they mean inconsistent encode
+    * geometry (dim not divisible by m, empty codebook), whose pinned
+    * contract is an EMPTY result via the nulls-excluded shortlist.
     */
-  private def codebookM(codebook: DataFrame): Int = {
-    val row = codebook.agg(max(col("sub"))).head()
-    require(!row.isNullAt(0), "PQ codebook is empty — train one first")
-    row.getInt(0) + 1
-  }
-
-  private def requireM(codebook: DataFrame, m: Int): Unit = {
-    val mCb = codebookM(codebook)
-    require(mCb == m,
-      s"PQ codebook was trained with m=$mCb but the query was built with m=$m")
-  }
+  private def guardedAdc(s: SparkSession, codes: Column, lut: Column, m: Int): Column =
+    when(codes.isNull, lit(null).cast("double"))
+      .when(size(codes) === lit(m), PqAdc.adc(s, codes, lut))
+      .otherwise(raise_error(concat(
+        lit("PQ codebook was trained with m="), size(codes).cast("string"),
+        lit(s" but the query was built with m=$m"))))
 
   /** (vec_id, embedding original, unit) from any embeddings frame.
     * `normalize = false` passes the raw vector through as `unit` — the
@@ -232,13 +233,13 @@ object ProductQuantization {
     * table once per query batch (broadcast LUTs, m lookups per row).
     */
   private def pqTopK(corpus: DataFrame, encoded: DataFrame, luts: DataFrame,
-      k: Int, shortlist: Int): DataFrame = {
+      m: Int, k: Int, shortlist: Int): DataFrame = {
     val s = corpus.sparkSession
     val cand = encoded
       .crossJoin(broadcast(luts.select(col("vec_id").as("q_id"), col("lut"))))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        PqAdc.adc(s, col("codes"), col("lut")).as("adist"))
+        guardedAdc(s, col("codes"), col("lut"), m).as("adist"))
     shortlistRescore(corpus, cand,
       luts.select(col("vec_id").as("q_id"), col("q_emb")), k, shortlist)
   }
@@ -253,11 +254,10 @@ object ProductQuantization {
   def annPq(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding", k: Int = K,
       shortlist: Int = Shortlist, m: Int = M): DataFrame = {
-    requireM(codebook, m)
     pqTopK(Similarity.normalized(emb, idCol, vecCol),
       pqEncode(emb, codebook, idCol, vecCol),
       queryLuts(withUnit(queries, idCol, vecCol), codebook, m),
-      k, shortlist)
+      m, k, shortlist)
   }
 
   /** s05: gate binding — codebook trained (2 Lloyd rounds) and corpus
@@ -277,7 +277,7 @@ object ProductQuantization {
     pqTopK(Similarity.normalized(e, "vec_id", "embedding"), encoded,
       queryLuts(withUnit(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding"),
         codebook, M),
-      K, Shortlist)
+      M, K, Shortlist)
   }
 
   // ----- IVF-PQ (s06): coarse cells + PQ-encoded residuals -----
@@ -352,7 +352,6 @@ object ProductQuantization {
       pqCodebook: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = K, numProbes: Int = NumProbes, shortlist: Int = Shortlist,
       m: Int = M): DataFrame = {
-    requireM(pqCodebook, m)
     ivfPqTopK(Similarity.normalized(emb, idCol, vecCol),
       ivfPqEncode(emb, coarse, pqCodebook, idCol, vecCol),
       withUnit(queries, idCol, vecCol), coarse, pqCodebook, k, numProbes, shortlist, m)
@@ -391,7 +390,7 @@ object ProductQuantization {
       .join(broadcast(luts.select(col("q_id"), col("cell"), col("lut"))), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        PqAdc.adc(s, col("codes"), col("lut")).as("adist"))
+        guardedAdc(s, col("codes"), col("lut"), m).as("adist"))
       // multi-assignment: a pair met in several probed cells keeps its
       // best (lowest) reconstruction distance
       .groupBy("q_id", "n_id").agg(min(col("adist")).as("adist"))

@@ -279,8 +279,12 @@ object Text {
     * degenerate hot span — disk churn, never an executor (the same
     * d02/d08 house rule for blocking keys); the per-doc rollup is a
     * mergeable agg. Integer outputs hash exactly against the oracle.
-    * Docs shorter than `w` tokens keep a zero row via explode_outer
-    * (their null span counts 0 in its window partition).
+    * Docs shorter than `w` tokens keep a zero row via explode_outer,
+    * and each such null-span row is windowed under its OWN sentinel key
+    * (doc_id-derived) — at corpus scale the short docs would otherwise
+    * all land in one NULL window partition, a guaranteed single-task
+    * straggler rather than the spillable per-key skew above. The null
+    * span still counts 0 everywhere (count/sum guards ignore it).
     */
   def boilerplateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 5, minDocs: Int = 2): DataFrame = {
@@ -290,16 +294,21 @@ object Text {
     require(w >= 1 && minDocs >= 2,
       s"boilerplateSpans needs w >= 1 and minDocs >= 2, got w=$w minDocs=$minDocs")
     val s = docs.sparkSession
+    // per-short-doc sentinel window key: real spans are space-joined
+    // non-empty tokens, so a NUL-framed key cannot collide with one
+    val windowKey = coalesce(col("span"),
+      concat(lit("\u0000short\u0000"), col("doc_id").cast("string")))
     normalized(docs, idCol, textCol)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .select(col("doc_id"),
         explode_outer(array_distinct(
           graft.functions.WordShingles.shingles(s, col("toks"), w))).as("span"))
-      .withColumn("ndocs", count(col("span")).over(Window.partitionBy("span")))
+      .withColumn("ndocs", count(col("span")).over(Window.partitionBy(windowKey)))
       .groupBy("doc_id")
       .agg(
         count(col("span")).as("n_spans"),
-        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_shared_spans"))
+        sum(when(col("span").isNotNull && col("ndocs") >= minDocs, 1L)
+          .otherwise(0L)).as("n_shared_spans"))
       .orderBy("doc_id")
   }
 
@@ -319,22 +328,34 @@ object Text {
     *
     * Deliberately NOT a global ntile: ntile needs one totally-ordered
     * partition — a single-task sort of the corpus at 100 TB. Here the
-    * corpus-sized passes are one mergeable groupBy on the ROUNDED
-    * quality value (bounded distinct values) and a broadcast join back;
-    * only the tiny histogram crosses a single-partition window (the
-    * same shape as q21's totals).
+    * corpus-sized passes are one mergeable groupBy on the QUANTIZED
+    * quality value and a broadcast join back; only the tiny histogram
+    * crosses a single-partition window (the same shape as q21's
+    * totals). `gridDp` makes the histogram's cardinality bound
+    * explicit: quality lives in [0, 1], so the single-window side holds
+    * at most 10^gridDp + 1 rows BY CONSTRUCTION at any corpus size —
+    * 10^6 at the default (fine for one task), 10^4 if a caller wants
+    * the histogram negligible. Equal-quality docs share a bucket at
+    * every grid (equal quality ⇒ equal key); a coarser grid only merges
+    * near-equal neighbors into the same bucket boundary decision.
     */
   def qualityBuckets(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", nBuckets: Int = 10): DataFrame = {
-    val q = qualityScore(docs, idCol, textCol).select(col("doc_id"), col("quality"))
-    val hist = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
-    val wLo = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, -1)
+      textCol: String = "text", nBuckets: Int = 10, gridDp: Int = 6): DataFrame = {
+    require(nBuckets >= 1, s"qualityBuckets needs nBuckets >= 1, got $nBuckets")
+    // quality is already rounded to 6 dp by qualityScore, so > 6 would
+    // silently be the 6-dp grid; keep the declared bound honest
+    require(gridDp >= 0 && gridDp <= 6,
+      s"qualityBuckets needs 0 <= gridDp <= 6, got $gridDp")
+    val q = qualityScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality"), round(col("quality"), gridDp).as("qkey"))
+    val hist = q.groupBy(col("qkey")).agg(count(lit(1)).as("c"))
+    val wLo = Window.orderBy("qkey").rowsBetween(Window.unboundedPreceding, -1)
     val thresholds = hist
       .withColumn("rank_lo", coalesce(sum(col("c")).over(wLo), lit(0L)))
       .withColumn("total", sum(col("c")).over(Window.partitionBy()))
-      .select(col("quality"),
+      .select(col("qkey"),
         expr(s"(rank_lo * $nBuckets) DIV total").as("bucket"))
-    q.join(broadcast(thresholds), Seq("quality"))
+    q.join(broadcast(thresholds), Seq("qkey"))
       .select(col("doc_id"), col("quality"), col("bucket"))
       .orderBy("doc_id")
   }

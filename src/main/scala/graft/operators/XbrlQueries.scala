@@ -73,6 +73,12 @@ object XbrlQueries {
     filingsCache.remove(s).foreach(_.unpersist())
   }
 
+  /** Test hooks (PlanAuditSpec pins x05's per-table plans against the
+    * session-shared parse these gate queries actually use).
+    */
+  private[graft] def sharedParse(s: SparkSession): graft.sources.ParsedFilings = filings(s)
+  private[graft] def tableSchemas: Seq[TableSchema] = tables
+
   /** x01: distributed parse of the ferc1 2021 filings archive — one
     * summary row per filing (context/fact counts by period type,
     * report date).
@@ -152,5 +158,23 @@ object XbrlQueries {
     val fs = filings(s)
     FactTableBuilder.validateCalculations(s, schema, calcs, fs.facts, fs.contexts)
       .orderBy("filing_name", "entity_id", "concept")
+  }
+
+  /** x05: the reference's HEADLINE job, whole and measured — extract
+    * every table of the merged ferc1 taxonomy from the 2021 archive and
+    * write the complete parquet datapackage (all 255 tables + validated
+    * descriptor + taxonomy metadata), the reference's actual CLI
+    * workload end to end (xbrl.py:86-140 + cli.py:101-130). One summary
+    * row per table with its written row/column counts; every build
+    * reads the ONE persisted session parse (never re-parses the
+    * archive), and counts ride the write jobs via `observe`. Output
+    * lands under java.io.tmpdir (or GRAFT_X05_OUT) — x05 is a WRITE
+    * workload by design; repeat runs overwrite in place.
+    */
+  def x05XbrlFullExtract(s: SparkSession, dir: String): DataFrame = {
+    val outDir = sys.env.getOrElse("GRAFT_X05_OUT",
+      s"${System.getProperty("java.io.tmpdir")}/graft_x05_datapackage")
+    graft.XbrlExtract.writeParquetDatapackage(
+      s, taxonomies, tables, filings(s), outDir, poolSize = 16)
   }
 }

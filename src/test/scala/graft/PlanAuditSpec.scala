@@ -239,4 +239,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 5, s"$n shuffle exchanges\n${df.queryExecution.executedPlan}")
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
   }
+
+  /** Count InMemoryTableScan leaves in the final adaptive plan — the
+    * "reads the persisted parse, not the archive" witness.
+    */
+  private def inMemoryScans(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: InMemoryTableScanExec => 1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("x05 per-table builds read the ONE persisted parse within the x02 exchange budget") {
+    // x05 loops FactTableBuilder.build over all 255 schemas; its scale
+    // contract is per-table, so pin two structurally different tables
+    // (the narrow duration identification table + the widest instant
+    // table): every build must scan the session-cached parse on both
+    // fact and context sides — never re-parse the archive — and stay
+    // within the same exchange budget x02 pins. 255 tables then scale
+    // the loop linearly with zero added parse cost.
+    val fs = XbrlQueries.sharedParse(spark)
+    val schemas = XbrlQueries.tableSchemas
+    val picks = Seq(
+      schemas.find(_.name == "identification_001_duration").get,
+      schemas.filter(_.periodType == "instant").maxBy(t => (t.fields.size, t.name)))
+    picks.foreach { t =>
+      val df = graft.plans.FactTableBuilder.build(t, fs.facts, fs.contexts, fs.meta)
+      assert(shuffles(df) <= 5, t.name)
+      assert(inMemoryScans(df) >= 2,
+        s"${t.name}: expected facts+contexts to read the persisted parse\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
 }

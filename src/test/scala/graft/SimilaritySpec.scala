@@ -255,13 +255,31 @@ class SimilaritySpec extends SparkSpec {
     assert(res.count() === 0L)
   }
 
-  test("annPq fails fast when the codebook was trained with a different m") {
+  test("annPq fails at first materialization when the codebook was trained with a different m") {
     val (emb, queries) = clusteredCorpus
     val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
-    val e = intercept[IllegalArgumentException] {
-      ProductQuantization.annPq(emb, queries, codebook, m = 8)
-    }
-    assert(e.getMessage.contains("m=4"), e.getMessage)
+    // construction is LAZY (no driver job — the r7 eager .head() is
+    // gone); the in-plan cb_m guard raises at first materialization,
+    // before any corpus scan, with both geometries in the message
+    val res = ProductQuantization.annPq(emb, queries, codebook, m = 8)
+    val e = intercept[Exception] { res.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(s => s.contains("m=4") && s.contains("m=8")),
+      messages(e).mkString(" | "))
+  }
+
+  test("annIvfPq fails at first materialization on a residual-codebook m mismatch") {
+    val (emb, queries) = clusteredCorpus
+    val coarse = Similarity.trainIvfCodebook(
+      ProductQuantization.unitVectors(emb), numCells = 8)
+    val pqCb = ProductQuantization.trainIvfPqCodebook(emb, coarse, m = 4)
+    val res = ProductQuantization.annIvfPq(emb, queries, coarse, pqCb, m = 8)
+    val e = intercept[Exception] { res.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(s => s.contains("m=4") && s.contains("m=8")),
+      messages(e).mkString(" | "))
   }
 
   test("pqEncode emits m in-range codes per vector") {
