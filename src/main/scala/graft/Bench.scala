@@ -28,7 +28,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // default 5 (r7 ran 3): q15/x01-x04 medians sat 1.5-2x above their
+    // min from first-rep drift even with interleaving; two more reps
+    // cost ~2 min and make the headline median steady-state
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt)
     val spark = GraftSession.create(cpus)
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -64,7 +64,7 @@ object Main {
         args.formNumber, args.requestedTables, args.instancePattern)
       val n = args.formNumber
       val tablesDir = s"${args.outputDir}/ferc${n}_xbrl"
-      XbrlSinks.writeParquet(out.tables, tablesDir)
+      XbrlSinks.writeParquetPooled(out.tables, tablesDir)
       XbrlSinks.writeString(s"${args.outputDir}/ferc${n}_xbrl_datapackage.json",
         XbrlSinks.datapackageJson(out.schemas, tablesDir, n, Some(out.tables.keySet)))
       XbrlSinks.writeString(s"$tablesDir/datapackage.json",

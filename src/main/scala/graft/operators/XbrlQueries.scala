@@ -15,13 +15,20 @@ import graft.xbrl.TableSchema
   */
 object XbrlQueries {
 
-  /** Where the FERC test archives live; override with GRAFT_XBRL_DATA_DIR
-    * so the built jar isn't coupled to this container's layout.
+  /** Where the FERC test archives live; override with the
+    * GRAFT_XBRL_DATA_DIR env var (or the `graft.xbrl.data.dir` system
+    * property, which wins — a JVM can't change its own env, so tests
+    * and embedders need the property route) so the built jar isn't
+    * coupled to this container's layout. Resolved per call; the
+    * session-level taxonomy/filings caches capture whatever directory
+    * was active at their first use.
     */
-  private val dataDir = sys.env.getOrElse(
-    "GRAFT_XBRL_DATA_DIR", "/root/reference/tests/integration/data")
+  private def dataDir: String =
+    sys.props.get("graft.xbrl.data.dir")
+      .orElse(sys.env.get("GRAFT_XBRL_DATA_DIR"))
+      .getOrElse("/root/reference/tests/integration/data")
 
-  private def requireArchive(name: String): String = {
+  private[graft] def requireArchive(name: String): String = {
     val path = s"$dataDir/$name"
     if (!new java.io.File(path).isFile)
       throw new java.io.FileNotFoundException(

@@ -31,6 +31,26 @@ object XbrlSinks {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
 
+  /** [[writeParquet]] with bounded-concurrent job submission: the
+    * per-table writes are independent Spark jobs, so a driver pool lets
+    * them backfill scheduler slots a serial loop would leave idle —
+    * same layout, same output. `graft.Main` and the x05 full extract
+    * both write through this shape.
+    */
+  def writeParquetPooled(tables: Map[String, DataFrame], outDir: String,
+      poolSize: Int = 8): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(tables.toSeq.map { case (name, df) =>
+        scala.concurrent.Future {
+          df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        }
+      }), scala.concurrent.duration.Duration(30, "min"))
+    finally pool.shutdown()
+  }
+
   def writeCsv(tables: Map[String, DataFrame], outDir: String): Unit =
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").option("header", "true").csv(s"$outDir/$name")

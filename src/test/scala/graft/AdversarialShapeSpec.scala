@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Coordinated worst-case corpora for every candidate generator — the
+  * shapes that go quadratic at 100 TB if any bucket cap regresses. Each
+  * cap is unit-tested individually elsewhere (DedupSpec); these tests
+  * prove them under ADVERSARIAL coordination: the entire corpus
+  * colliding onto one blocking key. The cap-implied bound is exact in
+  * each construction: every candidate pair needs a shared blocking key
+  * whose bucket is at or under the generator's cap, and the degenerate
+  * mass drives all of its keys OVER the cap — so the surviving pair
+  * count is ZERO, and the job completes in seconds instead of
+  * materializing ~n^2/2 pairs. A regression in any cap either returns
+  * millions of pairs (assert fails) or grinds (suite timeout) — both
+  * visible.
+  */
+class AdversarialShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 tokens: >= 3 for shingles, >= 7 for d09's default w+window-1 run
+  private val phrase =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("10k identical docs: every text candidate generator caps out to zero pairs") {
+    val docs = (0L until 10000L).map(i => (i, phrase)).toDF("doc_id", "text")
+    // every blocking key of the mass exceeds its cap: shingle and
+    // winnow-fingerprint DF 10000 > 200, MinHash band buckets and
+    // SimHash chunk buckets 10000 > 1000
+    assert(Dedup.ngramJaccardPairs(docs, topK = 1000000).count() === 0L)
+    assert(Dedup.winnowDups(docs, topK = 1000000).count() === 0L)
+    assert(Dedup.minhashLshPairs(docs, topK = 1000000).count() === 0L)
+    assert(Dedup.simhashPairs(docs).count() === 0L)
+  }
+
+  test("all-empty docs: the simhash-0 collapse is capped, token generators emit nothing") {
+    val docs = (0L until 5000L).map(i => (i, "")).toDF("doc_id", "text")
+    // every empty doc hashes to simhash 0 — all four 16-bit chunk
+    // buckets hold the whole corpus (5000 > 1000 cap)
+    assert(Dedup.simhashPairs(docs).count() === 0L)
+    // shingle/winnow need >= 3 / >= 7 tokens: empty docs emit no keys
+    assert(Dedup.ngramJaccardPairs(docs).count() === 0L)
+    assert(Dedup.winnowDups(docs).count() === 0L)
+    assert(Dedup.minhashLshPairs(docs).count() === 0L)
+  }
+
+  test("one stop-phrase shingle across the corpus is capped out; unique content pairs nothing") {
+    // every doc shares 'the quick brown fox' (its two 3-gram shingles
+    // have DF 2000 > 200 — capped out); all other shingles contain a
+    // doc-unique filler token (DF 1 buckets pair nothing). The
+    // cap-implied candidate bound is therefore exactly zero.
+    val docs = (0L until 2000L).map(i =>
+      (i, s"the quick brown fox u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(docs, topK = 1000000).count() === 0L)
+    assert(Dedup.minhashLshPairs(docs, topK = 1000000).count() === 0L)
+  }
+
+  test("embedding LSH: a mass-identical vector block is capped out of the pair set") {
+    val rnd = new scala.util.Random(42)
+    val hot = (0L until 3000L).map(i => (i, Array.fill(16)(1.0f)))
+    val rest = (3000L until 3100L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val emb = (hot ++ rest).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingLshPairs(emb, minCosine = 0.99, topK = 1000000)
+    // identical vectors share EVERY bucket in every table, so any bucket
+    // holding two of them holds all 3000 (> 1000 cap) and is dropped —
+    // no pair inside the hot mass can survive, and the job never
+    // materializes its ~4.5M-pair cross product
+    assert(pairs.filter(col("v1") < 3000L && col("v2") < 3000L).count() === 0L)
+  }
+
+  test("s02 ANN on a fully-degenerate corpus: per-query top-k, never bucket x bucket") {
+    val emb = (0L until 5000L).map(i => (i, Array.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    // ANN must still ANSWER on a degenerate corpus (a cap that dropped
+    // the bucket would lose the query's true neighbors): the candidate
+    // volume is bounded by the BROADCAST query side (queries x bucket),
+    // and the output by the per-query top-k window — 10 rows per query,
+    // each an exact cosine-1 neighbor
+    val rows = Similarity.annLsh(emb, emb.filter(col("vec_id") < 3L)).collect()
+    assert(rows.length === 3 * 10)
+    rows.foreach { r =>
+      assert(r.getLong(0) < 3L)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+  }
+}

@@ -299,6 +299,47 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSet === Set(0L))
   }
 
+  test("qualityBuckets histogram grid: coarse grid keeps the contract, invalid params throw") {
+    import spark.implicits._
+    // ~100 distinct 6-dp qualities (all-unique tokens, lengths 1..400)
+    val docs = (1L to 400L).map(i =>
+      (i, (1L to i).map(j => s"w${i}x$j").mkString(" "))).toDF("id", "body")
+    val out = Text.qualityBuckets(docs, "id", "body", nBuckets = 10, gridDp = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length === 400)
+    // the histogram key is the 1-dp-quantized quality — at most 11
+    // distinct rows through the single-partition window at ANY corpus
+    // size; docs sharing a quantized key must share a bucket
+    out.groupBy { case (_, q, _) => math.round(q * 10) }.foreach { case (_, rs) =>
+      assert(rs.map(_._3).distinct.length === 1)
+    }
+    // monotone in quality, buckets in range
+    val byQ = out.sortBy(_._2).map(_._3)
+    assert(byQ.toSeq === byQ.sorted.toSeq)
+    assert(out.forall { case (_, _, b) => b >= 0L && b < 10L })
+    intercept[IllegalArgumentException](
+      Text.qualityBuckets(docs, "id", "body", nBuckets = 0))
+    intercept[IllegalArgumentException](
+      Text.qualityBuckets(docs, "id", "body", gridDp = 7))
+  }
+
+  test("boilerplateSpans: a mass of short docs completes and zero-fills (no NULL mega-key)") {
+    import spark.implicits._
+    // 5000 sub-w docs all emit NULL spans; each rides its OWN sentinel
+    // window key (the single shared NULL partition was the r7 advisor's
+    // straggler), while real spans still count across the 2 long docs
+    val boiler = "all rights reserved contact the site team"
+    val docs = ((1L to 5000L).map(i => (i, "tiny")) ++ Seq(
+      (9001L, s"alpha beta gamma delta epsilon $boiler"),
+      (9002L, s"one two three four five six $boiler"))).toDF("id", "body")
+    val out = Text.boilerplateSpans(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size === 5002)
+    assert((1L to 5000L).forall(out(_) == ((0L, 0L))))
+    assert(out(9001L) === ((8L, 3L)))
+    assert(out(9002L) === ((9L, 3L)))
+  }
+
   test("t08/t09/t10 are partition-independent and redaction is idempotent") {
     val docs = Tables.documents(spark, sf)
     val shuffled = docs.repartition(7, col("source"))
