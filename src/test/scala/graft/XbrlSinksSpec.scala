@@ -45,6 +45,37 @@ class XbrlSinksSpec extends SparkSpec {
     assert(back.filter(col("report_date") === "2022-04-13").count() >= 1L)
   }
 
+  test("writeParquetDatapackage writes tables + descriptors with observe-exact counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_x05_scoped").toString
+    val taxonomies = graft.sources.TaxonomyParser.parseArchive(
+      s"$dataDir/ferc1-xbrl-taxonomies.zip")
+    val schemas = graft.plans.FactTableSchema.fromTaxonomies(taxonomies)
+      .filter(t => requested.contains(t.name))
+    val parsed = graft.sources.FilingSource.fromZip(spark, s"$dataDir/ferc1-xbrl-2021.zip")
+    try {
+      val summary = XbrlExtract.writeParquetDatapackage(
+        spark, taxonomies, schemas, parsed, dir).collect()
+      assert(summary.map(_.getString(0)).toSet === requested)
+      // the observe-piggybacked counts must equal what actually landed,
+      // and n_cols the written width
+      summary.foreach { r =>
+        val back = spark.read.parquet(s"$dir/tables/${r.getString(0)}.parquet")
+        assert(back.count() === r.getLong(1), r.getString(0))
+        assert(back.columns.length === r.getInt(2), r.getString(0))
+      }
+      assert(summary.find(_.getString(0) == "identification_001_duration")
+        .get.getLong(1) === 10L)
+      val root = new ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/datapackage.json")))
+      val resources = root.get("resources").elements()
+      val names = Iterator.continually(resources)
+        .takeWhile(_.hasNext).map(_.next().get("name").asText()).toSet
+      assert(names === requested)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/taxonomy_metadata.json")))
+    } finally parsed.unpersist()
+  }
+
   test("jdbc sink loads into embedded Derby") {
     val url = s"jdbc:derby:memory:graftdb;create=true"
     XbrlSinks.writeJdbc(
