@@ -62,14 +62,19 @@ object XbrlExtract {
     * datapackage descriptor and the taxonomy metadata JSON, and return
     * one summary row per table `(table_name, n_rows, n_cols)`.
     *
-    * Scale shape: every table build is a projection of the one persisted
-    * parse the caller holds — the archive is parsed once, never per
-    * table. Row counts piggyback on the write jobs via `observe` (no
-    * second pass over any table). The independent per-table jobs are
-    * submitted from a bounded driver pool — exactly how this schedules
-    * on a real cluster, where concurrent small jobs backfill executor
-    * slots a single serial loop would leave idle; the driver holds only
-    * table names and counts (metadata), never table data.
+    * Scale shape: the corpus is aggregated ONCE into the shared grouped
+    * fact store ([[graft.plans.FactTableBuilder.groupedStore]] — three
+    * exchanges total, persisted here unless the caller hands in its own
+    * cached copy), after which every table is a map-only
+    * filter-projection write over that store: no per-table shuffle, no
+    * per-table corpus pass, and the archive itself is parsed once by
+    * the `parsed` store the caller holds. Row counts piggyback on the
+    * write jobs via `observe` (no second pass over any table). The
+    * independent per-table jobs are submitted from a bounded driver
+    * pool — exactly how this schedules on a real cluster, where
+    * concurrent small jobs backfill executor slots a single serial loop
+    * would leave idle; the driver holds only table names and counts
+    * (metadata), never table data.
     */
   def writeParquetDatapackage(
       spark: SparkSession,
@@ -78,7 +83,8 @@ object XbrlExtract {
       parsed: graft.sources.ParsedFilings,
       outDir: String,
       formNumber: Int = 1,
-      poolSize: Int = 8): DataFrame = {
+      poolSize: Int = 8,
+      store: Option[DataFrame] = None): DataFrame = {
     // descriptors first: datapackageParquetJson validates the schema set
     // at the sink boundary before any table job runs
     XbrlSinks.writeString(s"$outDir/datapackage.json",
@@ -86,7 +92,10 @@ object XbrlExtract {
         tableNames = Some(schemas.map(_.name).toSet)))
     XbrlSinks.writeString(s"$outDir/taxonomy_metadata.json",
       XbrlSinks.metadataJson(taxonomies))
-    val (facts, contexts, meta) = (parsed.facts, parsed.contexts, parsed.meta)
+    val st = store.getOrElse(FactTableBuilder.groupedStore(
+      schemas, parsed.facts, parsed.contexts, parsed.meta))
+    val ownStore = store.isEmpty
+    if (ownStore) st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -95,7 +104,7 @@ object XbrlExtract {
         val jobs = schemas.map { t =>
           scala.concurrent.Future {
             val obs = org.apache.spark.sql.Observation()
-            FactTableBuilder.build(t, facts, contexts, meta)
+            FactTableBuilder.buildFromStore(t, st)
               .observe(obs, org.apache.spark.sql.functions.count(
                 org.apache.spark.sql.functions.lit(1)).as("n"))
               .write.mode("overwrite").parquet(s"$outDir/tables/${t.name}.parquet")
@@ -105,7 +114,10 @@ object XbrlExtract {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(jobs),
           scala.concurrent.duration.Duration(30, "min"))
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdown()
+        if (ownStore) st.unpersist(blocking = false)
+      }
     import spark.implicits._
     summary.toDF("table_name", "n_rows", "n_cols").orderBy("table_name")
   }

@@ -172,16 +172,23 @@ object XbrlQueries {
     * write the complete parquet datapackage (all 255 tables + validated
     * descriptor + taxonomy metadata), the reference's actual CLI
     * workload end to end (xbrl.py:86-140 + cli.py:101-130). One summary
-    * row per table with its written row/column counts; every build
-    * reads the ONE persisted session parse (never re-parses the
-    * archive), and counts ride the write jobs via `observe`. Output
-    * lands under java.io.tmpdir (or GRAFT_X05_OUT) — x05 is a WRITE
-    * workload by design; repeat runs overwrite in place.
+    * row per table with its written row/column counts; every table is a
+    * map-only filter-projection over the session-cached grouped fact
+    * store (built once from the ONE persisted parse — the archive is
+    * never re-parsed, the corpus never re-aggregated), and counts ride
+    * the write jobs via `observe`. Output lands under java.io.tmpdir
+    * (or GRAFT_X05_OUT) — x05 is a WRITE workload by design; repeat
+    * runs overwrite in place.
     */
   def x05XbrlFullExtract(s: SparkSession, dir: String): DataFrame = {
     val outDir = sys.env.getOrElse("GRAFT_X05_OUT",
       s"${System.getProperty("java.io.tmpdir")}/graft_x05_datapackage")
+    val store = SharedIndex(s, "xbrl", "grouped_fact_store") {
+      val fs = filings(s)
+      FactTableBuilder.groupedStore(tables, fs.facts, fs.contexts, fs.meta)
+    }
     graft.XbrlExtract.writeParquetDatapackage(
-      s, taxonomies, tables, filings(s), outDir, poolSize = 16)
+      s, taxonomies, tables, filings(s), outDir, poolSize = 16,
+      store = Some(store))
   }
 }

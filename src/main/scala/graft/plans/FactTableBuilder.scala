@@ -38,38 +38,21 @@ import graft.xbrl.{RawFact, TableSchema, XbrlBaseType, XbrlContext}
   */
 object FactTableBuilder {
 
-  /** Steps 1.–4. as a reusable long store: the table's facts filtered,
-    * typed, exact-deduped, and conflict-resolved — one row per surviving
-    * fact id, `(filing_name, c_id, name, tv)` — plus the table's
-    * admissible contexts. Both the wide build and the long-form
-    * calculation validation consume this.
+  /** Steps 3.–4. over a `(filing_name, c_id, name, value)` frame, given
+    * a (name → frictionless type) map: canonical typed value, exact
+    * duplicate drop, highest-precision conflict resolution. Shared by
+    * the per-table long store and the all-tables grouped store.
     */
-  private def dedupedLong(
-      schema: TableSchema,
-      facts: Dataset[RawFact],
-      contexts: Dataset[XbrlContext]): (DataFrame, DataFrame) = {
-
-    val isInstant = schema.periodType == "instant"
-    val dataCols = schema.dataColumns
-    val dataNames = dataCols.map(_.name)
-
-    // 1. + 2. — fact and context filters
-    val f = facts.toDF()
-      .filter(col("instant") === lit(isInstant) && col("name").isin(dataNames: _*))
-      .select("filing_name", "c_id", "name", "value")
-    val axesArr = array(schema.axes.map(lit): _*)
-    val ctx = contexts.toDF()
-      .filter(forall(map_keys(col("dims")), k => array_contains(axesArr, k)))
-
-    val typeOf = dataCols.map(c => c.name -> c.schemaType).toMap
-    val numberNames = dataNames.filter(n => typeOf(n) == "number")
-    val intNames = dataNames.filter(n => Set("integer", "year").contains(typeOf(n)))
-    val boolNames = dataNames.filter(n => typeOf(n) == "boolean")
+  private def dedupFacts(f: DataFrame, typeOf: Map[String, String]): DataFrame = {
+    val names = typeOf.keys.toSeq
+    val numberNames = names.filter(n => typeOf(n) == "number")
+    val intNames = names.filter(n => Set("integer", "year").contains(typeOf(n)))
+    val boolNames = names.filter(n => typeOf(n) == "boolean")
 
     // canonical typed value as string, so "5" and "5.0" in a number
     // column are exact duplicates (CONVERT_DTYPES before drop_duplicates).
     // try_cast: a malformed value (filer typo) nulls that fact instead of
-    // killing the job under ANSI mode.
+    // killing the job under ANSI mode. Large name lists plan as InSet.
     val tv =
       when(col("name").isin(numberNames: _*), expr("try_cast(value AS DOUBLE)").cast("string"))
         .when(col("name").isin(intNames: _*), expr("try_cast(value AS BIGINT)").cast("string"))
@@ -83,14 +66,36 @@ object FactTableBuilder {
       when(round(vd, p) === vd, lit(p)).otherwise(acc)
     }
 
-    // 3. + 4. — exact dedup then per-fact-id conflict resolution
-    val deduped = f
-      .withColumn("tv", tv)
+    f.withColumn("tv", tv)
       .dropDuplicates("filing_name", "c_id", "name", "tv")
       .withColumn("prec", when(vd.isNotNull, prec).otherwise(lit(-1)))
       .groupBy("filing_name", "c_id", "name")
       .agg(max_by(col("tv"), struct(col("prec"), col("tv"))).as("tv"))
-    (deduped, ctx)
+  }
+
+  /** Steps 1.–4. as a reusable long store: the table's facts filtered,
+    * typed, exact-deduped, and conflict-resolved — one row per surviving
+    * fact id, `(filing_name, c_id, name, tv)` — plus the table's
+    * admissible contexts. Both the wide build and the long-form
+    * calculation validation consume this.
+    */
+  private def dedupedLong(
+      schema: TableSchema,
+      facts: Dataset[RawFact],
+      contexts: Dataset[XbrlContext]): (DataFrame, DataFrame) = {
+
+    val isInstant = schema.periodType == "instant"
+    val dataNames = schema.dataColumns.map(_.name)
+
+    // 1. + 2. — fact and context filters
+    val f = facts.toDF()
+      .filter(col("instant") === lit(isInstant) && col("name").isin(dataNames: _*))
+      .select("filing_name", "c_id", "name", "value")
+    val axesArr = array(schema.axes.map(lit): _*)
+    val ctx = contexts.toDF()
+      .filter(forall(map_keys(col("dims")), k => array_contains(axesArr, k)))
+
+    (dedupFacts(f, schema.dataColumns.map(c => c.name -> c.schemaType).toMap), ctx)
   }
 
   /** Build one output table from the long fact/context stores. `meta`
@@ -146,6 +151,97 @@ object FactTableBuilder {
     withPub
       .filter(anyData)
       .select(schema.primaryKey.map(col) ++ typedData: _*)
+  }
+
+  /** Global (name → frictionless type) across a schema set. A concept
+    * is defined once per taxonomy, so a fact name cannot be typed
+    * differently in two tables — verified here, because the shared
+    * grouped store canonicalizes each name's value exactly once.
+    */
+  private def globalTypes(schemas: Seq[TableSchema]): Map[String, String] = {
+    val byName = schemas.flatMap(t => t.dataColumns.map(c => (c.name, c.schemaType)))
+      .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).distinct }
+    val conflicts = byName.collect { case (n, ts) if ts.size > 1 => s"$n: ${ts.mkString("/")}" }
+    require(conflicts.isEmpty,
+      "fact name(s) typed differently across tables — the shared-store build " +
+        s"needs one canonical type per name: ${conflicts.take(5).mkString("; ")}")
+    byName.map { case (n, ts) => n -> ts.head }
+  }
+
+  /** ONE grouped fact store serving EVERY table build — the full-corpus
+    * extract's scale shape. `build()` per table re-runs a wide pivot
+    * aggregation (fine for one table; 255 independent agg+join jobs for
+    * the whole corpus, where per-table planning/codegen dominates at
+    * small scale and 255 corpus passes dominate at large scale). This
+    * store instead aggregates the corpus ONCE: per (filing, c_id), the
+    * deduped facts as one `name → tv` map plus the context's PK fields
+    * and the broadcast publication_time — after which EVERY table is a
+    * cheap filter + map-lookup projection over the same frame
+    * ([[buildFromStore]]), no per-table shuffle at all. Persist the
+    * result before fanning out table builds (XbrlExtract does).
+    *
+    * Total shuffle budget for a FULL 255-table extract: the store's
+    * dedup aggregation + map collection + one context join — three
+    * exchanges over the corpus, once — versus 2×255 with per-table
+    * `build()`.
+    */
+  def groupedStore(
+      schemas: Seq[TableSchema],
+      facts: Dataset[RawFact],
+      contexts: Dataset[XbrlContext],
+      meta: DataFrame): DataFrame = {
+    val typeOf = globalTypes(schemas)
+    val deduped = dedupFacts(
+      facts.toDF()
+        .filter(col("name").isin(typeOf.keys.toSeq: _*))
+        .select("filing_name", "c_id", "name", "value"),
+      typeOf)
+    // at most one row per (filing, c_id, name) after dedup, so the map
+    // collection cannot hit duplicate-key errors by construction
+    deduped
+      .groupBy("filing_name", "c_id")
+      .agg(map_from_entries(collect_list(struct(col("name"), col("tv")))).as("factmap"))
+      .join(contexts.toDF()
+        .select("filing_name", "c_id", "entity_id", "start_date", "end_date",
+          "instant", "dims"),
+        Seq("filing_name", "c_id"))
+      .join(broadcast(meta.select(col("filing_name"), col("publication_time"))),
+        Seq("filing_name"), "left")
+  }
+
+  /** One output table from the shared [[groupedStore]]: period filter,
+    * dimension-subset filter, `total` axis fill, map-lookup projection
+    * per schema column, typed cast, all-null-row drop — a map-only
+    * filter-projection, no aggregation, no join. Semantically identical
+    * to [[build]] (FactTableSpec pins the equivalence on real filings).
+    */
+  def buildFromStore(schema: TableSchema, store: DataFrame): DataFrame = {
+    val isInstant = schema.periodType == "instant"
+    val dataCols = schema.dataColumns
+    val axesArr = array(schema.axes.map(lit): _*)
+
+    val dateCols: Seq[(String, Column)] =
+      if (isInstant) Seq("date" -> col("end_date"))
+      else Seq("start_date" -> col("start_date"), "end_date" -> col("end_date"))
+    val axisCols = schema.axes.map(a => a -> coalesce(element_at(col("dims"), a), lit("total")))
+    val typedData = dataCols.map { c =>
+      val t = XbrlBaseType.sparkType(c.schemaType).sql
+      expr(s"try_cast(element_at(factmap, '${c.name}') AS $t)").as(c.name)
+    }
+    // same all-null-row rule as build(): at least one of the table's
+    // columns present (as canonical tv), checked before the typed cast
+    val anyData = dataCols.map(c => element_at(col("factmap"), lit(c.name)).isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    store
+      .filter(col("instant") === lit(isInstant) &&
+        forall(map_keys(col("dims")), k => array_contains(axesArr, k)) &&
+        anyData)
+      .select(Seq(col("filing_name"), col("entity_id"), col("publication_time")) ++
+        dateCols.map { case (n, c) => c.as(n) } ++
+        axisCols.map { case (n, c) => c.as(n) } ++
+        typedData: _*)
+      .select(schema.primaryKey.map(col) ++ dataCols.map(c => col(c.name)): _*)
   }
 
   /** Calculation-linkbase validation in LONG form: for each calc set

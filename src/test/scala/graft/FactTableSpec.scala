@@ -47,6 +47,30 @@ class FactTableSpec extends SparkSpec {
     assert(hit)
   }
 
+  test("buildFromStore matches build row-for-row on real filings") {
+    val store = FactTableBuilder.groupedStore(
+        tables, filings.facts, filings.contexts, filings.meta)
+      .persist()
+    try {
+      // one narrow duration table, the most-axed duration table, and
+      // the widest instant table — the three structural extremes
+      val picks = Seq(
+        tables.find(_.name == "identification_001_duration").get,
+        tables.filter(t => t.axes.nonEmpty && t.periodType == "duration")
+          .maxBy(t => (t.axes.size, t.name)),
+        tables.filter(_.periodType == "instant").maxBy(t => (t.fields.size, t.name)))
+      picks.foreach { t =>
+        val a = FactTableBuilder.build(t, filings.facts, filings.contexts, filings.meta)
+        val b = FactTableBuilder.buildFromStore(t, store)
+        assert(a.columns.toSeq === b.columns.toSeq, t.name)
+        val ra = a.collect().map(_.toString).sorted.toSeq
+        val rb = b.collect().map(_.toString).sorted.toSeq
+        assert(ra.nonEmpty, s"${t.name}: equivalence on an empty table proves nothing")
+        assert(ra === rb, t.name)
+      }
+    } finally store.unpersist()
+  }
+
   test("fact coverage beats the reference's integration thresholds") {
     val st = FactTableBuilder.stats(spark, tables, filings.facts, filings.contexts, filings.meta)
       .collect()

@@ -256,14 +256,11 @@ class PlanAuditSpec extends SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
-  test("x05 per-table builds read the ONE persisted parse within the x02 exchange budget") {
-    // x05 loops FactTableBuilder.build over all 255 schemas; its scale
-    // contract is per-table, so pin two structurally different tables
-    // (the narrow duration identification table + the widest instant
-    // table): every build must scan the session-cached parse on both
-    // fact and context sides — never re-parse the archive — and stay
-    // within the same exchange budget x02 pins. 255 tables then scale
-    // the loop linearly with zero added parse cost.
+  test("single-table builds read the ONE persisted parse within the x02 exchange budget") {
+    // FactTableBuilder.build is the single-table API (x02): pin two
+    // structurally different tables — every build must scan the
+    // session-cached parse on both fact and context sides, never
+    // re-parse the archive, within the same exchange budget x02 pins.
     val fs = XbrlQueries.sharedParse(spark)
     val schemas = XbrlQueries.tableSchemas
     val picks = Seq(
@@ -276,5 +273,37 @@ class PlanAuditSpec extends SparkSpec {
         s"${t.name}: expected facts+contexts to read the persisted parse\n" +
           df.queryExecution.executedPlan)
     }
+  }
+
+  test("x05 shape: the grouped store aggregates the corpus once, per-table builds are map-only") {
+    // the full-extract path (x05 / writeParquetDatapackage): ONE store
+    // — dedup agg + map agg + context join over the persisted parse —
+    // then every one of the 255 tables is a filter-projection over the
+    // persisted store with ZERO exchanges of its own. This is the
+    // budget that scales: O(1) corpus aggregations for the whole
+    // datapackage, not O(tables).
+    val fs = XbrlQueries.sharedParse(spark)
+    val schemas = XbrlQueries.tableSchemas
+    // audit the store's own plan UNPERSISTED (persisting hides it
+    // inside an InMemoryRelation the walker doesn't enter)
+    val storePlan = graft.plans.FactTableBuilder.groupedStore(
+      schemas, fs.facts, fs.contexts, fs.meta)
+    assert(shuffles(storePlan) <= 5,
+      s"${shuffles(storePlan)} exchanges\n${storePlan.queryExecution.executedPlan}")
+    assert(inMemoryScans(storePlan) >= 2,
+      s"expected facts+contexts from the persisted parse\n${storePlan.queryExecution.executedPlan}")
+    val store = graft.plans.FactTableBuilder.groupedStore(
+        schemas, fs.facts, fs.contexts, fs.meta)
+      .persist()
+    try {
+      val picks = Seq(
+        schemas.find(_.name == "identification_001_duration").get,
+        schemas.filter(_.periodType == "instant").maxBy(t => (t.fields.size, t.name)))
+      picks.foreach { t =>
+        val df = graft.plans.FactTableBuilder.buildFromStore(t, store)
+        assert(shuffles(df) === 0, s"${t.name}: per-table build must be map-only")
+        assert(inMemoryScans(df) >= 1, s"${t.name}: must read the persisted store")
+      }
+    } finally store.unpersist()
   }
 }
