@@ -72,6 +72,7 @@ object Main {
       XbrlSinks.writeString(s"${args.outputDir}/ferc${n}_xbrl_taxonomy_metadata.json",
         XbrlSinks.metadataJson(out.taxonomies))
       args.jdbcUrl.foreach(url => XbrlSinks.writeJdbc(out.tables, url))
+      out.release()
       println(s"[graft.Main] wrote ${out.tables.size} tables to $tablesDir")
     } finally if (!preExisting) spark.stop()
   }

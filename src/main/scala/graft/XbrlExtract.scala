@@ -19,11 +19,17 @@ import graft.xbrl.TableSchema
   */
 object XbrlExtract {
 
+  /** `release()` unpersists the shared grouped store and the parsed
+    * filings backing `tables` — call it once every output table is
+    * materialized (long-lived callers; a CLI process exit releases
+    * implicitly).
+    */
   case class ExtractOutput(
       taxonomies: Seq[graft.xbrl.Taxonomy],
       schemas: Seq[TableSchema],
       tables: Map[String, DataFrame],
-      stats: DataFrame)
+      stats: DataFrame,
+      release: () => Unit = () => ())
 
   def extract(
       spark: SparkSession,
@@ -49,10 +55,20 @@ object XbrlExtract {
       .as[graft.xbrl.XbrlContext](org.apache.spark.sql.Encoders.product[graft.xbrl.XbrlContext])
     val meta = pattern(parsed.map(_.meta).reduce(_ unionByName _))
 
+    // every table is a map-only projection of ONE shared grouped store
+    // (see FactTableBuilder.groupedStore): materializing all N tables
+    // costs one corpus aggregation, not N. persist() is lazy — nothing
+    // runs until a table does.
+    val store = FactTableBuilder.groupedStore(schemas, facts, contexts, meta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tables = schemas.map(s =>
-      s.name -> FactTableBuilder.build(s, facts, contexts, meta)).toMap
+      s.name -> FactTableBuilder.buildFromStore(s, store)).toMap
     val stats = FactTableBuilder.stats(spark, schemas, facts, contexts, meta)
-    ExtractOutput(taxonomies, schemas, tables, stats)
+    ExtractOutput(taxonomies, schemas, tables, stats,
+      release = () => {
+        store.unpersist(blocking = false)
+        parsed.foreach(_.unpersist())
+      })
   }
 
   /** The reference CLI's full parquet workload over an ALREADY-PARSED
@@ -84,7 +100,8 @@ object XbrlExtract {
       outDir: String,
       formNumber: Int = 1,
       poolSize: Int = 8,
-      store: Option[DataFrame] = None): DataFrame = {
+      store: Option[DataFrame] = None,
+      filesPerTable: Int = 1): DataFrame = {
     // descriptors first: datapackageParquetJson validates the schema set
     // at the sink boundary before any table job runs
     XbrlSinks.writeString(s"$outDir/datapackage.json",
@@ -104,7 +121,12 @@ object XbrlExtract {
         val jobs = schemas.map { t =>
           scala.concurrent.Future {
             val obs = org.apache.spark.sql.Observation()
+            // coalesce: the reference writes ONE file per table
+            // (cli.py:211-230) and a store-partition-per-task write
+            // would emit 32x the files and task launches for tables
+            // this small; cross-table parallelism comes from the pool
             FactTableBuilder.buildFromStore(t, st)
+              .coalesce(filesPerTable)
               .observe(obs, org.apache.spark.sql.functions.count(
                 org.apache.spark.sql.functions.lit(1)).as("n"))
               .write.mode("overwrite").parquet(s"$outDir/tables/${t.name}.parquet")
@@ -132,7 +154,7 @@ object XbrlExtract {
       outDir: String,
       formNumber: Int = 1): ExtractOutput = {
     val out = extract(spark, filingZips, taxonomyZip, formNumber)
-    XbrlSinks.writeParquet(out.tables, s"$outDir/tables")
+    XbrlSinks.writeParquetPooled(out.tables, s"$outDir/tables")
     XbrlSinks.writeString(s"$outDir/datapackage.json",
       XbrlSinks.datapackageJson(out.schemas, s"$outDir/tables", formNumber,
         tableNames = Some(out.tables.keySet)))

@@ -35,17 +35,22 @@ object XbrlSinks {
     * per-table writes are independent Spark jobs, so a driver pool lets
     * them backfill scheduler slots a serial loop would leave idle —
     * same layout, same output. `graft.Main` and the x05 full extract
-    * both write through this shape.
+    * both write through this shape. `filesPerTable` coalesces each
+    * table before writing (default 1 — the reference CLI's
+    * one-file-per-table layout, cli.py:211-230; cross-table parallelism
+    * comes from the pool, so a partition-per-task write would only
+    * multiply task launches and tiny files).
     */
   def writeParquetPooled(tables: Map[String, DataFrame], outDir: String,
-      poolSize: Int = 8): Unit = {
+      poolSize: Int = 8, filesPerTable: Int = 1): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(tables.toSeq.map { case (name, df) =>
         scala.concurrent.Future {
-          df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+          df.coalesce(filesPerTable).write.mode("overwrite")
+            .parquet(s"$outDir/$name.parquet")
         }
       }), scala.concurrent.duration.Duration(30, "min"))
     finally pool.shutdown()

@@ -61,4 +61,31 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(wn === Seq(gramHashes.min))
   }
+
+  test("wrong-arity SQL calls fail with a clear argument-count message") {
+    val derived = spark.newSession()
+    // every builder pattern-matches arity (the r7 advisor flagged the
+    // IndexOutOfBoundsException surfacing from inside analyzer
+    // resolution for l2sq/pq_adc/unit)
+    for ((sql, fn) <- Seq(
+        ("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))", "graft_cosine"),
+        ("SELECT graft_l2sq(array(CAST(1.0 AS FLOAT)))", "graft_l2sq"),
+        ("SELECT graft_pq_adc(array(0))", "graft_pq_adc"),
+        ("SELECT graft_unit()", "graft_unit"),
+        ("SELECT graft_pq_encode(array(CAST(1.0 AS FLOAT)), 1)", "graft_pq_encode"))) {
+      val e = intercept[Exception](derived.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("argument")), s"$fn: ${msgs(e).mkString(" | ")}")
+      assert(!e.isInstanceOf[IndexOutOfBoundsException], fn)
+    }
+  }
+
+  test("graft_l2sq returns NULL on a dimension mismatch, never a prefix distance") {
+    val derived = spark.newSession()
+    val row = derived.sql(
+      "SELECT graft_l2sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+      .collect().head
+    assert(row.isNullAt(0))
+  }
 }
