@@ -124,7 +124,9 @@ object XbrlExtract {
             // coalesce: the reference writes ONE file per table
             // (cli.py:211-230) and a store-partition-per-task write
             // would emit 32x the files and task launches for tables
-            // this small; cross-table parallelism comes from the pool
+            // this small; cross-table parallelism comes from the pool.
+            // A corpus whose largest table is itself huge should raise
+            // filesPerTable so that one write parallelizes too.
             FactTableBuilder.buildFromStore(t, st)
               .coalesce(filesPerTable)
               .observe(obs, org.apache.spark.sql.functions.count(
