@@ -177,7 +177,10 @@ object FactTableBuilder {
     * deduped facts as one `name → tv` map plus the context's PK fields
     * and the broadcast publication_time — after which EVERY table is a
     * cheap filter + map-lookup projection over the same frame
-    * ([[buildFromStore]]), no per-table shuffle at all. Persist the
+    * ([[buildFromStore]]), no per-table shuffle at all. The map (and
+    * its collect_list buffer) is bounded by the taxonomy's column count
+    * per context — taxonomy-sized, never corpus-scaled, so the
+    * collect-before-cap house rule doesn't apply here. Persist the
     * result before fanning out table builds (XbrlExtract does).
     *
     * Total shuffle budget for a FULL 255-table extract: the store's

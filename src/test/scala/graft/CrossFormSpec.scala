@@ -37,6 +37,35 @@ class CrossFormSpec extends SparkSpec {
     }
   }
 
+  test("the shared-store build matches the per-table build beyond form 1 (form 2)") {
+    // the grouped-store architecture (x05 / extract()) is pinned
+    // equivalent on ferc1 in FactTableSpec; a second form proves the
+    // global name->type canonicalization holds across taxonomies too
+    val taxonomies = TaxonomyParser.parseArchive(s"$dataDir/ferc2-xbrl-taxonomies.zip")
+    val tables = FactTableSchema.fromTaxonomies(taxonomies)
+    val filings = FilingSource.fromZip(spark, s"$dataDir/ferc2-xbrl-2021.zip")
+    val store = FactTableBuilder.groupedStore(
+        tables, filings.facts, filings.contexts, filings.meta)
+      .persist()
+    try {
+      val picks = Seq(
+        tables.find(_.name == "identification_001_duration").get,
+        tables.filter(_.axes.nonEmpty).maxBy(t => (t.axes.size, t.name)))
+      picks.foreach { t =>
+        val a = FactTableBuilder.build(t, filings.facts, filings.contexts, filings.meta)
+        val b = FactTableBuilder.buildFromStore(t, store)
+        assert(a.columns.toSeq === b.columns.toSeq, t.name)
+        val ra = a.collect().map(_.toString).sorted.toSeq
+        val rb = b.collect().map(_.toString).sorted.toSeq
+        assert(ra.nonEmpty, s"form 2 ${t.name}: empty-table equivalence proves nothing")
+        assert(ra === rb, s"form 2 ${t.name}")
+      }
+    } finally {
+      store.unpersist()
+      filings.unpersist()
+    }
+  }
+
   test("2023 filings clear the coverage thresholds on every form") {
     for (form <- Seq(1, 2, 6, 60, 714)) {
       val taxonomies = TaxonomyParser.parseArchive(s"$dataDir/ferc$form-xbrl-taxonomies.zip")
