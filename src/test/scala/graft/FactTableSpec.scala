@@ -92,6 +92,28 @@ class FactTableSpec extends SparkSpec {
     assert(v.filter(!col("consistent")).count() === 0L)
   }
 
+  test("groupedStore rejects a schema set typing one fact name two ways") {
+    // a concept is defined once per taxonomy, so this cannot happen on
+    // real schema sets (the cross-form equivalence pins that); a
+    // hand-built conflict must fail fast, not silently canonicalize
+    // with whichever type won the map merge
+    def schemaWith(tableName: String, vType: String) = TableSchema(
+      name = tableName,
+      periodType = "instant",
+      fields = FactTableSchema.InstantPk :+ TableField("v", "V", vType, ""),
+      primaryKey = FactTableSchema.InstantPk.map(_.name))
+    val facts = Seq(RawFact("f1", "c1", "v", "5", instant = true)).toDS()
+    val contexts = Seq(
+      XbrlContext("f1", "c1", "e1", null, "2021-12-31", instant = true, Map.empty)).toDS()
+    val meta = Seq(("f1", new java.sql.Timestamp(0L))).toDF("filing_name", "publication_time")
+    val e = intercept[IllegalArgumentException] {
+      FactTableBuilder.groupedStore(
+        Seq(schemaWith("t_a", "number"), schemaWith("t_b", "string")),
+        facts, contexts, meta)
+    }
+    assert(e.getMessage.contains("v"), e.getMessage)
+  }
+
   test("exact + fuzzy dedup keeps the highest-precision numeric value") {
     val schema = TableSchema(
       name = "t_instant",
