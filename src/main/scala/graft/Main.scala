@@ -4,10 +4,11 @@ import graft.sinks.XbrlSinks
 
 /** CLI entry point — the engine's analog of the reference's `ferc_xbrl_extractor`
   * command (cli.py:22-96 for the argument surface, cli.py:130-190 for the
-  * run flow): positional filing archives, a taxonomy archive, an output
-  * directory, and the same selection flags.
+  * run flow): positional filing inputs (each a zip archive, a directory
+  * of `.xbrl` files, or a single `.xbrl` filing — cli.py:28-32), a
+  * taxonomy archive, an output directory, and the same selection flags.
   *
-  *   runMain graft.Main <filings.zip>... --taxonomy <tax.zip> \
+  *   runMain graft.Main <filings.zip|dir|file.xbrl>... --taxonomy <tax.zip> \
   *     --output-dir <dir> [--form-number N] [--requested-tables t1,t2,...] \
   *     [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N]
   *
@@ -21,7 +22,7 @@ import graft.sinks.XbrlSinks
 object Main {
 
   private val Usage =
-    """usage: runMain graft.Main <filings.zip>... --taxonomy <tax.zip> --output-dir <dir>
+    """usage: runMain graft.Main <filings.zip|dir|file.xbrl>... --taxonomy <tax.zip> --output-dir <dir>
       |         [--form-number N] [--requested-tables t1,t2,...]
       |         [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N]""".stripMargin
 

@@ -31,9 +31,13 @@ object XbrlExtract {
       stats: DataFrame,
       release: () => Unit = () => ())
 
+  /** Each element of `filings` may be a zip archive, a directory of
+    * `.xbrl` files, or a single `.xbrl` filing — dispatched per input
+    * like the reference CLI's positional arguments (cli.py:28-32).
+    */
   def extract(
       spark: SparkSession,
-      filingZips: Seq[String],
+      filings: Seq[String],
       taxonomyZip: String,
       formNumber: Int = 1,
       requestedTables: Option[Set[String]] = None,
@@ -46,7 +50,7 @@ object XbrlExtract {
       case None       => allSchemas
     }
 
-    val parsed = filingZips.map(FilingSource.fromZip(spark, _))
+    val parsed = filings.map(FilingSource.fromPath(spark, _))
     def pattern(df: DataFrame): DataFrame =
       instancePattern.fold(df)(p => df.filter(col("filing_name").rlike(p)))
     val facts = pattern(parsed.map(_.facts.toDF()).reduce(_ union _))
@@ -151,11 +155,11 @@ object XbrlExtract {
     */
   def extractToParquet(
       spark: SparkSession,
-      filingZips: Seq[String],
+      filings: Seq[String],
       taxonomyZip: String,
       outDir: String,
       formNumber: Int = 1): ExtractOutput = {
-    val out = extract(spark, filingZips, taxonomyZip, formNumber)
+    val out = extract(spark, filings, taxonomyZip, formNumber)
     XbrlSinks.writeParquetPooled(out.tables, s"$outDir/tables")
     XbrlSinks.writeString(s"$outDir/datapackage.json",
       XbrlSinks.datapackageJson(out.schemas, s"$outDir/tables", formNumber,

@@ -107,17 +107,49 @@ object FilingSource {
     * no publication times — matches reference get_instances on a
     * directory, instance.py:454-484).
     */
-  def fromDirectory(spark: SparkSession, dir: String, factPrefix: String = "ferc"): ParsedFilings = {
+  def fromDirectory(spark: SparkSession, dir: String, factPrefix: String = "ferc"): ParsedFilings =
+    fromBinaryFiles(spark, dir, factPrefix)
+
+  /** Distributed parse of one standalone `.xbrl` filing (reference
+    * get_instances single-file branch, instance.py:470-472).
+    */
+  def fromFile(spark: SparkSession, path: String, factPrefix: String = "ferc"): ParsedFilings =
+    fromBinaryFiles(spark, path, factPrefix)
+
+  /** `binaryFile` scan over a directory or a single file: distributed
+    * whole-file reads off shared storage, the `*.xbrl` glob applied to
+    * file NAMES so a directory's non-filing entries are skipped and a
+    * single-file load still matches itself.
+    */
+  private def fromBinaryFiles(spark: SparkSession, path: String, factPrefix: String): ParsedFilings = {
     import spark.implicits._
     val parsed = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xbrl")
-      .load(dir)
+      .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, bytes) =>
-        parseOrSkip(stem(path), new java.io.ByteArrayInputStream(bytes), factPrefix)
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        parseOrSkip(stem(p), new java.io.ByteArrayInputStream(bytes), factPrefix)
       })
     new ParsedFilings(spark, parsed, Map.empty)
+  }
+
+  /** Dispatch one filing input by its type — the reference CLI accepts
+    * "a single XBRL filing, a directory of XBRL filings, or a zipfile
+    * containing XBRL filings" for each positional argument (cli.py:28-32,
+    * get_instances instance.py:453-484): a `.zip` archive routes through
+    * the rssfeed-aware zip parse, a directory through the binaryFile
+    * scan, a single `.xbrl` file through a one-file scan.
+    */
+  def fromPath(spark: SparkSession, path: String, factPrefix: String = "ferc"): ParsedFilings = {
+    val f = new java.io.File(path)
+    if (!f.exists())
+      throw new java.io.FileNotFoundException(s"Could not find XBRL instances at $path")
+    if (f.isDirectory) fromDirectory(spark, path, factPrefix)
+    else if (path.endsWith(".zip")) fromZip(spark, path, factPrefix)
+    else if (path.endsWith(".xbrl")) fromFile(spark, path, factPrefix)
+    else throw new IllegalArgumentException(
+      s"filing input $path is not a .zip archive, a directory, or a .xbrl filing")
   }
 }
 

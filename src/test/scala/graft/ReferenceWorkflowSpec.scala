@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.expressions.Window
@@ -17,14 +18,17 @@ import org.apache.spark.sql.functions._
   */
 class ReferenceWorkflowSpec extends SparkSpec {
 
-  private val dataDir = "/root/reference/tests/integration/data"
+  // resolved via GRAFT_XBRL_DATA_DIR / graft.xbrl.data.dir like every
+  // other suite, so the build stays decoupled from this box's layout
+  private def archive(name: String): String =
+    graft.operators.XbrlQueries.requireArchive(name)
 
   test("full extract -> parquet datapackage -> latest-filing-wins, end to end") {
     val dir = Files.createTempDirectory("graft_workflow").toString
     val out = XbrlExtract.extractToParquet(
       spark,
-      Seq(s"$dataDir/ferc1-xbrl-2021.zip"),
-      s"$dataDir/ferc1-xbrl-taxonomies.zip",
+      Seq(archive("ferc1-xbrl-2021.zip")),
+      archive("ferc1-xbrl-taxonomies.zip"),
       dir)
     try {
       // the whole datapackage landed: every taxonomy table + descriptor
@@ -34,6 +38,15 @@ class ReferenceWorkflowSpec extends SparkSpec {
         Files.readString(Paths.get(s"$dir/datapackage.json")))
       assert(root.get("resources").size === 255)
       assert(Files.exists(Paths.get(s"$dir/taxonomy_metadata.json")))
+      // descriptor <-> layout parity: the resource list and the written
+      // table directories must match EXACTLY (a silently-skipped table
+      // would leave a descriptor entry with no data behind it)
+      val described = root.get("resources").elements().asScala
+        .map(_.get("name").asText).toSet
+      val written = new java.io.File(s"$dir/tables").listFiles()
+        .filter(_.isDirectory).map(_.getName.stripSuffix(".parquet")).toSet
+      assert(described === written)
+      assert(described === out.tables.keySet)
 
       // downstream consumption path: read a written table back and run
       // the PUDL latest-filing-wins dedup on its PK grain
@@ -52,5 +65,51 @@ class ReferenceWorkflowSpec extends SparkSpec {
       assert(latest.join(maxPub,
         Seq("entity_id", "start_date", "end_date", "publication_time")).count() === 9L)
     } finally out.release()
+  }
+
+  test("filing inputs dispatch by type: single file, directory, and mixed zip+directory via graft.Main") {
+    // stage a directory-of-filings input from two 2022 archive entries
+    // (distinct filing names from the 2021 zip, so the mixed run's rows
+    // are attributable per input)
+    val filingDir = Files.createTempDirectory("graft_filings_dir")
+    val zf = new java.util.zip.ZipFile(archive("ferc1-xbrl-2022.zip"))
+    val copied = try {
+      zf.entries().asScala.filter(_.getName.endsWith(".xbrl")).take(2).map { e =>
+        val target = filingDir.resolve(Paths.get(e.getName).getFileName.toString)
+        Files.copy(zf.getInputStream(e), target)
+        target
+      }.toSeq
+    } finally zf.close()
+    assert(copied.size === 2)
+
+    // a single standalone .xbrl file is a valid input (reference
+    // get_instances single-file branch, instance.py:470-472)
+    val single = graft.sources.FilingSource.fromPath(spark, copied.head.toString)
+    try assert(single.facts.toDF().select("filing_name").distinct().count() === 1L)
+    finally single.unpersist()
+
+    // mixed zip + directory invocation straight through the CLI main
+    val outDir = Files.createTempDirectory("graft_mixed_out").toString
+    Main.main(Array(
+      archive("ferc1-xbrl-2021.zip"), filingDir.toString,
+      "--taxonomy", archive("ferc1-xbrl-taxonomies.zip"),
+      "--output-dir", outDir,
+      "--requested-tables", "identification_001_duration"))
+    val ident = spark.read.parquet(s"$outDir/ferc1_xbrl/identification_001_duration.parquet")
+    // one row per filing: 10 from the 2021 zip + 2 standalone 2022 files
+    assert(ident.count() === 12L)
+    // zip filings carry rssfeed publication times; directory filings
+    // have none (instance.py:454-484 — no rssfeed outside an archive)
+    assert(ident.filter(col("publication_time").isNotNull).count() === 10L)
+    assert(ident.filter(col("publication_time").isNull).count() === 2L)
+
+    // unknown input types are rejected with a routing error, not parsed
+    val stray = Files.createTempFile("graft_not_a_filing", ".txt")
+    intercept[IllegalArgumentException] {
+      graft.sources.FilingSource.fromPath(spark, stray.toString)
+    }
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.FilingSource.fromPath(spark, s"$filingDir/does_not_exist.xbrl")
+    }
   }
 }
