@@ -80,7 +80,7 @@ object XbrlExtract {
     * build every table in `schemas` from the shared parse, write each to
     * `<outDir>/tables/<name>.parquet`, write the validated parquet
     * datapackage descriptor and the taxonomy metadata JSON, and return
-    * one summary row per table `(table_name, n_rows, n_cols)`.
+    * one summary row per table `(table_name, n_rows, n_cols, error)`.
     *
     * Scale shape: the corpus is aggregated ONCE into the shared grouped
     * fact store ([[graft.plans.FactTableBuilder.groupedStore]] — three
@@ -96,6 +96,48 @@ object XbrlExtract {
     * would leave idle; the driver holds only table names and counts
     * (metadata), never table data.
     */
+  /** Upper-bound per-table row counts from the shared store in ONE job:
+    * explode each store row's fact names against the broadcast
+    * (name, period) -> table mapping and count distinct store rows per
+    * table. Overcounts only rows the per-table axis-subset filter later
+    * drops. The driver receives one count per TABLE — taxonomy-bounded
+    * metadata (255 rows for ferc1), never data-scaled.
+    */
+  private def estimateTableRows(
+      spark: SparkSession,
+      schemas: Seq[TableSchema],
+      store: DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mapping = schemas
+      .flatMap(t => t.dataColumns.map(c => (c.name, t.periodType == "instant", t.name)))
+      .toDF("name", "instant", "table_name")
+    store
+      .select(col("filing_name"), col("c_id"), col("instant"),
+        explode(map_keys(col("factmap"))).as("name"))
+      .join(broadcast(mapping), Seq("name", "instant"))
+      .select("table_name", "filing_name", "c_id").distinct()
+      .groupBy("table_name").count()
+      .as[(String, Long)]
+      .collect().toMap // one row per table: metadata, not data
+  }
+
+  /** Partial-output semantics: a failed table job surfaces as its
+    * summary row's `error` (the other tables still write and report
+    * counts — one transient failure must not destroy a 255-table run's
+    * record); the descriptor, written only AFTER the table jobs finish,
+    * lists exactly the tables that succeeded, so it never references
+    * missing or partial data. A rerun into the same `outDir` repairs
+    * failed tables via overwrite. If `timeout` expires, the in-flight
+    * write jobs are cancelled through their job group and the run
+    * throws — no descriptor is written.
+    *
+    * File sizing: each table writes `ceil(rows / targetRowsPerFile)`
+    * files (min 1), from a one-job per-table row estimate over the
+    * store — ferc1-sized tables keep the reference's one-file-per-table
+    * layout (cli.py:211-230) while a mega-table's write parallelizes by
+    * default instead of funnelling through one task.
+    */
   def writeParquetDatapackage(
       spark: SparkSession,
       taxonomies: Seq[graft.xbrl.Taxonomy],
@@ -105,49 +147,74 @@ object XbrlExtract {
       formNumber: Int = 1,
       poolSize: Int = 8,
       store: Option[DataFrame] = None,
-      filesPerTable: Int = 1): DataFrame = {
-    // descriptors first: datapackageParquetJson validates the schema set
-    // at the sink boundary before any table job runs
-    XbrlSinks.writeString(s"$outDir/datapackage.json",
-      XbrlSinks.datapackageParquetJson(schemas, formNumber,
-        tableNames = Some(schemas.map(_.name).toSet)))
-    XbrlSinks.writeString(s"$outDir/taxonomy_metadata.json",
-      XbrlSinks.metadataJson(taxonomies))
+      targetRowsPerFile: Long = 4000000L,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, "min"),
+      buildTable: (TableSchema, DataFrame) => DataFrame =
+        FactTableBuilder.buildFromStore): DataFrame = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive: $targetRowsPerFile")
+    // validate the schema set at the sink boundary BEFORE any table job
+    // runs (fail fast), but WRITE the descriptor only after the jobs
+    // finish — a descriptor must never describe tables that aren't there
+    XbrlSinks.datapackageParquetJson(schemas, formNumber,
+      tableNames = Some(schemas.map(_.name).toSet))
     val st = store.getOrElse(FactTableBuilder.groupedStore(
       schemas, parsed.facts, parsed.contexts, parsed.meta))
     val ownStore = store.isEmpty
     if (ownStore) st.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jobGroup = s"graft-datapackage-${java.util.UUID.randomUUID()}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val summary =
       try {
+        val rowEstimates = estimateTableRows(spark, schemas, st)
         val jobs = schemas.map { t =>
           scala.concurrent.Future {
-            val obs = org.apache.spark.sql.Observation()
-            // coalesce: the reference writes ONE file per table
-            // (cli.py:211-230) and a store-partition-per-task write
-            // would emit 32x the files and task launches for tables
-            // this small; cross-table parallelism comes from the pool.
-            // A corpus whose largest table is itself huge should raise
-            // filesPerTable so that one write parallelizes too.
-            FactTableBuilder.buildFromStore(t, st)
-              .coalesce(filesPerTable)
-              .observe(obs, org.apache.spark.sql.functions.count(
-                org.apache.spark.sql.functions.lit(1)).as("n"))
-              .write.mode("overwrite").parquet(s"$outDir/tables/${t.name}.parquet")
-            (t.name, obs.get("n").asInstanceOf[Long], t.fields.size)
+            // group tags this pool thread's jobs so a timeout can cancel
+            // the in-flight writes instead of letting them run headless
+            spark.sparkContext.setJobGroup(jobGroup,
+              s"graft datapackage table ${t.name}", interruptOnCancel = true)
+            try {
+              val obs = org.apache.spark.sql.Observation()
+              val nFiles = math.max(1L,
+                (rowEstimates.getOrElse(t.name, 0L) + targetRowsPerFile - 1) / targetRowsPerFile)
+              buildTable(t, st)
+                .coalesce(nFiles.toInt)
+                .observe(obs, org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)).as("n"))
+                .write.mode("overwrite").parquet(s"$outDir/tables/${t.name}.parquet")
+              (t.name, Some(obs.get("n").asInstanceOf[Long]), t.fields.size, None: Option[String])
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                (t.name, None: Option[Long], t.fields.size,
+                  Some(s"${e.getClass.getName}: ${e.getMessage}"))
+            }
           }
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(jobs),
-          scala.concurrent.duration.Duration(30, "min"))
+        try scala.concurrent.Await.result(scala.concurrent.Future.sequence(jobs), timeout)
+        catch {
+          case e: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(jobGroup)
+            pool.shutdownNow()
+            throw new java.util.concurrent.TimeoutException(
+              s"datapackage write exceeded $timeout; in-flight table jobs cancelled " +
+                s"(job group $jobGroup): ${e.getMessage}")
+        }
       } finally {
         pool.shutdown()
         if (ownStore) st.unpersist(blocking = false)
       }
+    val written = summary.collect { case (name, _, _, None) => name }.toSet
+    if (written.nonEmpty) {
+      XbrlSinks.writeString(s"$outDir/datapackage.json",
+        XbrlSinks.datapackageParquetJson(schemas.filter(s => written(s.name)),
+          formNumber, tableNames = Some(written)))
+      XbrlSinks.writeString(s"$outDir/taxonomy_metadata.json",
+        XbrlSinks.metadataJson(taxonomies))
+    }
     import spark.implicits._
-    summary.toDF("table_name", "n_rows", "n_cols").orderBy("table_name")
+    summary.toDF("table_name", "n_rows", "n_cols", "error").orderBy("table_name")
   }
 
   /** Extract + write everything the reference CLI writes (cli.py:101-130):

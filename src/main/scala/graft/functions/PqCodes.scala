@@ -300,8 +300,9 @@ object PqEncode {
   * the exact squared L2 distance between the query and the row's
   * RECONSTRUCTION, in `m` array lookups instead of `dim` multiplies
   * over data 32x smaller than the float vectors. `kCodes` is derived
-  * as `lut.length / codes.length`. Null on inconsistent geometry or an
-  * out-of-range code.
+  * as `lut.length / codes.length`. Null on inconsistent geometry, an
+  * out-of-range code, or a null LUT slot (a mis-dimensioned query's
+  * `graft_l2sq` NULLs propagate here instead of reading as 0).
   */
 case class PqAdc(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -335,6 +336,12 @@ case class PqAdc(left: Expression, right: Expression)
     while (s < m) {
       val c = codes.getInt(s)
       if (c < 0 || c >= kCodes) return null
+      // a null LUT slot (e.g. graft_l2sq's NULL on a query whose
+      // dimension disagrees with the codebook geometry) must poison the
+      // distance, not read as 0.0f — mirroring the out-of-range-code
+      // handling, so a mis-dimensioned query yields no distances instead
+      // of plausible-looking ones
+      if (lut.isNullAt(s * kCodes + c)) return null
       acc += lut.getFloat(s * kCodes + c).toDouble
       s += 1
     }

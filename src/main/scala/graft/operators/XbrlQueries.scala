@@ -177,18 +177,36 @@ object XbrlQueries {
     * store (built once from the ONE persisted parse — the archive is
     * never re-parsed, the corpus never re-aggregated), and counts ride
     * the write jobs via `observe`. Output lands under java.io.tmpdir
-    * (or GRAFT_X05_OUT) — x05 is a WRITE workload by design; repeat
-    * runs overwrite in place.
+    * (or GRAFT_X05_OUT), scoped `<base>/<applicationId>/run_<n>` —
+    * x05 is a WRITE workload by design, and the per-app per-run scope
+    * keeps concurrent JVMs out of each other's output and gives every
+    * bench rep a FRESH directory (r8's [7.9, 22.9] rep spread tracked
+    * overwrite pressure on 255 parquet dirs, not plan shape). The
+    * previous run's directory is removed after each run, bounding tmp
+    * usage at ~2 datapackages.
     */
+  private val x05Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   def x05XbrlFullExtract(s: SparkSession, dir: String): DataFrame = {
-    val outDir = sys.env.getOrElse("GRAFT_X05_OUT",
+    val base = sys.env.getOrElse("GRAFT_X05_OUT",
       s"${System.getProperty("java.io.tmpdir")}/graft_x05_datapackage")
+    val scope = s"$base/${s.sparkContext.applicationId}"
+    val run = x05Runs.incrementAndGet()
     val store = SharedIndex(s, "xbrl", "grouped_fact_store") {
       val fs = filings(s)
       FactTableBuilder.groupedStore(tables, fs.facts, fs.contexts, fs.meta)
     }
-    graft.XbrlExtract.writeParquetDatapackage(
-      s, taxonomies, tables, filings(s), outDir, poolSize = 16,
+    val summary = graft.XbrlExtract.writeParquetDatapackage(
+      s, taxonomies, tables, filings(s), s"$scope/run_$run", poolSize = 16,
       store = Some(store))
+    // writes are complete here (the datapackage writer awaits its jobs):
+    // drop the predecessor so repeat runs don't accumulate
+    if (run > 1) deleteRecursively(new java.io.File(s"$scope/run_${run - 1}"))
+    summary
   }
 }

@@ -42,18 +42,33 @@ object XbrlSinks {
     * multiply task launches and tiny files).
     */
   def writeParquetPooled(tables: Map[String, DataFrame], outDir: String,
-      poolSize: Int = 8, filesPerTable: Int = 1): Unit = {
+      poolSize: Int = 8, filesPerTable: Int = 1,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, "min")): Unit = {
+    if (tables.isEmpty) return
+    val spark = tables.head._2.sparkSession
+    val jobGroup = s"graft-parquet-pooled-${java.util.UUID.randomUUID()}"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(tables.toSeq.map { case (name, df) =>
         scala.concurrent.Future {
+          spark.sparkContext.setJobGroup(jobGroup,
+            s"graft parquet table $name", interruptOnCancel = true)
           df.coalesce(filesPerTable).write.mode("overwrite")
             .parquet(s"$outDir/$name.parquet")
         }
-      }), scala.concurrent.duration.Duration(30, "min"))
-    finally pool.shutdown()
+      }), timeout)
+    catch {
+      // fail-fast sink: on the first failed or timed-out table, stop the
+      // in-flight sibling writes instead of letting them run headless
+      // past the throw (the datapackage writer is the contained variant)
+      case e: Throwable =>
+        spark.sparkContext.cancelJobGroup(jobGroup)
+        pool.shutdownNow()
+        throw e
+    } finally pool.shutdown()
   }
 
   def writeCsv(tables: Map[String, DataFrame], outDir: String): Unit =

@@ -255,6 +255,24 @@ class SimilaritySpec extends SparkSpec {
     assert(res.count() === 0L)
   }
 
+  test("annPq with a mis-dimensioned query returns empty, never plausible distances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 4)
+    // a 12-dim query against the 16-dim-trained codebook still splits
+    // into m=4 subvectors, but each one's graft_l2sq vs the centroids is
+    // NULL (length mismatch), so every LUT slot is null — graft_pq_adc
+    // must poison those distances (not read them as 0.0f) so the
+    // shortlist is empty and the failure VISIBLE, never a plausible
+    // top-k at distance zero
+    val queries = Seq((999L, Array.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val res = ProductQuantization.annPq(emb, queries, codebook, m = 4)
+    assert(res.count() === 0L)
+  }
+
   test("annPq fails at first materialization when the codebook was trained with a different m") {
     val (emb, queries) = clusteredCorpus
     val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
