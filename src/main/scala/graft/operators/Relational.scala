@@ -40,9 +40,17 @@ object Relational {
       .agg(
         expr(s"CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE)").as("sum_qty"),
         expr(s"CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE)").as("sum_base_price"),
-        expr(s"CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS $D) - CAST(l_discount AS $D))) AS DOUBLE)")
+        // the product sums carry scale 4/6; ROUND the exact decimal sum to
+        // scale 2 BEFORE the double cast so its integer representation
+        // stays far under 2^53 at any scale factor — a scale-6 sum
+        // crosses 2^53 near 9e9 (hit at sf1), where engines that convert
+        // decimal->double by int-cast-then-divide double-round and drift
+        // one ulp from a correctly-rounded conversion. ROUND, not a
+        // decimal downscale cast: both engines' ROUND is half-up, but
+        // downscale-cast semantics diverge (some engines truncate)
+        expr(s"CAST(ROUND(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS $D) - CAST(l_discount AS $D))), 2) AS DOUBLE)")
           .as("sum_disc_price"),
-        expr(s"CAST(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS $D) - CAST(l_discount AS $D)) * (CAST(1 AS $D) + CAST(l_tax AS $D))) AS DOUBLE)")
+        expr(s"CAST(ROUND(SUM(CAST(l_extendedprice AS $D) * (CAST(1 AS $D) - CAST(l_discount AS $D)) * (CAST(1 AS $D) + CAST(l_tax AS $D))), 2) AS DOUBLE)")
           .as("sum_charge"),
         expr(s"CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) / COUNT(*)").as("avg_qty"),
         expr(s"CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) / COUNT(*)").as("avg_price"),
