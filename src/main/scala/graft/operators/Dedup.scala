@@ -479,15 +479,54 @@ object Dedup {
     * IEEE operation order as DuckDB's `list_reduce` folds →
     * bit-identical cosines. Block keying keeps candidates linear-ish;
     * the unblocked scale paths are s02 (LSH) / s03 (IVF).
+    *
+    * Exact all-pairs within a block is O(block²) compute BY SEMANTICS,
+    * but a naive label-equi self-join also makes it O(block²) on ONE
+    * shuffle key — with 10 labels the whole corpus runs on ≤10 tasks
+    * (the sf1 scale run exposed exactly this: 33x wall-time for 10x
+    * data). So the pairs come from a chunked TRIANGLE join: each vector
+    * gets a stable chunk `xxhash64(id) mod chunks`, the left side
+    * replicates each row to its row of the upper-triangular chunk grid
+    * and the right side to its column, and the join key is
+    * (label, chunk_i, chunk_j) — labels x chunks(chunks+1)/2 evenly
+    * sized keys instead of `labels`, same exact pair set (each
+    * unordered pair lands in exactly one grid cell; the diagonal
+    * dedups by id order). Replication factor is (chunks+1)/2 per side
+    * on ~100-byte rows — shuffle stays tiny while pair generation uses
+    * every core. `chunks=1` degenerates to the naive join.
     */
   def embeddingDedupPairs(emb: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", blockCol: String = "label", topK: Int = 50): DataFrame = {
+      vecCol: String = "embedding", blockCol: String = "label", topK: Int = 50,
+      chunks: Int = 8): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1: $chunks")
     val s = emb.sparkSession
     val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"),
       Cols.q(blockCol).as("label"))
-    e.as("a").join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"), col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+      .withColumn("chunk", pmod(xxhash64(col("vec_id")), lit(chunks)).cast("int"))
+    // left covers grid cells (chunk, j >= chunk); right covers (i <= chunk, chunk).
+    // The left side is explicitly repartitioned by the grid key: pair
+    // generation must parallelize by GRID CELL, not by however many
+    // splits the scan happened to produce — when the right side is small
+    // enough to broadcast, the join's parallelism IS the probe side's
+    // partitioning (a single-file scan would run the whole O(block²)
+    // pass in one task); when both sides are big, the sort-merge join
+    // requires this exact distribution anyway and reuses the exchange.
+    val left = e.withColumn("cj", explode(sequence(col("chunk"), lit(chunks - 1))))
+      .repartition(col("label"), col("chunk"), col("cj"))
+    val right = e.withColumn("ci", explode(sequence(lit(0), col("chunk"))))
+    left.as("a").join(right.as("b"),
+        col("a.label") === col("b.label") &&
+        col("a.chunk") === col("b.ci") && col("a.cj") === col("b.chunk") &&
+        // join keys force a.chunk <= b.chunk; off-diagonal cells see each
+        // unordered pair in exactly one orientation, the diagonal in both
+        (col("a.chunk") =!= col("b.chunk") || col("a.vec_id") < col("b.vec_id")))
+      .select(col("a.label").as("label"),
+        least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("v2"),
+        // graft_round, not round: Spark's Round on doubles allocates a
+        // BigDecimal per row (measured: 2x d05's whole pair pass at sf1)
+        graft.functions.FastRound.round6(s,
+          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding"))).as("cosine"))
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
       .limit(topK)
   }
@@ -535,7 +574,8 @@ object Dedup {
       .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
       .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
       .select(col("d1").as("v1"), col("d2").as("v2"),
-        round(CosineSimilarity.cosine(s, col("e1"), col("e2")), 6).as("cosine"))
+        graft.functions.FastRound.round6(s,
+          CosineSimilarity.cosine(s, col("e1"), col("e2"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
       .limit(topK)

@@ -145,4 +145,25 @@ class LibraryApiSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("v1") === 1L && pairs.head.getAs[Long]("v2") === 2L)
     assert(pairs.head.getAs[Double]("cosine") === 1.0)
   }
+
+  test("chunked triangle join emits the exact naive pair set, once each") {
+    // 40 vectors over 3 labels, topK past the total pair count so the
+    // FULL pair sets compare — every unordered in-label pair must appear
+    // in exactly one chunk-grid cell, for a chunk count below, at, and
+    // above the block size (chunks=1 IS the naive label self-join)
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), (i % 3).toString))
+      .toDF("id", "vec", "grp")
+    val naive = Dedup.embeddingDedupPairs(emb, "id", "vec", "grp",
+      topK = 1000, chunks = 1).collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // blocks of 14/13/13 ids -> C(14,2) + 2*C(13,2) unordered pairs
+    assert(naive.length === 14 * 13 / 2 + 2 * (13 * 12 / 2))
+    for (c <- Seq(4, 8, 64)) {
+      val chunked = Dedup.embeddingDedupPairs(emb, "id", "vec", "grp",
+        topK = 1000, chunks = c).collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(chunked.toSet === naive.toSet, s"chunks=$c")
+      assert(chunked.length === naive.length, s"chunks=$c duplicates")
+    }
+  }
 }
