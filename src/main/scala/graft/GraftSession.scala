@@ -18,6 +18,18 @@ object GraftSession {
       // native graft expressions (graft_cosine) injected at session
       // build, so every derived session resolves them in SQL
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // the local test corpus is single-digit-MB single-file tables; the
+      // 128 MB default maxPartitionBytes packs each whole table into ONE
+      // scan task, so a map-only query runs serially however many cores
+      // the session has — and the 4 MB default openCostInBytes floors
+      // maxSplitBytes = min(maxPartitionBytes, max(openCost, bytes/cores))
+      // so lowering only the max changes nothing for small files. With a
+      // 256 KB open cost the bytes-per-core term takes over and scans
+      // split toward one task per core (splits without a row-group start
+      // are empty and cost nothing). A cluster deployment against real
+      // multi-file data keeps the defaults.
+      .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${256 * 1024}")
       .config("spark.ui.enabled", "false")
 
   def create(cpus: String): SparkSession = {

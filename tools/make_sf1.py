@@ -14,6 +14,13 @@ pyarrow (not Spark/DuckDB) so every physical type survives byte-for-byte
 -- in particular events.ts stays timestamp[ns], which GraftSession reads
 as a nanosecond long via spark.sql.legacy.parquet.nanosAsLong.
 
+Row groups: the driver's sf0.1 files carry ONE row group each, which
+makes every scan stage a single Spark task (splits align to row
+groups) -- a test-fixture artifact a real corpus doesn't have (100 TB
+is thousands of files x several row groups). sf1 writes ~48 row groups
+per large table so scan-stage parallelism at sf1 reflects a real
+multi-split layout.
+
 Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
 Defaults: /root/testdata/sf0.1 -> /tmp/graft_sf1
 """
@@ -61,8 +68,10 @@ def main():
                 t = t.set_column(idx, t.schema.field(col), shifted)
             replicas.append(t)
         out = pa.concat_tables(replicas)
-        pq.write_table(out, f"{DST}/{table}.parquet")
-        print(f"{table}: {src.num_rows} -> {out.num_rows} rows")
+        rg = max(2048, out.num_rows // 48)
+        pq.write_table(out, f"{DST}/{table}.parquet", row_group_size=rg)
+        n_groups = pq.ParquetFile(f"{DST}/{table}.parquet").num_row_groups
+        print(f"{table}: {src.num_rows} -> {out.num_rows} rows, {n_groups} row groups")
 
 
 if __name__ == "__main__":
