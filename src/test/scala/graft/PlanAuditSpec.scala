@@ -132,6 +132,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(2000))
   }
 
+  test("d05 exact pairs: probe side repartitioned by the chunk grid, never scan-partitioned") {
+    val df = Dedup.d05EmbeddingCosine(spark, sf)
+    // chunk-grid repartition + presentation TakeOrdered; the small build
+    // side broadcasts (no shuffle of its own)
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the grid repartition must survive into the executed plan: without
+    // it, a broadcast join's parallelism is the probe SCAN's split count
+    // (one task on a single-file table — the 33x sf1 regression, r9).
+    // hashpartitioning on (label, chunk, cj) is that exchange.
+    assert(plan.contains("hashpartitioning(label"), plan.take(3000))
+    // exact semantics: the native round rides the projection, and the
+    // pair pass ends in a TakeOrdered, never a global sort of all pairs
+    assert(plan.contains("graft_round"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("q21 token-budget sample: one totals agg broadcast back, map-only keep") {
     val df = Relational.q21TokenBudgetSample(spark, sf)
     // totals aggregation + presentation sort; the totals join must
