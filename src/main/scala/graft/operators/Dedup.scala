@@ -569,14 +569,23 @@ object Dedup {
     val s = e.sparkSession
     val buckets = cappedIdBuckets(bucketed.select(col("tbl"), col("bucket"), col("vec_id")),
       Seq("tbl", "bucket"), "vec_id", maxBucketSize.toLong, minSize = 2L)
-    val cand = bucketPairs(buckets).distinct()
-    cand
+    // dedup AFTER the rescore+threshold, not on the raw candidates: a
+    // true near-dup pair collides in several tables, but a distinct over
+    // ALL candidate pairs shuffles the whole candidate volume to remove
+    // only that per-table multiplicity (measured at sf1: ~6 s to dedup
+    // 8.1M -> 7.3M pairs), while the minCosine filter is about to discard
+    // nearly everything anyway. Rescoring a duplicate candidate is a few
+    // redundant map-side flops; the dropDuplicates then shuffles only
+    // the SURVIVORS (cosine is deterministic per pair, so keeping any
+    // one duplicate row is exact).
+    bucketPairs(buckets)
       .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
       .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
       .select(col("d1").as("v1"), col("d2").as("v2"),
         graft.functions.FastRound.round6(s,
           CosineSimilarity.cosine(s, col("e1"), col("e2"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
+      .dropDuplicates("v1", "v2")
       .orderBy(col("cosine").desc, col("v1").asc, col("v2").asc)
       .limit(topK)
   }
