@@ -455,13 +455,17 @@ object Dedup {
       .select(col("ds"), col("cb.chunk").as("chunk"), col("cb.key").as("key"))
     bucketPairs(cappedIdBuckets(chunks, Seq("chunk", "key"), "ds",
         maxBucketSize.toLong, minSize = 2L))
-      .distinct()
       .select(col("d1.doc_id").as("d1"), col("d2.doc_id").as("d2"),
         bit_count(col("d1.simhash").bitwiseXOR(col("d2.simhash"))).as("hamming"))
       // 4 chunks of 16 bits guarantee recall only for hamming <= 3
       // (pigeonhole, modulo the bucket cap — see scaladoc); pairs
-      // beyond that are luck, so don't emit them.
+      // beyond that are luck, so don't emit them. Dedup (a hamming<=3
+      // pair shares up to 4 chunks) runs AFTER this filter: the hamming
+      // compute is a map-side XOR on the pair row itself, so deduping
+      // first would shuffle the whole candidate volume to save nothing
+      // (the d08 lesson, same round).
       .filter(col("hamming") <= 3)
+      .dropDuplicates("d1", "d2")
       .orderBy(col("hamming").asc, col("d1").asc, col("d2").asc)
   }
 
