@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, UnitVector, WinnowPrints, WordShingles}
+import graft.functions.{BloomSketch, CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, UnitVector, WinnowPrints, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -64,5 +64,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "graft_winnow"),
       WinnowPrints.builder))
+    // Spark's own runtime-filter bloom sketch surfaced for SQL users:
+    // graft_bloom_agg(xxhash64(v), items, bits) builds the filter,
+    // graft_might_contain((SELECT bloom FROM b), xxhash64(v)) probes it
+    // (the probe side requires a constant/scalar-subquery bloom, same
+    // as the internal expression). Column API: functions/BloomSketch.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      BloomSketch.aggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      BloomSketch.containsBuilder))
   }
 }

@@ -43,6 +43,7 @@ object SparkEntry {
     "q19_deterministic_split" -> (Relational.q19DeterministicSplit _),
     "q20_stratified_sample" -> (Relational.q20StratifiedSample _),
     "q21_token_budget_sample" -> (Relational.q21TokenBudgetSample _),
+    "q22_snapshot_diff" -> (Relational.q22SnapshotDiff _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -54,6 +55,9 @@ object SparkEntry {
     // recall vs the exact all-pairs near-dup set + cosine exactness
     "d08_dedup_embedding_lsh" -> (Dedup.d08EmbeddingLsh _),
     "d09_winnow_dups" -> (Dedup.d09WinnowDups _),
+    // rows-only (which clean shingles false-hit is sketch-geometry-
+    // local); DedupSpec holds it against exact d06 from both sides
+    "d10_contamination_bloom" -> (Dedup.d10ContaminationBloom _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -67,6 +71,7 @@ object SparkEntry {
     // recall vs s01 within 0.1 of plain PQ's while scanning only
     // probed cells' codes
     "s06_ann_ivfpq" -> (ProductQuantization.s06AnnIvfPq _),
+    "s07_ann_radius" -> (Similarity.s07AnnRadius _),
     "t01_lang_id" -> (Text.t01LangId _),
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),
@@ -338,6 +343,32 @@ object SparkEntry {
         |          / CAST(total AS DOUBLE)) * 65536) AS INT)
         |ORDER BY doc_id""".stripMargin,
 
+    // the restated price goes through exact DECIMAL multiply then one
+    // correctly-rounded cast to DOUBLE on both sides (values << 2^53,
+    // so both conversions are exact-then-correctly-rounded; see the
+    // q01 decimal note for why raw double math would not hash-match)
+    "q22_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 != 0
+        |), new AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 != 3
+        |)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+        |  o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice
+        |FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |           AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // naive inequality join is the oracle for the bucket-blocked range
     // join; epoch_ns keeps the boundary comparisons at full precision.
     // CAST ... AS BIGINT: DuckDB's SUM over integer literals is HUGEINT,
@@ -432,6 +463,22 @@ object SparkEntry {
         |  FROM pairs
         |) WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // radius filter on the ROUNDED cosine on both sides, so the
+    // threshold comparison can never split a pair across engines
+    "s07_ann_radius" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+        |    round(list_reduce(list_transform(list_zip(q.emb, b.emb), p -> p[1] * p[2]), (acc, v) -> acc + v) / (q.nrm * b.nrm), 6) AS cosine
+        |  FROM q JOIN e b ON q.vec_id <> b.vec_id
+        |)
+        |SELECT q_id, n_id, cosine FROM pairs WHERE cosine >= 0.2
+        |ORDER BY cosine DESC, q_id, n_id LIMIT 10000""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS rep_doc_id, count(*) AS n_copies

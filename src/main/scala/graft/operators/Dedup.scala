@@ -631,25 +631,72 @@ object Dedup {
     * broadcasts it while the corpus shingle store streams map-side —
     * one aggregation per side, one equi-join, never doc x doc pairs.
     */
-  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text", topK: Int = 100): DataFrame = {
-    val s = corpus.sparkSession
-    def shingleStore(df: DataFrame) = normalized(df, idCol, textCol)
+  /** Per-doc distinct word-3-gram store shared by the contamination
+    * checks: (doc_id, shingle), one row per distinct shingle per doc.
+    */
+  private def contaminationShingles(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = df.sparkSession
+    normalized(df, idCol, textCol)
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.WordShingles.shingles(s, col("tokens"), 3))).as("shingle"))
-    val cs = shingleStore(corpus)
-    val bs = shingleStore(benchmark).select("shingle").distinct()
+  }
+
+  /** Per-doc contamination rollup from the corpus shingle store and a
+    * (doc_id, shingle) hit subset: fraction of each doc's distinct
+    * shingles flagged.
+    */
+  private def contaminationRollup(cs: DataFrame, hits: DataFrame, topK: Int): DataFrame = {
     val sizes = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = cs.join(bs, Seq("shingle")).groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    sizes.join(hits, Seq("doc_id"), "left")
+    val hitCounts = hits.groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hitCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 6)
           .as("contamination"))
       .orderBy(col("contamination").desc, col("doc_id").asc)
       .limit(topK)
+  }
+
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", topK: Int = 100): DataFrame = {
+    val cs = contaminationShingles(corpus, idCol, textCol)
+    val bs = contaminationShingles(benchmark, idCol, textCol).select("shingle").distinct()
+    contaminationRollup(cs, cs.join(bs, Seq("shingle")), topK)
+  }
+
+  /** [[contaminationCheck]] with the benchmark side compressed to a
+    * Bloom SKETCH — the 100 TB form of the leakage detector. d06's
+    * exact formulation distinct-shuffles the benchmark's member set
+    * and broadcasts it into the hit join; at a real held-out suite's
+    * size that broadcast is gigabytes. Here the benchmark aggregates
+    * straight into a fixed-size bloom (optimal bits for
+    * `expectedItems` at `fpp`; partials merge bitwise, duplicate
+    * shingles are idempotent so there is NO distinct and NO
+    * benchmark-side shuffle beyond the one-row agg), the bloom reaches
+    * the corpus scan as a scalar-subquery constant (the same mechanism
+    * Spark's own runtime join filters use — [[graft.functions.BloomSketch]]),
+    * and the membership probe is a codegen'd xxhash64 + bit test
+    * INSIDE the corpus scan: the hit join disappears entirely; only
+    * the per-doc rollup shuffles, same as d06.
+    *
+    * One-sided error: a benchmark shingle ALWAYS hits (no false
+    * negatives — contamination is never under-reported, the direction
+    * that matters for a leakage gate); a clean shingle false-hits with
+    * probability <= fpp, so per-doc counts are >= the exact answer and
+    * exceed it by ~fpp of clean probes in expectation. DedupSpec pins
+    * both bounds and exact agreement on fully-contaminated docs.
+    */
+  def contaminationCheckBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", topK: Int = 100,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val cs = contaminationShingles(corpus, idCol, textCol)
+    val bloom = contaminationShingles(benchmark, idCol, textCol)
+      .agg(graft.functions.BloomSketch.bloomAgg(corpus.sparkSession,
+        xxhash64(col("shingle")), expectedItems, fpp).as("bloom"))
+    contaminationRollup(cs,
+      cs.filter(graft.functions.BloomSketch.mightContain(bloom, xxhash64(col("shingle")))), topK)
   }
 
   /** d06: gate binding of [[contaminationCheck]] — docs with
@@ -659,6 +706,20 @@ object Dedup {
   def d06Contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     contaminationCheck(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L),
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 7L))
+  }
+
+  /** d10: gate binding of [[contaminationCheckBloom]] on the same
+    * corpus/benchmark split as d06. rows-only oracle (which clean
+    * shingles false-hit depends on the sketch's hash geometry —
+    * engine-local by construction); DedupSpec holds the sketch answer
+    * against exact d06: never below it per doc, within the fpp budget
+    * in total, identical on fully-contaminated docs.
+    */
+  def d10ContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contaminationCheckBloom(
       docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L),
       docs.filter(pmod(col("doc_id"), lit(10L)) === 7L))
   }

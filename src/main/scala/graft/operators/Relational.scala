@@ -577,4 +577,65 @@ object Relational {
         expr(s"CAST(MIN(CAST(value AS $D)) AS DOUBLE)").as("min_value"),
         expr(s"CAST(MAX(CAST(value AS $D)) AS DOUBLE)").as("max_value"))
       .orderBy("event_type")
+
+  /** Snapshot diff: classify every key as `added` / `removed` /
+    * `changed` between two keyed snapshots of the same table, dropping
+    * unchanged rows. Reference analog: re-running the extraction after
+    * a new filing season and diffing the produced tables against the
+    * previous vintage (the PUDL-side "what changed in this data
+    * release" question; latest-filing-wins q05 resolves WITHIN a
+    * snapshot, this compares ACROSS snapshots).
+    *
+    * Output: the key columns, `change_type`, and `old_`/`new_`
+    * prefixed copies of each compare column (null on the absent side
+    * for added/removed rows). Comparison is null-safe (`<=>`), so a
+    * value appearing or disappearing counts as changed while
+    * null-to-null does not.
+    *
+    * Scale shape: one shuffle per side on the key columns feeding a
+    * full-outer sort-merge join — the canonical co-partitioned diff
+    * (bucketed storage on the key makes both exchanges vanish); the
+    * classification is map-side over the joined rows and unchanged
+    * rows are dropped before anything else touches them. Neither side
+    * is broadcast — both are corpus-scale by assumption.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldSnap.select(keyCols.map(Cols.q) ++
+      compareCols.map(c => Cols.q(c).as(s"old_$c")) :+ lit(true).as("_old_present"): _*)
+    val n = newSnap.select(keyCols.map(Cols.q) ++
+      compareCols.map(c => Cols.q(c).as(s"new_$c")) :+ lit(true).as("_new_present"): _*)
+    val changed = compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_old_present").isNull, lit("added"))
+          .when(col("_new_present").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(Cols.q) ++ (col("change_type") +:
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
+      .orderBy(keyCols.map(Cols.q): _*)
+  }
+
+  /** q22: gate binding of [[snapshotDiff]] on two deterministic order
+    * vintages — the old snapshot misses every 7th key (filings not yet
+    * submitted), the new snapshot misses keys ≡ 3 (mod 11) (amended
+    * away) and re-states every 5th key's total at +10% (the restated
+    * value goes through exact DECIMAL multiply, then one
+    * correctly-rounded cast to DOUBLE, so Spark and DuckDB see the
+    * identical double).
+    */
+  def q22SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oldSnap = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 0L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val newSnap = o.filter(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(5L)) === 0L,
+          expr(s"CAST(CAST(o_totalprice AS $D) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+  }
 }

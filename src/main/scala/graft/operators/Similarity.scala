@@ -320,4 +320,73 @@ object Similarity {
     }
     annIvfWithCodebook(e, e.filter(col("vec_id") < NumQueries), codebook)
   }
+
+  /** All neighbors within a cosine RADIUS of each query — the range
+    * flavor of similarity search (threshold retrieval: "everything at
+    * least `minCosine` close"), complementing [[annBruteforce]]'s
+    * top-k flavor. Exact: the query side is broadcast and every
+    * (query, corpus) score runs through the fused codegen'd cosine
+    * inside the corpus scan — map-only over the corpus; only the
+    * (small) survivor set crosses the output-ordering shuffle.
+    * `maxResults` bounds the answer (highest cosines first), so a
+    * too-loose radius truncates instead of exploding.
+    */
+  def annRadius(emb: DataFrame, queries: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxResults: Int = 10000): DataFrame = {
+    val s = emb.sparkSession
+    val e = normalized(emb, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+    broadcast(q.as("a"))
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        graft.functions.FastRound.round6(s,
+          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("cosine").desc, col("q_id").asc, col("n_id").asc)
+      .limit(maxResults)
+  }
+
+  /** [[annRadius]]'s scale path: candidates block on hyperplane-LSH
+    * buckets ([[lshBucketed]], shared with s02/d08) instead of scoring
+    * the whole corpus, so per-query work tracks bucket occupancy, not
+    * corpus size. Bucket-equi join, exact `graft_cosine` rescore, and
+    * the multi-table collision dedup runs AFTER the threshold — only
+    * survivors cross the distinct's shuffle (same rationale as
+    * [[Dedup.embeddingLshTopK]]). Approximate: a neighbor sharing no
+    * bucket with its query is missed; SimilaritySpec measures recall
+    * vs the exact form and pins 100% on planted near-identical
+    * vectors (tiny angles survive every table).
+    */
+  def annRadiusLsh(emb: DataFrame, queries: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxResults: Int = 10000,
+      numTables: Int = HyperplaneBuckets.NumTables,
+      planesPerTable: Int = HyperplaneBuckets.PlanesPerTable): DataFrame = {
+    val s = emb.sparkSession
+    val eb = lshBucketed(normalized(emb, idCol, vecCol), numTables, planesPerTable)
+    val qb = lshBucketed(normalized(queries, idCol, vecCol), numTables, planesPerTable)
+    broadcast(qb.as("a"))
+      .join(eb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        graft.functions.FastRound.round6(s,
+          CosineSimilarity.cosine(s, col("a.embedding"), col("b.embedding"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .dropDuplicates("q_id", "n_id")
+      .orderBy(col("cosine").desc, col("q_id").asc, col("n_id").asc)
+      .limit(maxResults)
+  }
+
+  /** s07: gate binding of [[annRadius]] with queries vec_id < 10 at
+    * radius 0.2 — near the top of the synthetic corpus's similarity
+    * range (near-orthogonal vectors, max pairwise cosine ~0.5), so
+    * the answer is a real shortlist. Fully SQL-oracled (exact cosines,
+    * like s01); SimilaritySpec holds the LSH path's recall against it.
+    */
+  def s07AnnRadius(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annRadius(e, e.filter(col("vec_id") < NumQueries), minCosine = 0.2)
+  }
 }

@@ -228,4 +228,51 @@ class DedupSpec extends SparkSpec {
     assert(n <= docs) // one row per distinct content
     assert(out.agg(sum("n_copies")).collect().head.getLong(0) === docs)
   }
+
+  test("bloom contamination never under-reports exact d06 and stays in the FP budget") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = toMap(Dedup.contaminationCheck(corpus, bench, topK = 100000))
+    val bloom = toMap(Dedup.contaminationCheckBloom(corpus, bench, topK = 100000,
+      expectedItems = 100000L, fpp = 0.01))
+    assert(exact.keySet === bloom.keySet)
+    exact.foreach { case (doc, (nSh, nExact)) =>
+      val (nShB, nBloom) = bloom(doc)
+      assert(nShB === nSh, s"doc $doc shingle count")
+      // one-sided error: the sketch can only over-report
+      assert(nBloom >= nExact, s"doc $doc under-reported: $nBloom < $nExact")
+      assert(nBloom <= nSh, s"doc $doc over total")
+    }
+    val totalShingles = exact.values.map(_._1).sum
+    val overcount = bloom.values.map(_._2).sum - exact.values.map(_._2).sum
+    // expectation is fpp (1%) of clean probes; 5x slack keeps the
+    // deterministic small-sample draw comfortably inside the bound
+    assert(overcount <= 0.05 * totalShingles,
+      s"FP overcount $overcount over $totalShingles probes")
+    info(s"bloom overcount: $overcount of $totalShingles probes")
+  }
+
+  test("bloom contamination flags planted fully-contaminated docs exactly") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim leak
+      (2L, "one two three four five six seven"),             // every 3-gram in bench
+      (3L, "totally disjoint words nowhere in the benchmark suite"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationCheckBloom(corpus, bench,
+      expectedItems = 1000L, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 1.0)
+    // the disjoint doc has 8 probes at fpp 1e-3 — a false hit would be
+    // a deterministic-seed miracle; pin zero to catch a sketch misuse
+    assert(got(3L) === 0.0)
+  }
 }

@@ -82,6 +82,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("q22 snapshot diff: co-partitioned full-outer merge join, nothing broadcast") {
+    val df = Relational.q22SnapshotDiff(spark, sf)
+    // one exchange per side + the presentation sort
+    assert(shuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("s07 radius search: queries broadcast, corpus map-only into the bounded top") {
+    val df = graft.operators.Similarity.s07AnnRadius(spark, sf)
+    // orderBy+limit plans as TakeOrdered (per-partition heaps); the
+    // corpus side never shuffles
+    assert(shuffles(df) <= 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+  }
+
+  test("d10 bloom contamination probes in the scan: no join against the member set") {
+    val df = Dedup.d10ContaminationBloom(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the membership test is a codegen'd filter over a scalar-subquery
+    // constant — d06's broadcast hit-join against the benchmark's
+    // distinct shingle set is gone; the one remaining join is the
+    // per-doc sizes x hits rollup
+    assert(plan.contains("might_contain"), plan.take(3000))
+    def joins(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => joins(q.plan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => 1 + j.children.map(joins).sum
+      case other => other.children.map(joins).sum
+    }
+    assert(joins(df.queryExecution.executedPlan) === 1, plan.take(3000))
+  }
+
   test("s04 trained IVF: seed scoring broadcasts, candidates join cell-equi") {
     val df = graft.operators.Similarity.s04AnnIvfTrained(spark, sf)
     // assignment agg + pair-dedup agg + per-query window + presentation

@@ -105,4 +105,30 @@ class RelationalSpec extends SparkSpec {
     // sf0.01 is where the driver's correctness gate runs
     assert(Relational.q09AntiSemiJoin(spark, "/root/testdata/sf0.01").limit(1).count() === 1L)
   }
+
+  test("snapshotDiff classifies added/removed/changed with null-safe compares") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Option("A"), Option(1.0)),   // only in old -> removed
+      (2L, Option("B"), Option(2.0)),   // identical -> dropped
+      (3L, Option("C"), Option.empty[Double]), // null -> value = changed
+      (4L, Option("D"), Option(4.0)))   // status differs -> changed
+      .toDF("k", "status", "price")
+    val newSnap = Seq(
+      (2L, Option("B"), Option(2.0)),
+      (3L, Option("C"), Option(3.0)),
+      (4L, Option("E"), Option(4.0)),
+      (5L, Option("F"), Option(5.0)))   // only in new -> added
+      .toDF("k", "status", "price")
+    val rows = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("status", "price"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "removed", 3L -> "changed", 4L -> "changed", 5L -> "added"))
+    // absent-side columns are null on added/removed rows
+    val byKey = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("status", "price"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byKey(5L).isNullAt(byKey(5L).fieldIndex("old_status")))
+    assert(byKey(1L).isNullAt(byKey(1L).fieldIndex("new_status")))
+    assert(byKey(4L).getString(byKey(4L).fieldIndex("old_status")) === "D")
+    assert(byKey(4L).getString(byKey(4L).fieldIndex("new_status")) === "E")
+  }
 }

@@ -321,4 +321,63 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq)
     }
   }
+
+  test("s07 radius gate matches a driver model of the exact threshold answer") {
+    val got = Similarity.s07AnnRadius(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val model = (for {
+      (q, qv) <- vecs if q < 10
+      (n, nv) <- vecs if n != q
+      c = BigDecimal(cos(qv, nv)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.2
+    } yield (q, n) -> c).toMap
+    assert(got.keySet === model.keySet)
+    got.foreach { case (k, c) => assert(math.abs(model(k) - c) < 1e-9, s"$k: ${model(k)} vs $c") }
+  }
+
+  test("annRadiusLsh keeps usable recall vs exact radius and total recall on planted near-dups") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.annRadius(e, q, minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(exact.nonEmpty, "corpus has radius hits at this sf")
+    val lsh = Similarity.annRadiusLsh(e, q, minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // coarse 8x4 blocking on near-orthogonal vectors at cosine ~0.3:
+    // per-table collision p ~ 0.13, any-of-8 ~ 0.66 — assert well above
+    // chance; the exact form stays the correctness baseline
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    info(s"annRadiusLsh recall vs exact radius: $recall over ${exact.size} pairs")
+    assert(recall >= 0.4, s"recall $recall")
+    lsh.foreach { case (qi, ni) => assert(exact.contains((qi, ni)), s"non-exact hit ($qi,$ni)") }
+
+    // planted near-identical regime: tiny angles collide in essentially
+    // every table, so radius-LSH must find every planted neighbor
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 24
+    val noise = Seq.tabulate(300)(i => (100L + i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 10).flatMap { p =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((p.toLong, base), (1000L + p, dup))
+    }
+    val emb = (noise ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.annRadiusLsh(emb, emb.filter(col("vec_id") < 10), minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { p =>
+      assert(got.contains((p.toLong, 1000L + p)), s"planted neighbor of query $p missing")
+    }
+  }
 }
