@@ -92,6 +92,41 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("q22 on bucketed snapshots: both per-side exchanges vanish, result unchanged") {
+    // the scaladoc claim made real: store both vintages bucketed on the
+    // diff key and the full-outer merge join consumes the bucketed
+    // scans' co-partitioning directly — the only remaining exchange is
+    // the presentation sort. This is the 100 TB deployment shape: a
+    // nightly-snapshot table bucketed on its PK diffs against the next
+    // vintage without shuffling either corpus.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val tmp = Files.createTempDirectory("graft_q22_bucketed").toString
+    val o = Tables.orders(spark, sf)
+    val oldSnap = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 0L)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val newSnap = o.filter(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def save(df: DataFrame, name: String): Unit =
+      df.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/$name").mode("overwrite").saveAsTable(name)
+    save(oldSnap, "graft_q22_old_b")
+    save(newSnap, "graft_q22_new_b")
+    try {
+      val diff = Relational.snapshotDiff(
+        spark.table("graft_q22_old_b"), spark.table("graft_q22_new_b"),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      assert(shuffles(diff) === 1, diff.queryExecution.executedPlan.toString.take(2000))
+      // same classification as the unbucketed plan (modulo q22's restatement)
+      val unbucketed = Relational.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      assert(diff.collect().map(_.toSeq).toSet === unbucketed.collect().map(_.toSeq).toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q22_old_b")
+      spark.sql("DROP TABLE IF EXISTS graft_q22_new_b")
+    }
+  }
+
   test("s07 radius search: queries broadcast, corpus map-only into the bounded top") {
     val df = graft.operators.Similarity.s07AnnRadius(spark, sf)
     // orderBy+limit plans as TakeOrdered (per-partition heaps); the
