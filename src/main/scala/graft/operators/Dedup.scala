@@ -699,6 +699,50 @@ object Dedup {
       cs.filter(graft.functions.BloomSketch.mightContain(bloom, xxhash64(col("shingle")))), topK)
   }
 
+  /** Serialize the benchmark's shingle membership to bloom BYTES — the
+    * form a streaming probe needs ([[contaminationFlagsAgainstBloom]]):
+    * `BloomFilterMightContain` accepts only a CONSTANT or
+    * scalar-subquery bloom, and streaming plans admit no scalar
+    * subqueries, so the sketch state is fetched once at plan build.
+    * One row of optimalNumOfBits/8 bytes however large the benchmark —
+    * the same cost class as broadcasting a trained codebook, not a
+    * data collect.
+    */
+  def benchmarkBloom(benchmark: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): Array[Byte] =
+    contaminationShingles(benchmark, idCol, textCol)
+      .agg(graft.functions.BloomSketch.bloomAgg(benchmark.sparkSession,
+        xxhash64(col("shingle")), expectedItems, fpp).as("bloom"))
+      .head.getAs[Array[Byte]](0)
+
+  /** Per-doc contamination flags computed entirely INSIDE the row — no
+    * explode, no rollup shuffle: the distinct-shingle array folds
+    * through `aggregate` with a bloom-membership probe per element, so
+    * the operator is map-only and therefore STREAMING-legal
+    * ([[graft.streaming.StreamingOps.contaminationGate]] wires it to an
+    * unbounded corpus). Same per-doc counts as
+    * [[contaminationCheckBloom]]'s rollup by construction (same shingle
+    * store, same sketch geometry) — pinned in DedupSpec.
+    */
+  def contaminationFlagsAgainstBloom(docs: DataFrame, bloomBytes: Array[Byte],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.BloomSketch.register(s)
+    normalized(docs, idCol, textCol)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles",
+        array_distinct(graft.functions.WordShingles.shingles(s, col("tokens"), 3)))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        aggregate(col("shingles"), lit(0L), (acc, sh) =>
+          acc + when(call_function("graft_might_contain", lit(bloomBytes), xxhash64(sh)), 1L)
+            .otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
   /** d06: gate binding of [[contaminationCheck]] — docs with
     * doc_id % 10 == 7 stand in as the held-out benchmark, the rest as
     * the training corpus.

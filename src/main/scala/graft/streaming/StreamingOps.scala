@@ -272,4 +272,22 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Streaming contamination gate — the unbounded-corpus twin of batch
+    * d10 ([[graft.operators.Dedup.contaminationCheckBloom]]): the
+    * held-out benchmark compresses ONCE at query build to fixed-size
+    * bloom bytes ([[graft.operators.Dedup.benchmarkBloom]]) and every
+    * arriving document probes the sketch row-locally
+    * ([[graft.operators.Dedup.contaminationFlagsAgainstBloom]]).
+    * Completely STATELESS — no watermark, no state store, no shuffle:
+    * the sketch is a plan constant and the flags fold inside each row,
+    * so the gate runs append-mode at ingest rate for as long as the
+    * stream lives, with d10's one-sided error (contamination is never
+    * under-reported; clean shingles false-hit <= fpp).
+    */
+  def contaminationGate(docs: DataFrame, benchmark: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    graft.operators.Dedup.contaminationFlagsAgainstBloom(docs,
+      graft.operators.Dedup.benchmarkBloom(benchmark,
+        expectedItems = expectedItems, fpp = fpp))
 }

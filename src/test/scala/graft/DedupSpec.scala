@@ -255,6 +255,21 @@ class DedupSpec extends SparkSpec {
     info(s"bloom overcount: $overcount of $totalShingles probes")
   }
 
+  test("map-only contamination flags carry the exact per-doc counts of the bloom rollup") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+    val rollup = Dedup.contaminationCheckBloom(corpus, bench, topK = 100000,
+      expectedItems = 100000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val flags = Dedup.contaminationFlagsAgainstBloom(corpus,
+      Dedup.benchmarkBloom(bench, expectedItems = 100000L, fpp = 0.01))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // same shingle store, same sketch geometry -> identical numbers,
+    // with the rollup's two shuffles traded for none
+    assert(flags === rollup)
+  }
+
   test("bloom contamination flags planted fully-contaminated docs exactly") {
     import spark.implicits._
     val bench = Seq(

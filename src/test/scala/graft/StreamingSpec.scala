@@ -312,4 +312,40 @@ class StreamingSpec extends SparkSpec {
       assert(ids === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming contamination gate flags docs statelessly across triggers") {
+    implicit val ctx = spark.sqlContext
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // tight sketch: 1e-3 fpp on a dozen benchmark shingles, so a clean
+    // shingle false-hitting would be a deterministic-seed miracle
+    val q = StreamingOps.contaminationGate(docs, benchmark,
+      expectedItems = 1000L, fpp = 0.001)
+      .writeStream.format("memory").queryName("contam_gate").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon"), // verbatim leak -> 1.0
+        (2L, "clean words entirely elsewhere found"), // disjoint -> 0.0
+        (3L, "hi there")) // <3 tokens -> no shingles, dropped like batch
+      q.processAllAvailable()
+      // second trigger keeps flowing with no state carried: partial leak
+      // "alpha beta gamma" is 1 of 3 shingles
+      input.addData((4L, "alpha beta gamma more words"))
+      q.processAllAvailable()
+      val got = spark.table("contam_gate").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(got === Map(
+        1L -> ((3L, 3L, 1.0)),
+        2L -> ((3L, 0L, 0.0)),
+        4L -> ((3L, 1L, 0.333333))))
+      // stateless by construction: the executed progress reports no
+      // stateful operators at all
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
 }
