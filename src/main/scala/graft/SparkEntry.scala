@@ -72,6 +72,10 @@ object SparkEntry {
     // probed cells' codes
     "s06_ann_ivfpq" -> (ProductQuantization.s06AnnIvfPq _),
     "s07_ann_radius" -> (Similarity.s07AnnRadius _),
+    // rows-only (an exact SQL knn oracle would be the all-pairs cross
+    // join the operator exists to avoid); SimilaritySpec holds recall
+    // vs exact knnJoin and planted near-dup pairs
+    "s08_knn_join" -> (Similarity.s08KnnJoin _),
     "t01_lang_id" -> (Text.t01LangId _),
     "t02_quality_score" -> (Text.t02QualityScore _),
     "t03_token_count" -> (Text.t03TokenCount _),

@@ -74,7 +74,7 @@ object Dedup {
     * additionally drops singleton buckets when the only consumer is
     * pair generation.
     */
-  private def cappedIdBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+  private[operators] def cappedIdBuckets(df: DataFrame, keys: Seq[String], idCol: String,
       cap: Long, minSize: Long): DataFrame = {
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*)
@@ -143,7 +143,7 @@ object Dedup {
   /** All in-bucket (d1 < d2) pairs from a bucketed DF with an `ids`
     * array column — the candidate generator for d02/d03.
     */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  private[operators] def bucketPairs(buckets: DataFrame): DataFrame =
     buckets
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(

@@ -379,6 +379,86 @@ object Similarity {
       .limit(maxResults)
   }
 
+  /** Exact k-NN self-join — every vector's k nearest OTHERS by cosine,
+    * the whole-corpus flavor of [[annBruteforce]] (which it reuses:
+    * query side = the corpus itself). The corpus is broadcast as the
+    * query side, so this form is for validation and broadcast-sized
+    * corpora only; [[knnJoinLsh]] is the scale path.
+    */
+  def knnJoin(emb: DataFrame, k: Int = K,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annBruteforce(emb, emb, idCol, vecCol, k)
+
+  /** k-NN GRAPH at scale: every vector's k best reachable neighbors,
+    * the embedding-graph builder (its output feeds
+    * [[Dedup.dupClusters]] for graph-based dedup, or any
+    * neighborhood-based curation step). Candidates block on
+    * hyperplane-LSH buckets — the SAME capped machinery as
+    * [[Dedup.embeddingLshPairs]] (per-bucket id cap before any list
+    * aggregation, so a degenerate corpus caps out instead of going
+    * quadratic) — then every candidate pair rescored with the exact
+    * fused-codegen cosine, SYMMETRIZED (a blocked pair serves both
+    * endpoints' neighbor lists — union, no shuffle), deduped across
+    * tables, and cut to k per vector by the WindowGroupLimit-pushed
+    * rank window. Neither side broadcasts; every join is equi.
+    *
+    * Default geometry is COARSER than d08's near-dup blocking
+    * (planesPerTable 4 vs 8): a knn graph wants recall at moderate
+    * cosine, where 8-plane buckets almost never collide; 4-plane
+    * buckets give a ~0.2-cosine pair a ~10% per-table collision and
+    * the 8 tables compound it to ~0.57, at bucket sizes the cap
+    * comfortably absorbs. Approximate: a neighbor sharing no bucket
+    * with its vector is missed; SimilaritySpec measures recall vs
+    * [[knnJoin]] and pins 100% on planted near-identical pairs.
+    */
+  def knnJoinLsh(emb: DataFrame, k: Int = K,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 1000,
+      numTables: Int = HyperplaneBuckets.NumTables,
+      planesPerTable: Int = 4): DataFrame = {
+    val e = normalized(emb, idCol, vecCol)
+    knnFromBuckets(e, lshBucketed(e, numTables, planesPerTable), k, maxBucketSize)
+  }
+
+  private[operators] def knnFromBuckets(e: DataFrame, bucketed: DataFrame,
+      k: Int, maxBucketSize: Int): DataFrame = {
+    val s = e.sparkSession
+    val buckets = Dedup.cappedIdBuckets(
+      bucketed.select(col("tbl"), col("bucket"), col("vec_id")),
+      Seq("tbl", "bucket"), "vec_id", maxBucketSize.toLong, minSize = 2L)
+    val scored = Dedup.bucketPairs(buckets)
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.FastRound.round6(s,
+          CosineSimilarity.cosine(s, col("e1"), col("e2"))).as("cosine"))
+    // symmetrize before the per-vector cut: one rescored pair serves
+    // both endpoints; the cross-table dedup (max is exact — cosine is
+    // deterministic per pair) rides the same shuffle as the window
+    val sym = scored.select(col("d1").as("q_id"), col("d2").as("n_id"), col("cosine"))
+      .unionAll(scored.select(col("d2").as("q_id"), col("d1").as("n_id"), col("cosine")))
+    topK(sym.groupBy("q_id", "n_id").agg(max(col("cosine")).as("cosine")), k)
+  }
+
+  /** s08: gate binding of [[knnJoinLsh]] — the full knn graph of the
+    * embeddings corpus at the default coarse geometry, k=10. rows-only
+    * oracle (bucket membership is engine-local, and an exact SQL knn
+    * oracle would be an all-pairs cross join — quadratic in the corpus,
+    * exactly what the operator exists to avoid); SimilaritySpec holds
+    * recall against exact [[knnJoin]] and planted near-dup pairs.
+    * The coarse bucket store is session-cached (SharedIndex), separate
+    * from d08's fine store — different geometry, different key.
+    */
+  def s08KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val bucketed = SharedIndex(s, dir, "hyperplane_buckets_knn") {
+      lshBucketed(normalized(e, "vec_id", "embedding"),
+        HyperplaneBuckets.NumTables, 4).select("tbl", "bucket", "vec_id")
+    }
+    knnFromBuckets(normalized(e, "vec_id", "embedding"),
+      bucketed, K, maxBucketSize = 1000)
+  }
+
   /** s07: gate binding of [[annRadius]] with queries vec_id < 10 at
     * radius 0.2 — near the top of the synthetic corpus's similarity
     * range (near-orthogonal vectors, max pairwise cosine ~0.5), so

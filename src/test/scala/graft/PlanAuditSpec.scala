@@ -137,6 +137,18 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("s08 knn graph: equi joins only, nothing corpus-sized broadcast") {
+    val df = graft.operators.Similarity.s08KnnJoin(spark, sf)
+    // bucket cap window + bucket groupBy (shared partitioning), two id
+    // joins, pair-dedup agg + rank window (shared partitioning), and
+    // the presentation sort; AQE may broadcast the SMALL cached id side
+    // at test sf but no cartesian/nested-loop may ever appear
+    assert(shuffles(df) <= 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("d10 bloom contamination probes in the scan: no join against the member set") {
     val df = Dedup.d10ContaminationBloom(spark, sf)
     df.collect()

@@ -346,6 +346,48 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (k, c) => assert(math.abs(model(k) - c) < 1e-9, s"$k: ${model(k)} vs $c") }
   }
 
+  test("knnJoinLsh covers the exact knn graph's confident edges and pins planted pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.knnJoin(e, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // exact knn graph shape: every vector has exactly k ranked neighbors
+    val n = e.count()
+    assert(exact.size === n * 10)
+    val lsh = Similarity.knnJoinLsh(e, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // graph-level recall on near-orthogonal noise (the hard regime —
+    // moderate-cosine neighbors collide probabilistically): well above
+    // chance, and rank-1 edges (the most similar neighbor, highest
+    // collision probability) recall stricter
+    val recall = exact.count { case (q, _, nId) => lsh.contains((q, nId)) }.toDouble / exact.size
+    val r1 = exact.filter(_._2 == 1)
+    val r1Recall = r1.count { case (q, _, nId) => lsh.contains((q, nId)) }.toDouble / r1.size
+    info(s"knnJoinLsh recall: all-ranks $recall, rank-1 $r1Recall over ${exact.size} edges")
+    assert(recall >= 0.3, s"recall $recall")
+    assert(r1Recall >= 0.5, s"rank-1 recall $r1Recall")
+
+    // planted near-identical pairs: tiny angles collide in essentially
+    // every 4-plane table, so each planted vector's rank-1 neighbor
+    // must be its twin
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 24
+    val noise = Seq.tabulate(300)(i => (100L + i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 10).flatMap { p =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((p.toLong, base), (1000L + p, dup))
+    }
+    val emb = (noise ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.knnJoinLsh(emb, k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 10).foreach { p =>
+      assert(got(p.toLong) === 1000L + p, s"rank-1 of planted $p")
+      assert(got(1000L + p) === p.toLong, s"rank-1 of planted twin $p")
+    }
+  }
+
   test("annRadiusLsh keeps usable recall vs exact radius and total recall on planted near-dups") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
