@@ -70,6 +70,32 @@ class AdversarialShapeSpec extends SparkSpec {
     assert(pairs.filter(col("v1") < 3000L && col("v2") < 3000L).count() === 0L)
   }
 
+  test("knn graph: a mass-identical vector block caps out instead of going quadratic") {
+    val rnd = new scala.util.Random(43)
+    val hot = (0L until 3000L).map(i => (i, Array.fill(16)(1.0f)))
+    val rest = (3000L until 3100L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val emb = (hot ++ rest).toDF("vec_id", "embedding")
+    // same cap discipline as d08 (shared cappedIdBuckets): the 3000
+    // identical vectors exceed every bucket's cap, so no hot-mass pair
+    // is ever generated — the knn graph degrades to the well-blocked
+    // remainder instead of materializing a ~4.5M-edge clique
+    val edges = Similarity.knnJoinLsh(emb, k = 10)
+    assert(edges.filter(col("q_id") < 3000L && col("n_id") < 3000L).count() === 0L)
+  }
+
+  test("radius LSH on a fully-degenerate corpus: bounded by queries x corpus, then maxResults") {
+    val emb = (0L until 5000L).map(i => (i, Array.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    // like s02, the query side is broadcast so the worst-case candidate
+    // volume is linear in the corpus; maxResults bounds the answer when
+    // every neighbor clears the radius
+    val rows = Similarity.annRadiusLsh(emb, emb.filter(col("vec_id") < 3L),
+      minCosine = 0.99, maxResults = 500).collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-9, r.toString))
+  }
+
   test("s02 ANN on a fully-degenerate corpus: per-query top-k, never bucket x bucket") {
     val emb = (0L until 5000L).map(i => (i, Array.fill(16)(0.5f)))
       .toDF("vec_id", "embedding")
