@@ -402,12 +402,16 @@ object Similarity {
     * tables, and cut to k per vector by the WindowGroupLimit-pushed
     * rank window. Neither side broadcasts; every join is equi.
     *
-    * Default geometry is COARSER than d08's near-dup blocking
-    * (planesPerTable 4 vs 8): a knn graph wants recall at moderate
-    * cosine, where 8-plane buckets almost never collide; 4-plane
-    * buckets give a ~0.2-cosine pair a ~10% per-table collision and
-    * the 8 tables compound it to ~0.57, at bucket sizes the cap
-    * comfortably absorbs. Approximate: a neighbor sharing no bucket
+    * Default geometry is COARSER than d08's near-dup blocking and
+    * SIZED FROM THE CORPUS ([[knnPlanes]]): a knn graph wants recall
+    * at moderate cosine (where 8-plane buckets almost never collide)
+    * but, unlike threshold retrieval, it also wants EVERY vector to
+    * keep a surviving bucket — a fixed plane count at growing corpus
+    * size pushes mean occupancy through the cap and silently drops
+    * whole neighborhoods (measured at 20k vectors with fixed 4-plane
+    * tables: 22% of the corpus capped out of the graph). Auto-sizing
+    * keeps mean occupancy at ~cap/8, so the cap stays a skew guard,
+    * not the common case. Approximate: a neighbor sharing no bucket
     * with its vector is missed; SimilaritySpec measures recall vs
     * [[knnJoin]] and pins 100% on planted near-identical pairs.
     */
@@ -415,9 +419,23 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 1000,
       numTables: Int = HyperplaneBuckets.NumTables,
-      planesPerTable: Int = 4): DataFrame = {
+      planesPerTable: Int = 0): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
-    knnFromBuckets(e, lshBucketed(e, numTables, planesPerTable), k, maxBucketSize)
+    val planes = if (planesPerTable > 0) planesPerTable else knnPlanes(e.count(), maxBucketSize)
+    knnFromBuckets(e, lshBucketed(e, numTables, planes), k, maxBucketSize)
+  }
+
+  /** Planes per table for a knn graph over `n` vectors: the fewest
+    * planes keeping mean bucket occupancy n/2^planes at or under
+    * maxBucketSize/8 — coarse enough for moderate-cosine collisions,
+    * fine enough that only genuine skew hits the cap. Floors at 4
+    * (the small-corpus geometry) and caps at 24 (occupancy ~60 at
+    * 1e9 vectors; beyond that raise numTables, not planes).
+    */
+  private[graft] def knnPlanes(n: Long, maxBucketSize: Int): Int = {
+    val target = math.max(1.0, maxBucketSize / 8.0)
+    val p = math.ceil(math.log(math.max(1L, n) / target) / math.log(2.0)).toInt
+    math.min(24, math.max(4, p))
   }
 
   private[operators] def knnFromBuckets(e: DataFrame, bucketed: DataFrame,
@@ -446,17 +464,19 @@ object Similarity {
     * oracle would be an all-pairs cross join — quadratic in the corpus,
     * exactly what the operator exists to avoid); SimilaritySpec holds
     * recall against exact [[knnJoin]] and planted near-dup pairs.
-    * The coarse bucket store is session-cached (SharedIndex), separate
-    * from d08's fine store — different geometry, different key.
+    * The corpus-sized bucket store is session-cached (SharedIndex),
+    * separate from d08's fine store — different geometry, different
+    * key (the chosen plane count is part of the cache key, so a
+    * different-sized corpus in the same dir never reuses a stale
+    * geometry).
     */
   def s08KnnJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val bucketed = SharedIndex(s, dir, "hyperplane_buckets_knn") {
-      lshBucketed(normalized(e, "vec_id", "embedding"),
-        HyperplaneBuckets.NumTables, 4).select("tbl", "bucket", "vec_id")
+    val e = normalized(Tables.embeddings(s, dir), "vec_id", "embedding")
+    val planes = knnPlanes(e.count(), 1000)
+    val bucketed = SharedIndex(s, dir, s"hyperplane_buckets_knn_p$planes") {
+      lshBucketed(e, HyperplaneBuckets.NumTables, planes).select("tbl", "bucket", "vec_id")
     }
-    knnFromBuckets(normalized(e, "vec_id", "embedding"),
-      bucketed, K, maxBucketSize = 1000)
+    knnFromBuckets(e, bucketed, K, maxBucketSize = 1000)
   }
 
   /** s07: gate binding of [[annRadius]] with queries vec_id < 10 at

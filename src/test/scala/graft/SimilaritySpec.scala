@@ -388,6 +388,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnJoinLsh auto-geometry keeps the whole corpus in the graph at 20k vectors") {
+    // the sizing rule: occupancy ~cap/8, floored at the small-corpus
+    // 4-plane geometry, capped at 24 planes
+    assert(Similarity.knnPlanes(500L, 1000) === 4)
+    assert(Similarity.knnPlanes(20000L, 1000) === 8)
+    assert(Similarity.knnPlanes(1000000000L, 1000) === 23)
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = Seq.tabulate(20000)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val covered = Similarity.knnJoinLsh(emb, k = 5).select("q_id").distinct().count()
+    // fixed 4-plane tables capped 22% of a 20k corpus out of the graph
+    // (measured at sf1); the sized geometry keeps effectively everyone
+    assert(covered >= 19800L, s"covered $covered of 20000")
+  }
+
   test("annRadiusLsh keeps usable recall vs exact radius and total recall on planted near-dups") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
