@@ -133,4 +133,33 @@ class PipelineSpec extends SparkSpec {
     assert((0L until 200L).forall(survivors.contains),
       "noise vectors must survive label-free dedup")
   }
+
+  test("knn graph -> cosine threshold -> dupClusters is an equivalent dedup route") {
+    import spark.implicits._
+    // same planted-group corpus shape as above, resolved through the
+    // r9 knn-graph operator instead of the threshold pair generator:
+    // the graph's thresholded edges are a drop-in dupClusters input
+    val rnd = new scala.util.Random(19)
+    val dim = 24
+    val groups = Seq(4, 3, 2).zipWithIndex.flatMap { case (sz, g) =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      Seq.tabulate(sz)(i =>
+        (5000L + 10L * g + i, base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    }
+    val noise = Seq.tabulate(200)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = (groups ++ noise).toDF("vec_id", "embedding")
+
+    val knn = graft.operators.Similarity.knnJoinLsh(emb, k = 5)
+    val clusters = Dedup.dupClusters(knn.filter(col("cosine") >= 0.9),
+      aCol = "q_id", bCol = "n_id")
+    val nonReps = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    val survivors = emb.join(nonReps, Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(Set(5000L, 5001L, 5002L, 5003L)) === Set(5000L))
+    assert(survivors.intersect(Set(5010L, 5011L, 5012L)) === Set(5010L))
+    assert(survivors.intersect(Set(5020L, 5021L)) === Set(5020L))
+    assert((0L until 200L).forall(survivors.contains),
+      "noise vectors must survive knn-graph dedup")
+  }
 }
