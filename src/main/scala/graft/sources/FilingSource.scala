@@ -57,7 +57,7 @@ object FilingSource {
     * and the reference likewise logs and skips them (xbrl.py:159-163).
     * One broken filing must not fail a 100 TB batch.
     */
-  private def parseOrSkip(
+  private[graft] def parseOrSkip(
       name: String,
       in: java.io.InputStream,
       factPrefix: String): Option[ParsedInstance] =
@@ -68,7 +68,7 @@ object FilingSource {
         None
     }
 
-  private def stem(filename: String): String = {
+  private[graft] def stem(filename: String): String = {
     val base = filename.substring(filename.lastIndexOf('/') + 1)
     val dot = base.lastIndexOf('.')
     if (dot > 0) base.substring(0, dot) else base
