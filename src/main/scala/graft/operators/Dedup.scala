@@ -552,19 +552,34 @@ object Dedup {
     * all-pairs step. The default blocking is FINER than s02's (8 tables
     * x 8 planes = 256 buckets each vs 8x4's 16): near-dup candidates
     * sit at tiny angles that survive long plane conjunctions, and the
-    * finer the buckets the smaller the quadratic in-bucket term —
-    * at 1e9+ vectors callers raise `planesPerTable` (and `numTables`
-    * with it) so expected bucket size stays under `maxBucketSize`.
+    * finer the buckets the smaller the quadratic in-bucket term.
     * Recall for genuine near-dups stays high by construction: at cosine
     * 0.95 an 8-plane table collides with p~0.43, so 8 tables miss with
     * p~(1-0.43)^8 ~ 1%; at cosine 0.99, p_miss ~ 1e-4.
+    *
+    * The plane count is CORPUS-SIZED by default (r9, same rule as
+    * [[Similarity.knnJoinLsh]] but floored at the tuned fine 8): a
+    * fixed geometry at growing n pushes bucket occupancy through the
+    * cap, and because capped buckets are dropped the detector SILENTLY
+    * sheds recall — the loss starts well before mean occupancy reaches
+    * the cap (orthant sizes spread wide under random hyperplanes;
+    * measured in DedupSpec: 30% of planted twins vanish at mean
+    * occupancy 1.6x cap) and deepens toward total as n grows past
+    * ~cap x 2^planes. Sizing planes to keep mean occupancy ~cap/8
+    * keeps the cap a skew guard at any corpus size; tiny-angle pairs
+    * survive the longer conjunctions (that is the near-dup regime),
+    * and callers chasing recall at moderate cosine raise `numTables`
+    * instead.
     */
   def embeddingLshPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.9,
       maxBucketSize: Int = 1000, topK: Int = 100,
-      numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+      numTables: Int = 8, planesPerTable: Int = 0): DataFrame = {
     val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
-    embeddingLshTopK(e, Similarity.lshBucketed(e, numTables, planesPerTable),
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else math.max(8, Similarity.knnPlanes(e.count(), maxBucketSize))
+    embeddingLshTopK(e, Similarity.lshBucketed(e, numTables, planes),
       minCosine, maxBucketSize, topK)
   }
 
@@ -607,9 +622,12 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
     // cache only the bucket assignment: the rescore re-joins the source
     // embeddings by id, so persisting the 64-float embedding once per
-    // LSH table (8x the whole payload) would be pure wasted storage
-    val bucketed = SharedIndex(s, dir, "hyperplane_buckets_fine") {
-      Similarity.lshBucketed(e, numTables = 8, planesPerTable = 8)
+    // LSH table (8x the whole payload) would be pure wasted storage.
+    // Corpus-sized planes (floored at the tuned fine 8), geometry in
+    // the cache key like s08
+    val planes = math.max(8, Similarity.knnPlanes(e.count(), 1000))
+    val bucketed = SharedIndex(s, dir, s"hyperplane_buckets_fine_p$planes") {
+      Similarity.lshBucketed(e, numTables = 8, planesPerTable = planes)
         .select("vec_id", "tbl", "bucket")
     }
     embeddingLshTopK(e.select(col("vec_id"), col("embedding")), bucketed,

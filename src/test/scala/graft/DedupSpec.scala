@@ -255,6 +255,38 @@ class DedupSpec extends SparkSpec {
     info(s"bloom overcount: $overcount of $totalShingles probes")
   }
 
+  test("embeddingLshPairs auto-geometry survives the fixed-plane occupancy cliff") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val noise = Seq.tabulate(40000)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val twins = (0 until 50).flatMap { p =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = base.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
+      Seq((900000L + 2 * p, base), (900001L + 2 * p, dup))
+    }
+    val emb = (noise ++ twins).toDF("vec_id", "embedding")
+    def found(df: org.apache.spark.sql.DataFrame): Int =
+      df.filter(col("v1") >= 900000L && col("v2") === col("v1") + 1L &&
+        pmod(col("v1"), lit(2L)) === 0L).count().toInt
+    // fixed fine geometry: mean occupancy 40102/256 ≈ 157 over the 100
+    // cap, so a twin pair survives only where a shared bucket lands in
+    // the occupancy distribution's lower tail (orthant sizes spread
+    // wide under random hyperplanes) — a third of the planted
+    // near-dups silently vanish here (35/50 at this seed), and the
+    // loss deepens toward total as the corpus/cap ratio grows. This is
+    // the degradation the corpus-sized default exists to prevent.
+    val fixedFound = found(Dedup.embeddingLshPairs(emb, minCosine = 0.99,
+      maxBucketSize = 100, topK = 100000, planesPerTable = 8))
+    assert(fixedFound <= 45, s"fixed geometry should lose twins, found $fixedFound of 50")
+    // corpus-sized planes (12 here): occupancy ~10, the cap guards
+    // genuine skew again, and every planted twin survives
+    val autoFound = found(Dedup.embeddingLshPairs(emb, minCosine = 0.99,
+      maxBucketSize = 100, topK = 100000))
+    assert(autoFound === 50, s"auto geometry found $autoFound of 50")
+  }
+
   test("map-only contamination flags carry the exact per-doc counts of the bloom rollup") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
