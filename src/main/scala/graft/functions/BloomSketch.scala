@@ -26,13 +26,18 @@ object BloomSketch {
 
   private[graft] val aggBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 3,
-      s"graft_bloom_agg expects (hash, estimatedItems, numBits): got ${children.size} args")
-    new BloomFilterAggregate(children(0), children(1), children(2))
+      s"graft_bloom_agg expects 3 arguments (hash, estimatedItems, numBits): got ${children.size}")
+    // SQL integer literals arrive as INT; the aggregate requires
+    // BIGINT for both sizing args (a foldable Cast stays foldable)
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.LongType
+    new BloomFilterAggregate(children(0),
+      Cast(children(1), LongType), Cast(children(2), LongType))
   }
 
   private[graft] val containsBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
-      s"graft_might_contain expects (bloom, hash): got ${children.size} args")
+      s"graft_might_contain expects 2 arguments (bloom, hash): got ${children.size}")
     BloomFilterMightContain(children(0), children(1))
   }
 

@@ -72,13 +72,36 @@ class GraftExtensionsSpec extends SparkSpec {
         ("SELECT graft_l2sq(array(CAST(1.0 AS FLOAT)))", "graft_l2sq"),
         ("SELECT graft_pq_adc(array(0))", "graft_pq_adc"),
         ("SELECT graft_unit()", "graft_unit"),
-        ("SELECT graft_pq_encode(array(CAST(1.0 AS FLOAT)), 1)", "graft_pq_encode"))) {
+        ("SELECT graft_pq_encode(array(CAST(1.0 AS FLOAT)), 1)", "graft_pq_encode"),
+        ("SELECT graft_bloom_agg(xxhash64('a'))", "graft_bloom_agg"),
+        ("SELECT graft_might_contain(xxhash64('a'))", "graft_might_contain"))) {
       val e = intercept[Exception](derived.sql(sql).collect())
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(m => m.contains("argument")), s"$fn: ${msgs(e).mkString(" | ")}")
       assert(!e.isInstanceOf[IndexOutOfBoundsException], fn)
     }
+  }
+
+  test("the bloom sketch SQL pair builds and probes through a scalar subquery") {
+    val derived = spark.newSession()
+    derived.sql("SELECT explode(sequence(1, 100)) AS v")
+      .createOrReplaceTempView("bloom_members")
+    // every member hits (blooms have no false negatives)
+    val hits = derived.sql(
+      """SELECT count(*) FROM bloom_members
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(v), 100, 4096) FROM bloom_members),
+        |  xxhash64(v))""".stripMargin).collect().head.getLong(0)
+    assert(hits === 100L)
+    // non-members false-hit within the sketch's budget (4096 bits for
+    // 100 items is far below 1% fpp; allow a loose 2%)
+    val falseHits = derived.sql(
+      """SELECT count(*) FROM (SELECT explode(sequence(10000, 10999)) AS v)
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(v), 100, 4096) FROM bloom_members),
+        |  xxhash64(v))""".stripMargin).collect().head.getLong(0)
+    assert(falseHits <= 20L, s"false hits: $falseHits of 1000")
   }
 
   test("graft_l2sq returns NULL on a dimension mismatch, never a prefix distance") {
