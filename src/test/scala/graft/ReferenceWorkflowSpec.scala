@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import graft.operators.Relational
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,6 +66,51 @@ class ReferenceWorkflowSpec extends SparkSpec {
       assert(latest.join(maxPub,
         Seq("entity_id", "start_date", "end_date", "publication_time")).count() === 9L)
     } finally out.release()
+  }
+
+  test("vintage diff: snapshotDiff classifies a new data release against the prior one") {
+    import graft.plans.{FactTableBuilder, FactTableSchema}
+    import graft.sources.{FilingSource, TaxonomyParser}
+    // the "what changed in this release" question q22 models, on real
+    // data: resolve one extracted table at two vintages and diff on the
+    // entity-period key
+    val tables = FactTableSchema.fromTaxonomies(
+      TaxonomyParser.parseArchive(archive("ferc1-xbrl-taxonomies.zip")))
+    val schema = tables.find(_.name == "identification_001_duration").get
+    val f21 = FilingSource.fromZip(spark, archive("ferc1-xbrl-2021.zip"))
+    val f22 = FilingSource.fromZip(spark, archive("ferc1-xbrl-2022.zip"))
+    try {
+      val built21 = FactTableBuilder.build(schema, f21.facts, f21.contexts, f21.meta)
+      val key = Seq("entity_id", "start_date", "end_date")
+      def resolve(df: org.apache.spark.sql.DataFrame, latestFirst: Boolean) = {
+        val ord = if (latestFirst)
+          Seq(col("publication_time").desc, col("filing_name").desc)
+        else Seq(col("publication_time").asc, col("filing_name").asc)
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy(key.map(col): _*).orderBy(ord: _*)))
+          .filter(col("rn") === 1)
+          .select(key.map(col) :+ col("filing_name"): _*)
+      }
+      // prior release = first-submission-wins, new release = latest-wins:
+      // the 2021 archive carries exactly one re-filing, so the diff is
+      // exactly one CHANGED row (the re-filed entity's winning filing)
+      val within2021 = Relational.snapshotDiff(
+        resolve(built21, latestFirst = false), resolve(built21, latestFirst = true),
+        key, Seq("filing_name")).collect()
+      assert(within2021.length === 1, within2021.mkString("; "))
+      assert(within2021.head.getAs[String]("change_type") === "changed")
+
+      // next season lands: every 2022 entity-period is ADDED, nothing
+      // from 2021 is removed or changed
+      val built2122 = FactTableBuilder.build(schema,
+        f21.facts.union(f22.facts), f21.contexts.union(f22.contexts),
+        f21.meta.union(f22.meta))
+      val season = Relational.snapshotDiff(
+        resolve(built21, latestFirst = true), resolve(built2122, latestFirst = true),
+        key, Seq("filing_name")).collect()
+      assert(season.nonEmpty)
+      assert(season.forall(_.getAs[String]("change_type") === "added"), season.mkString("; "))
+    } finally { f21.unpersist(); f22.unpersist() }
   }
 
   test("filing inputs dispatch by type: single file, directory, and mixed zip+directory via graft.Main") {
