@@ -74,12 +74,24 @@ object Dedup {
     * additionally drops singleton buckets when the only consumer is
     * pair generation.
     */
-  private[operators] def cappedIdBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+  /** The capped bucket store in FLAT form (one row per id, hot keys
+    * dropped by the same window count) — for consumers that pair via a
+    * codegen'd self-join instead of the list explode
+    * ([[Similarity.knnFromBuckets]]).
+    */
+  private[operators] def cappedFlatBuckets(df: DataFrame, keys: Seq[String],
       cap: Long, minSize: Long): DataFrame = {
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*)
     df.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= cap && col("__n") >= minSize)
+      .drop("__n")
+  }
+
+  private[operators] def cappedIdBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+      cap: Long, minSize: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    cappedFlatBuckets(df, keys, cap, minSize)
       .groupBy(keyCols: _*).agg(sort_array(collect_list(col(idCol))).as("ids"))
   }
 

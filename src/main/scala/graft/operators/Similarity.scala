@@ -441,10 +441,20 @@ object Similarity {
   private[operators] def knnFromBuckets(e: DataFrame, bucketed: DataFrame,
       k: Int, maxBucketSize: Int): DataFrame = {
     val s = e.sparkSession
-    val buckets = Dedup.cappedIdBuckets(
+    // capped FLAT store self-joined on the bucket key instead of
+    // collect_list + the nested transform/slice pair lambda: a knn
+    // graph rescores EVERY candidate (no threshold trims the volume
+    // first, unlike d03/d08/d09), so pair generation must stay in
+    // whole-stage codegen — the interpreted HOF explode was ~40% of
+    // s08's wall. The self-join reads the same capped store on both
+    // sides (one exchange, reused), and (v1 < v2) keeps the triangle.
+    val capped = Dedup.cappedFlatBuckets(
       bucketed.select(col("tbl"), col("bucket"), col("vec_id")),
-      Seq("tbl", "bucket"), "vec_id", maxBucketSize.toLong, minSize = 2L)
-    val scored = Dedup.bucketPairs(buckets)
+      Seq("tbl", "bucket"), maxBucketSize.toLong, minSize = 2L)
+    val scored = capped.select(col("tbl"), col("bucket"), col("vec_id").as("d1"))
+      .join(capped.select(col("tbl"), col("bucket"), col("vec_id").as("d2")),
+        Seq("tbl", "bucket"))
+      .filter(col("d1") < col("d2"))
       .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
       .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
       .select(col("d1"), col("d2"),
