@@ -120,6 +120,15 @@ object Similarity {
     lshTopK(bucketed, bucketed.filter(col("vec_id") < NumQueries), K)
   }
 
+  // Defaults tuned for the gate corpora; at real scale size the coarse
+  // quantizer like any IVF index: numCells ~ sqrt(n) (1e9 vectors ->
+  // ~32k cells, still a few-MB broadcast) and numProbes scaled with it
+  // to hold coverage ~ 1 - (1 - numProbes/numCells)^assignReplicas.
+  // Unlike the LSH candidate caps, a small fixed cell count degrades
+  // GRADUALLY (probe scans grow linearly) rather than silently losing
+  // results, so the corpus-sized-default treatment the LSH family got
+  // (knnJoinLsh/embeddingLshPairs) is deliberately not forced here —
+  // recall targets are corpus-specific tuning the caller owns.
   private[operators] val NumCells = 32
   private[operators] val NumProbes = 12
   private[operators] val AssignReplicas = 3
