@@ -44,6 +44,7 @@ object SparkEntry {
     "q20_stratified_sample" -> (Relational.q20StratifiedSample _),
     "q21_token_budget_sample" -> (Relational.q21TokenBudgetSample _),
     "q22_snapshot_diff" -> (Relational.q22SnapshotDiff _),
+    "q23_scd2_history" -> (Relational.q23Scd2History _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -88,6 +89,10 @@ object SparkEntry {
     "t09_boilerplate_spans" -> (Text.t09BoilerplateSpans _),
     "t10_quality_buckets" -> (Text.t10QualityBuckets _),
     "t11_corpus_vocab" -> (Text.t11CorpusVocab _),
+    // rows-only: the BPE merge loop's argmax-dependent iteration has no
+    // tractable single-SQL twin; TextSpec pins it row-for-row against an
+    // independent driver-side reference BPE + invariants
+    "t12_bpe_train" -> (Text.t12BpeTrain _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -372,6 +377,37 @@ object SparkEntry {
         |   OR NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
         |           AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same vintage-construction + DECIMAL restatement policy as q22;
+    // run starts via null-safe LAG compare, intervals closed by LEAD
+    "q23_scd2_history" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, 1 AS vintage, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 != 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+        |      ELSE o_totalprice END
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 3,
+        |    CASE WHEN o_orderkey % 13 = 2 THEN 'R' ELSE o_orderstatus END,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.2 AS DECIMAL(2,1)) AS DOUBLE)
+        |      ELSE o_totalprice END
+        |  FROM orders
+        |), runs AS (
+        |  SELECT *,
+        |    (LAG(vintage) OVER w IS NULL
+        |     OR o_orderstatus IS DISTINCT FROM LAG(o_orderstatus) OVER w
+        |     OR o_totalprice IS DISTINCT FROM LAG(o_totalprice) OVER w) AS run_start
+        |  FROM v WINDOW w AS (PARTITION BY o_orderkey ORDER BY vintage)
+        |), starts AS (SELECT * FROM runs WHERE run_start)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, vintage AS valid_from,
+        |  LEAD(vintage) OVER (PARTITION BY o_orderkey ORDER BY vintage) AS valid_to
+        |FROM starts
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     // naive inequality join is the oracle for the bucket-blocked range
     // join; epoch_ns keeps the boundary comparisons at full precision.

@@ -638,4 +638,73 @@ object Relational {
           .otherwise(col("o_totalprice")).as("o_totalprice"))
     snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
   }
+
+  /** SCD2 history build: collapse a stack of keyed snapshots (one per
+    * vintage) into validity intervals — one row per (key, run of
+    * consecutive vintages with identical values), with `valid_from` =
+    * the first vintage of the run and `valid_to` = the vintage that
+    * superseded it (null = still current). Reference analog: the full
+    * vintage HISTORY of an extracted table across filing seasons —
+    * q05 keeps only the latest vintage, q22 diffs two, this keeps every
+    * distinct state with its lifespan (the slowly-changing-dimension
+    * shape PUDL-style consumers build downstream of re-filed data).
+    *
+    * A key absent from some middle vintage keeps its interval open
+    * until a LATER vintage actually changes its values — this is
+    * attribute history (what did the record say, and when did it
+    * change), not per-vintage membership (q22's job).
+    *
+    * Scale shape: ONE shuffle on the key columns serves everything —
+    * the run-start flag (null-safe lag compare), the filter down to run
+    * starts, and the `valid_to` lead all ride the same window
+    * partitioning, so Catalyst plans a single exchange with two window
+    * operators over it. No join, nothing broadcast, and only run-start
+    * rows (bounded by real changes, not vintages × keys) survive past
+    * the first window.
+    */
+  def scd2History(snapshots: DataFrame, keyCols: Seq[String], vintageCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    require(compareCols.nonEmpty, "scd2History needs at least one compare column")
+    val w = Window.partitionBy(keyCols.map(Cols.q): _*).orderBy(Cols.q(vintageCol))
+    val runStart = compareCols
+      .map(c => !(Cols.q(c) <=> lag(Cols.q(c), 1).over(w)))
+      .reduce(_ || _) || lag(Cols.q(vintageCol), 1).over(w).isNull
+    snapshots
+      .withColumn("_run_start", runStart)
+      .filter(col("_run_start"))
+      .withColumn("valid_from", Cols.q(vintageCol))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(keyCols.map(Cols.q) ++ compareCols.map(Cols.q) :+
+        col("valid_from") :+ col("valid_to"): _*)
+      .orderBy(keyCols.map(Cols.q) :+ col("valid_from"): _*)
+  }
+
+  /** q23: gate binding of [[scd2History]] on three deterministic order
+    * vintages. Vintage 1 misses every 7th key (not yet filed); vintage
+    * 2 restates every 5th key's total at +10%; vintage 3 additionally
+    * moves keys ≡ 2 (mod 13) to status "R" and restates every 5th key
+    * again at +20% of the original. Keys hit by no restatement collapse
+    * to a single open interval; restated keys close one interval per
+    * change. Restated values go through exact DECIMAL multiply then one
+    * correctly-rounded DOUBLE cast (the q22 policy) so Spark and DuckDB
+    * see identical doubles.
+    */
+  def q23Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def restated(factor: String, scale: String): Column =
+      when(pmod(col("o_orderkey"), lit(5L)) === 0L,
+        expr(s"CAST(CAST(o_totalprice AS $D) * CAST($factor AS $scale) AS DOUBLE)"))
+        .otherwise(col("o_totalprice")).as("o_totalprice")
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 0L)
+      .select(col("o_orderkey"), lit(1).as("vintage"), col("o_orderstatus"), col("o_totalprice"))
+    val v2 = o.select(col("o_orderkey"), lit(2).as("vintage"), col("o_orderstatus"),
+      restated("1.1", "DECIMAL(2,1)"))
+    val v3 = o.select(col("o_orderkey"), lit(3).as("vintage"),
+      when(pmod(col("o_orderkey"), lit(13L)) === 2L, lit("R"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      restated("1.2", "DECIMAL(2,1)"))
+    scd2History(v1.union(v2).union(v3), Seq("o_orderkey"), "vintage",
+      Seq("o_orderstatus", "o_totalprice"))
+  }
 }

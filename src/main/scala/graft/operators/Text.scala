@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -458,4 +458,126 @@ object Text {
         lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
     redactPii(injected)
   }
+
+  // -----------------------------------------------------------------
+  // t12: BPE merge-rule training (tokenizer prep — the learned
+  // counterpart of t03's fixed BPE-ish regex and t11's vocab stats)
+  // -----------------------------------------------------------------
+
+  /** Greedy left-to-right application of ONE merge rule (a, b) → a+b
+    * inside a symbol array, as a pure Catalyst fold (`aggregate` over
+    * the array — native higher-order function, no UDF): standard BPE
+    * merge semantics — non-overlapping, left to right ("aaaa" under
+    * (a,a) becomes "aa","aa"), and the freshly merged symbol only
+    * pairs up again in LATER rounds, exactly like the per-round
+    * re-scan of Sennrich-style BPE (reference: Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units").
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Word → initial BPE symbols: characters plus the standard `</w>`
+    * end-of-word marker.
+    */
+  private def initialSyms(word: Column): Column =
+    concat(filter(split(word, ""), s => s =!= ""), array(lit("</w>")))
+
+  /** BPE merge-rule training over any documents frame: learn the first
+    * `nMerges` byte-pair merges of the corpus — `(merge_rank, left,
+    * right, merged, pair_count)`, the merge table a subword tokenizer
+    * is built from.
+    *
+    * Scale shape (the reason BPE training is feasible at 100 TB at
+    * all): the corpus is touched EXACTLY ONCE, by the same two-level
+    * map-side-combined word count t11 uses; everything after runs on
+    * the distinct-word vocabulary table (millions of rows at corpus
+    * scale, never corpus-sized), each word carried as its symbol array
+    * plus its frequency. Each round is (1) a vocab-scale adjacent-pair
+    * count — `arrays_zip` of the symbol array with its own tail,
+    * explode, one mergeable sum agg weighted by word frequency; (2) a
+    * single-row TakeOrdered argmax to the driver (the same per-round
+    * driver round-trip Lloyd training pays in `trainIvfCodebook`, one
+    * row each); (3) a map-only [[mergeFold]] projection rewriting the
+    * symbol arrays. Lineage is cut per round via the tracked
+    * `IterativeCheckpoint` (superseded generations released
+    * immediately), so `nMerges` rounds never stack plans.
+    *
+    * Determinism: integer counts and a total (count desc, left asc,
+    * right asc) tie-break make the learned table independent of
+    * partitioning and engine. Training stops early when no adjacent
+    * pair reaches `minPairCount` (merging singletons teaches nothing).
+    */
+  def bpeTrain(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      nMerges: Int = 10, minPairCount: Long = 2L): DataFrame = {
+    require(nMerges > 0, "bpeTrain needs nMerges > 0")
+    require(minPairCount >= 1L, "bpeTrain needs minPairCount >= 1")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val vocab = normalized(docs, idCol, textCol)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(initialSyms(col("word")).as("syms"), col("n"))
+    var gen = IterativeCheckpoint(vocab)
+    var merges = Vector.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val best = gen.df
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges :+= ((rank, a, b, a + b, c))
+        val next = IterativeCheckpoint(
+          gen.df.withColumn("syms", mergeFold(col("syms"), a, b)))
+        gen.release()
+        gen = next
+        rank += 1
+      }
+    }
+    gen.release()
+    merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** Apply a learned merge table to any documents frame: each doc's
+    * words become BPE symbol arrays (merges applied in rank order,
+    * [[mergeFold]] semantics), flattened to one `tokens` array per doc
+    * plus its length — the learned-tokenizer counterpart of t03's
+    * fixed regex count. Map-only: the whole encode is nested
+    * higher-order array functions inside the scan projection; no
+    * shuffle except the presentation sort.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        flatten(transform(
+          expr("filter(split(text, ' '), x -> x != '')"),
+          w => merges.foldLeft(initialSyms(w)) {
+            case (syms, (a, b)) => mergeFold(syms, a, b)
+          })).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .orderBy("doc_id")
+
+  /** t12: gate binding of [[bpeTrain]] — the first 10 merges of the
+    * documents corpus. Rows-only in the driver gate by design: the
+    * merge loop's argmax-dependent iteration has no tractable
+    * single-SQL twin (a recursive CTE would re-derive BPE itself);
+    * TextSpec instead pins the operator row-for-row against an
+    * independent driver-side reference implementation, plus the
+    * non-increasing-best-count invariant and partition independence.
+    */
+  def t12BpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(s, dir))
 }

@@ -127,6 +127,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q23 scd2 history: one key exchange serves both windows, no join") {
+    // the scaladoc claim: the run-start lag window and the valid_to
+    // lead window share the same (key, vintage) partitioning, so the
+    // whole history build is one data exchange plus the presentation
+    // sort — never a self-join of vintages.
+    val df = Relational.q23Scd2History(spark, sf)
+    assert(shuffles(df) <= 2, df.queryExecution.executedPlan.toString.take(3000))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("s07 radius search: queries broadcast, corpus map-only into the bounded top") {
     val df = graft.operators.Similarity.s07AnnRadius(spark, sf)
     // orderBy+limit plans as TakeOrdered (per-partition heaps); the

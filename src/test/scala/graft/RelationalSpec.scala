@@ -131,4 +131,36 @@ class RelationalSpec extends SparkSpec {
     assert(byKey(4L).getString(byKey(4L).fieldIndex("old_status")) === "D")
     assert(byKey(4L).getString(byKey(4L).fieldIndex("new_status")) === "E")
   }
+
+  test("scd2History collapses runs, closes intervals on change, keeps the last open") {
+    import spark.implicits._
+    val snaps = Seq(
+      // key 1: identical across all three vintages -> one open interval
+      (1L, 1, Option("A"), Option(1.0)),
+      (1L, 2, Option("A"), Option(1.0)),
+      (1L, 3, Option("A"), Option(1.0)),
+      // key 2: price restated at vintage 3 -> [1,3) then [3,null)
+      (2L, 1, Option("B"), Option(2.0)),
+      (2L, 2, Option("B"), Option(2.0)),
+      (2L, 3, Option("B"), Option(2.5)),
+      // key 3: first filed at vintage 2, then a null -> value change
+      (3L, 2, Option("C"), Option.empty[Double]),
+      (3L, 3, Option("C"), Option(3.0)),
+      // key 4: absent from the middle vintage, values unchanged ->
+      // attribute history keeps ONE run spanning the gap
+      (4L, 1, Option("D"), Option(4.0)),
+      (4L, 3, Option("D"), Option(4.0)))
+      .toDF("k", "vintage", "status", "price")
+    val rows = Relational.scd2History(snaps, Seq("k"), "vintage", Seq("status", "price"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("valid_from")),
+        if (r.isNullAt(r.fieldIndex("valid_to"))) None
+        else Some(r.getInt(r.fieldIndex("valid_to")))))
+      .toSeq
+    assert(rows === Seq(
+      (1L, 1, None),
+      (2L, 1, Some(3)), (2L, 3, None),
+      (3L, 2, Some(3)), (3L, 3, None),
+      (4L, 1, None)))
+  }
 }

@@ -370,4 +370,88 @@ class TextSpec extends SparkSpec {
     // ws_tokens >= alpha_tokens is not guaranteed, but both positive
     assert(t3.filter(col("ws_tokens") <= 0 || col("alpha_tokens") <= 0).count() === 0L)
   }
+
+  // ---------------------------------------------------------------
+  // t12 BPE training — independent driver-side reference (Sennrich-
+  // style: count adjacent pairs weighted by word frequency, merge the
+  // global argmax greedily left-to-right, repeat)
+  // ---------------------------------------------------------------
+
+  private def refBpeMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b) else acc :+ s
+    }
+
+  private def refBpe(words: Seq[String], nMerges: Int): Vector[(Int, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.groupBy(identity).map {
+      case (w, ws) => (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong
+    }
+    var out = Vector.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairs = vocab.toSeq
+        .flatMap { case (syms, c) => syms.zip(syms.tail).map(p => p -> c) }
+        .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sum }
+      pairs.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.headOption match {
+        case Some(((a, b), c)) if c >= 2L =>
+          out :+= ((rank, a, b, a + b, c))
+          vocab = vocab.toSeq.map { case (syms, cc) => refBpeMerge(syms, a, b) -> cc }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out
+  }
+
+  test("bpeTrain matches the independent reference implementation row for row") {
+    import spark.implicits._
+    // "aaaa" pins greedy left-to-right non-overlap ((a,a) merges to
+    // aa,aa not aa,a,a); the low/new family pins multi-round growth
+    val texts = Seq(
+      (1L, "low low lower lowest aaaa"),
+      (2L, "new newer newest low aaaa"),
+      (3L, "low new low aaaa aaa"))
+    val got = Text.bpeTrain(texts.toDF("doc_id", "text"), nMerges = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toVector
+    val want = refBpe(texts.flatMap(_._2.split(" ")).filter(_.nonEmpty), 8)
+    assert(got === want)
+  }
+
+  test("bpeTrain: best pair counts never increase, and training is partition-independent") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val a = Text.bpeTrain(docs, nMerges = 6).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    val counts = a.map(_.last.asInstanceOf[Long])
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"best pair counts must be non-increasing: $counts")
+    val b = Text.bpeTrain(docs.repartition(7), nMerges = 6).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("bpeEncode applies the learned table and reconstructs each word") {
+    import spark.implicits._
+    val texts = Seq((1L, "low lower aaaa"), (2L, "newest aaa low"))
+    val df = texts.toDF("doc_id", "text")
+    val merges = Text.bpeTrain(df, nMerges = 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val got = Text.bpeEncode(df, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val want = texts.map { case (id, text) =>
+      id -> text.split(" ").filter(_.nonEmpty).toVector.flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+          case (s, (x, y)) => refBpeMerge(s, x, y)
+        }
+      }
+    }.toMap
+    assert(got === want)
+    // concatenating a doc's tokens reconstructs its words + markers
+    for ((id, text) <- texts)
+      assert(got(id).mkString("") ===
+        text.split(" ").filter(_.nonEmpty).map(_ + "</w>").mkString(""))
+  }
 }
