@@ -93,6 +93,9 @@ object SparkEntry {
     // tractable single-SQL twin; TextSpec pins it row-for-row against an
     // independent driver-side reference BPE + invariants
     "t12_bpe_train" -> (Text.t12BpeTrain _),
+    // rows-only: learned float weights are engine-local; TextSpec pins
+    // a separable fit, bit-exact partition independence, gate accuracy
+    "t13_quality_classifier" -> (Text.t13QualityClassifier _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),

@@ -580,4 +580,119 @@ object Text {
     */
   def t12BpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(s, dir))
+
+  // -----------------------------------------------------------------
+  // t13: model-based quality classifier — the learned (CCNet/GPT-3-
+  // style) quality filter next to t02's hand-rolled score: logistic
+  // regression trained IN-ENGINE by full-batch gradient descent
+  // -----------------------------------------------------------------
+
+  /** Per-doc feature vector for the learned quality classifier: bias
+    * plus four bounded t02-style signals (capped length, capped avg
+    * token length, unique-token ratio, capped stopword ratio), each in
+    * [0, 1] so no per-feature standardization pass is needed. Map-only;
+    * `extraCols` pass through untouched (e.g. a label source).
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", extraCols: Seq[String] = Nil): DataFrame = {
+    val enList = inList(stopwords.head._2)
+    docs.select(Seq(Cols.q(idCol).as("doc_id"), Cols.q(textCol).as("text")) ++
+        extraCols.map(Cols.q): _*)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("n_alpha_chars", length(regexp_replace(col("text"), " ", "")).cast("double"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("double"))
+      .withColumn("stop_hits", expr(s"size(filter(toks, x -> x IN $enList))").cast("double"))
+      .select(Seq(col("doc_id"), array(
+        lit(1.0),
+        least(col("n_tokens") / 100.0, lit(1.0)),
+        least(col("n_alpha_chars") / col("n_tokens") / 10.0, lit(1.0)),
+        col("n_uniq") / col("n_tokens"),
+        least(col("stop_hits") / col("n_tokens") * 5.0, lit(1.0))).as("features")) ++
+        extraCols.map(Cols.q): _*)
+  }
+
+  /** Sigmoid of the feature·weights dot product, the weights inlined as
+    * literals (they are driver-held between epochs, like Lloyd
+    * centroids) — a per-row `zip_with` + fold, map-only in the scan.
+    */
+  private def sigmoidScore(featuresCol: Column, weights: Seq[Double]): Column = {
+    val dot = aggregate(
+      zip_with(featuresCol, array(weights.map(lit): _*), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    lit(1.0) / (lit(1.0) + exp(-dot))
+  }
+
+  /** Train a logistic-regression quality classifier by full-batch
+    * gradient descent, in-engine: each epoch is ONE mergeable
+    * aggregation over the (cached) feature frame — every gradient
+    * component is a SUM of `x_j * (sigmoid(w·x) − y)` with the product
+    * cast to DECIMAL(30,15) BEFORE summing, so the per-epoch gradient
+    * is exact and order-independent and training is bit-deterministic
+    * under any partitioning (the float-sum policy of q01, applied to
+    * model training). The d+1 gradient sums and the row count ride one
+    * agg; only that single row reaches the driver per epoch (the Lloyd
+    * round-trip shape). At 100 TB you train on a deterministic sample
+    * (q19/q20 machinery) and score the full corpus — scoring is
+    * map-only ([[sigmoidScore]]).
+    *
+    * Returns the learned weights, bias first (index 0 = the `1.0`
+    * feature [[qualityFeatures]] emits).
+    */
+  def trainQualityClassifier(feats: DataFrame, labelCol: String = "label",
+      featuresCol: String = "features", epochs: Int = 20, lr: Double = 2.0): Array[Double] = {
+    require(epochs > 0, "trainQualityClassifier needs epochs > 0")
+    require(lr > 0.0, "trainQualityClassifier needs lr > 0")
+    val head = feats.select(size(Cols.q(featuresCol))).take(1)
+    require(head.nonEmpty, "trainQualityClassifier needs a non-empty feature frame")
+    val d = head(0).getInt(0)
+    val cached = feats
+      .select(Cols.q(featuresCol).as("x"), Cols.q(labelCol).cast("double").as("y"))
+      .persist()
+    try {
+      val w = Array.fill(d)(0.0)
+      for (_ <- 1 to epochs) {
+        val aggs = (0 until d).map(j =>
+          sum((element_at(col("x"), j + 1) * col("r")).cast("decimal(30,15)")).as(s"g$j")) :+
+          count(lit(1)).as("n")
+        val row = cached
+          .withColumn("r", sigmoidScore(col("x"), w.toSeq) - col("y"))
+          .agg(aggs.head, aggs.tail: _*)
+          .head()
+        val n = row.getLong(d).toDouble
+        for (j <- 0 until d)
+          w(j) -= lr * row.getDecimal(j).doubleValue() / n
+      }
+      w
+    } finally {
+      cached.unpersist()
+      ()
+    }
+  }
+
+  /** Score any feature frame with learned weights: per-doc sigmoid
+    * probability — map-only, no shuffle.
+    */
+  def scoreQuality(feats: DataFrame, weights: Seq[Double],
+      featuresCol: String = "features"): DataFrame =
+    feats.withColumn("score", sigmoidScore(Cols.q(featuresCol), weights))
+
+  /** t13: gate binding — train on the corpus against a deterministic
+    * is-long-document label (n_chars > 306, the corpus median: balanced
+    * and genuinely learnable from the capped length feature), score
+    * every doc, emit (doc_id, label, score, pred). Rows-only in the
+    * driver gate (learned float weights are engine-local); TextSpec
+    * pins a perfectly-separable fit, bit-exact partition independence
+    * of training, and end-to-end gate accuracy.
+    */
+  def t13QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = qualityFeatures(Tables.documents(s, dir), extraCols = Seq("n_chars"))
+      .withColumn("label", (col("n_chars") > 306L).cast("int"))
+    val w = trainQualityClassifier(feats)
+    scoreQuality(feats, w.toSeq)
+      .select(col("doc_id"), col("label").cast("long").as("label"),
+        round(col("score"), 6).as("score"),
+        (col("score") > 0.5).cast("long").as("pred"))
+      .orderBy("doc_id")
+  }
 }

@@ -113,6 +113,53 @@ class ReferenceWorkflowSpec extends SparkSpec {
     } finally { f21.unpersist(); f22.unpersist() }
   }
 
+  test("vintage history: scd2History turns the 2021 re-filing into two validity intervals") {
+    import graft.plans.{FactTableBuilder, FactTableSchema}
+    import graft.sources.{FilingSource, TaxonomyParser}
+    // q23's story on real data: the per-key filing history of an
+    // extracted table, publication_time as the vintage axis — the one
+    // re-filed entity gets a closed interval superseded by its
+    // re-filing; every other key stays a single open interval, and the
+    // open intervals ARE the latest-filing-wins resolution (q05)
+    val tables = FactTableSchema.fromTaxonomies(
+      TaxonomyParser.parseArchive(archive("ferc1-xbrl-taxonomies.zip")))
+    val schema = tables.find(_.name == "identification_001_duration").get
+    val f21 = FilingSource.fromZip(spark, archive("ferc1-xbrl-2021.zip"))
+    try {
+      val built21 = FactTableBuilder.build(schema, f21.facts, f21.contexts, f21.meta)
+      val key = Seq("entity_id", "start_date", "end_date")
+      val snaps = built21
+        .select((key.map(col) :+ col("publication_time") :+ col("filing_name")): _*)
+        .distinct()
+      val hist = Relational.scd2History(snaps, key, "publication_time", Seq("filing_name"))
+        .collect()
+      // 9 entity-period keys, one of them re-filed -> 10 interval rows
+      assert(hist.length === 10, hist.mkString("; "))
+      val vt = hist.head.fieldIndex("valid_to")
+      val byKey = hist.groupBy(r => (r.get(0), r.get(1), r.get(2)))
+      assert(byKey.size === 9)
+      val split = byKey.values.partition(_.length == 2)
+      assert(split._1.size === 1 && split._2.forall(_.length == 1))
+      // single-run keys never closed; the re-filed key's first interval
+      // is closed exactly by the superseding filing's publication time
+      assert(split._2.forall(_.head.isNullAt(vt)))
+      val refiled = split._1.head.sortBy(_.getAs[java.sql.Timestamp]("valid_from").getTime)
+      assert(refiled(0).get(vt) === refiled(1).getAs[AnyRef]("valid_from"))
+      assert(refiled(1).isNullAt(vt))
+      // the history's open intervals ARE latest-filing-wins: same
+      // (key, filing) set as the q05-style resolution
+      val open = hist.filter(_.isNullAt(vt))
+        .map(r => (r.get(0), r.get(1), r.get(2), r.getAs[String]("filing_name"))).toSet
+      val latest = built21.withColumn("rn", row_number().over(
+          Window.partitionBy(key.map(col): _*)
+            .orderBy(col("publication_time").desc, col("filing_name").desc)))
+        .filter(col("rn") === 1)
+        .select(key.map(col) :+ col("filing_name"): _*).collect()
+        .map(r => (r.get(0), r.get(1), r.get(2), r.getString(3))).toSet
+      assert(open === latest)
+    } finally f21.unpersist()
+  }
+
   test("filing inputs dispatch by type: single file, directory, and mixed zip+directory via graft.Main") {
     // stage a directory-of-filings input from two 2022 archive entries
     // (distinct filing names from the 2021 zip, so the mixed run's rows

@@ -454,4 +454,40 @@ class TextSpec extends SparkSpec {
       assert(got(id).mkString("") ===
         text.split(" ").filter(_.nonEmpty).map(_ + "</w>").mkString(""))
   }
+
+  test("trainQualityClassifier fits a separable problem and scoring is calibrated") {
+    import spark.implicits._
+    // one signal feature with a 0.3 margin around the decision point
+    val feats = ((0 to 7).map(i => i * 0.05) ++ (13 to 20).map(i => i * 0.05))
+      .zipWithIndex.map { case (x, i) =>
+        (i.toLong, Seq(1.0, x), if (x >= 0.65) 1 else 0)
+      }.toDF("doc_id", "features", "label")
+    val w = Text.trainQualityClassifier(feats, epochs = 120, lr = 8.0)
+    assert(w.length === 2)
+    val scored = Text.scoreQuality(feats, w.toSeq).collect()
+    assert(scored.forall { r =>
+      val s = r.getAs[Double]("score")
+      s > 0.0 && s < 1.0 && ((s > 0.5) === (r.getAs[Int]("label") == 1))
+    }, scored.map(r => (r.getLong(0), r.getAs[Double]("score"), r.getAs[Int]("label"))).mkString("; "))
+    // the signal feature carries positive weight
+    assert(w(1) > 0.0)
+  }
+
+  test("trainQualityClassifier is bit-exact under repartitioning") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "n_chars")
+    val feats = Text.qualityFeatures(docs, extraCols = Seq("n_chars"))
+      .withColumn("label", (col("n_chars") > 306L).cast("int"))
+    val w1 = Text.trainQualityClassifier(feats, epochs = 8)
+    val w2 = Text.trainQualityClassifier(feats.repartition(7), epochs = 8)
+    // DECIMAL-stabilized gradient sums make every epoch exact and
+    // order-independent, so the learned weights match to the bit
+    assert(w1.toSeq === w2.toSeq)
+  }
+
+  test("t13 gate learns the long-document label well above chance") {
+    val out = Text.t13QualityClassifier(spark, sf).collect()
+    assert(out.nonEmpty)
+    val acc = out.count(r => r.getAs[Long]("pred") == r.getAs[Long]("label")).toDouble / out.length
+    assert(acc >= 0.75, s"gate accuracy $acc")
+  }
 }
