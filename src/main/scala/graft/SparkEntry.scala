@@ -96,6 +96,10 @@ object SparkEntry {
     // rows-only: learned float weights are engine-local; TextSpec pins
     // a separable fit, bit-exact partition independence, gate accuracy
     "t13_quality_classifier" -> (Text.t13QualityClassifier _),
+    // rows-only: log-probability floats are engine-local; TextSpec pins
+    // the scores vs an independent driver-side reference LM, bit-exact
+    // partition independence, and the fluency ordering
+    "t14_lm_perplexity" -> (Text.t14LmPerplexity _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),

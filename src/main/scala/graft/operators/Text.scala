@@ -695,4 +695,157 @@ object Text {
         (col("score") > 0.5).cast("long").as("pred"))
       .orderBy("doc_id")
   }
+
+  // -----------------------------------------------------------------
+  // t14: n-gram language-model perplexity (the CCNet-style learned
+  // fluency signal: train a bigram LM on a reference corpus in-engine,
+  // score any corpus by cross-entropy under it — the third member of
+  // the quality family next to t02's hand-rolled features and t13's
+  // learned feature classifier)
+  // -----------------------------------------------------------------
+
+  /** Stupid-Backoff discount (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") and the half-count floor an
+    * entirely-unseen word scores with — score(w|prev) =
+    * bigram/unigram(prev) when the bigram was seen, else
+    * 0.4 * unigram(w)/total, else 0.4 * 0.5/total.
+    */
+  private val LmBackoff = 0.4
+  private val LmOovCount = 0.5
+
+  /** Train a word-bigram language model over any documents frame.
+    * Returns (unigrams, bigrams): unigrams `(word, n, total_count)`
+    * pruned to the `topV` most frequent words, bigrams `(w1, w2, n)`
+    * pruned to `topB` with BOTH sides in-vocab — each a TakeOrdered
+    * over a mergeable count, so the model is BOUNDED BY CONSTRUCTION
+    * at any corpus size and [[lmPerplexity]] can broadcast it (the
+    * same bound-the-small-side-by-construction contract as t10's
+    * histogram grid). Pruned mass is not lost, it backs off: a bigram
+    * outside topB scores through its unigram, a word outside topV
+    * through the OOV floor. Ties break (count desc, word asc) so the
+    * model is deterministic.
+    *
+    * Scale shape: the corpus is touched twice, both map-only explodes
+    * into mergeable two-level counts (the t11 shape); the vocab
+    * membership filter on bigrams joins the already-aggregated
+    * bigram-count table against the broadcast vocab, never the
+    * exploded corpus.
+    */
+  def lmTrain(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      topV: Int = 10000, topB: Int = 100000): (DataFrame, DataFrame) = {
+    require(topV > 0 && topB > 0, "lmTrain needs positive topV/topB")
+    val s = docs.sparkSession
+    val toks = normalized(docs, idCol, textCol)
+      .select(expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+    val uniAll = toks.select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val unigrams = uniAll
+      .orderBy(col("n").desc, col("word").asc).limit(topV)
+      .crossJoin(broadcast(uniAll.agg(sum(col("n")).as("total_count"))))
+    val vocab = unigrams.select(col("word"))
+    val bigrams = toks
+      .select(explode(graft.functions.WordShingles.shingles(s, col("toks"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .join(broadcast(vocab.select(col("word").as("w1"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("word").as("w2"))), Seq("w2"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc).limit(topB)
+      .select(col("w1"), col("w2"), col("n"))
+    (unigrams, bigrams)
+  }
+
+  /** Materialize a trained LM on the driver and re-plan it as local
+    * relations. The model is BOUNDED BY CONSTRUCTION (topV + topB
+    * rows), so this is the t13-weights / Lloyd-centroid round-trip
+    * applied to the whole model: after it, [[lmPerplexity]]'s plan
+    * touches the corpus and nothing else — without it, every broadcast
+    * build of the model re-executes the training aggregations (three
+    * redundant corpus scans measured in the gate plan).
+    */
+  def lmLocalize(unigrams: DataFrame, bigrams: DataFrame): (DataFrame, DataFrame) = {
+    val s = unigrams.sparkSession
+    import s.implicits._
+    val u = unigrams.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    (s.createDataset(u.toSeq).toDF("word", "n", "total_count"),
+      s.createDataset(b.toSeq).toDF("w1", "w2", "n"))
+  }
+
+  /** Score a corpus under a trained bigram LM: per-document transition
+    * count, cross-entropy (bits per transition, Stupid Backoff) and
+    * perplexity (2^entropy). Per-row log2 contributions are cast to
+    * DECIMAL(27,12) BEFORE the per-doc sum — the q01/t13 float policy
+    * applied to scoring — so the result is bit-deterministic under any
+    * partitioning; entropy divides AFTER a single decimal→double cast
+    * (double division is exact-ordered on both sides of any engine
+    * comparison). Documents with fewer than two tokens keep their row
+    * with `n_transitions = 0` and null entropy/perplexity.
+    *
+    * Scale shape: both LM tables are bounded by construction
+    * ([[lmTrain]]) and broadcast; the corpus explodes map-only to one
+    * row per transition, scores through three broadcast hash joins
+    * inside the scan stage, and the ONLY shuffle is the per-doc
+    * aggregation. At 100 TB: train once on a reference corpus (or a
+    * q19/q20 deterministic sample), persist the two tiny tables, score
+    * the full corpus in one pass — the CCNet deployment shape.
+    */
+  def lmPerplexity(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    val uni = unigrams.select(col("word"), col("n"))
+    val totals = unigrams.select(col("total_count")).limit(1)
+    val transitions = normalized(docs, idCol, textCol)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.WordShingles.shingles(s, col("toks"), 2)).as("bg"))
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val scored = transitions
+      .join(broadcast(bigrams.select(col("w1"), col("w2"), col("n").as("bg_n"))),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("word").as("w1"), col("n").as("prev_n"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("word").as("w2"), col("n").as("w_n"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", when(col("w1").isNull, lit(null).cast("double"))
+        .when(col("bg_n").isNotNull && col("prev_n").isNotNull,
+          log2(col("bg_n") / col("prev_n")))
+        .otherwise(log2(
+          lit(LmBackoff) * coalesce(col("w_n").cast("double"), lit(LmOovCount))
+            / col("total_count"))))
+    scored.groupBy("doc_id")
+      .agg(count(col("w1")).as("n_transitions"),
+        sum(col("lp").cast("decimal(27,12)")).as("lp_sum"))
+      .select(col("doc_id"), col("n_transitions"),
+        when(col("n_transitions") > 0,
+          -col("lp_sum").cast("double") / col("n_transitions")).as("cross_entropy"),
+        when(col("n_transitions") > 0,
+          pow(lit(2.0), -col("lp_sum").cast("double") / col("n_transitions")))
+          .as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  /** t14: gate binding — train the bigram LM on the corpus itself
+    * (self-perplexity: degenerate/repetitive docs score low, docs full
+    * of corpus-rare transitions score high — the in-gate stand-in for
+    * CCNet's train-on-wiki/score-target split, which the library form
+    * expresses by passing different frames), score every doc. Rows-only
+    * in the driver gate (log-probability floats are engine-local);
+    * TextSpec pins the scores row-for-row against an independent
+    * driver-side reference LM, bit-exact partition independence, the
+    * fluency ordering (in-domain < gibberish), and the model-size
+    * bounds.
+    */
+  def t14LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (uniD, bgD) = lmTrain(docs, topV = 5000, topB = 50000)
+    val (uni, bg) = lmLocalize(uniD, bgD)
+    lmPerplexity(docs, uni, bg)
+      .select(col("doc_id"), col("n_transitions"),
+        round(col("cross_entropy"), 6).as("cross_entropy"),
+        round(col("perplexity"), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
 }

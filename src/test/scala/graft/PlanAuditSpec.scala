@@ -326,6 +326,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), plan.take(3000))
   }
 
+  test("t14 LM scoring: bounded model broadcast, corpus never shuffle-joins") {
+    val df = Text.t14LmPerplexity(spark, sf)
+    // the localized model scores through BROADCAST hash joins from
+    // local relations, so the ONLY exchanges are the per-doc agg and
+    // the presentation sort — a SortMergeJoin here would shuffle the
+    // whole exploded corpus per LM table, and an un-localized model
+    // would re-execute the training aggs under every broadcast build
+    // (measured: 8 exchanges instead of 2)
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {
     val df = Text.t06RepetitionStats(spark, sf)
     assert(shuffles(df) <= 3)

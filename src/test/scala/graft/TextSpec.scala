@@ -490,4 +490,117 @@ class TextSpec extends SparkSpec {
     val acc = out.count(r => r.getAs[Long]("pred") == r.getAs[Long]("label")).toDouble / out.length
     assert(acc >= 0.75, s"gate accuracy $acc")
   }
+
+  // ---------------------------------------------------------------
+  // t14 LM perplexity — independent driver-side reference (Stupid-
+  // Backoff bigram LM, same DECIMAL-before-sum policy)
+  // ---------------------------------------------------------------
+
+  private def refLm(train: Seq[(Long, String)], topV: Int, topB: Int)
+      : (Map[String, Long], Map[(String, String), Long], Long) = {
+    val tokensPerDoc = train.map(_._2.split(" ").filter(_.nonEmpty).toVector)
+    val uniAll = tokensPerDoc.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val total = uniAll.values.sum
+    val vocab = uniAll.toSeq.sortBy { case (w, n) => (-n, w) }.take(topV).toMap
+    val bigrams = tokensPerDoc.flatMap(t => t.zip(t.drop(1))).groupBy(identity)
+      .map { case (p, ps) => p -> ps.size.toLong }
+      .filter { case ((a, b), _) => vocab.contains(a) && vocab.contains(b) }
+      .toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(topB).toMap
+    (vocab, bigrams, total)
+  }
+
+  private def refPerplexity(docs: Seq[(Long, String)], vocab: Map[String, Long],
+      bigrams: Map[(String, String), Long], total: Long)
+      : Map[Long, (Long, Option[Double], Option[Double])] =
+    docs.map { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty).toVector
+      val trans = t.zip(t.drop(1))
+      if (trans.isEmpty) id -> ((0L, None, None))
+      else {
+        val lpSum = trans.map { case (a, b) =>
+          // codegen'd log2 is StrictMath-backed; divisions promote to
+          // double exactly as Spark's Divide does
+          val lp =
+            if (bigrams.contains((a, b)) && vocab.contains(a))
+              StrictMath.log(bigrams((a, b)).toDouble / vocab(a)) / StrictMath.log(2.0)
+            else
+              StrictMath.log(0.4 * vocab.get(b).map(_.toDouble).getOrElse(0.5) / total) /
+                StrictMath.log(2.0)
+          java.math.BigDecimal.valueOf(lp).setScale(12, java.math.RoundingMode.HALF_UP)
+        }.reduce(_.add(_))
+        val ce = -lpSum.doubleValue() / trans.size
+        id -> ((trans.size.toLong, Some(ce), Some(math.pow(2.0, ce))))
+      }
+    }.toMap
+
+  test("lmPerplexity matches the independent reference LM") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "a dog sat on a log"),
+      (4L, "the dog ate the bone"))
+    val score = Seq(
+      (10L, "the cat sat on the mat"), // in-domain: every bigram seen
+      (11L, "zyx wvu tsr qpo"), // fully OOV: every transition floors
+      (12L, "the"), // one token: no transitions, null entropy
+      (13L, ""), // empty doc keeps its row too
+      (14L, "fish ate the dog")) // mix of seen and unseen bigrams
+    val (uni, bg) = Text.lmTrain(train.toDF("doc_id", "text"))
+    val got = Text.lmPerplexity(score.toDF("doc_id", "text"), uni, bg).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val (v, b2, total) = refLm(train, 10000, 100000)
+    val want = refPerplexity(score, v, b2, total)
+    assert(got.keySet === want.keySet)
+    for ((id, (n, ce, ppl)) <- want) {
+      assert(got(id)._1 === n, s"doc $id transition count")
+      assert(got(id)._2.isDefined === ce.isDefined, s"doc $id entropy nullness")
+      for ((g, w) <- got(id)._2.zip(ce))
+        assert(math.abs(g - w) < 1e-9, s"doc $id entropy $g vs $w")
+      for ((g, w) <- got(id)._3.zip(ppl))
+        assert(math.abs(g - w) < 1e-6 * w, s"doc $id perplexity $g vs $w")
+    }
+  }
+
+  test("lmPerplexity ranks gibberish above in-domain text and is partition-independent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (uni, bg) = Text.lmTrain(docs)
+    // two probes under the corpus-trained model: a sentence of corpus
+    // vocabulary vs pure OOV gibberish
+    val inDomain = docs.orderBy("doc_id").limit(1).collect()(0).getString(1)
+    val probes = Seq((1L, inDomain), (2L, "qzqz vjvj xkxk wpwp zzzz qqqq"))
+      .toDF("doc_id", "text")
+    val ppl = Text.lmPerplexity(probes, uni, bg).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("perplexity")).toMap
+    assert(ppl(1L) < ppl(2L), s"in-domain ${ppl(1L)} must beat gibberish ${ppl(2L)}")
+    // DECIMAL-before-sum makes scoring bit-exact under repartitioning
+    val a = Text.lmPerplexity(docs, uni, bg).collect().map(_.toSeq).toSeq
+    val b = Text.lmPerplexity(docs.repartition(7), uni, bg).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("lmTrain bounds the model by construction and keeps bigrams in-vocab") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (uni, bg) = Text.lmTrain(docs, topV = 50, topB = 30)
+    val uniRows = uni.collect()
+    assert(uniRows.length <= 50 && uniRows.nonEmpty)
+    val vocab = uniRows.map(_.getString(0)).toSet
+    val bgRows = bg.collect()
+    assert(bgRows.length <= 30 && bgRows.nonEmpty)
+    assert(bgRows.forall(r => vocab(r.getString(0)) && vocab(r.getString(1))))
+    // one total, stamped on every unigram row
+    assert(uniRows.map(_.getLong(2)).toSet.size === 1)
+  }
+
+  test("t14 gate scores every document") {
+    val docs = Tables.documents(spark, sf).count()
+    val out = Text.t14LmPerplexity(spark, sf).collect()
+    assert(out.length.toLong === docs)
+    // the synthetic corpus has no 0/1-token docs, so entropy is total
+    assert(out.forall(r => !r.isNullAt(2) && r.getAs[Double]("perplexity") > 1.0))
+  }
 }
