@@ -59,6 +59,10 @@ object SparkEntry {
     // rows-only (which clean shingles false-hit is sketch-geometry-
     // local); DedupSpec holds it against exact d06 from both sides
     "d10_contamination_bloom" -> (Dedup.d10ContaminationBloom _),
+    // rows-only (trained centroids and cell membership are engine-
+    // local); DedupSpec proves planted groups collapse to one kept
+    // representative and the adversarial corpus stays capped
+    "d11_semantic_dedup" -> (Dedup.d11SemanticDedup _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),

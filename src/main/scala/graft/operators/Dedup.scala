@@ -797,4 +797,88 @@ object Dedup {
       docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L),
       docs.filter(pmod(col("doc_id"), lit(10L)) === 7L))
   }
+
+  // -----------------------------------------------------------------
+  // d11: semantic dedup (SemDeDup, Abbas et al. 2023 — the curation
+  // step LAION/pretraining pipelines run on embedding space): cluster
+  // the corpus with the TRAINED coarse quantizer, prune within each
+  // cluster by exact cosine, keep one representative per semantic-
+  // duplicate group. d05/d08 find near-dup PAIRS; this composes the
+  // s04 trained codebook with the capped in-bucket pair machinery and
+  // d07's cluster resolution into the full keep/drop decision.
+  // -----------------------------------------------------------------
+
+  /** Candidate near-dup pairs for [[semanticDedup]]: Lloyd-trained
+    * coarse cells ([[Similarity.trainIvfCodebook]]) as the blocking
+    * key — every vector assigned to its `assignReplicas` nearest
+    * centroids (multi-assignment heals cluster-boundary splits, the
+    * s03/s06 trick), capped in-cell (v1 < v2) pair generation, exact
+    * native `graft_cosine` rescore at or above `minCosine`, duplicate
+    * candidates (pairs meeting in several cells) dropped AFTER the
+    * threshold like d08.
+    *
+    * Scale shape: training is the bounded Lloyd loop (one broadcast
+    * scoring pass + one cells x dim mean agg per round); assignment is
+    * map-only against the broadcast codebook; pairs explode only
+    * inside capped cells (quadratic term bounded by `maxCellSize`,
+    * never corpus-sized); rescore joins are id-equi. A cell beyond
+    * the cap is DROPPED (the house skew guard) — a corpus where one
+    * semantic cluster exceeds the cap should raise `numCells` (finer
+    * centroids split it) or run d08's multi-table LSH first.
+    */
+  def semanticDedupPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.95, numCells: Int = 64,
+      iterations: Int = 2, assignReplicas: Int = 2, maxCellSize: Int = 1000): DataFrame = {
+    val s = emb.sparkSession
+    val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
+    val codebook = Similarity.trainIvfCodebook(e, numCells = numCells,
+      iterations = iterations)
+    val assigned = Similarity.assignCells(e,
+      codebook.select(col("cell"), col("centroid").as("seed_emb")), assignReplicas)
+    val buckets = cappedIdBuckets(assigned.select(col("cell"), col("vec_id")),
+      Seq("cell"), "vec_id", maxCellSize.toLong, minSize = 2L)
+    bucketPairs(buckets)
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
+      .select(col("d1").as("v1"), col("d2").as("v2"),
+        graft.functions.FastRound.round6(s,
+          CosineSimilarity.cosine(s, col("e1"), col("e2"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .dropDuplicates("v1", "v2")
+  }
+
+  /** Full SemDeDup resolution over any embedding frame: one row per
+    * vector — `group_id` (the transitive semantic-duplicate group via
+    * [[dupClusters]] min-label propagation; a vector in no group is its
+    * own) and `kept` (true exactly for each group's min-id
+    * representative — deterministic, like d01's keep-min rule). The
+    * training-pipeline contract: filter `kept` and the corpus is
+    * semantically deduplicated at `minCosine`.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.95, numCells: Int = 64,
+      iterations: Int = 2, assignReplicas: Int = 2, maxCellSize: Int = 1000): DataFrame = {
+    val e = emb.select(Cols.q(idCol).as("vec_id"))
+    val pairs = semanticDedupPairs(emb, idCol, vecCol, minCosine, numCells,
+      iterations, assignReplicas, maxCellSize)
+    val groups = dupClusters(pairs, "v1", "v2")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    e.join(groups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** d11: gate binding of [[semanticDedup]]. The synthetic embeddings
+    * are near-orthogonal (max pairwise cosine ~0.5), so the gate
+    * thresholds at 0.3 — the top of THIS corpus's similarity range,
+    * like d08's gate; a real near-dup corpus runs the 0.95 default.
+    * rows-only oracle (trained centroids and cell membership are
+    * engine-local); DedupSpec proves planted semantic groups collapse
+    * to one kept representative, singletons survive, and the
+    * mass-identical adversarial corpus stays capped.
+    */
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, dir), minCosine = 0.3, numCells = 32)
 }

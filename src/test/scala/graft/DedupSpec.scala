@@ -322,4 +322,94 @@ class DedupSpec extends SparkSpec {
     // a deterministic-seed miracle; pin zero to catch a sketch misuse
     assert(got(3L) === 0.0)
   }
+
+  // ---------------------------------------------------------------
+  // d11 semantic dedup (SemDeDup)
+  // ---------------------------------------------------------------
+
+  test("d11 collapses every planted semantic group to one kept representative") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 24
+    // 200 near-orthogonal noise singletons + 25 planted groups of 4
+    // near-identical vectors (cosine ~0.999 inside a group)
+    val noise = Seq.tabulate(200)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val groups = (0 until 25).flatMap { g =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 4).map(j =>
+        (1000L + 4 * g + j, base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    }
+    val emb = (noise ++ groups).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(emb, minCosine = 0.95, numCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // complete: one verdict per vector
+    assert(got.map(_._1).toSet === (noise ++ groups).map(_._1).toSet)
+    val byId = got.map(t => t._1 -> t).toMap
+    // every planted group collapses to ITS min id: multi-assignment
+    // (2 nearest trained cells) makes an intra-group split across a
+    // cell boundary effectively impossible at cosine ~1
+    for (g <- 0 until 25; j <- 0 until 4) {
+      val id = 1000L + 4 * g + j
+      assert(byId(id)._2 === 1000L + 4 * g, s"vector $id group")
+      assert(byId(id)._3 === (j == 0), s"vector $id kept flag")
+    }
+    // noise vectors are their own kept singletons (threshold excludes
+    // near-orthogonal pairs)
+    for (i <- 0 until 200)
+      assert(byId(i.toLong) === ((i.toLong, i.toLong, true)), s"noise $i")
+  }
+
+  test("d11 pairs are sound and the resolution honors its invariants on the standard corpus") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val thr = 0.3
+    // soundness: every candidate pair the trained-cell blocking
+    // surfaces genuinely clears the exact-cosine threshold (the
+    // rescore is exact, so blocking can only LOSE cross-cell pairs —
+    // SemDeDup's contract is within-cluster collapse, NOT the global
+    // transitive closure a weak threshold chains across clusters)
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val pairs = Dedup.semanticDedupPairs(emb, minCosine = thr, numCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "gate threshold must be non-vacuous on this corpus")
+    pairs.foreach { case (a, b) =>
+      assert(driverCos(rows(a), rows(b)) >= thr - 1e-6, s"unsound pair ($a,$b)")
+    }
+    // resolution invariants: complete, kept == own-group-min, min
+    // representative deterministic, groups closed over the id set
+    val out = Dedup.semanticDedup(emb, minCosine = thr, numCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSet === rows.keySet)
+    out.foreach { case (id, g, kept) =>
+      assert(g <= id, s"group label must be the min id, got $g for $id")
+      assert(kept === (g == id), s"kept flag inconsistent for $id")
+      assert(rows.contains(g), s"group $g is not a corpus id")
+    }
+    // every group's representative is kept exactly once
+    val byGroup = out.groupBy(_._2)
+    byGroup.foreach { case (g, members) =>
+      assert(members.count(_._3) === 1, s"group $g kept count")
+      assert(members.filter(_._3).head._1 === g)
+    }
+    // deterministic end to end (trained centroids, capped cells, min
+    // labels — no randomness anywhere)
+    val again = Dedup.semanticDedup(emb, minCosine = thr, numCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("d11 adversarial mass-identical corpus stays capped, never quadratic") {
+    import spark.implicits._
+    val dim = 8
+    val base = Array.fill(dim)(0.5f)
+    // 5000 copies of one vector: one semantic cluster far beyond the
+    // cell cap. The house skew guard drops over-cap cells, so the
+    // operator must return quickly with ZERO pairs (documented: raise
+    // numCells or run d08 first), not explode to 12.5M pairs
+    val emb = Seq.tabulate(5000)(i => (i.toLong, base)).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(emb, minCosine = 0.95, numCells = 4,
+      maxCellSize = 1000)
+    assert(pairs.count() === 0L)
+    val out = Dedup.semanticDedup(emb, minCosine = 0.95, numCells = 4, maxCellSize = 1000)
+    assert(out.count() === 5000L)
+  }
 }
