@@ -45,6 +45,7 @@ object SparkEntry {
     "q21_token_budget_sample" -> (Relational.q21TokenBudgetSample _),
     "q22_snapshot_diff" -> (Relational.q22SnapshotDiff _),
     "q23_scd2_history" -> (Relational.q23Scd2History _),
+    "q24_cdc_merge" -> (Relational.q24CdcMerge _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -419,6 +420,28 @@ object SparkEntry {
         |  LEAD(vintage) OVER (PARTITION BY o_orderkey ORDER BY vintage) AS valid_to
         |FROM starts
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // the changeset is built identically on both sides (q22 DECIMAL
+    // restatement policy); the merge itself is anti-join + upsert union
+    "q24_cdc_merge" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice,
+        |    'U' AS op
+        |  FROM orders WHERE o_orderkey % 9 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D'
+        |  FROM orders WHERE o_orderkey % 9 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 'U'
+        |  FROM orders WHERE o_orderkey % 9 = 7
+        |)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+        |FROM orders b LEFT JOIN ch ON b.o_orderkey = ch.o_orderkey
+        |WHERE ch.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM ch WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // naive inequality join is the oracle for the bucket-blocked range
     // join; epoch_ns keeps the boundary comparisons at full precision.

@@ -707,4 +707,62 @@ object Relational {
     scd2History(v1.union(v2).union(v3), Seq("o_orderkey"), "vintage",
       Seq("o_orderstatus", "o_totalprice"))
   }
+
+  /** CDC merge — the WRITE side of the vintage family (q22 diffs two
+    * snapshots, q23 builds the history, this APPLIES a changeset): the
+    * MERGE INTO / CDC-apply semantics every incremental pipeline runs
+    * to maintain a keyed table. `changes` carries the base's columns
+    * plus `opCol`: `"U"` upserts the row (update if the key exists,
+    * insert if not), `"D"` deletes the key; base rows untouched by the
+    * changeset pass through. The changeset must be key-unique —
+    * resolve a multi-event feed with latest-wins (the q05 machinery)
+    * first, exactly as CDC consumers compact before applying.
+    *
+    * Scale shape: one shuffle per side on the key columns into a
+    * co-partitioned LEFT ANTI sort-merge join (base minus touched
+    * keys — with both sides bucket-stored on the key the exchanges
+    * vanish, the q22 story), then the upsert rows append map-only via
+    * union. Nothing is broadcast by the plan's construction — base and
+    * changeset are both corpus-scale by assumption (AQE may still
+    * elect a broadcast for a genuinely small changeset at runtime).
+    * Never a full rewrite of untouched partitions' CONTENT — at 100 TB
+    * pair this with partition pruning on a date/bucket column so only
+    * affected files rewrite.
+    */
+  def cdcMerge(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "cdcMerge needs at least one key column")
+    val dataCols = base.columns.toSeq
+    require(changes.columns.toSet == (dataCols :+ opCol).toSet,
+      s"changes must carry the base columns plus '$opCol'")
+    val untouched = base.join(changes.select(keyCols.map(Cols.q): _*),
+      keyCols, "left_anti")
+    val upserts = changes.filter(Cols.q(opCol) =!= "D")
+      .select(dataCols.map(Cols.q): _*)
+    untouched.unionByName(upserts)
+      .orderBy(keyCols.map(Cols.q): _*)
+  }
+
+  /** q24: gate binding of [[cdcMerge]] on a deterministic changeset
+    * over orders: keys ≡ 1 (mod 9) delete, keys ≡ 4 (mod 9) upsert
+    * with status "X" and the total restated at +10% (the q22 DECIMAL
+    * policy), and keys ≡ 7 (mod 9) generate brand-new inserts at
+    * key + 100000000 with status "N". Fully SQL-oracled: both engines
+    * build the identical changeset from the same table.
+    */
+  def q24CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(9L)) === 4L)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        expr(s"CAST(CAST(o_totalprice AS $D) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)")
+          .as("o_totalprice"), lit("U").as("op"))
+    val del = o.filter(pmod(col("o_orderkey"), lit(9L)) === 1L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit("D").as("op"))
+    val ins = o.filter(pmod(col("o_orderkey"), lit(9L)) === 7L)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), lit("U").as("op"))
+    cdcMerge(o, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"))
+  }
 }

@@ -127,6 +127,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q24 cdc merge: co-partitioned anti join + map-only upsert union, no rewrite amplification") {
+    val df = Relational.q24CdcMerge(spark, sf)
+    // one exchange per anti-join side + the presentation sort (AQE may
+    // broadcast the genuinely-small changeset at this sf — fewer, never
+    // more); the upsert branch appends without any exchange of its own
+    assert(shuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("q23 scd2 history: one key exchange serves both windows, no join") {
     // the scaladoc claim: the run-start lag window and the valid_to
     // lead window share the same (key, vintage) partitioning, so the

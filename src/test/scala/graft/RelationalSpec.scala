@@ -163,4 +163,27 @@ class RelationalSpec extends SparkSpec {
       (3L, 2, Some(3)), (3L, 3, None),
       (4L, 1, None)))
   }
+
+  test("cdcMerge applies upserts and deletes, passes untouched rows through") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "A", 1.0), // untouched
+      (2L, "B", 2.0), // deleted
+      (3L, "C", 3.0), // updated
+      (4L, "D", 4.0)) // untouched
+      .toDF("k", "status", "price")
+    val changes = Seq(
+      (2L, "B", 2.0, "D"), // delete (payload ignored)
+      (3L, "C2", 3.5, "U"), // update in place
+      (5L, "E", 5.0, "U")) // insert (key not in base)
+      .toDF("k", "status", "price", "op")
+    val got = Relational.cdcMerge(base, changes, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "A", 1.0), (3L, "C2", 3.5), (4L, "D", 4.0), (5L, "E", 5.0)))
+    // schema contract: changes must be base columns + op
+    intercept[IllegalArgumentException] {
+      Relational.cdcMerge(base, changes.drop("price"), Seq("k"))
+    }
+    ()
+  }
 }
