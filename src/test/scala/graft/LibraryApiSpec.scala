@@ -166,4 +166,25 @@ class LibraryApiSpec extends SparkSpec {
       assert(chunked.length === naive.length, s"chunks=$c duplicates")
     }
   }
+
+  test("lm perplexity trains and scores over renamed columns") {
+    val (uni, bg) = Text.lmTrain(docs, idCol = "my_id", textCol = "body")
+    val out = Text.lmPerplexity(docs, uni, bg, idCol = "my_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one transition per adjacent token pair, normalized id column
+    assert(out.keySet === Set(10L, 20L, 30L, 40L))
+    assert(out(10L) === 6L && out(40L) === 5L)
+  }
+
+  test("semantic dedup over renamed columns collapses the identical pair") {
+    val emb = Seq(
+      (10L, Array(1f, 0f, 0f)),
+      (11L, Array(1f, 0.001f, 0f)), // near-identical to 10
+      (12L, Array(0f, 1f, 0f)))
+      .toDF("vid", "vec")
+    val out = Dedup.semanticDedup(emb, idCol = "vid", vecCol = "vec",
+      minCosine = 0.99, numCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((10L, 10L, true), (11L, 10L, false), (12L, 12L, true)))
+  }
 }
