@@ -767,6 +767,10 @@ object Text {
     val s = unigrams.sparkSession
     import s.implicits._
     val u = unigrams.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // an empty model would make every downstream score silently empty
+    // (the totals cross join has no row) — fail here, where the cause
+    // is visible, not at the first scoring query
+    require(u.nonEmpty, "lmLocalize: the trained model is empty (empty training corpus?)")
     val b = bigrams.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     (s.createDataset(u.toSeq).toDF("word", "n", "total_count"),
       s.createDataset(b.toSeq).toDF("w1", "w2", "n"))

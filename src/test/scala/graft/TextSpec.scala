@@ -596,6 +596,14 @@ class TextSpec extends SparkSpec {
     assert(uniRows.map(_.getLong(2)).toSet.size === 1)
   }
 
+  test("lmLocalize rejects an empty trained model loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (uni, bg) = Text.lmTrain(empty)
+    intercept[IllegalArgumentException] { Text.lmLocalize(uni, bg) }
+    ()
+  }
+
   test("t14 gate scores every document") {
     val docs = Tables.documents(spark, sf).count()
     val out = Text.t14LmPerplexity(spark, sf).collect()
