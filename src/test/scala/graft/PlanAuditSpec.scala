@@ -138,6 +138,42 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("q24 on bucketed base and changeset: the anti-join exchanges vanish, result unchanged") {
+    // the scaladoc claim made real, same shape as the q22 pin: a
+    // maintained table bucketed on its PK absorbs a bucketed changeset
+    // without shuffling either side — only the presentation sort
+    // remains. Auto-broadcast is disabled so the pin isolates
+    // partitioning (at real scale the changeset may not be small).
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val tmp = Files.createTempDirectory("graft_q24_bucketed").toString
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val changes = o.filter(pmod(col("o_orderkey"), lit(9L)) === 1L)
+      .withColumn("op", lit("D"))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(9L)) === 4L)
+        .withColumn("op", lit("U")))
+    def save(df: DataFrame, name: String): Unit =
+      df.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/$name").mode("overwrite").saveAsTable(name)
+    save(o, "graft_q24_base_b")
+    save(changes, "graft_q24_ch_b")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = Relational.cdcMerge(
+        spark.table("graft_q24_base_b"), spark.table("graft_q24_ch_b"), Seq("o_orderkey"))
+      assert(shuffles(merged) === 1, merged.queryExecution.executedPlan.toString.take(2000))
+      val unbucketed = Relational.cdcMerge(o, changes, Seq("o_orderkey"))
+      assert(merged.collect().map(_.toSeq).toSet ===
+        unbucketed.collect().map(_.toSeq).toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_q24_base_b")
+      spark.sql("DROP TABLE IF EXISTS graft_q24_ch_b")
+    }
+  }
+
   test("q23 scd2 history: one key exchange serves both windows, no join") {
     // the scaladoc claim: the run-start lag window and the valid_to
     // lead window share the same (key, vintage) partitioning, so the
