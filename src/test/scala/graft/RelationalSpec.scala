@@ -186,4 +186,31 @@ class RelationalSpec extends SparkSpec {
     }
     ()
   }
+
+  test("cdcMerge matches a driver model on randomized changesets and is idempotent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val baseKeys = (0 until 40).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val base = baseKeys.map(k => (k, s"s$k", rnd.nextInt(100).toDouble))
+      val chKeys = (0 until 50).filter(_ => rnd.nextDouble() < 0.4).map(_.toLong)
+      val changes = chKeys.map { k =>
+        if (rnd.nextBoolean()) (k, s"u$k", rnd.nextInt(100).toDouble, "U")
+        else (k, "", 0.0, "D")
+      }
+      val want = (base.filterNot(r => chKeys.contains(r._1)) ++
+        changes.collect { case (k, s2, p, "U") => (k, s2, p) }).sortBy(_._1)
+      val baseDf = base.toDF("k", "s", "p")
+      val chDf = changes.toDF("k", "s", "p", "op")
+      val got = Relational.cdcMerge(baseDf, chDf, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(got === want, s"trial $trial")
+      // idempotence: re-applying the same changeset is a no-op (deletes
+      // find nothing, upserts rewrite their own values)
+      val twice = Relational.cdcMerge(
+        Relational.cdcMerge(baseDf, chDf, Seq("k")), chDf, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(twice === got, s"trial $trial idempotence")
+    }
+  }
 }
