@@ -348,4 +348,48 @@ class StreamingSpec extends SparkSpec {
         q.lastProgress.prettyJson)
     } finally q.stop()
   }
+
+  test("streaming CDC apply: per-micro-batch cdcMerge maintains the table like sequential merges") {
+    // the standard streaming maintenance loop: a CDC feed lands in
+    // micro-batches, each applied to the maintained table with the
+    // BATCH cdcMerge inside foreachBatch — exactly how Structured
+    // Streaming deploys a MERGE INTO. Three changesets stream in with
+    // forced batch boundaries; the maintained table must equal folding
+    // the same three changesets through batch cdcMerge in order.
+    implicit val ctx = spark.sqlContext
+    val base = Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "C", 3.0))
+      .toDF("k", "s", "p")
+    val changesets = Seq(
+      Seq((2L, "B2", 2.5, "U"), (4L, "D", 4.0, "U")), // update 2, insert 4
+      Seq((1L, "", 0.0, "D"), (4L, "D2", 4.5, "U")), // delete 1, update 4
+      Seq((5L, "E", 5.0, "U"), (3L, "", 0.0, "D"))) // insert 5, delete 3
+    var maintained = base
+    val input = MemoryStream[(Long, String, Double, String)]
+    val q = input.toDF().toDF("k", "s", "p", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // localize the micro-batch (it is changeset-sized), then apply
+        // the batch operator; production would write a table/Delta sink
+        val rows = batch.collect().toSeq
+        if (rows.nonEmpty) {
+          val ch = rows.map(r =>
+            (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+            .toDF("k", "s", "p", "op")
+          maintained = graft.operators.Relational.cdcMerge(maintained, ch, Seq("k"))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      for (ch <- changesets) {
+        input.addData(ch: _*)
+        q.processAllAvailable() // one changeset per micro-batch
+      }
+      val want = changesets.foldLeft(base) { (acc, ch) =>
+        graft.operators.Relational.cdcMerge(acc, ch.toDF("k", "s", "p", "op"), Seq("k"))
+      }.collect().map(_.toSeq).toSeq
+      val got = maintained.collect().map(_.toSeq).toSeq
+      assert(got === want)
+      assert(got.map(_.head) === Seq(2L, 4L, 5L), got.toString)
+    } finally q.stop()
+  }
 }
