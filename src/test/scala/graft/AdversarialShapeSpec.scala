@@ -84,6 +84,22 @@ class AdversarialShapeSpec extends SparkSpec {
     assert(edges.filter(col("q_id") < 3000L && col("n_id") < 3000L).count() === 0L)
   }
 
+  test("semantic dedup: a mass-identical vector block caps out instead of going quadratic") {
+    val rnd = new scala.util.Random(44)
+    val hot = (0L until 3000L).map(i => (i, Array.fill(16)(1.0f)))
+    val rest = (3000L until 3100L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val emb = (hot ++ rest).toDF("vec_id", "embedding")
+    // the whole hot mass lands in ONE trained cell (times 2 replicas),
+    // 3000 > the 1000 cell cap, so the cell drops and no hot pair is
+    // generated (documented: raise numCells or run d08 first); the
+    // resolution still returns one verdict per vector, all kept
+    val pairs = Dedup.semanticDedupPairs(emb, minCosine = 0.99, numCells = 8)
+    assert(pairs.filter(col("v1") < 3000L && col("v2") < 3000L).count() === 0L)
+    val out = Dedup.semanticDedup(emb, minCosine = 0.99, numCells = 8)
+    assert(out.count() === 3100L)
+  }
+
   test("radius LSH on a fully-degenerate corpus: bounded by queries x corpus, then maxResults") {
     val emb = (0L until 5000L).map(i => (i, Array.fill(16)(0.5f)))
       .toDF("vec_id", "embedding")
