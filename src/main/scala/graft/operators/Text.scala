@@ -831,22 +831,60 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Collect a trained LM into a [[graft.functions.LmModel]] — the
+    * driver-held artifact the FUSED scoring path carries into the scan
+    * (same boundedness argument as [[lmLocalize]], same t13-weights
+    * round-trip shape).
+    */
+  def lmModel(unigrams: DataFrame, bigrams: DataFrame): graft.functions.LmModel = {
+    val u = unigrams.collect()
+    require(u.nonEmpty, "lmModel: the trained model is empty (empty training corpus?)")
+    val b = bigrams.collect()
+    new graft.functions.LmModel(
+      u.map(_.getString(0)), u.map(_.getLong(1)),
+      b.map(r => r.getString(0) + " " + r.getString(1)), b.map(_.getLong(2)),
+      u(0).getLong(2))
+  }
+
+  /** FUSED LM scoring — [[lmPerplexity]]'s result computed entirely
+    * in-row by the native `graft_lm_score` expression over each doc's
+    * bigram-shingle array (O(1) hash lookups against the driver-held
+    * model): no transition explode, no model joins, no per-doc
+    * aggregation — the scan emits one scored row per document and the
+    * ONLY exchange left is the presentation sort. Being a stateless
+    * per-row projection, this is also the form an unbounded stream
+    * scores with ([[graft.streaming.StreamingOps.perplexityGate]]).
+    * TextSpec pins it bit-identical to the join formulation.
+    */
+  def lmPerplexityFused(docs: DataFrame, model: graft.functions.LmModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    normalized(docs, idCol, textCol)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("s", graft.functions.LmScore.score(s,
+        graft.functions.WordShingles.shingles(s, col("toks"), 2), model))
+      .select(col("doc_id"), col("s.n_transitions").as("n_transitions"),
+        col("s.cross_entropy").as("cross_entropy"),
+        col("s.perplexity").as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** t14: gate binding — train the bigram LM on the corpus itself
     * (self-perplexity: degenerate/repetitive docs score low, docs full
     * of corpus-rare transitions score high — the in-gate stand-in for
     * CCNet's train-on-wiki/score-target split, which the library form
-    * expresses by passing different frames), score every doc. Rows-only
-    * in the driver gate (log-probability floats are engine-local);
-    * TextSpec pins the scores row-for-row against an independent
-    * driver-side reference LM, bit-exact partition independence, the
-    * fluency ordering (in-domain < gibberish), and the model-size
-    * bounds.
+    * expresses by passing different frames), score every doc through
+    * the FUSED path (bit-identical to the join formulation, pinned in
+    * TextSpec). Rows-only in the driver gate (log-probability floats
+    * are engine-local); TextSpec pins the scores row-for-row against
+    * an independent driver-side reference LM, bit-exact partition
+    * independence, the fluency ordering (in-domain < gibberish), and
+    * the model-size bounds.
     */
   def t14LmPerplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val (uniD, bgD) = lmTrain(docs, topV = 5000, topB = 50000)
-    val (uni, bg) = lmLocalize(uniD, bgD)
-    lmPerplexity(docs, uni, bg)
+    lmPerplexityFused(docs, lmModel(uniD, bgD))
       .select(col("doc_id"), col("n_transitions"),
         round(col("cross_entropy"), 6).as("cross_entropy"),
         round(col("perplexity"), 4).as("perplexity"))

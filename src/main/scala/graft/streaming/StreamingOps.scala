@@ -290,4 +290,28 @@ object StreamingOps {
     graft.operators.Dedup.contaminationFlagsAgainstBloom(docs,
       graft.operators.Dedup.benchmarkBloom(benchmark,
         expectedItems = expectedItems, fpp = fpp))
+
+  /** Streaming fluency gate: score every arriving document's
+    * perplexity under a trained bigram LM, in-row via the native
+    * `graft_lm_score` expression (the t14 FUSED path —
+    * [[graft.operators.Text.lmPerplexityFused]] minus the batch
+    * presentation sort, which an unbounded stream cannot have). The
+    * model is a driver-held plan constant like the bloom sketch above,
+    * so the gate is completely STATELESS — no watermark, no state
+    * store, no shuffle — and runs append-mode at ingest rate. Train
+    * once on a reference corpus (`Text.lmTrain` + `Text.lmModel`),
+    * filter on `perplexity` downstream.
+    */
+  def perplexityGate(docs: DataFrame, model: graft.functions.LmModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
+    docs.select(q(idCol).as("doc_id"), q(textCol).as("text"))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("s", graft.functions.LmScore.score(s,
+        graft.functions.WordShingles.shingles(s, col("toks"), 2), model))
+      .select(col("doc_id"), col("s.n_transitions").as("n_transitions"),
+        col("s.cross_entropy").as("cross_entropy"),
+        col("s.perplexity").as("perplexity"))
+  }
 }

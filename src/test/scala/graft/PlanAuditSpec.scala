@@ -373,18 +373,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), plan.take(3000))
   }
 
-  test("t14 LM scoring: bounded model broadcast, corpus never shuffle-joins") {
+  test("t14 LM scoring is fused in-scan: no joins, no agg, only the presentation sort") {
     val df = Text.t14LmPerplexity(spark, sf)
-    // the localized model scores through BROADCAST hash joins from
-    // local relations, so the ONLY exchanges are the per-doc agg and
-    // the presentation sort — a SortMergeJoin here would shuffle the
-    // whole exploded corpus per LM table, and an un-localized model
-    // would re-execute the training aggs under every broadcast build
-    // (measured: 8 exchanges instead of 2)
-    assert(shuffles(df) <= 2)
+    // the native graft_lm_score expression computes each doc's whole
+    // profile in-row against the driver-held model: the join
+    // formulation's three broadcast joins AND its per-doc aggregation
+    // are gone (TextSpec pins the two paths bit-identical) — the only
+    // exchange left is the presentation sort. An un-fused regression
+    // shows up as a Join/Aggregate node here
+    assert(shuffles(df) <= 1)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
-    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
   }
 
   test("t06 repetition stats: two word-count aggs plus the sort, no join-back") {

@@ -349,6 +349,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming perplexity gate scores statelessly and equals the batch fused path") {
+    import graft.operators.Text
+    implicit val ctx = spark.sqlContext
+    // train on a tiny reference corpus, hold the model on the driver
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the log"))
+      .toDF("doc_id", "text")
+    val (uniD, bgD) = Text.lmTrain(ref)
+    val model = Text.lmModel(uniD, bgD)
+    val probes = Seq(
+      (10L, "the cat sat on the log"), // in-domain
+      (11L, "zz qq ww"), // OOV floors every transition
+      (12L, "the")) // no transitions -> nulls
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.perplexityGate(input.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("ppl_gate").outputMode("append").start()
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+      val got = spark.table("ppl_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.get(2), r.get(3)))).toMap
+      val want = Text.lmPerplexityFused(probes.toDF("doc_id", "text"), model)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.get(2), r.get(3)))).toMap
+      assert(got === want)
+      assert(got(11L)._1 === 2L && got(12L)._2 === null)
+      // the model is a plan constant: no state store anywhere
+      assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: per-micro-batch cdcMerge maintains the table like sequential merges") {
     // the standard streaming maintenance loop: a CDC feed lands in
     // micro-batches, each applied to the maintained table with the

@@ -596,6 +596,25 @@ class TextSpec extends SparkSpec {
     assert(uniRows.map(_.getLong(2)).toSet.size === 1)
   }
 
+  test("fused in-row LM scoring is bit-identical to the broadcast-join formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (uniD, bgD) = Text.lmTrain(docs, topV = 2000, topB = 20000)
+    val (uni, bg) = Text.lmLocalize(uniD, bgD)
+    val model = Text.lmModel(uniD, bgD)
+    // corpus rows plus the structural edges (OOV, single-token, empty)
+    val edges = Seq((900001L, "zz yy xx"), (900002L, "lone"), (900003L, ""))
+      .toDF("doc_id", "text")
+    for (frame <- Seq(docs, edges)) {
+      val joined = Text.lmPerplexity(frame, uni, bg).collect().map(_.toSeq).toSeq
+      val fused = Text.lmPerplexityFused(frame, model).collect().map(_.toSeq).toSeq
+      // bit-identical: same StrictMath log2, same Divide promotion
+      // order, same DECIMAL-scale-12 rounding before the sum, same
+      // decimal->double cast, same Math.pow
+      assert(fused === joined)
+    }
+  }
+
   test("lmLocalize rejects an empty trained model loudly") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
