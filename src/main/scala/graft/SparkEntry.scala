@@ -105,6 +105,7 @@ object SparkEntry {
     // the scores vs an independent driver-side reference LM, bit-exact
     // partition independence, and the fluency ordering
     "t14_lm_perplexity" -> (Text.t14LmPerplexity _),
+    "t15_chunk_docs" -> (Text.t15ChunkDocs _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -757,6 +758,25 @@ object SparkEntry {
         |  CAST(SUM(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_count,
         |  (SELECT CAST(SUM(n) AS BIGINT) FROM counts) AS total_count
         |FROM top ORDER BY vocab_rank""".stripMargin,
+
+    // identical window arithmetic: starts 0, 24, ... up to the last
+    // start that contributes new tokens; 1-based inclusive list slices
+    // on the DuckDB side mirror Spark's (start+1, length) slice
+    "t15_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    24 * greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)) AS max_start
+        |  FROM toks WHERE len(toks) >= 1
+        |), starts AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, max_start + 1, 24)) AS s FROM d
+        |)
+        |SELECT doc_id, s // 24 AS chunk_id, s AS chunk_start,
+        |  CAST(len(toks[s + 1 : least(n, s + 32)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[s + 1 : least(n, s + 32)], ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
 
     // same rounded-quality histogram + pure-integer DIV bucket rule
     // (equal-quality docs share a bucket; no float boundary math)

@@ -890,4 +890,51 @@ object Text {
         round(col("perplexity"), 4).as("perplexity"))
       .orderBy("doc_id")
   }
+
+  /** Context-window chunking (t15): split each document's token stream
+    * into fixed-size windows advanced by `stride` tokens — the
+    * pretraining-batch preparation step between cleaning and packing
+    * (HuggingFace `return_overflowing_tokens` semantics: overlap of
+    * `chunkSize - stride` tokens carries context across boundaries).
+    * Chunk starts are 0, stride, 2*stride, ... up to the last start
+    * that still contributes NEW tokens (so a trailing window that would
+    * sit entirely inside its predecessor is never emitted, but the
+    * final partial window covering the tail always is). Empty docs
+    * yield zero chunks.
+    *
+    * Scale shape: map-only — tokenization, the per-doc start sequence
+    * (bounded: ceil(n_tokens/stride) elements), the explode, and the
+    * slice all happen in the scan stage; nothing shuffles but the
+    * presentation sort. At 100 TB this is the ideal operator: perfectly
+    * data-parallel, output ~n_tokens/stride rows per doc.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
+    normalized(docs, idCol, textCol)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      // last start = stride * max(0, ceil((n - chunkSize) / stride)):
+      // double ceil is exact here (token counts are far below 2^53)
+      .withColumn("max_start",
+        lit(stride) * greatest(lit(0L),
+          ceil((col("n") - lit(chunkSize)).cast("double") / lit(stride.toDouble)).cast("long")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("max_start"), lit(stride.toLong))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / lit(stride)).cast("long").as("chunk_id"),
+        col("start").as("chunk_start"),
+        size(slice(col("toks"), col("start") + 1, lit(chunkSize))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** t15: gate binding of [[chunkDocs]] (32-token windows, stride 24 —
+    * sized so the median ~56-token doc exercises real overlap).
+    */
+  def t15ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(s, dir))
 }

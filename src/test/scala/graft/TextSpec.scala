@@ -630,4 +630,38 @@ class TextSpec extends SparkSpec {
     // the synthetic corpus has no 0/1-token docs, so entropy is total
     assert(out.forall(r => !r.isNullAt(2) && r.getAs[Double]("perplexity") > 1.0))
   }
+
+  test("t15 chunkDocs: coverage, overlap, and edge semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n < chunkSize: one chunk
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")), // n == chunkSize: one chunk
+      (3L, (1 to 33).map(i => s"w$i").mkString(" ")), // one past: second (partial) chunk
+      (4L, (1 to 80).map(i => s"w$i").mkString(" ")), // three chunks
+      (5L, ""), (6L, "   ") // empty docs: zero chunks
+    ).toDF("doc_id", "text")
+    val out = Text.chunkDocs(docs, chunkSize = 32, stride = 24).collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(!byDoc.contains(5L) && !byDoc.contains(6L))
+    assert(byDoc(1L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq === Seq((0L, 0L, 10L)))
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq === Seq((0L, 0L, 32L)))
+    assert(byDoc(3L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 0L, 32L), (1L, 24L, 9L))) // tokens 25..33 in the tail chunk
+    assert(byDoc(4L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 32L)))
+    // coverage: chunk 0 plus each successor's new tail reconstructs the doc
+    val full = byDoc(4L).zipWithIndex.map { case (r, i) =>
+      val toks = r.getString(4).split(" ")
+      if (i == 0) toks else toks.drop(32 - 24)
+    }.flatten
+    assert(full.toSeq === (1 to 80).map(i => s"w$i"))
+    // overlap: consecutive chunks share exactly chunkSize - stride tokens
+    val c0 = byDoc(4L)(0).getString(4).split(" ")
+    val c1 = byDoc(4L)(1).getString(4).split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+    // stride == chunkSize degenerates to disjoint full cover
+    val disjoint = Text.chunkDocs(docs.filter($"doc_id" === 4L), chunkSize = 32, stride = 32)
+      .collect().flatMap(_.getString(4).split(" "))
+    assert(disjoint.toSeq === (1 to 80).map(i => s"w$i"))
+  }
 }
