@@ -64,6 +64,10 @@ object SparkEntry {
     // local); DedupSpec proves planted groups collapse to one kept
     // representative and the adversarial corpus stays capped
     "d11_semantic_dedup" -> (Dedup.d11SemanticDedup _),
+    // rows-only (minhash seeds and banding are engine-local); DedupSpec
+    // pins planted-dup recall across the batch/history split, estimator
+    // accuracy vs exact Jaccard, and determinism
+    "d12_incremental_dedup" -> (Dedup.d12IncrementalDedup _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),

@@ -915,4 +915,125 @@ object Dedup {
     }
     semanticDedupWithCodebook(emb, codebook, minCosine = 0.3)
   }
+
+  // ─── d12: incremental dedup against a persisted MinHash index ───
+
+  /** MinHash signature + LSH band index over a corpus — the PERSISTED
+    * artifact an ingest pipeline maintains so each day's batch dedups
+    * against all of history WITHOUT re-scanning history's pairs.
+    * Returns `(sigs, bands)`:
+    *   - `sigs`: one row per doc, `sig` = 64 minhash components
+    *     (~512 B/doc whatever the doc size);
+    *   - `bands`: `(band, bucket, doc_id)` — the d03 16x4 banding with
+    *     the over-cap buckets ALREADY dropped (the cap is a property of
+    *     the index, paid once at build, so no per-batch window ever
+    *     touches the index again).
+    *
+    * Unlike the d03-internal signature build (which runs over the
+    * corpus-DF-capped bucket store), signatures here are computed from
+    * each doc's own raw distinct shingles, so two INDEPENDENT builds —
+    * history today, a batch tomorrow — yield comparable signatures; the
+    * DF cap exists to bound pair generation, which banding + the bucket
+    * cap already bound here.
+    */
+  def minhashIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxBucketSize: Long = MaxLshBucket): (DataFrame, DataFrame) = {
+    val sigs = buildSigArrays(docs, idCol, textCol)
+    val bands = cappedFlatBuckets(
+      sigBands(sigs).select(col("band"), col("bucket"), col("ds.doc_id").as("doc_id")),
+      Seq("band", "bucket"), maxBucketSize, minSize = 1L)
+    (sigs, bands)
+  }
+
+  /** Raw-shingle signature arrays: `(doc_id, sig: array<long>[64])`. */
+  private def buildSigArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    val exploded = normalized(docs, idCol, textCol)
+      .filter(col("text").isNotNull)
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles.shingles(s, col("tokens"), 3))).as("shingle"))
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
+    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
+    }
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** `(ds: struct(doc_id, sig), band, bucket)` — d03's banding derived
+    * map-only from compact signature arrays.
+    */
+  private def sigBands(sigs: DataFrame): DataFrame =
+    sigs.select(struct(col("doc_id"), col("sig")).as("ds"),
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
+              .map(i => col("sig")(i)): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("ds"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Near-dup matches of a NEW batch against an existing [[minhashIndex]]
+    * — the incremental-ingest flavor of d03: history is touched only
+    * through its index, never its text, and never pairwise with itself.
+    * Jaccard is ESTIMATED as the fraction of agreeing signature
+    * components (the unbiased MinHash estimator, stderr
+    * sqrt(J(1-J)/64) <= 0.063) — the index doesn't carry shingle sets,
+    * that's the point of it being 512 B/doc.
+    *
+    * Scale shape: the batch side builds its own signatures (one groupBy
+    * OVER THE BATCH), bands map-only, and caps ITS buckets with a
+    * batch-sized window; the band join and the old-sig fetch are both
+    * equi-joins where the batch/candidate side is the small build side
+    * (AQE broadcasts it), so the index is SCANNED but never shuffled —
+    * per-batch cost is O(batch) + one index scan, independent of
+    * history's pair structure. Candidate pairs dedupe across bands
+    * before the sig fetch; over-cap batch buckets drop (house rule —
+    * mass-identical batch content caps out instead of going quadratic
+    * against the index).
+    */
+  def incrementalNearDups(sigs: DataFrame, bands: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minEstJaccard: Double = 0.5, maxBucketSize: Long = MaxLshBucket): DataFrame = {
+    val newBands = cappedFlatBuckets(sigBands(buildSigArrays(newDocs, idCol, textCol)),
+      Seq("band", "bucket"), maxBucketSize, minSize = 1L)
+    val cand = newBands
+      .join(bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
+      .filter(col("ds.doc_id") =!= col("old_id"))
+      .select(col("ds").as("nd"), col("old_id"))
+      .dropDuplicates("nd", "old_id")
+    cand
+      .join(sigs.select(col("doc_id").as("old_id"), col("sig").as("old_sig")), "old_id")
+      .select(col("nd.doc_id").as("new_id"), col("old_id"),
+        round(
+          expr("aggregate(zip_with(nd.sig, old_sig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v)")
+            .cast("double") / NumHashes, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy(col("est_jaccard").desc, col("new_id"), col("old_id"))
+  }
+
+  /** d12: gate binding — history = 80% of the corpus (doc_id % 5 != 0),
+    * today's batch = the other 20%, dedup the batch against history's
+    * session-cached index (reps measure per-batch work, not the index
+    * build — exactly the deployment split). rows-only oracle (minhash
+    * seeds and banding are engine-local); DedupSpec pins planted-dup
+    * recall, estimator accuracy vs exact Jaccard, and determinism;
+    * AdversarialShapeSpec pins the batch-bucket cap.
+    */
+  def d12IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = SharedIndex(s, dir, "minhash_sig_index_80") {
+      buildSigArrays(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    }
+    // bands derive from the CACHED sigs so the index is aggregated once
+    val bands = SharedIndex(s, dir, "minhash_band_index_80") {
+      cappedFlatBuckets(
+        sigBands(sigs).select(col("band"), col("bucket"), col("ds.doc_id").as("doc_id")),
+        Seq("band", "bucket"), MaxLshBucket, minSize = 1L)
+    }
+    incrementalNearDups(sigs, bands, docs.filter(col("doc_id") % 5 === 0),
+      minEstJaccard = 0.35).limit(100)
+  }
 }

@@ -56,6 +56,24 @@ class AdversarialShapeSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(docs, topK = 1000000).count() === 0L)
   }
 
+  test("d12 incremental dedup: a mass-identical batch caps out against the index") {
+    // history is benign (unique vocabularies); the BATCH is the attack:
+    // 5000 identical docs whose band buckets (size 5000 > 1000 cap) are
+    // dropped on the batch side BEFORE the index join, so the join
+    // probes nothing — per-batch work stays O(batch), never
+    // batch x index
+    val history = (0L until 100L).map(i =>
+      (i, (0 until 12).map(j => s"h${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    val batch = (10000L until 15000L).map(i => (i, phrase)).toDF("doc_id", "text")
+    val (sigs, bands) = Dedup.minhashIndex(history)
+    assert(Dedup.incrementalNearDups(sigs, bands, batch).count() === 0L)
+    // and the same mass INSIDE the index is dropped at build time, so a
+    // benign batch probing it also pairs nothing
+    val (mSigs, mBands) = Dedup.minhashIndex(batch)
+    val probe = Seq((99000L, phrase)).toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDups(mSigs, mBands, probe).count() === 0L)
+  }
+
   test("embedding LSH: a mass-identical vector block is capped out of the pair set") {
     val rnd = new scala.util.Random(42)
     val hot = (0L until 3000L).map(i => (i, Array.fill(16)(1.0f)))

@@ -412,4 +412,72 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.semanticDedup(emb, minCosine = 0.95, numCells = 4, maxCellSize = 1000)
     assert(out.count() === 5000L)
   }
+
+  // ---------------------------------------------------------------
+  // d12 incremental dedup against a persisted MinHash index
+  // ---------------------------------------------------------------
+
+  test("d12 index catches every planted near-dup in a new batch, nothing else") {
+    import spark.implicits._
+    // history: 50 docs with disjoint vocabularies (30 tokens each)
+    val history = Seq.tabulate(50) { i =>
+      (i.toLong, (0 until 30).map(j => s"h${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    // batch: 10 mutated copies of history docs (last 2 tokens replaced,
+    // shingle-Jaccard ~0.81) + 10 fresh docs sharing no vocabulary
+    val planted = (0 until 10).map { i =>
+      val toks = (0 until 28).map(j => s"h${i}w$j") ++ Seq(s"x${i}a", s"x${i}b")
+      (1000L + i, toks.mkString(" "))
+    }
+    val fresh = (0 until 10).map { i =>
+      (2000L + i, (0 until 30).map(j => s"n${i}w$j").mkString(" "))
+    }
+    val batch = (planted ++ fresh).toDF("doc_id", "text")
+    val (sigs, bands) = Dedup.minhashIndex(history)
+    // the persisted artifact is compact: one 64-component row per doc
+    val sigRows = sigs.collect()
+    assert(sigRows.length === 50)
+    sigRows.foreach(r => assert(r.getSeq[Long](1).length === 64))
+    val got = Dedup.incrementalNearDups(sigs, bands, batch, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every planted pair surfaces, estimate near the true ~0.81
+    for (i <- 0 until 10) {
+      val est = got.get((1000L + i, i.toLong))
+      assert(est.nonEmpty, s"planted pair $i missed")
+      assert(math.abs(est.get - 0.81) <= 0.3, s"planted pair $i estimate ${est.get}")
+    }
+    // no spurious matches: fresh docs share no shingles with history
+    assert(got.keySet.map(_._1).forall(_ < 2000L), s"spurious matches: ${got.keySet}")
+  }
+
+  test("d12 estimates track the exact shingle Jaccard on the real corpus") {
+    val got = Dedup.d12IncrementalDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assume(got.nonEmpty, "corpus has cross-split near-dups at this sf")
+    // driver-side exact Jaccard with the operator's own tokenization:
+    // split on single space, 3-token shingles, distinct
+    val ids = got.flatMap(t => Seq(t._1, t._2)).toSet
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*)).filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val errs = got.map { case (n, o, est) =>
+      val (a, b) = (shingleSet(texts(n)), shingleSet(texts(o)))
+      val exact = (a & b).size.toDouble / (a | b).size
+      val err = math.abs(est - exact)
+      // 64-component MinHash estimator: stderr <= 0.063, pin 4.75 sigma
+      assert(err <= 0.3, s"pair ($n,$o) est $est vs exact $exact")
+      err
+    }
+    assert(errs.sum / errs.length <= 0.1, s"mean abs error ${errs.sum / errs.length}")
+  }
+
+  test("d12 is deterministic end to end") {
+    val a = Dedup.d12IncrementalDedup(spark, sf).collect().map(_.toSeq).toSeq
+    val b = Dedup.d12IncrementalDedup(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
 }

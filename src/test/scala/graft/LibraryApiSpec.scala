@@ -38,6 +38,16 @@ class LibraryApiSpec extends SparkSpec {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("incremental minhash index builds and probes over renamed columns") {
+    val (sigs, bands) = Dedup.minhashIndex(docs.filter(col("my_id") =!= 20L), "my_id", "body")
+    val batch = docs.filter(col("my_id") === 20L)
+    val hits = Dedup.incrementalNearDups(sigs, bands, batch, "my_id", "body").collect()
+    assert(hits.length === 1)
+    assert(hits.head.getAs[Long]("new_id") === 20L)
+    assert(hits.head.getAs[Long]("old_id") === 10L)
+    assert(hits.head.getAs[Double]("est_jaccard") === 1.0)
+  }
+
   test("language id over renamed columns distinguishes languages") {
     val byId = Text.langId(docs, "my_id", "body").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap

@@ -207,6 +207,19 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("d12 incremental dedup: batch-sized shuffles only, the index joins broadcast") {
+    val df = Dedup.d12IncrementalDedup(spark, sf)
+    // per-batch work: batch sig agg + batch bucket-cap window +
+    // cross-band pair dedup, plus the presentation TakeOrdered; the
+    // band-probe and old-sig-fetch joins broadcast the batch-derived
+    // side, so the persisted index is scanned, never shuffled
+    assert(shuffles(df) <= 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("d10 bloom contamination probes in the scan: no join against the member set") {
     val df = Dedup.d10ContaminationBloom(spark, sf)
     df.collect()
