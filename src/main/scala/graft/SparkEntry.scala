@@ -46,6 +46,7 @@ object SparkEntry {
     "q22_snapshot_diff" -> (Relational.q22SnapshotDiff _),
     "q23_scd2_history" -> (Relational.q23Scd2History _),
     "q24_cdc_merge" -> (Relational.q24CdcMerge _),
+    "q25_domain_quota" -> (Relational.q25DomainQuota _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -367,6 +368,38 @@ object SparkEntry {
         |      CAST(FLOOR(LEAST(1.0,
         |        CAST(CASE d.source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 END AS DOUBLE)
         |          / CAST(total AS DOUBLE)) * 65536) AS INT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // greedy quality-ranked quota: t02's exact score feeds the rank,
+    // the keep test runs on the running token sum of BETTER-ranked
+    // docs (ROWS ... 1 PRECEDING), so the boundary doc may overflow
+    // the budget — identical window frame on both sides; ordering is
+    // on the ROUNDED score so rank ties resolve identically
+    "q25_domain_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks, text FROM documents
+        |), f AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    len(replace(text, ' ', '')) AS n_alpha_chars,
+        |    len(list_distinct(toks)) AS n_uniq,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits
+        |  FROM d
+        |), sc AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+        |      + least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM f
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens, quality,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM sc
+        |)
+        |SELECT doc_id, source, n_tokens, quality, cum_before FROM r
+        |WHERE CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 WHEN 'src2' THEN 0 END IS NULL
+        |   OR cum_before < CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 WHEN 'src2' THEN 0 END
         |ORDER BY doc_id""".stripMargin,
 
     // the restated price goes through exact DECIMAL multiply then one

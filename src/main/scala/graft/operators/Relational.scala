@@ -538,6 +538,56 @@ object Relational {
       Map("src0" -> 400L, "src1" -> 700L))
       .orderBy("doc_id")
 
+  /** Greedy quality-ranked domain quota — the curation flavor of the
+    * domain-mixing step: where [[tokenBudgetSample]] (q21) hash-samples
+    * each group to its token budget IN EXPECTATION (content-stable,
+    * quality-blind), this keeps each group's BEST documents exactly —
+    * rank by (`qualityCol` desc, `idCol` asc), then keep a document iff
+    * the token total of the better-ranked documents is still under the
+    * group's budget (the boundary document may overflow it, so a
+    * non-zero budget always keeps at least one document). Groups
+    * without a budget pass through untouched; a budget of 0 drops its
+    * group.
+    *
+    * Scale shape: ONE shuffle — the per-group window (running sum in
+    * rank order); the budget literal folds into the filter map-only,
+    * no join. The per-group ordered scan is the exact-greedy
+    * semantics' inherent cost: a single domain sorts within one
+    * task, so a domain too large for one task should be pre-thinned
+    * with q21 (expectation sampling, no sort) or bucketed by
+    * `groupCol`; AQE's skew handling cannot split a window partition.
+    */
+  def domainQuota(df: DataFrame, idCol: String, groupCol: String,
+      tokenCol: String, qualityCol: String, budgets: Map[String, Long]): DataFrame = {
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (other, (g, b)) =>
+        when(q(groupCol) === g, lit(b)).otherwise(other)
+      }
+    val w = Window.partitionBy(q(groupCol))
+      .orderBy(q(qualityCol).desc, q(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before",
+        coalesce(sum(q(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("__budget", budget)
+      .filter(col("__budget").isNull || col("cum_before") < col("__budget"))
+      .drop("__budget")
+  }
+
+  /** q25: gate binding of [[domainQuota]] on `documents` per `source`,
+    * tokens = whitespace count, quality = t02's score — the SAME
+    * budgets as q21 (src0 to 400 tokens, src1 to 700) so the two
+    * mixture semantics are directly comparable, plus src2 to 0 (drop).
+    * Fully oracle-checked: score, ranking, running sum, and boundary
+    * keep all restate in SQL.
+    */
+  def q25DomainQuota(s: SparkSession, dir: String): DataFrame =
+    domainQuota(
+      Text.qualityScore(Tables.documents(s, dir), keepCols = Seq("source")),
+      "doc_id", "source", "n_tokens", "quality",
+      Map("src0" -> 400L, "src1" -> 700L, "src2" -> 0L))
+      .select("doc_id", "source", "n_tokens", "quality", "cum_before")
+      .orderBy("doc_id")
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).

@@ -39,8 +39,9 @@ object Text {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(Cols.q(idCol).as("doc_id"), Cols.q(textCol).as("text"))
+  private def normalized(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    docs.select(Cols.q(idCol).as("doc_id") +: Cols.q(textCol).as("text") +: keep: _*)
 
   /** Stopword-ratio language ID over any documents frame. Hit counts per
     * language set via `filter` on the token array; argmax with fixed
@@ -75,30 +76,33 @@ object Text {
     * frame: length saturation, vocabulary diversity, stopword presence —
     * the standard cheap pre-training quality gates.
     */
-  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      keepCols: Seq[String] = Nil): DataFrame = {
     val enList = inList(stopwords.head._2)
-    normalized(docs, idCol, textCol)
+    val keep = keepCols.map(Cols.q)
+    normalized(docs, idCol, textCol, keep)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_alpha_chars", length(regexp_replace(col("text"), " ", "")).cast("long"))
       .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("stop_hits", expr(s"size(filter(toks, x -> x IN $enList))").cast("long"))
-      .select(
-        col("doc_id"), col("n_tokens"),
-        round(col("n_alpha_chars").cast("double") / col("n_tokens"), 6).as("avg_token_len"),
-        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_ratio"),
-        round(col("stop_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+      .select(col("doc_id") +: col("n_tokens") +:
+        round(col("n_alpha_chars").cast("double") / col("n_tokens"), 6).as("avg_token_len") +:
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_ratio") +:
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6).as("stop_ratio") +:
         round(
           least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
             + (col("n_uniq").cast("double") / col("n_tokens")) * 0.3
             + least(col("stop_hits").cast("double") / col("n_tokens") * 5.0, lit(1.0)) * 0.3,
-          6).as("quality"))
-      .orderBy("doc_id")
+          6).as("quality") +: keep: _*)
+    // no presentation sort here: the library form composes (q25, t10
+    // feed windows/aggs that re-partition anyway); t02 orders at the
+    // gate binding
   }
 
   /** t02: gate binding of [[qualityScore]]. */
   def t02QualityScore(s: SparkSession, dir: String): DataFrame =
-    qualityScore(Tables.documents(s, dir))
+    qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** Token counting three ways over any documents frame — whitespace
     * split, alpha-run regex (BPE-ish subword proxy), and the chars/4 BPE

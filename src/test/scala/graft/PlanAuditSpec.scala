@@ -306,6 +306,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q25 domain quota: one group window exchange plus the presentation sort, no join") {
+    val df = Relational.q25DomainQuota(spark, sf)
+    // score computes in-scan (qualityScore carries source through, no
+    // join back to documents); the only data exchange is the per-source
+    // window partitioning, then the presentation sort
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("q21 token-budget sample: one totals agg broadcast back, map-only keep") {
     val df = Relational.q21TokenBudgetSample(spark, sf)
     // totals aggregation + presentation sort; the totals join must

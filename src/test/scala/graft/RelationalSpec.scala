@@ -213,4 +213,29 @@ class RelationalSpec extends SparkSpec {
       assert(twice === got, s"trial $trial idempotence")
     }
   }
+
+  test("domainQuota keeps each group's greedy quality prefix exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      // group "a", budget 100: greedy order by quality desc is
+      // 11 (60 tok), 12 (50 tok, cum_before 60 < 100 — boundary doc
+      // OVERFLOWS the budget but is kept), 13 (cum_before 110 — cut)
+      (11L, "a", 60L, 0.9), (12L, "a", 50L, 0.8), (13L, "a", 10L, 0.7),
+      // quality tie in "a" resolves by doc_id: 14 before 15; both cut
+      (14L, "a", 10L, 0.7), (15L, "a", 10L, 0.7),
+      // group "b", budget 0: dropped entirely
+      (21L, "b", 5L, 0.99),
+      // group "c", no budget: passes through whole
+      (31L, "c", 500L, 0.1), (32L, "c", 500L, 0.2))
+      .toDF("doc_id", "source", "n_tokens", "quality")
+    val got = Relational.domainQuota(docs, "doc_id", "source", "n_tokens", "quality",
+        Map("a" -> 100L, "b" -> 0L))
+      .collect().map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    assert(got === Seq((11L, 0L), (12L, 60L), (31L, 500L), (32L, 0L)))
+    // a non-zero budget smaller than every doc still keeps the best doc
+    val tiny = Relational.domainQuota(docs, "doc_id", "source", "n_tokens", "quality",
+        Map("a" -> 1L, "b" -> 0L, "c" -> 1L))
+      .collect().map(_.getLong(0)).sorted
+    assert(tiny === Seq(11L, 32L))
+  }
 }
