@@ -997,22 +997,47 @@ object Dedup {
   def incrementalNearDups(sigs: DataFrame, bands: DataFrame, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       minEstJaccard: Double = 0.5, maxBucketSize: Long = MaxLshBucket): DataFrame = {
-    val newBands = cappedFlatBuckets(sigBands(buildSigArrays(newDocs, idCol, textCol)),
-      Seq("band", "bucket"), maxBucketSize, minSize = 1L)
+    val (newSigs, newBands) = minhashIndex(newDocs, idCol, textCol, maxBucketSize)
+    incrementalNearDupsSigned(sigs, bands, newSigs, newBands, minEstJaccard)
+  }
+
+  /** [[incrementalNearDups]] with the batch already signed (its own
+    * [[minhashIndex]] output) — the ingest-loop form: sign each
+    * arriving batch ONCE, probe the index with this, then fold the
+    * same signed batch into the index with [[indexAppend]]. All three
+    * joins carry the batch-derived side as the small build side.
+    */
+  def incrementalNearDupsSigned(sigs: DataFrame, bands: DataFrame,
+      newSigs: DataFrame, newBands: DataFrame,
+      minEstJaccard: Double = 0.5): DataFrame = {
     val cand = newBands
       .join(bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
-      .filter(col("ds.doc_id") =!= col("old_id"))
-      .select(col("ds").as("nd"), col("old_id"))
-      .dropDuplicates("nd", "old_id")
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(col("doc_id").as("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
     cand
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("new_sig")), "new_id")
       .join(sigs.select(col("doc_id").as("old_id"), col("sig").as("old_sig")), "old_id")
-      .select(col("nd.doc_id").as("new_id"), col("old_id"),
+      .select(col("new_id"), col("old_id"),
         round(
-          expr("aggregate(zip_with(nd.sig, old_sig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v)")
+          expr("aggregate(zip_with(new_sig, old_sig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v)")
             .cast("double") / NumHashes, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .orderBy(col("est_jaccard").desc, col("new_id"), col("old_id"))
   }
+
+  /** Fold a signed batch into the index — the LSM-style append step of
+    * the ingest loop: two map-only unions, no recompute of history.
+    * Each side keeps the bucket cap its own build applied, so after
+    * many appends one logical bucket can hold up to cap x builds rows;
+    * like an LSM tree, compact periodically (rebuild with
+    * [[minhashIndex]] over the signature union) to re-apply the global
+    * cap. Probes stay correct in between — the cap is a skew guard,
+    * not a semantics bound.
+    */
+  def indexAppend(sigs: DataFrame, bands: DataFrame,
+      newSigs: DataFrame, newBands: DataFrame): (DataFrame, DataFrame) =
+    (sigs.unionByName(newSigs), bands.unionByName(newBands))
 
   /** d12: gate binding — history = 80% of the corpus (doc_id % 5 != 0),
     * today's batch = the other 20%, dedup the batch against history's

@@ -421,4 +421,55 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(_.head) === Seq(2L, 4L, 5L), got.toString)
     } finally q.stop()
   }
+
+  test("streaming ingest dedup: per-micro-batch index probe + append finds cross-batch dups") {
+    // the d12 ingest loop deployed on a stream: each micro-batch is
+    // signed ONCE (minhashIndex), probes the maintained index
+    // (incrementalNearDupsSigned), then folds into it (indexAppend) —
+    // so a batch dedups against initial history AND every earlier
+    // batch, without either being re-signed. Three micro-batches with
+    // forced boundaries; matches must equal folding the same batches
+    // through the batch operators sequentially.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    def doc(id: Long, seed: String) =
+      (id, (0 until 12).map(j => s"${seed}w$j").mkString(" "))
+    val history = Seq(doc(1L, "a"), doc(2L, "b")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq(doc(10L, "c"), doc(11L, "a")), // 11 dups history doc 1
+      Seq(doc(20L, "c")), // dups doc 10 — found ONLY via the appended index
+      Seq(doc(30L, "c"), doc(31L, "z"))) // 30 dups 10 AND 20; 31 fresh
+    var index = Dedup.minhashIndex(history)
+    var streamed = Vector.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+            .toSeq.toDF("doc_id", "text")
+          val (ns, nb) = Dedup.minhashIndex(localized)
+          streamed ++= Dedup.incrementalNearDupsSigned(index._1, index._2, ns, nb)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val appended = Dedup.indexAppend(index._1, index._2, ns, nb)
+          index = (appended._1.localCheckpoint(), appended._2.localCheckpoint())
+        }
+      }
+      .start()
+    try {
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+      // batch reference: the identical sequential fold
+      var refIndex = Dedup.minhashIndex(history)
+      var ref = Vector.empty[(Long, Long)]
+      for (b <- batches) {
+        val (ns, nb) = Dedup.minhashIndex(b.toDF("doc_id", "text"))
+        ref ++= Dedup.incrementalNearDupsSigned(refIndex._1, refIndex._2, ns, nb)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        refIndex = Dedup.indexAppend(refIndex._1, refIndex._2, ns, nb)
+      }
+      assert(streamed === ref)
+      // the semantic meat: exact planted lineage, including dups of
+      // docs that arrived on the STREAM, not in initial history
+      assert(streamed.toSet === Set((11L, 1L), (20L, 10L), (30L, 10L), (30L, 20L)))
+    } finally q.stop()
+  }
 }
