@@ -939,11 +939,22 @@ object Dedup {
   def minhashIndex(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxBucketSize: Long = MaxLshBucket): (DataFrame, DataFrame) = {
     val sigs = buildSigArrays(docs, idCol, textCol)
-    val bands = cappedFlatBuckets(
+    (sigs, indexFromSigs(sigs, maxBucketSize))
+  }
+
+  /** Rebuild the band side of a MinHash index from its signature side —
+    * map-only banding plus the global bucket cap. This is the
+    * COMPACTION step of the [[indexAppend]] LSM story: signatures are
+    * per-doc (a union of appends is already canonical), so re-banding
+    * the signature union yields exactly the index a fresh
+    * [[minhashIndex]] build over the whole corpus would — per-build
+    * caps that accumulated across appends collapse back to the one
+    * global cap, without touching any document text.
+    */
+  def indexFromSigs(sigs: DataFrame, maxBucketSize: Long = MaxLshBucket): DataFrame =
+    cappedFlatBuckets(
       sigBands(sigs).select(col("band"), col("bucket"), col("ds.doc_id").as("doc_id")),
       Seq("band", "bucket"), maxBucketSize, minSize = 1L)
-    (sigs, bands)
-  }
 
   /** Raw-shingle signature arrays: `(doc_id, sig: array<long>[64])`. */
   private def buildSigArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -1054,9 +1065,7 @@ object Dedup {
     }
     // bands derive from the CACHED sigs so the index is aggregated once
     val bands = SharedIndex(s, dir, "minhash_band_index_80") {
-      cappedFlatBuckets(
-        sigBands(sigs).select(col("band"), col("bucket"), col("ds.doc_id").as("doc_id")),
-        Seq("band", "bucket"), MaxLshBucket, minSize = 1L)
+      indexFromSigs(sigs)
     }
     incrementalNearDups(sigs, bands, docs.filter(col("doc_id") % 5 === 0),
       minEstJaccard = 0.35).limit(100)

@@ -480,4 +480,55 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a === b)
   }
+
+  test("d12 index survives a parquet round trip and compaction restores the global cap") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val (sigs, bands) = Dedup.minhashIndex(history)
+    val live = Dedup.incrementalNearDups(sigs, bands, batch, minEstJaccard = 0.35)
+      .collect().map(_.toSeq).toSeq
+    assume(live.nonEmpty)
+    // the index IS the persisted artifact: write both sides to parquet,
+    // read back, probe — identical matches (signatures are plain
+    // bigint arrays, no engine-session state)
+    val dir = java.nio.file.Files.createTempDirectory("graft_d12_index").toString
+    sigs.write.parquet(s"$dir/sigs")
+    bands.write.parquet(s"$dir/bands")
+    val fromDisk = Dedup.incrementalNearDups(
+      spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
+      batch, minEstJaccard = 0.35).collect().map(_.toSeq).toSeq
+    assert(fromDisk === live)
+    // compaction: appending 6 mass-identical signed batches leaves each
+    // build under ITS cap (800 < 1000) while the logical bucket holds
+    // 4800 — a fresh-built index would have dropped it; indexFromSigs
+    // over the signature union restores exactly that fresh build
+    val mass = (0 until 6).map { b =>
+      Dedup.minhashIndex((0L until 800L).map(i =>
+        (100000L + 800L * b + i,
+          "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"))
+    }
+    val (mSigs, mBands) = mass.foldLeft((sigs, bands)) { case ((s0, b0), (ns, nb)) =>
+      Dedup.indexAppend(s0, b0, ns, nb)
+    }
+    val probe = Seq((999999L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // pre-compaction the appended index still matches the mass (per-build
+    // caps only) — 4800 hits through the band join
+    assert(Dedup.incrementalNearDups(mSigs, mBands, probe).count() === 4800L)
+    val compacted = Dedup.indexFromSigs(mSigs)
+    assert(Dedup.incrementalNearDups(mSigs, compacted, probe).count() === 0L)
+    // and compaction equals the fresh build over the same corpus
+    val freshBands = Dedup.minhashIndex(
+      history.select("doc_id", "text").unionByName(
+        mass.indices.flatMap(b => (0L until 800L).map(i =>
+          (100000L + 800L * b + i,
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+          .toDF("doc_id", "text")))._2
+    assert(compacted.collect().map(_.toSeq).toSet ===
+      freshBands.collect().map(_.toSeq).toSet)
+  }
 }
