@@ -10,7 +10,8 @@ import graft.sinks.XbrlSinks
   *
   *   runMain graft.Main <filings.zip|dir|file.xbrl>... --taxonomy <tax.zip> \
   *     --output-dir <dir> [--form-number N] [--requested-tables t1,t2,...] \
-  *     [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N]
+  *     [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N] \
+  *     [--loglevel LEVEL] [--logfile PATH] [--batch-size N]
   *
   * Writes `<out>/fercN_xbrl/<table>.parquet/` parquet directories, the
   * sqlite-style descriptor `<out>/fercN_xbrl_datapackage.json`, the
@@ -24,7 +25,8 @@ object Main {
   private val Usage =
     """usage: runMain graft.Main <filings.zip|dir|file.xbrl>... --taxonomy <tax.zip> --output-dir <dir>
       |         [--form-number N] [--requested-tables t1,t2,...]
-      |         [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N]""".stripMargin
+      |         [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N]
+      |         [--loglevel LEVEL] [--logfile PATH] [--batch-size N]""".stripMargin
 
   private case class Args(
       filings: Seq[String] = Nil,
@@ -35,7 +37,10 @@ object Main {
       instancePattern: Option[String] = None,
       jdbcUrl: Option[String] = None,
       // numeric: GraftSession sizes spark.sql.shuffle.partitions from it
-      cpus: String = Runtime.getRuntime.availableProcessors().toString)
+      cpus: String = Runtime.getRuntime.availableProcessors().toString,
+      logLevel: Option[String] = None,
+      logFile: Option[String] = None,
+      batchSize: Option[Int] = None)
 
   private def parse(argv: List[String], acc: Args): Args = argv match {
     case Nil => acc
@@ -47,9 +52,44 @@ object Main {
     case "--instance-pattern" :: v :: rest => parse(rest, acc.copy(instancePattern = Some(v)))
     case "--jdbc-url" :: v :: rest => parse(rest, acc.copy(jdbcUrl = Some(v)))
     case "--cpus" :: v :: rest => parse(rest, acc.copy(cpus = v))
+    case "--loglevel" :: v :: rest => parse(rest, acc.copy(logLevel = Some(v)))
+    case "--logfile" :: v :: rest => parse(rest, acc.copy(logFile = Some(v)))
+    case "--batch-size" :: v :: rest => parse(rest, acc.copy(batchSize = Some(v.toInt)))
     case flag :: _ if flag.startsWith("--") =>
       throw new IllegalArgumentException(s"unknown flag $flag\n$Usage")
     case filing :: rest => parse(rest, acc.copy(filings = acc.filings :+ filing))
+  }
+
+  /** The reference's loglevel names are Python's (cli.py:75-78); map the
+    * two that differ so a migrated invocation works verbatim.
+    */
+  private def log4jLevel(v: String): String = v.toUpperCase match {
+    case "WARNING" => "WARN"
+    case "CRITICAL" => "FATAL"
+    case other => other
+  }
+
+  /** `--logfile` (cli.py:79,154): attach a file appender to the log4j2
+    * root logger so the run's logging lands in the named file as well.
+    */
+  private def attachLogFile(path: String): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val writer = new java.io.PrintWriter(new java.io.FileWriter(path, true), true)
+    val appender = new AbstractAppender(
+        "graftLogFile", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = writer.println(
+        s"${new java.sql.Timestamp(e.getTimeMillis)} ${e.getLevel} " +
+          s"${e.getLoggerName}: ${e.getMessage.getFormattedMessage}")
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    ctx.getRootLogger.addAppender(appender)
+    ctx.updateLoggers()
+    // first line regardless of level, so the file always evidences the run
+    ctx.getRootLogger.warn(s"graft.Main logging to $path")
   }
 
   def main(argv: Array[String]): Unit = {
@@ -60,6 +100,15 @@ object Main {
     // harness's); only stop what this main actually created
     val preExisting = org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
     val spark = GraftSession.create(args.cpus)
+    args.logFile.foreach(attachLogFile)
+    args.logLevel.foreach(v => spark.sparkContext.setLogLevel(log4jLevel(v)))
+    val log = org.apache.logging.log4j.LogManager.getLogger("graft.Main")
+    // --batch-size bounds the reference's in-memory pandas batches
+    // (cli.py:50-53); Spark already parses instances partition-by-
+    // partition with spill, so the knob is accepted for CLI parity and
+    // otherwise has nothing to bound
+    args.batchSize.foreach(b => log.warn(
+      s"--batch-size $b accepted for reference-CLI parity; Spark schedules instance parsing by partition, so no batching is needed"))
     try {
       val out = XbrlExtract.extract(spark, args.filings, args.taxonomy,
         args.formNumber, args.requestedTables, args.instancePattern)
@@ -74,6 +123,7 @@ object Main {
         XbrlSinks.metadataJson(out.taxonomies))
       args.jdbcUrl.foreach(url => XbrlSinks.writeJdbc(out.tables, url))
       out.release()
+      log.info(s"wrote ${out.tables.size} tables to $tablesDir")
       println(s"[graft.Main] wrote ${out.tables.size} tables to $tablesDir")
     } finally if (!preExisting) spark.stop()
   }

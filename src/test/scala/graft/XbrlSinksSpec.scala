@@ -190,12 +190,19 @@ class XbrlSinksSpec extends SparkSpec {
   test("CLI main writes the reference output layout") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_cli").toString
+    val logfile = s"$dir/run.log"
     Main.main(Array(
       s"$dataDir/ferc1-xbrl-2021.zip",
       "--taxonomy", s"$dataDir/ferc1-xbrl-taxonomies.zip",
       "--output-dir", dir,
       "--form-number", "1",
-      "--requested-tables", requested.mkString(",")))
+      "--requested-tables", requested.mkString(","),
+      // the reference's logging/batching flags parse and act (loglevel
+      // accepts the PYTHON name; batch-size is subsumed by partitioning)
+      "--loglevel", "WARNING", "--logfile", logfile, "--batch-size", "4"))
+    val logged = Files.readString(Paths.get(logfile))
+    assert(logged.contains("graft.Main logging to"), logged.take(500))
+    assert(logged.contains("--batch-size 4 accepted"), logged.take(500))
     assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl_datapackage.json")))
     assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl_taxonomy_metadata.json")))
     assert(Files.exists(Paths.get(s"$dir/ferc1_xbrl/datapackage.json")))
