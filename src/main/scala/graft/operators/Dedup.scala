@@ -335,20 +335,11 @@ object Dedup {
   /** Deterministic MinHash coefficients (seeded splitmix64-style mix, all
     * < P31 so (a*x + b) stays well inside a long — no ANSI overflow).
     */
-  private val P31 = 2147483647L // 2^31 - 1
+  private val P31 = graft.functions.MinHash64.P31
   private val NumHashes = 64
-  private val minhashCoeffs: Seq[(Long, Long)] = {
-    var z = 0x9E3779B97F4A7C15L
-    def next(): Long = {
-      z += 0x9E3779B97F4A7C15L
-      var x = z
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x = x ^ (x >>> 31)
-      x
-    }
-    Seq.fill(NumHashes)((Math.floorMod(next(), P31 - 1) + 1, Math.floorMod(next(), P31)))
-  }
+  // single source of truth with the native graft_minhash64 expression:
+  // the SQL-composed and in-row signature paths must stay bit-identical
+  private val minhashCoeffs: Seq[(Long, Long)] = graft.functions.MinHash64.coeffs
 
   /** MinHash signature plan from a shingle-bucket store: one aggregation
     * producing all 64 mins (64 codegen'd agg columns — single shuffle,
@@ -956,22 +947,22 @@ object Dedup {
       sigBands(sigs).select(col("band"), col("bucket"), col("ds.doc_id").as("doc_id")),
       Seq("band", "bucket"), maxBucketSize, minSize = 1L)
 
-  /** Raw-shingle signature arrays: `(doc_id, sig: array<long>[64])`. */
+  /** Raw-shingle signature arrays: `(doc_id, sig: array<long>[64])`.
+    * MAP-ONLY: the native `graft_minhash64` expression folds all 64
+    * components inside the scan row, so building an index — or signing
+    * an ingest batch — costs zero exchanges (the explode + 64-min-agg
+    * formulation this replaces shuffled the whole shingle store;
+    * DedupSpec pins the two bit-identical).
+    */
   private def buildSigArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = docs.sparkSession
-    val exploded = normalized(docs, idCol, textCol)
+    normalized(docs, idCol, textCol)
       .filter(col("text").isNotNull)
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.WordShingles.shingles(s, col("tokens"), 3))).as("shingle"))
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
-    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
-    }
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"), graft.functions.MinHash64.sig(s,
+        graft.functions.WordShingles.shingles(s, col("tokens"), 3)).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** `(ds: struct(doc_id, sig), band, bucket)` — d03's banding derived

@@ -474,6 +474,32 @@ class DedupSpec extends SparkSpec {
     assert(errs.sum / errs.length <= 0.1, s"mean abs error ${errs.sum / errs.length}")
   }
 
+  test("native graft_minhash64 equals the explode + 64-min-agg formulation") {
+    val sess = spark
+    val docs = graft.Tables.documents(sess, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+    def shingles = graft.functions.WordShingles.shingles(sess, col("tokens"), 3)
+    val native = docs
+      .select(col("doc_id"), graft.functions.MinHash64.sig(sess, shingles).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the original formulation, kept as the spec's ground truth
+    val P31 = graft.functions.MinHash64.P31
+    val exploded = docs
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
+    val mins = graft.functions.MinHash64.coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as("m" + i)
+    }
+    val agg = exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(i => col("m" + i)): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === agg.keySet)
+    assert(native.keySet.nonEmpty)
+    native.foreach { case (id, sig) => assert(sig === agg(id), s"doc $id") }
+  }
+
   test("d12 is deterministic end to end") {
     val a = Dedup.d12IncrementalDedup(spark, sf).collect().map(_.toSeq).toSeq
     val b = Dedup.d12IncrementalDedup(spark, sf).collect().map(_.toSeq).toSeq

@@ -209,11 +209,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("d12 incremental dedup: batch-sized shuffles only, the index joins broadcast") {
     val df = Dedup.d12IncrementalDedup(spark, sf)
-    // per-batch work: batch sig agg + batch bucket-cap window +
-    // cross-band pair dedup, plus the presentation TakeOrdered; the
-    // band-probe and old-sig-fetch joins broadcast the batch-derived
-    // side, so the persisted index is scanned, never shuffled
-    assert(shuffles(df) <= 4)
+    // per-batch work: the signature build is MAP-ONLY (native
+    // graft_minhash64 in the scan), so what remains is the batch
+    // bucket-cap window + cross-band pair dedup, plus the presentation
+    // TakeOrdered; the band-probe and old-sig-fetch joins broadcast the
+    // batch-derived side, so the persisted index is scanned, never
+    // shuffled
+    assert(shuffles(df) <= 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
