@@ -345,22 +345,28 @@ object Dedup {
     * producing all 64 mins (64 codegen'd agg columns — single shuffle,
     * no 64x explode).
     */
-  private def buildMinhashSignatures(buckets: DataFrame): DataFrame = {
-    val (exploded, _) = shingledFrom(buckets)
-    val hashed = exploded.withColumn("x", pmod(xxhash64(col("shingle")), lit(P31)))
-    val mins = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(P31))).as(s"m$i")
-    }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  /** d03's wide signature frame `(doc_id, m0..m63)` derived MAP-ONLY
+    * from the per-doc capped-universe shingle sets via the native
+    * `graft_minhash64` — the explode + 64-min-agg re-aggregation of the
+    * bucket store this replaces cost a second corpus exchange for what
+    * is a scalar function of each doc's set (min over a set equals min
+    * over the exploded multiset, so the values are bit-identical and
+    * the d02-equality specs pin it).
+    */
+  private def sigsFromSets(sets: DataFrame): DataFrame = {
+    val s = sets.sparkSession
+    sets
+      .withColumn("sig", graft.functions.MinHash64.sig(s, col("shingles")))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
   /** Session-cached signatures for the standard table: repeated d03 runs
-    * reuse one build instead of re-aggregating the exploded shingle
-    * store.
+    * reuse one build, itself map-only over the cached shingle sets.
     */
   private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     SharedIndex(s, dir, "minhash_signatures") {
-      buildMinhashSignatures(shingleBuckets(s, dir))
+      sigsFromSets(docShingleSets(s, dir))
     }
 
   private val NumBands = 16
@@ -414,8 +420,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", topK: Int = 100): DataFrame = {
-    val buckets = buildShingleBuckets(normalized(docs, idCol, textCol))
-    minhashLshTopK(docSetsFrom(buckets), buildMinhashSignatures(buckets), topK)
+    val sets = docSetsFrom(buildShingleBuckets(normalized(docs, idCol, textCol)))
+    minhashLshTopK(sets, sigsFromSets(sets), topK)
   }
 
   /** d03: gate binding with the session-cached indexes. rows-only oracle
