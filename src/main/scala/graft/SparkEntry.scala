@@ -47,6 +47,7 @@ object SparkEntry {
     "q23_scd2_history" -> (Relational.q23Scd2History _),
     "q24_cdc_merge" -> (Relational.q24CdcMerge _),
     "q25_domain_quota" -> (Relational.q25DomainQuota _),
+    "q26_temperature_mix" -> (Relational.q26TemperatureMix _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -400,6 +401,29 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, quality, cum_before FROM r
         |WHERE CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 WHEN 'src2' THEN 0 END IS NULL
         |   OR cum_before < CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 WHEN 'src2' THEN 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // temperature mixture: fractions derive from counts with sqrt
+    // weights (IEEE-correctly-rounded in BOTH engines, so bit-equal),
+    // the weight sum folds through DECIMAL(38,15) (order-independent,
+    // identical both sides), and the keep test is the house md5 16-bit
+    // threshold with FLOOR before the int cast (the q21 note)
+    "q26_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT SUM(n) AS total,
+        |    CAST(SUM(CAST(sqrt(n) AS DECIMAL(38,15))) AS DOUBLE) AS z
+        |  FROM c
+        |), f AS (
+        |  SELECT lang,
+        |    LEAST(1.0, FLOOR(0.5 * total) * sqrt(n) / (z * n)) AS frac
+        |  FROM c, t
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN f USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT <
+        |      CAST(FLOOR(frac * 65536) AS INT)
         |ORDER BY doc_id""".stripMargin,
 
     // the restated price goes through exact DECIMAL multiply then one

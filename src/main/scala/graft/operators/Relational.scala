@@ -588,6 +588,65 @@ object Relational {
       .select("doc_id", "source", "n_tokens", "quality", "cum_before")
       .orderBy("doc_id")
 
+  /** Temperature (alpha) mixture sampling — the mT5/XLM-R multilingual
+    * rebalancing step: group g's share of the kept corpus follows
+    * `n_g^alpha / sum_h n_h^alpha` (alpha < 1 flattens the mixture
+    * toward rare groups; alpha = 1 keeps natural proportions), scaled
+    * to `targetFraction` of the corpus. Keep fraction per group is
+    * `min(1, T * n_g^alpha / (Z * n_g))` with T = floor(targetFraction
+    * * total) — all derived FROM the data in-plan, nothing
+    * pre-computed — and each row keeps via the same content-stable
+    * md5-prefix decision as q19/q20/q21, so the sample reproduces
+    * across reruns, partitionings, and engines.
+    *
+    * Determinism policy: the weight sum Z folds each group's weight
+    * through DECIMAL(38,15) (exact addition, partition-order
+    * independent — the q01/t13 float policy); alpha = 0.5 computes
+    * weights with `sqrt`, which IEEE 754 requires correctly rounded,
+    * so the gate's oracle reproduces the fractions BIT-exactly in
+    * DuckDB (other alphas use `pow`, documented <= 1 ulp in both
+    * engines — fine for sampling, just shy of a hash-equal oracle).
+    *
+    * Scale shape: one tiny count aggregation (map-side combined, one
+    * row per group), window totals over that tiny frame, broadcast
+    * join back, map-only keep — the corpus never shuffles.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0, s"temperatureSample needs alpha > 0, got $alpha")
+    require(targetFraction > 0, s"temperatureSample needs targetFraction > 0, got $targetFraction")
+    val counts = df.groupBy(q(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    def weight(n: Column): Column =
+      if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha))
+    val w = Window.partitionBy()
+    val fracs = counts
+      .withColumn("__total", sum(col("__n")).over(w))
+      .withColumn("__z",
+        sum(weight(col("__n")).cast("decimal(38,15)")).over(w).cast("double"))
+      .withColumn("__frac", least(lit(1.0),
+        floor(lit(targetFraction) * col("__total")) * weight(col("__n"))
+          / (col("__z") * col("__n"))))
+    val hv = conv(substring(md5(q(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int")
+    df.join(broadcast(fracs.select(col("__g"), col("__frac"))),
+        q(groupCol) === col("__g"))
+      .filter(hv < floor(col("__frac") * 65536).cast("int"))
+      .drop("__g", "__frac")
+  }
+
+  /** q26: gate binding of [[temperatureSample]] on `documents` per
+    * `lang` (the corpus is en-heavy — the exact scenario alpha-sampling
+    * rebalances): alpha = 0.5, target half the corpus. Fully
+    * oracle-checked (the sqrt weight path makes the fractions
+    * engine-exact).
+    */
+  def q26TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
+      .orderBy("doc_id")
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).

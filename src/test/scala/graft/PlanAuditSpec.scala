@@ -318,6 +318,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("q26 temperature mix: tiny count agg + broadcast fractions, corpus never shuffles") {
+    val df = Relational.q26TemperatureMix(spark, sf)
+    // group counts agg + the single-partition window over that TINY
+    // frame + the presentation sort; the fractions join back broadcast,
+    // so no corpus-sized exchange exists
+    assert(shuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("q21 token-budget sample: one totals agg broadcast back, map-only keep") {
     val df = Relational.q21TokenBudgetSample(spark, sf)
     // totals aggregation + presentation sort; the totals join must

@@ -238,4 +238,40 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(tiny === Seq(11L, 32L))
   }
+
+  test("temperatureSample matches the md5 model exactly and flattens toward rare groups") {
+    import spark.implicits._
+    // heavily skewed mixture: 1000 / 100 / 10
+    val rows = (0 until 1000).map(i => (i.toLong, "a")) ++
+      (1000 until 1100).map(i => (i.toLong, "b")) ++
+      (1100 until 1110).map(i => (i.toLong, "c"))
+    val got = Relational.temperatureSample(rows.toDF("doc_id", "grp"),
+        "doc_id", "grp", alpha = 0.5, targetFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // driver model with the operator's own arithmetic: sqrt weights,
+    // DECIMAL(38,15)-folded Z, floor'd 16-bit md5 threshold
+    val n = Map("a" -> 1000.0, "b" -> 100.0, "c" -> 10.0)
+    val z = n.values.toSeq.sorted
+      .map(v => BigDecimal(math.sqrt(v)).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val t = math.floor(0.5 * 1110)
+    val frac = n.map { case (g, ng) =>
+      g -> math.min(1.0, t * math.sqrt(ng) / (z * ng))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(id: Long): Int = Integer.parseInt(
+      md.digest(id.toString.getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString, 16)
+    val expected = rows.filter { case (id, g) =>
+      hv(id) < math.floor(frac(g) * 65536).toInt
+    }.toSet
+    assert(got === expected)
+    // alpha < 1 flattens: keep fraction strictly increases as the group
+    // shrinks, and the rare group is kept whole (its raw fraction
+    // clears 1)
+    assert(frac("c") === 1.0)
+    assert(frac("b") > frac("a"))
+    val keptByGroup = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(keptByGroup("c") === 10)
+    assert(keptByGroup("b").toDouble / 100 > keptByGroup("a").toDouble / 1000)
+  }
 }
