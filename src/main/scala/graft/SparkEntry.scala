@@ -112,6 +112,7 @@ object SparkEntry {
     // partition independence, and the fluency ordering
     "t14_lm_perplexity" -> (Text.t14LmPerplexity _),
     "t15_chunk_docs" -> (Text.t15ChunkDocs _),
+    "t16_tfidf_keywords" -> (Text.t16TfidfKeywords _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -838,6 +839,30 @@ object SparkEntry {
         |  CAST(len(toks[s + 1 : least(n, s + 32)]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[s + 1 : least(n, s + 32)], ' ') AS chunk_text
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // identical smoothed-idf arithmetic: exact-long tf/df, one
+    // correctly-rounded divide, ln, round to 6 dp BEFORE the rank
+    // window so tie-breaking (score desc, term asc) agrees too
+    "t16_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, vocab.df, vocab.ctf,
+        |    round(tf.tf * (ln((n.n + 1.0) / (vocab.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN vocab USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, ctf, tfidf FROM ranked WHERE rk <= 5
+        |ORDER BY doc_id, term""".stripMargin,
 
     // same rounded-quality histogram + pure-integer DIV bucket rule
     // (equal-quality docs share a bucket; no float boundary math)

@@ -941,4 +941,61 @@ object Text {
     */
   def t15ChunkDocs(s: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables.documents(s, dir))
+
+  /** Per-document TF-IDF keyword extraction — the topical-signature
+    * step curation pipelines run for tagging, domain mixing, and
+    * keyword-level decontamination: each document's `topK` terms by
+    * `tf * (ln((N+1)/(df+1)) + 1)` (the smoothed-idf form scikit-learn
+    * popularized: +1 inside the ratio so an every-doc term keeps a
+    * positive score instead of ln(1)=0 erasing its tf).
+    *
+    * Determinism policy: tf/df/N are exact longs; the ratio is one
+    * correctly-rounded double divide, and the score is rounded to 6
+    * decimals BEFORE ranking, so rank order — not just output values —
+    * agrees with the oracle engine (ties break on the term). ln is the
+    * one <=1-ulp step; at 6 dp the engines agree (hash-verified at
+    * sf0.01 and sf1).
+    *
+    * Scale shape: explode rides the scan; tf is a mergeable
+    * (doc, term) groupBy (map-side partials absorb the token stream);
+    * df and ctf derive FROM tf (tf rows are unique per (doc, term), so
+    * `tf groupBy term` counting rows IS the document frequency and
+    * summing tf IS the corpus term frequency) — and because ctf
+    * consumes tf's count, the optimizer cannot prune the vocabulary
+    * branch into a different subtree, so BOTH consumers reuse ONE
+    * (doc, term) exchange and the corpus tokenizes exactly once
+    * (pinned); N is a broadcast one-row agg; the tf-df join is a term
+    * equi-join whose vocabulary side AQE broadcasts when it fits; the
+    * per-doc top-k filter is pushed into the rank window as a group
+    * limit, so only ~topK rows per doc survive to the presentation
+    * sort. No all-pairs step, no corpus-sized broadcast.
+    */
+  def tfIdfKeywords(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"tfIdfKeywords needs topK >= 1, got $topK")
+    val base = normalized(docs, idCol, textCol)
+    val tf = base
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+    val nDocs = base.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(vocab, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf") * (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("ctf"), col("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** t16: gate binding of [[tfIdfKeywords]] (top 5 per doc). Fully
+    * oracled: integer tf/df, 6-dp rounded-then-ranked score.
+    */
+  def t16TfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    tfIdfKeywords(Tables.documents(s, dir))
 }

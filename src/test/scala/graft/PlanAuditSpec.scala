@@ -329,6 +329,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("t16 tf-idf: mergeable aggs, equi-joins only, top-k pushed into the rank window") {
+    val df = graft.operators.Text.t16TfidfKeywords(spark, sf)
+    // tf agg + vocab term agg + tf-vocab term join + per-doc window +
+    // presentation sort — every exchange an equi key, nothing
+    // corpus-sized broadcast (the one-row N agg is the only
+    // nested-loop side)
+    assert(shuffles(df) <= 5) // collects, finalizing the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the corpus must tokenize ONCE: the vocab branch reuses tf's
+    // (doc, term) exchange (ctf consuming tf's count keeps the
+    // subtrees canonical-equal) instead of re-scanning documents
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+    // the rk <= topK filter must reach the window as a group limit so
+    // only ~topK rows per doc survive the rank, not every (doc, term)
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("q21 token-budget sample: one totals agg broadcast back, map-only keep") {
     val df = Relational.q21TokenBudgetSample(spark, sf)
     // totals aggregation + presentation sort; the totals join must

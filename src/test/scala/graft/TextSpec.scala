@@ -276,6 +276,36 @@ class TextSpec extends SparkSpec {
       (3, "c", 1L, 8L, 9L)))
   }
 
+  test("tfIdfKeywords matches the hand model, keeps smoothed-idf scores positive, ties on term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple banana date date date")
+    ).toDF("id", "body")
+    // N=3; df: apple=2, banana=3, cherry=2, date=2
+    // idf = ln(4/(df+1))+1: banana (every doc) = 1.0 exactly — the +1
+    // smoothing keeps it ranked, not erased; others = ln(4/3)+1
+    val out = Text.tfIdfKeywords(docs, "id", "body", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // ctf (corpus term frequency): apple 3, banana 3, cherry 3, date 4
+    assert(out.toSeq === Seq(
+      (1L, "apple", 2L, 2L, 3L, 2.575364),
+      (1L, "cherry", 1L, 2L, 3L, 1.287682),
+      (2L, "cherry", 2L, 2L, 3L, 2.575364),
+      (2L, "date", 1L, 2L, 4L, 1.287682),
+      (3L, "apple", 1L, 2L, 3L, 1.287682),
+      (3L, "date", 3L, 2L, 4L, 3.863046)))
+    // idf beats raw tf: doc2 keeps date (tf 1, rarer) over banana (tf 1,
+    // every doc) — and an equal-score tie keeps the lexicographically
+    // first term, the oracle's tie rule
+    val tied = Seq((1L, "y x"), (2L, "z")).toDF("id", "body")
+    val top1 = Text.tfIdfKeywords(tied, "id", "body", topK = 1)
+      .filter(col("doc_id") === 1L).collect().map(_.getString(1))
+    assert(top1.toSeq === Seq("x"))
+  }
+
   test("qualityBuckets edge cases: one bucket, more buckets than docs, uniform quality") {
     import spark.implicits._
     val docs = Seq(
