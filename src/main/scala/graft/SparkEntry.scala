@@ -48,6 +48,7 @@ object SparkEntry {
     "q24_cdc_merge" -> (Relational.q24CdcMerge _),
     "q25_domain_quota" -> (Relational.q25DomainQuota _),
     "q26_temperature_mix" -> (Relational.q26TemperatureMix _),
+    "q27_fk_integrity" -> (Relational.q27FkIntegrity _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -839,6 +840,69 @@ object SparkEntry {
         |  CAST(len(toks[s + 1 : least(n, s + 32)]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[s + 1 : least(n, s + 32)], ' ') AS chunk_text
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // integer-only audit; NOT IN is null-safe here because every
+    // parent key column is a non-null primary key, and a NULL child
+    // key makes the CASE condition NULL -> uncounted, matching the
+    // Spark side's explicit null filter
+    "q27_fk_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_nationkey->nation' AS edge, count(*) AS n_child,
+        |    CAST(COALESCE(SUM(CASE WHEN c_nationkey IS NULL THEN 1 END), 0) AS BIGINT) AS n_null_keys,
+        |    count(DISTINCT c_nationkey) AS n_distinct_keys,
+        |    CAST(COALESCE(SUM(CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 END), 0) AS BIGINT) AS n_orphan_rows,
+        |    count(DISTINCT CASE WHEN c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN c_nationkey END) AS n_orphan_keys
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders', count(*),
+        |    CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT l_orderkey),
+        |    CAST(COALESCE(SUM(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN l_orderkey END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', count(*),
+        |    CAST(COALESCE(SUM(CASE WHEN l_partkey IS NULL THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT l_partkey),
+        |    CAST(COALESCE(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM part) THEN l_partkey END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+        |    CAST(COALESCE(SUM(CASE WHEN l_suppkey IS NULL THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT l_suppkey),
+        |    CAST(COALESCE(SUM(CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT CASE WHEN l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN l_suppkey END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region', count(*),
+        |    CAST(COALESCE(SUM(CASE WHEN n_regionkey IS NULL THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT n_regionkey),
+        |    CAST(COALESCE(SUM(CASE WHEN n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT CASE WHEN n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN n_regionkey END)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', count(*),
+        |    CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT o_custkey),
+        |    CAST(COALESCE(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer) THEN o_custkey END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer_pruned', count(*),
+        |    CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT o_custkey),
+        |    CAST(COALESCE(SUM(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 13 != 0) THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 13 != 0) THEN o_custkey END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation', count(*),
+        |    CAST(COALESCE(SUM(CASE WHEN s_nationkey IS NULL THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT s_nationkey),
+        |    CAST(COALESCE(SUM(CASE WHEN s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 END), 0) AS BIGINT),
+        |    count(DISTINCT CASE WHEN s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN s_nationkey END)
+        |  FROM supplier
+        |) ORDER BY edge""".stripMargin,
 
     // identical smoothed-idf arithmetic: exact-long tf/df, one
     // correctly-rounded divide, ln, round to 6 dp BEFORE the rank

@@ -647,6 +647,65 @@ object Relational {
       "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
       .orderBy("doc_id")
 
+  /** Referential-integrity audit over one foreign-key edge — the
+    * data-quality gate a pipeline runs BEFORE its big training joins
+    * (an orphan key silently drops rows in an inner join and fabricates
+    * nulls in an outer one): one summary row with the child row count,
+    * null-key rows, distinct non-null keys, and orphan rows/keys
+    * (child keys with no matching parent).
+    *
+    * Scale shape: the child collapses to one mergeable (key, n) agg —
+    * every later step works on distinct KEYS, never child rows; orphans
+    * are a LEFT ANTI equi-join of that key table against the parent's
+    * key column (AQE broadcasts a dimension-sized parent; big-big
+    * shuffles both sides by key); the outputs are one-row aggregates
+    * cross-joined 1x1. All integer counts — the oracle hashes exactly.
+    */
+  def fkIntegrity(edge: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val keys = child.groupBy(q(childKey).as("__k")).agg(count(lit(1)).as("__n"))
+    val orphans = keys.filter(col("__k").isNotNull)
+      .join(parent.select(q(parentKey).as("__p")), col("__k") === col("__p"), "left_anti")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+    val totals = keys.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_child"),
+      coalesce(sum(when(col("__k").isNull, col("__n"))), lit(0L)).as("n_null_keys"),
+      count(when(col("__k").isNotNull, lit(1))).as("n_distinct_keys"))
+    totals.crossJoin(orphans).select(lit(edge).as("edge"), col("n_child"),
+      col("n_null_keys"), col("n_distinct_keys"),
+      col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
+  /** q27: gate binding of [[fkIntegrity]] over the star schema's FK
+    * edges — the seven real edges (all clean in the generated data, so
+    * the zeros themselves are checked) plus one DELIBERATELY pruned
+    * parent (customers with c_custkey % 13 == 0 removed, the q22-style
+    * synthetic breakage) so nonzero orphan counts are oracle-checked
+    * too. Fully oracled: integer counts only.
+    */
+  def q27FkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val edges = Seq(
+      fkIntegrity("customer.c_nationkey->nation", cust, "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      fkIntegrity("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+      fkIntegrity("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      fkIntegrity("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      fkIntegrity("nation.n_regionkey->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"),
+      fkIntegrity("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      fkIntegrity("orders.o_custkey->customer_pruned", ord, "o_custkey",
+        cust.filter(col("c_custkey") % 13 =!= 0), "c_custkey"),
+      fkIntegrity("supplier.s_nationkey->nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+    edges.reduce(_ unionByName _).orderBy("edge")
+  }
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).

@@ -106,6 +106,29 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.q09AntiSemiJoin(spark, "/root/testdata/sf0.01").limit(1).count() === 1L)
   }
 
+  test("fkIntegrity counts orphans, null keys, and distinct keys exactly") {
+    import spark.implicits._
+    val child = Seq(Option(1L), Option(1L), Option(2L), Option(3L), None, None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val row = Relational.fkIntegrity("child.fk->parent", child, "fk", parent, "pk")
+      .collect().head
+    assert(row.getString(0) === "child.fk->parent")
+    assert(row.getLong(1) === 6L) // n_child
+    assert(row.getLong(2) === 2L) // n_null_keys
+    assert(row.getLong(3) === 3L) // n_distinct_keys (nulls excluded)
+    assert(row.getLong(4) === 1L) // n_orphan_rows (the single key-3 row)
+    assert(row.getLong(5) === 1L) // n_orphan_keys
+    // an empty child reports all-zero, never an empty frame
+    val empty = Relational.fkIntegrity("e", child.filter($"fk" > 99), "fk", parent, "pk")
+      .collect().head
+    assert((1 to 5).map(empty.getLong) === Seq(0L, 0L, 0L, 0L, 0L))
+    // an empty parent makes every non-null child key an orphan
+    val noParent = Relational.fkIntegrity("n", child, "fk", parent.filter($"pk" > 99), "pk")
+      .collect().head
+    assert(noParent.getLong(4) === 4L && noParent.getLong(5) === 3L)
+  }
+
   test("snapshotDiff classifies added/removed/changed with null-safe compares") {
     import spark.implicits._
     val oldSnap = Seq(
