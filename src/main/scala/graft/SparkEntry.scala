@@ -114,6 +114,7 @@ object SparkEntry {
     "t14_lm_perplexity" -> (Text.t14LmPerplexity _),
     "t15_chunk_docs" -> (Text.t15ChunkDocs _),
     "t16_tfidf_keywords" -> (Text.t16TfidfKeywords _),
+    "t17_hashed_features" -> (Text.t17HashedFeatures _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -840,6 +841,21 @@ object SparkEntry {
         |  CAST(len(toks[s + 1 : least(n, s + 32)]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[s + 1 : least(n, s + 32)], ' ') AS chunk_text
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // identical md5 bucket + sign-bit arithmetic (the house
+    // content-stable hash), integer counts only
+    "t17_hashed_features" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(term), 1, 4))::INT % 64 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5(term), 5, 1))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM tok
+        |)
+        |SELECT doc_id, bucket, count(*) AS n, CAST(SUM(sgn) AS BIGINT) AS signed_sum
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     // integer-only audit; NOT IN is null-safe here because every
     // parent key column is a non-null primary key, and a NULL child

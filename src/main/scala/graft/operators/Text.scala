@@ -998,4 +998,46 @@ object Text {
     */
   def t16TfidfKeywords(s: SparkSession, dir: String): DataFrame =
     tfIdfKeywords(Tables.documents(s, dir))
+
+  /** Hashing-trick featurization (Weinberger et al.) — the fixed-width
+    * vectorizer that turns text into model input WITHOUT a vocabulary
+    * pass (the step feeding t13's classifier at corpus scale, where a
+    * t11/t16-style vocab table would itself be big state): each token
+    * hashes to one of `nBuckets` buckets, emitted as sparse rows
+    * (doc_id, bucket, n, signed_sum). `signed_sum` folds a second hash
+    * bit as a +/-1 sign — the debiasing trick that makes collision
+    * noise zero-mean instead of additive.
+    *
+    * Both hashes ride the house content-stable md5 prefix (q19/q26), so
+    * the bucketing reproduces across engines, reruns, and
+    * partitionings — bucket assignment is part of the CONTRACT here
+    * (a model trained on these features needs identical hashing at
+    * serve time), not an internal detail.
+    *
+    * Scale shape: map-only explode + hash in the scan, one mergeable
+    * (doc, bucket) agg (map-side partials absorb the token stream —
+    * at most nBuckets rows per doc survive), presentation sort. No
+    * joins, no vocabulary state, embarrassingly parallel.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, s"hashedFeatures needs nBuckets >= 2, got $nBuckets")
+    val hx = md5(col("term").cast("binary"))
+    normalized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(hx, 1, 4), 16, 10).cast("int") % nBuckets).as("bucket"),
+        when(conv(substring(hx, 5, 1), 16, 10).cast("int") % 2 === 0, lit(1))
+          .otherwise(lit(-1)).as("__sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__sgn")).as("signed_sum"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** t17: gate binding of [[hashedFeatures]] (64 buckets). Fully
+    * oracled: integer counts, engine-portable md5 bucketing.
+    */
+  def t17HashedFeatures(s: SparkSession, dir: String): DataFrame =
+    hashedFeatures(Tables.documents(s, dir))
 }

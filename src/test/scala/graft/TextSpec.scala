@@ -306,6 +306,31 @@ class TextSpec extends SparkSpec {
     assert(top1.toSeq === Seq("x"))
   }
 
+  test("hashedFeatures is partition-independent, conserves token mass, signs stay bounded") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val a = Text.hashedFeatures(docs).collect()
+    val b = Text.hashedFeatures(docs.repartition(7)).collect()
+    // content-stable hashing: identical rows whatever the partitioning
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 64))
+    // every token lands in exactly one bucket: per-doc sum(n) equals the
+    // token count, and each bucket's signed sum is count-bounded with
+    // matching parity (it is a sum of n terms of +/-1)
+    val massByDoc = a.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val tokByDoc = docs
+      .select(col("doc_id"), expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(massByDoc === tokByDoc.filter(_._2 > 0))
+    assert(a.forall(r => math.abs(r.getLong(3)) <= r.getLong(2)
+      && (r.getLong(3) - r.getLong(2)) % 2 == 0))
+    // identical texts produce identical sparse vectors
+    val twins = Seq((1L, "alpha beta beta gamma"), (2L, "alpha beta beta gamma")).toDF("id", "body")
+    val tw = Text.hashedFeatures(twins, "id", "body", nBuckets = 8).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet).toMap
+    assert(tw(1L) === tw(2L))
+  }
+
   test("qualityBuckets edge cases: one bucket, more buckets than docs, uniform quality") {
     import spark.implicits._
     val docs = Seq(
