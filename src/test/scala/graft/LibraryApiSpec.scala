@@ -118,6 +118,23 @@ class LibraryApiSpec extends SparkSpec {
     assert(sampled.count() === 3L)
   }
 
+  test("r9 text/relational additions accept column names needing backticks") {
+    import graft.operators.{Relational, Text}
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a"))
+      .toDF("doc id", "the.text")
+    // tf-idf, hashed features, temperature sampling over odd names
+    assert(Text.tfIdfKeywords(docs, "doc id", "the.text", topK = 2).count() > 0)
+    val hf = Text.hashedFeatures(docs, "doc id", "the.text", nBuckets = 8)
+    assert(hf.agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0) === 6L)
+    assert(Relational.temperatureSample(docs, "doc id", "the.text",
+      alpha = 0.5, targetFraction = 1.0).count() === 3L)
+    // fkIntegrity with a reserved word and dotted key
+    val child = Seq((1L, "x"), (9L, "y")).toDF("select", "v")
+    val parent = Seq(1L, 2L).toDF("p.k")
+    val row = Relational.fkIntegrity("e", child, "select", parent, "p.k").collect().head
+    assert(row.getLong(1) === 2L && row.getLong(4) === 1L)
+  }
+
   test("deterministicSplit is stable and fractions are sane") {
     import graft.operators.Relational
     val df = spark.range(0, 2000).toDF("doc_id")
