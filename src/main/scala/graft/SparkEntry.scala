@@ -49,6 +49,7 @@ object SparkEntry {
     "q25_domain_quota" -> (Relational.q25DomainQuota _),
     "q26_temperature_mix" -> (Relational.q26TemperatureMix _),
     "q27_fk_integrity" -> (Relational.q27FkIntegrity _),
+    "q28_zscore_normalize" -> (Relational.q28ZscoreNormalize _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -841,6 +842,30 @@ object SparkEntry {
         |  CAST(len(toks[s + 1 : least(n, s + 32)]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[s + 1 : least(n, s + 32)], ' ') AS chunk_text
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // identical quantize-fold-then-double arithmetic: value to
+    // DECIMAL(12,2) once (the q18 policy), exact decimal moments,
+    // then a fixed double expression order, rounded to 6 dp
+    "q28_zscore_normalize" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
+        |), st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s1,
+        |    CAST(SUM(v * v) AS DOUBLE) AS s2,
+        |    CAST(MIN(v) AS DOUBLE) AS vmin,
+        |    CAST(MAX(v) AS DOUBLE) AS vmax
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT q.event_id, q.event_type,
+        |  CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+        |    THEN round((CAST(v AS DOUBLE) - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+        |    ELSE 0.0 END AS value_z,
+        |  CASE WHEN vmax > vmin
+        |    THEN round((CAST(v AS DOUBLE) - vmin) / (vmax - vmin), 6)
+        |    ELSE 0.0 END AS value_minmax
+        |FROM q JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     // identical md5 bucket + sign-bit arithmetic (the house
     // content-stable hash), integer counts only

@@ -647,6 +647,55 @@ object Relational {
       "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
       .orderBy("doc_id")
 
+  /** Per-group feature normalization — the scaling step before numeric
+    * columns feed a model (t13's classifier, embedding metadata,
+    * reward-model features): z-score (standardize against the group's
+    * mean/std) and min-max (rescale to [0,1]) for every row, grouped by
+    * `groupCol`.
+    *
+    * Determinism policy: the value quantizes to DECIMAL(12,2) once (the
+    * q18 policy — both engines' double->decimal rounding agrees there),
+    * the group moments (sum, sum of squares, min, max) fold as EXACT
+    * decimals (partition-order independent), and only then does the
+    * arithmetic drop to doubles in a fixed expression order (each step
+    * correctly rounded, so both engines produce the same bits), rounded
+    * to 6 dp. Population variance; a zero-variance or constant group
+    * yields 0.0 by definition rather than NaN.
+    *
+    * Scale shape: one mergeable group agg (five tiny rows per group),
+    * broadcast back, map-only formulas, presentation sort — the corpus
+    * never shuffles (the q21/q26 shape).
+    */
+  def zscoreNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(q(idCol).as("__id"), q(groupCol).as("__g"),
+      q(valueCol).cast(D).as("__v"))
+    val st = base.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v")).cast("double").as("__s1"),
+      sum(col("__v") * col("__v")).cast("double").as("__s2"),
+      min(col("__v")).cast("double").as("__min"),
+      max(col("__v")).cast("double").as("__max"))
+    val vd = col("__v").cast("double")
+    val mean = col("__s1") / col("__n")
+    val variance = col("__s2") / col("__n") - mean * mean
+    base.join(broadcast(st), "__g")
+      .select(col("__id").as(idCol), col("__g").as(groupCol),
+        when(variance > 0.0, round((vd - mean) / sqrt(variance), 6))
+          .otherwise(0.0).as("value_z"),
+        when(col("__max") > col("__min"),
+          round((vd - col("__min")) / (col("__max") - col("__min")), 6))
+          .otherwise(0.0).as("value_minmax"))
+  }
+
+  /** q28: gate binding of [[zscoreNormalize]] on `events.value` per
+    * `event_type`. Fully oracled: identical quantize-fold-then-double
+    * arithmetic in DuckDB.
+    */
+  def q28ZscoreNormalize(s: SparkSession, dir: String): DataFrame =
+    zscoreNormalize(Tables.events(s, dir), "event_id", "event_type", "value")
+      .orderBy("event_id")
+
   /** Referential-integrity audit over one foreign-key edge — the
     * data-quality gate a pipeline runs BEFORE its big training joins
     * (an orphan key silently drops rows in an inner join and fabricates

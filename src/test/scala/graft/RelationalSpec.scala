@@ -106,6 +106,24 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.q09AntiSemiJoin(spark, "/root/testdata/sf0.01").limit(1).count() === 1L)
   }
 
+  test("zscoreNormalize matches the hand model and zero-variance groups yield 0.0") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 5.0), (5L, "b", 5.0)).toDF("id", "g", "v")
+    val out = Relational.zscoreNormalize(df, "id", "g", "v")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // group a: mean 2, population sd sqrt(2/3); minmax over [1,3]
+    assert(out(1L) === (-1.224745, 0.0))
+    assert(out(2L) === (0.0, 0.5))
+    assert(out(3L) === (1.224745, 1.0))
+    // constant group: z and minmax both 0.0 by definition, never NaN
+    assert(out(4L) === (0.0, 0.0) && out(5L) === (0.0, 0.0))
+    // partitioning cannot change the folded moments
+    val re = Relational.zscoreNormalize(df.repartition(5), "id", "g", "v")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(re === out)
+  }
+
   test("fkIntegrity counts orphans, null keys, and distinct keys exactly") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(3L), None, None)
