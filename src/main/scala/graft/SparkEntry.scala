@@ -72,6 +72,7 @@ object SparkEntry {
     // pins planted-dup recall across the batch/history split, estimator
     // accuracy vs exact Jaccard, and determinism
     "d12_incremental_dedup" -> (Dedup.d12IncrementalDedup _),
+    "d13_containment_dups" -> (Dedup.d13ContainmentDups _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -131,7 +132,7 @@ object SparkEntry {
   )
 
   /** d02's oracle, shared: d07 clusters exactly these pairs. */
-  private val D02OracleSql: String =
+  private val ShingleCte: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3
@@ -148,10 +149,20 @@ object SparkEntry {
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |)
-      |SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+      |)""".stripMargin
+
+  private val D02OracleSql: String = ShingleCte + "\n" +
+    """SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
       |FROM common JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
       |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin
+
+  // same blocking and caps as d02; only the final formula differs
+  // (containment of the smaller shingle set in the pair)
+  private val D13OracleSql: String = ShingleCte + "\n" +
+    """SELECT d1, d2, common, s1.n AS n1, s2.n AS n2,
+      |  round(CAST(common AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+      |FROM common JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |ORDER BY containment DESC, d1, d2 LIMIT 100""".stripMargin
 
   /** DuckDB-runnable oracle SQL per queries key (identical aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -625,6 +636,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
 
     "d02_dedup_ngram_jaccard" -> D02OracleSql,
+
+    "d13_containment_dups" -> D13OracleSql,
 
     // connected components over the d02 pairs via transitive closure;
     // the recursive CTE's UNION dedups, so it reaches the fixpoint

@@ -203,6 +203,47 @@ object Dedup {
       jaccardTopK(shingleBuckets(s, dir), 100)
     }
 
+  /** Top-K CONTAINMENT pairs given a shingle-bucket store — the
+    * asymmetric complement of [[jaccardTopK]]: containment of A in B is
+    * `|A∩B| / |A|`, and the reported score is the larger direction
+    * (common / min(|A|, |B|)). This is the detector symmetric Jaccard
+    * structurally misses: a short doc copied VERBATIM into a much
+    * longer one has containment 1.0 but Jaccard |A|/|B| ~ 0 — the
+    * quote-embedding / boilerplate-wrapping dup shape. Same capped
+    * shingle blocking, same exchanges; only the final map-side formula
+    * differs, so the 100 TB story is d02's.
+    */
+  private def containmentTopK(buckets: DataFrame, topK: Int): DataFrame = {
+    val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = bucketPairs(buckets)
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+        round(col("common").cast("double") / least(col("n1"), col("n2")), 6).as("containment"))
+      .orderBy(col("containment").desc, col("d1").asc, col("d2").asc)
+      .limit(topK)
+  }
+
+  /** Containment near-dup pairs over any documents frame (library form
+    * of d13; see [[containmentTopK]]).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 100): DataFrame =
+    containmentTopK(buildShingleBuckets(normalized(docs, idCol, textCol)), topK)
+
+  /** d13: top-100 containment pairs on the standard table — rides the
+    * SAME session-cached shingle-bucket index as d02/d03/d07, so the
+    * gate pays the corpus pass once across all four.
+    */
+  def d13ContainmentDups(s: SparkSession, dir: String): DataFrame =
+    SharedIndex(s, dir, "containment_top_pairs") {
+      containmentTopK(shingleBuckets(s, dir), 100)
+    }
+
   /** MOSS-style winnowing fingerprints + shared-print pairs — the
     * exact-substring dup-candidate detector (the dedup flavor the
     * shingle-Jaccard family doesn't give): per doc, hash every w-token

@@ -33,6 +33,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs catches a short doc embedded in a long one where Jaccard fails") {
+    import spark.implicits._
+    // doc 1 appears VERBATIM inside doc 2 (plus 3x unrelated filler),
+    // docs 3/4 are moderately similar to each other, 5 is background
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$filler $small " + (31 to 60).map(i => s"w$i").mkString(" ")),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "completely different background content here now")
+    ).toDF("id", "body")
+    val cont = Dedup.containmentPairs(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // every shingle of doc 1 appears in doc 2 -> containment exactly 1.0
+    assert(cont((1L, 2L)) === 1.0)
+    // symmetric Jaccard on the same pair is diluted far below the
+    // near-dup regime: that is the detection gap this operator closes
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) < 0.2)
+    // and containment ranks the embedded pair FIRST (ties impossible here)
+    val top = Dedup.containmentPairs(docs, "id", "body").collect().head
+    assert((top.getLong(0), top.getLong(1)) === ((1L, 2L)))
+  }
+
   test("d04 SimHash is deterministic and near-dups have small hamming") {
     val a = Dedup.d04Simhash(spark, sf).collect().map(_.toSeq).toSeq
     val b = Dedup.d04Simhash(spark, sf).collect().map(_.toSeq).toSeq
