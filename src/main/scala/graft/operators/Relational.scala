@@ -667,24 +667,43 @@ object Relational {
     * never shuffles (the q21/q26 shape).
     */
   def zscoreNormalize(df: DataFrame, idCol: String, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String): DataFrame =
+    applyNormalization(df, normalizationStats(df, groupCol, valueCol),
+      idCol, groupCol, valueCol)
+
+  /** The exact-decimal group moments [[zscoreNormalize]] folds — split
+    * out so the stats can be TRAINED on a reference corpus or batch
+    * snapshot and SERVED elsewhere ([[applyNormalization]], the
+    * streaming normalize gate): (group, n, s1, s2, vmin, vmax) with the
+    * sums folded exactly before the double cast.
+    */
+  def normalizationStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(q(groupCol).as("group"), q(valueCol).cast(D).as("__v"))
+      .groupBy("group").agg(
+        count(lit(1)).as("n"),
+        sum(col("__v")).cast("double").as("s1"),
+        sum(col("__v") * col("__v")).cast("double").as("s2"),
+        min(col("__v")).cast("double").as("vmin"),
+        max(col("__v")).cast("double").as("vmax"))
+
+  /** Serve side of [[zscoreNormalize]]: apply precomputed
+    * [[normalizationStats]] to any frame (batch or stream) — a
+    * broadcast join plus map-only formulas, stateless by construction.
+    */
+  def applyNormalization(df: DataFrame, stats: DataFrame, idCol: String,
+      groupCol: String, valueCol: String): DataFrame = {
     val base = df.select(q(idCol).as("__id"), q(groupCol).as("__g"),
       q(valueCol).cast(D).as("__v"))
-    val st = base.groupBy("__g").agg(
-      count(lit(1)).as("__n"),
-      sum(col("__v")).cast("double").as("__s1"),
-      sum(col("__v") * col("__v")).cast("double").as("__s2"),
-      min(col("__v")).cast("double").as("__min"),
-      max(col("__v")).cast("double").as("__max"))
     val vd = col("__v").cast("double")
-    val mean = col("__s1") / col("__n")
-    val variance = col("__s2") / col("__n") - mean * mean
-    base.join(broadcast(st), "__g")
+    val mean = col("s1") / col("n")
+    val variance = col("s2") / col("n") - mean * mean
+    base.join(broadcast(stats), col("__g") === col("group"))
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         when(variance > 0.0, round((vd - mean) / sqrt(variance), 6))
           .otherwise(0.0).as("value_z"),
-        when(col("__max") > col("__min"),
-          round((vd - col("__min")) / (col("__max") - col("__min")), 6))
+        when(col("vmax") > col("vmin"),
+          round((vd - col("vmin")) / (col("vmax") - col("vmin")), 6))
           .otherwise(0.0).as("value_minmax"))
   }
 

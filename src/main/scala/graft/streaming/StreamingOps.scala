@@ -314,4 +314,19 @@ object StreamingOps {
         col("s.cross_entropy").as("cross_entropy"),
         col("s.perplexity").as("perplexity"))
   }
+
+  /** Streaming feature-normalization gate: z-score/min-max every
+    * arriving row against group moments TRAINED on a batch corpus
+    * ([[graft.operators.Relational.normalizationStats]]) — the q28
+    * train/serve split deployed at ingest, the same shape as the
+    * perplexity and contamination gates: the stats frame is tiny and
+    * static, so the stream-static join broadcasts it and the gate is
+    * completely STATELESS — no watermark, no state store, no shuffle,
+    * append mode at ingest rate. Identical arithmetic to batch
+    * [[graft.operators.Relational.applyNormalization]] (it IS that
+    * method), so a row scores the same bits in either deployment.
+    */
+  def normalizeGate(rows: DataFrame, stats: DataFrame, idCol: String,
+      groupCol: String, valueCol: String): DataFrame =
+    graft.operators.Relational.applyNormalization(rows, stats, idCol, groupCol, valueCol)
 }

@@ -378,6 +378,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming normalize gate scores statelessly and bit-equals batch q28 arithmetic") {
+    import graft.operators.Relational
+    implicit val ctx = spark.sqlContext
+    // train the group moments on a batch reference corpus
+    val ref = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 10.0), (5L, "b", 30.0)).toDF("id", "g", "v")
+    val stats = Relational.normalizationStats(ref, "g", "v")
+    val probes = Seq((10L, "a", 1.5), (11L, "a", 3.0), (12L, "b", 20.0))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = StreamingOps.normalizeGate(
+      input.toDF().toDF("id", "g", "v"), stats, "id", "g", "v")
+      .writeStream.format("memory").queryName("norm_gate").outputMode("append").start()
+    try {
+      input.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      input.addData(probes.drop(2): _*) // second trigger, no carried state
+      q.processAllAvailable()
+      val got = spark.table("norm_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      // identical arithmetic: batch applyNormalization on the same rows
+      val want = Relational.applyNormalization(
+        probes.toDF("id", "g", "v"), stats, "id", "g", "v")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got === want)
+      // hand check one: group a mean 2, population sd sqrt(2/3)
+      assert(got(11L) === ((1.224745, 1.0)))
+      // stats are a broadcast plan constant: no state store anywhere
+      assert(q.lastProgress.stateOperators.isEmpty, q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: per-micro-batch cdcMerge maintains the table like sequential merges") {
     // the standard streaming maintenance loop: a CDC feed lands in
     // micro-batches, each applied to the maintained table with the
