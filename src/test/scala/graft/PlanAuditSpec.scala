@@ -347,6 +347,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("q28 normalize: one moments agg broadcast back, the corpus never shuffles") {
+    val df = Relational.q28ZscoreNormalize(spark, sf)
+    // stats agg + presentation sort; the stats join back must broadcast
+    // (five tiny rows), never shuffle the event side
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q27 fk integrity: equi anti-joins only, no cartesian between data sides") {
+    val df = Relational.q27FkIntegrity(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // per edge: key agg + LEFT ANTI equi-join + two one-row aggs joined
+    // 1x1 (BroadcastNestedLoopJoin over single rows is the intended
+    // shape); a CartesianProduct would mean a data-sided cross join
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
+
+  test("t17 hashed features: one mergeable agg plus the presentation sort, no joins") {
+    val df = graft.operators.Text.t17HashedFeatures(spark, sf)
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("d13 containment rides d02's capped blocking: equi-joins, no cartesian") {
+    val df = graft.operators.Dedup.d13ContainmentDups(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // top-k is a TakeOrdered of the scored pairs, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("q21 token-budget sample: one totals agg broadcast back, map-only keep") {
     val df = Relational.q21TokenBudgetSample(spark, sf)
     // totals aggregation + presentation sort; the totals join must
