@@ -32,6 +32,8 @@ class AdversarialShapeSpec extends SparkSpec {
     assert(Dedup.winnowDups(docs, topK = 1000000).count() === 0L)
     assert(Dedup.minhashLshPairs(docs, topK = 1000000).count() === 0L)
     assert(Dedup.simhashPairs(docs).count() === 0L)
+    // d13 rides the same capped shingle blocking as d02
+    assert(Dedup.containmentPairs(docs, topK = 1000000).count() === 0L)
   }
 
   test("all-empty docs: the simhash-0 collapse is capped, token generators emit nothing") {
