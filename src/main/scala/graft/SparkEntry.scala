@@ -87,6 +87,10 @@ object SparkEntry {
     // probed cells' codes
     "s06_ann_ivfpq" -> (ProductQuantization.s06AnnIvfPq _),
     "s07_ann_radius" -> (Similarity.s07AnnRadius _),
+    // rows-only (the greedy's float scores are engine-local);
+    // SimilaritySpec pins driver-model equality, planted-redundancy
+    // demotion, and the lambda = 1 pure-relevance identity
+    "s09_mmr_rerank" -> (Similarity.s09MmrRerank _),
     // rows-only (an exact SQL knn oracle would be the all-pairs cross
     // join the operator exists to avoid); SimilaritySpec holds recall
     // vs exact knnJoin and planted near-dup pairs

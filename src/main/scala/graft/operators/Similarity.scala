@@ -508,4 +508,91 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     annRadius(e, e.filter(col("vec_id") < NumQueries), minCosine = 0.2)
   }
+
+  /** JVM-side cosine for the per-group MMR greedy (same zero-norm
+    * convention as the native `graft_cosine`: 0.0).
+    */
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MMR (Maximal Marginal Relevance) diversified re-ranking — the
+    * step AFTER retrieval: an ANN shortlist is often redundant (three
+    * near-identical docs fill the top-3), and retrieval-augmented
+    * curation wants coverage, so each pick maximizes
+    * `lambda * relevance - (1 - lambda) * max similarity to the
+    * already-picked set` (Carbonell & Goldstein). lambda = 1 is pure
+    * relevance; lower trades relevance for diversity.
+    *
+    * Scale shape: greedy selection is inherently sequential PER QUERY,
+    * so the distributed boundary is drawn where it belongs — the
+    * shortlist (any s01-s06 output: (q_id, n_id, cosine)) is produced
+    * distributed, candidate vectors attach via one equi-join, and the
+    * O(k * N * dim) greedy runs inside `flatMapGroups` per q_id over
+    * the <= shortlist-size group, queries spread across the cluster.
+    * Nothing quadratic in the corpus, nothing on the driver.
+    */
+  def mmrRerank(shortlist: DataFrame, emb: DataFrame, k: Int = K,
+      lambda: Double = 0.5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(k >= 1, s"mmrRerank needs k >= 1, got $k")
+    val s = shortlist.sparkSession
+    import s.implicits._
+    val e = normalized(emb, idCol, vecCol)
+    val joined = shortlist
+      .join(e, shortlist("n_id") === e("vec_id"))
+      .select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("cosine").cast("double"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    joined.groupByKey(_._1)
+      .flatMapGroups { (qId, it) =>
+        val cand = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(c => (-c._2, c._1))
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float], Double)]
+        val used = scala.collection.mutable.BitSet.empty
+        while (picked.size < math.min(k, cand.length)) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cand.length) {
+            if (!used(i)) {
+              val (id, rel, vec) = cand(i)
+              // no clamping: a NEGATIVE max-similarity (candidate
+              // anti-correlated with everything picked) legitimately
+              // RAISES the marginal score in the canonical formulation
+              val maxSim = if (picked.isEmpty) 0.0
+                else picked.iterator.map(p => cosLocal(vec, p._3)).max
+              val sc = lambda * rel - (1.0 - lambda) * maxSim
+              // strict > with candidates pre-sorted (rel desc, id asc)
+              // makes ties deterministic: best relevance, then lowest id
+              if (sc > bestScore) { bestScore = sc; bestIdx = i }
+            }
+            i += 1
+          }
+          used += bestIdx
+          val (id, rel, vec) = cand(bestIdx)
+          picked += ((id, rel, vec, bestScore))
+        }
+        picked.iterator.zipWithIndex.map { case ((id, rel, _, sc), r) =>
+          (qId, r + 1, id, BigDecimal(rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("q_id", "mmr_rank", "n_id", "relevance", "mmr_score")
+      .orderBy("q_id", "mmr_rank")
+  }
+
+  /** s09: gate binding of [[mmrRerank]] — exact s01-style top-50
+    * shortlists for queries vec_id < 10, diversified to the top 10 at
+    * lambda = 0.5. rows-only (greedy scores are float-path
+    * engine-local); SimilaritySpec pins driver-model equality, the
+    * planted-redundancy demotion, and the lambda = 1 identity.
+    */
+  def s09MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val shortlist = annBruteforce(e, e.filter(col("vec_id") < NumQueries), k = 50)
+    mmrRerank(shortlist, e, k = K, lambda = 0.5)
+  }
 }

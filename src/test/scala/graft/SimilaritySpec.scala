@@ -439,4 +439,60 @@ class SimilaritySpec extends SparkSpec {
       assert(got.contains((p.toLong, 1000L + p)), s"planted neighbor of query $p missing")
     }
   }
+
+  test("mmrRerank equals a driver greedy, demotes redundancy, lambda=1 is relevance order") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (100L, v(1, 0, 0, 0)), // the query
+      (1L, v(0.9, 0.10, 0, 0)), // A1: highest relevance
+      (2L, v(0.9, 0.11, 0, 0)), // A2: near-identical to A1
+      (3L, v(0.7, 0, 0.7, 0)), // B: diverse, lower relevance
+      (4L, v(0, 1, 0, 0)) // C: orthogonal to the query
+    ).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" === 100L)
+    val shortlist = Similarity.annBruteforce(emb, queries, k = 4)
+    // pure relevance at lambda = 1: exactly the shortlist order
+    val rel = Similarity.mmrRerank(shortlist, emb, k = 4, lambda = 1.0)
+      .collect().map(_.getLong(2)).toSeq
+    val sl = shortlist.collect().map(_.getLong(2)).toSeq
+    assert(rel === sl && sl.head === 1L)
+    // at lambda = 0.5 the redundant twin A2 is DEMOTED below diverse B
+    val div = Similarity.mmrRerank(shortlist, emb, k = 3, lambda = 0.5)
+      .collect().map(_.getLong(2)).toSeq
+    assert(div.take(2) === Seq(1L, 3L), div.toString)
+    // driver greedy model on a random corpus: identical pick sequence
+    val rnd = new scala.util.Random(7)
+    val big = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val bigDf = big.toDF("vec_id", "embedding")
+    val q2 = bigDf.filter($"vec_id" < 2)
+    val short2 = Similarity.annBruteforce(bigDf, q2, k = 15)
+    val got = Similarity.mmrRerank(short2, bigDf, k = 6, lambda = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val vecs = big.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val want = short2.collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        var cand = rows.map(r => (r._2, r._3)).sortBy(c => (-c._2, c._1)).toList
+        var picked = List.empty[Long]
+        (1 to 6).flatMap { r =>
+          if (cand.isEmpty) None else {
+            val best = cand.maxBy { case (id, relv) =>
+              val maxSim = if (picked.isEmpty) 0.0
+                else picked.map(p => cos(vecs(id), vecs(p))).max
+              (0.4 * relv - 0.6 * maxSim, -id)
+            }
+            picked = picked :+ best._1
+            cand = cand.filterNot(_._1 == best._1)
+            Some((q, r, best._1))
+          }
+        }
+      }.toSet
+    assert(got.toSet === want, "driver greedy model mismatch")
+  }
 }
