@@ -412,9 +412,11 @@ object SparkEntry {
         |  FROM f
         |), r AS (
         |  SELECT doc_id, source, n_tokens, quality,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |    -- CAST: DuckDB widens a window SUM(BIGINT) to DECIMAL(38,0);
+        |    -- Spark emits BIGINT, and the driver hashes TYPED values
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
         |      ORDER BY quality DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM sc
         |)
         |SELECT doc_id, source, n_tokens, quality, cum_before FROM r
