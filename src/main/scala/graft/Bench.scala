@@ -23,6 +23,17 @@ package graft
   * default ./bench_last.json): terminal tail-capture truncated the r5
   * line mid-object, so the artifact must not depend on stdout
   * surviving intact.
+  *
+  * Load evidence (r10): the box this runs on has transient external
+  * load spikes that inflated whole rep passes in r9's artifact (x05
+  * reps 9.2-30.5 s with the same plan). So each rep pass — including
+  * the warmup — now records (a) a fixed single-thread CPU probe (a
+  * deterministic xorshift loop, ~0.2 s on an idle core; contention
+  * stretches it) and (b) /proc/loadavg at pass start. `contended_reps`
+  * lists the timed-pass indices whose probe exceeded 1.5x the best
+  * probe — a reviewer can discount those reps' medians from the
+  * artifact alone instead of guessing whether a spread is plan cost or
+  * box noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,6 +50,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
+    // Fixed-work single-thread probe: wall-time of a deterministic
+    // xorshift loop. Pure JVM (no Spark) so it measures the OS
+    // scheduler, not our own pool; the result feeds the loop back into
+    // a field read so JIT cannot elide it.
+    var probeSink = 0L
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      probeSink ^= x
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -50,11 +76,17 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[String]
+    def samplePass(): Unit = { loads += loadavg(); probes += probe() }
+    samplePass()
     val cold = suite.map { case (name, fn) => name -> runOnce(name, fn) }
     val timed = scala.collection.mutable.LinkedHashMap(
       suite.map { case (name, _) => name -> Vector.empty[Double] }: _*)
-    for (_ <- 1 to reps; (name, fn) <- suite)
-      timed(name) = timed(name) :+ runOnce(name, fn)
+    for (_ <- 1 to reps) {
+      samplePass()
+      for ((name, fn) <- suite) timed(name) = timed(name) :+ runOnce(name, fn)
+    }
 
     val medians = timed.map { case (k, v) => k -> median(v) }
     val mins = timed.map { case (k, v) => k -> v.min }
@@ -72,6 +104,14 @@ object Bench {
       "cold" -> obj(cold.map { case (k, v) => k -> r3(v) }),
       "suspect" -> suspect.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "reps" -> obj(suite.map { case (k, _) => k -> timed(k).map(r3).mkString("[", ",", "]") }),
+      // load evidence: index 0 = warmup pass, 1..reps = timed passes
+      "probe_sec" -> probes.map(r3).mkString("[", ",", "]"),
+      "loadavg" -> loads.mkString("[", ",", "]"),
+      "contended_reps" -> {
+        val minP = probes.drop(1).min
+        probes.drop(1).zipWithIndex.collect { case (p, i) if p > 1.5 * minP => i + 1 }
+          .mkString("[", ",", "]")
+      },
       "sf" -> ("\"" + sfDir + "\"")))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try {
