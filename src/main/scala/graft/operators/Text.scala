@@ -514,6 +514,16 @@ object Text {
     * right asc) tie-break make the learned table independent of
     * partitioning and engine. Training stops early when no adjacent
     * pair reaches `minPairCount` (merging singletons teaches nothing).
+    *
+    * Scale recipe: each merge is inherently one driver round-trip
+    * (exact Sennrich BPE is sequential in the rank order), so a
+    * realistic vocabulary (30k+ merges) does NOT train on the full
+    * corpus — train on a deterministic sample (the q19/q20 machinery:
+    * `deterministicSplit` / `stratifiedSample`) with bounded
+    * `nMerges`, exactly the t13/t14 train-on-sample guidance, then
+    * [[bpeEncode]] the full corpus: encoding carries the whole table
+    * in one native expression and is map-only at any merge count.
+    * LibraryApiSpec pins the composition over a q20 sample.
     */
   def bpeTrain(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       nMerges: Int = 10, minPairCount: Long = 2L): DataFrame = {
@@ -558,11 +568,34 @@ object Text {
     * words become BPE symbol arrays (merges applied in rank order,
     * [[mergeFold]] semantics), flattened to one `tokens` array per doc
     * plus its length — the learned-tokenizer counterpart of t03's
-    * fixed regex count. Map-only: the whole encode is nested
-    * higher-order array functions inside the scan projection; no
-    * shuffle except the presentation sort.
+    * fixed regex count. Map-only: the whole encode is ONE native
+    * expression ([[graft.functions.BpeEncode]]) inside the scan
+    * projection carrying the entire merge table as a driver-held
+    * model, so plan size and analysis cost are independent of the
+    * merge count — a realistic 30k-merge tokenizer encodes with the
+    * same plan as a 10-merge one (the nested-fold formulation it
+    * replaces, kept below as [[bpeEncodeFold]], nests one `aggregate`
+    * lambda per rule and stops analyzing long before that). No shuffle
+    * except the presentation sort.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val model = new graft.functions.BpeModel(
+      merges.map(_._1).toArray, merges.map(_._2).toArray)
+    normalized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        graft.functions.BpeEncode.encode(docs.sparkSession,
+          expr("filter(split(text, ' '), x -> x != '')"), model).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** The pure-Catalyst encode the native expression replaced: one
+    * nested `aggregate` fold per merge rule. Kept (package-private) as
+    * the independent formulation TextSpec pins [[bpeEncode]] against —
+    * usable only at small merge counts by construction.
+    */
+  private[graft] def bpeEncodeFold(docs: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     normalized(docs, idCol, textCol)
       .select(col("doc_id"),

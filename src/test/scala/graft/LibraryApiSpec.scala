@@ -135,6 +135,23 @@ class LibraryApiSpec extends SparkSpec {
     assert(row.getLong(1) === 2L && row.getLong(4) === 1L)
   }
 
+  test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {
+    import graft.operators.Relational
+    // the scale recipe from bpeTrain's scaladoc: train the merge table
+    // on a q20-style deterministic sample, encode the FULL frame
+    val full = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val sample = Relational.stratifiedSample(full, "doc_id", "source",
+      Map.empty, defaultFraction = 0.5)
+    val n = sample.count()
+    assert(n > 0 && n < full.count())
+    val merges = Text.bpeTrain(sample, nMerges = 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val encoded = Text.bpeEncode(full, merges)
+    assert(encoded.count() === full.count())
+  }
+
   test("deterministicSplit is stable and fractions are sane") {
     import graft.operators.Relational
     val df = spark.range(0, 2000).toDF("doc_id")

@@ -510,6 +510,45 @@ class TextSpec extends SparkSpec {
         text.split(" ").filter(_.nonEmpty).map(_ + "</w>").mkString(""))
   }
 
+  test("native bpeEncode equals the nested-fold formulation on a trained table") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(40)
+    val merges = Text.bpeTrain(docs, nMerges = 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val native = Text.bpeEncode(docs, merges).collect().map(_.toSeq).toSeq
+    val fold = Text.bpeEncodeFold(docs, merges).collect().map(_.toSeq).toSeq
+    assert(native === fold)
+  }
+
+  test("native bpeEncode survives a 1,200-merge table with a merge-count-independent plan") {
+    import spark.implicits._
+    // well-formed chain: rule i merges (prefix of i+1 chars, next char)
+    // — each rule consumes the symbol the previous rule created, the
+    // shape every trained table has. 1,201 distinct base chars.
+    val chars = (0 until 1201).map(i => (0x100 + i).toChar.toString)
+    val word = chars.mkString("")
+    val merges = (1 until 1201).map(i => (word.substring(0, i), chars(i)))
+    val mid = chars.take(5).mkString("")
+    val df = Seq((1L, word), (2L, mid), (3L, s"$word $mid")).toDF("doc_id", "text")
+    val enc = Text.bpeEncode(df, merges)
+    // the plan must not nest per-merge expressions: its string form
+    // stays small no matter the table size (the fold formulation's
+    // plan grows with every rule and stops analyzing near this scale)
+    val planLen = enc.queryExecution.analyzed.toString.length
+    assert(planLen < 20000, s"plan grew with the merge table: $planLen chars")
+    val got = enc.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    // driver-side sequential reference over all 1,200 rules
+    def ref(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+        case (s, (a, b)) => refBpeMerge(s, a, b)
+      }
+    assert(got(1L) === ref(word))
+    assert(got(1L) === Vector(word, "</w>"))
+    assert(got(2L) === ref(mid))
+    assert(got(2L) === Vector(mid, "</w>"))
+    assert(got(3L) === ref(word) ++ ref(mid))
+  }
+
   test("trainQualityClassifier fits a separable problem and scoring is calibrated") {
     import spark.implicits._
     // one signal feature with a 0.3 margin around the decision point
