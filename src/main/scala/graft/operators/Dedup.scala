@@ -624,11 +624,16 @@ object Dedup {
   def embeddingLshPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.9,
       maxBucketSize: Int = 1000, topK: Int = 100,
-      numTables: Int = 8, planesPerTable: Int = 0): DataFrame = {
+      numTables: Int = 8, planesPerTable: Int = 0,
+      corpusSize: Long = 0L): DataFrame = {
     val e = emb.select(Cols.q(idCol).as("vec_id"), Cols.q(vecCol).as("embedding"))
+    // sizing needs only n's magnitude — callers with a known/estimated
+    // corpus size (catalog stats, file sizes) pass it and skip the
+    // plan-build count() job entirely (see SharedCount)
     val planes =
       if (planesPerTable > 0) planesPerTable
-      else math.max(8, Similarity.knnPlanes(e.count(), maxBucketSize))
+      else math.max(8, Similarity.knnPlanes(
+        if (corpusSize > 0L) corpusSize else e.count(), maxBucketSize))
     embeddingLshTopK(e, Similarity.lshBucketed(e, numTables, planes),
       minCosine, maxBucketSize, topK)
   }
@@ -668,14 +673,22 @@ object Dedup {
     * values and proves ~100% recall on planted near-identical vectors
     * (the regime the fine blocking is tuned for).
     */
+  /** The embeddings table's row count, computed AT MOST ONCE per
+    * (session, dir) and shared by every gate that corpus-sizes its LSH
+    * geometry (d08's fine store, s08's knn store): geometry sizing
+    * must not prepend one full-scan counting job per operator.
+    */
+  private[operators] def embeddingsCount(s: SparkSession, dir: String): Long =
+    SharedCount(s, dir, "embeddings_rows")(Tables.embeddings(s, dir).count())
+
   def d08EmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // cache only the bucket assignment: the rescore re-joins the source
     // embeddings by id, so persisting the 64-float embedding once per
     // LSH table (8x the whole payload) would be pure wasted storage.
     // Corpus-sized planes (floored at the tuned fine 8), geometry in
-    // the cache key like s08
-    val planes = math.max(8, Similarity.knnPlanes(e.count(), 1000))
+    // the cache key like s08; the count is the session-shared one
+    val planes = math.max(8, Similarity.knnPlanes(embeddingsCount(s, dir), 1000))
     val bucketed = SharedIndex(s, dir, s"hyperplane_buckets_fine_p$planes") {
       Similarity.lshBucketed(e, numTables = 8, planesPerTable = planes)
         .select("vec_id", "tbl", "bucket")

@@ -55,5 +55,50 @@ private[operators] object SharedIndex {
   def invalidate(s: SparkSession): Unit = synchronized {
     val keys = cache.keys.filter(_._1 eq s).toVector
     keys.foreach { k => cache.remove(k).foreach(_.unpersist(blocking = false)) }
+    SharedCount.invalidate(s)
+  }
+}
+
+/** Per-(session, dir, name) cache for corpus-level scalars — today the
+  * row counts LSH geometry sizing needs. Corpus-sizing the plane count
+  * is the right call (fixed geometry silently sheds recall as n grows
+  * past the bucket caps — measured and spec'd in r9), but the `count()`
+  * it costs is a full corpus scan BEFORE any real work, and r9 paid it
+  * once per operator invocation: d08 and s08 each counted the same
+  * embeddings table every time their plans were built. At 100 TB that
+  * is a non-trivial prepended job. One cached count per (session, dir)
+  * bounds it to a single job per corpus per session; library callers
+  * that already know their corpus size skip the job entirely via the
+  * `corpusSize` parameters on [[Similarity.knnJoinLsh]] /
+  * [[Dedup.embeddingLshPairs]].
+  */
+private[graft] object SharedCount {
+
+  private val cache = mutable.LinkedHashMap.empty[(SparkSession, String, String), Long]
+
+  def apply(s: SparkSession, dir: String, name: String)(compute: => Long): Long = {
+    // compute OUTSIDE the lock when missing: a count() job can take
+    // seconds and must not serialize unrelated sessions' lookups
+    val key = (s, dir, name)
+    val hit = synchronized(cache.get(key))
+    hit match {
+      case Some(n) => n
+      case None =>
+        // job-group tag: lets listeners (and the PlanAuditSpec pin)
+        // attribute exactly which jobs are corpus-sizing counts
+        val sc = s.sparkContext
+        sc.setJobGroup("graft_shared_count", s"corpus count: $name @ $dir",
+          interruptOnCancel = false)
+        val n = try compute finally sc.clearJobGroup()
+        synchronized {
+          cache.getOrElseUpdate(key, n)
+          while (cache.size > 256) cache.remove(cache.head._1)
+        }
+        n
+    }
+  }
+
+  def invalidate(s: SparkSession): Unit = synchronized {
+    cache.keys.filter(_._1 eq s).toVector.foreach(cache.remove)
   }
 }

@@ -428,9 +428,16 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 1000,
       numTables: Int = HyperplaneBuckets.NumTables,
-      planesPerTable: Int = 0): DataFrame = {
+      planesPerTable: Int = 0, corpusSize: Long = 0L): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
-    val planes = if (planesPerTable > 0) planesPerTable else knnPlanes(e.count(), maxBucketSize)
+    // geometry needs only the ORDER OF MAGNITUDE of n, so any estimate
+    // the caller already has (catalog stats, a prior count, file
+    // sizes / avg row width) beats paying a full corpus-scan count()
+    // at plan-build time; the count stays as the unparameterized
+    // fallback
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else knnPlanes(if (corpusSize > 0L) corpusSize else e.count(), maxBucketSize)
     knnFromBuckets(e, lshBucketed(e, numTables, planes), k, maxBucketSize)
   }
 
@@ -491,7 +498,8 @@ object Similarity {
     */
   def s08KnnJoin(s: SparkSession, dir: String): DataFrame = {
     val e = normalized(Tables.embeddings(s, dir), "vec_id", "embedding")
-    val planes = knnPlanes(e.count(), 1000)
+    // one counting job per (session, dir), shared with d08's sizing
+    val planes = knnPlanes(Dedup.embeddingsCount(s, dir), 1000)
     val bucketed = SharedIndex(s, dir, s"hyperplane_buckets_knn_p$planes") {
       lshBucketed(e, HyperplaneBuckets.NumTables, planes).select("tbl", "bucket", "vec_id")
     }

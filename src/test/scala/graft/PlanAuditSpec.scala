@@ -572,4 +572,62 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally store.unpersist()
   }
+
+  test("LSH geometry sizing: building the s08 + d08 plans costs at most one counting job") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // a FRESH dir path (symlinked testdata) so this test observes the
+    // first-touch behavior even if other specs already warmed the
+    // shared session's count cache for the real sf dir
+    val tmp = Files.createTempDirectory("graft_lsh_sizing").toFile
+    Files.createSymbolicLink(
+      Paths.get(tmp.getPath, "embeddings.parquet"),
+      Paths.get(sf, "embeddings.parquet"))
+    val sizingInvocations = new java.util.concurrent.ConcurrentSkipListSet[String]()
+    val strayCounts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        val names = js.stageInfos.map(_.name).mkString("; ")
+        if (group == "graft_shared_count")
+          // one sizing invocation = one description; its parquet-infer
+          // and AQE stage jobs all share it
+          sizingInvocations.add(Option(js.properties)
+            .map(_.getProperty("spark.job.description")).getOrElse(""))
+        // any full-scan count OUTSIDE the shared cache is a regression
+        // back to per-operator sizing scans
+        else if (names.contains("count at")) strayCounts.add(names)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // plan BUILD only — no action on the returned frames
+      val s08 = graft.operators.Similarity.s08KnnJoin(spark, tmp.getPath)
+      val d08 = Dedup.d08EmbeddingLsh(spark, tmp.getPath)
+      assert(s08 != null && d08 != null)
+      // job-start events post asynchronously; wait for the stream to
+      // go quiet before reading the counter
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val now = sizingInvocations.size() + strayCounts.size()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      // r9 paid one full-scan count() per gate; the shared
+      // per-(session, dir) count bounds plan building to ONE sizing
+      // invocation (its parquet-infer + AQE stage jobs share one
+      // description)
+      assert(sizingInvocations.size() === 1,
+        s"expected exactly one shared sizing count, saw: $sizingInvocations")
+      assert(strayCounts.isEmpty,
+        s"plan build ran count() outside the shared cache:\n" +
+          strayCounts.toArray.mkString("\n"))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
 }
