@@ -10,7 +10,8 @@ import graft.sinks.XbrlSinks
   *
   *   runMain graft.Main <filings.zip|dir|file.xbrl>... --taxonomy <tax.zip> \
   *     --output-dir <dir> [--form-number N] [--requested-tables t1,t2,...] \
-  *     [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N] \
+  *     [--instance-pattern REGEX] [--jdbc-url URL] [--sqlite-path P] \
+  *     [--duckdb-path P] [--cpus N] \
   *     [--loglevel LEVEL] [--logfile PATH] [--batch-size N]
   *
   * Writes `<out>/fercN_xbrl/<table>.parquet/` parquet directories, the
@@ -18,17 +19,25 @@ import graft.sinks.XbrlSinks
   * parquet descriptor `<out>/fercN_xbrl/datapackage.json`
   * (cli.py:211-236), and `<out>/fercN_xbrl_taxonomy_metadata.json`.
   * `--jdbc-url` additionally loads every table through Spark's JDBC
-  * writer — the reference's SQLite/DuckDB load (cli.py:112-126).
+  * writer — the reference's SQLite/DuckDB load (cli.py:112-126);
+  * `--sqlite-path` / `--duckdb-path` (the reference's own flag names,
+  * cli.py:39-47) alias onto it as `jdbc:sqlite:P` / `jdbc:duckdb:P`,
+  * so a migrated reference invocation parses verbatim — the load then
+  * needs the matching JDBC driver jar on the classpath (not bundled
+  * here: offline-unresolvable in this build environment) and fails at
+  * CONNECT with the driver's clear "No suitable driver" message, never
+  * at argument parsing.
   */
 object Main {
 
   private val Usage =
     """usage: runMain graft.Main <filings.zip|dir|file.xbrl>... --taxonomy <tax.zip> --output-dir <dir>
       |         [--form-number N] [--requested-tables t1,t2,...]
-      |         [--instance-pattern REGEX] [--jdbc-url URL] [--cpus N]
+      |         [--instance-pattern REGEX] [--jdbc-url URL] [--sqlite-path P]
+      |         [--duckdb-path P] [--cpus N]
       |         [--loglevel LEVEL] [--logfile PATH] [--batch-size N]""".stripMargin
 
-  private case class Args(
+  private[graft] case class Args(
       filings: Seq[String] = Nil,
       taxonomy: String = null,
       outputDir: String = null,
@@ -42,7 +51,7 @@ object Main {
       logFile: Option[String] = None,
       batchSize: Option[Int] = None)
 
-  private def parse(argv: List[String], acc: Args): Args = argv match {
+  private[graft] def parse(argv: List[String], acc: Args): Args = argv match {
     case Nil => acc
     case "--taxonomy" :: v :: rest => parse(rest, acc.copy(taxonomy = v))
     case "--output-dir" :: v :: rest => parse(rest, acc.copy(outputDir = v))
@@ -51,6 +60,12 @@ object Main {
       parse(rest, acc.copy(requestedTables = Some(v.split(",").map(_.trim).filter(_.nonEmpty).toSet)))
     case "--instance-pattern" :: v :: rest => parse(rest, acc.copy(instancePattern = Some(v)))
     case "--jdbc-url" :: v :: rest => parse(rest, acc.copy(jdbcUrl = Some(v)))
+    // reference-verbatim DB flags (cli.py:39-47): thin aliases onto the
+    // JDBC form so a migrated invocation PARSES everywhere; whether the
+    // load then runs depends on the matching driver jar being on the
+    // classpath (absent driver → clear failure at connect, not at parse)
+    case "--sqlite-path" :: v :: rest => parse(rest, acc.copy(jdbcUrl = Some(s"jdbc:sqlite:$v")))
+    case "--duckdb-path" :: v :: rest => parse(rest, acc.copy(jdbcUrl = Some(s"jdbc:duckdb:$v")))
     case "--cpus" :: v :: rest => parse(rest, acc.copy(cpus = v))
     case "--loglevel" :: v :: rest => parse(rest, acc.copy(logLevel = Some(v)))
     case "--logfile" :: v :: rest => parse(rest, acc.copy(logFile = Some(v)))

@@ -205,4 +205,28 @@ class ReferenceWorkflowSpec extends SparkSpec {
       graft.sources.FilingSource.fromPath(spark, s"$filingDir/does_not_exist.xbrl")
     }
   }
+
+  test("CLI parses the reference's --sqlite-path/--duckdb-path verbatim as JDBC aliases") {
+    // a migrated reference invocation (cli.py:39-47) must PARSE
+    // everywhere; the load fails at connect if the driver jar is
+    // absent, never at argument parsing
+    def parsed(extra: String*): Main.Args = Main.parse(
+      List("filings.zip", "--taxonomy", "tax.zip", "--output-dir", "/tmp/o") ++ extra,
+      Main.Args())
+    assert(parsed("--sqlite-path", "/tmp/db.sqlite").jdbcUrl
+      === Some("jdbc:sqlite:/tmp/db.sqlite"))
+    assert(parsed("--duckdb-path", "/tmp/db.duckdb").jdbcUrl
+      === Some("jdbc:duckdb:/tmp/db.duckdb"))
+    // equivalence with the explicit JDBC form
+    assert(parsed("--jdbc-url", "jdbc:sqlite:/tmp/db.sqlite").jdbcUrl
+      === parsed("--sqlite-path", "/tmp/db.sqlite").jdbcUrl)
+    // with no sqlite driver jar on this classpath, the aliased load
+    // reaches the JDBC layer and fails with the standard no-driver
+    // error — proof the alias dies at CONNECT, not at parse
+    val err = intercept[java.sql.SQLException] {
+      graft.sinks.XbrlSinks.writeJdbc(
+        Map("t" -> spark.range(1).toDF()), "jdbc:sqlite:/tmp/graft_no_driver.sqlite")
+    }
+    assert(err.getMessage.toLowerCase.contains("no suitable driver"))
+  }
 }
