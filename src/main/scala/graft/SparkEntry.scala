@@ -864,21 +864,32 @@ object SparkEntry {
 
     // identical quantize-fold-then-double arithmetic: value to
     // DECIMAL(12,2) once (the q18 policy), exact decimal moments,
-    // then a fixed double expression order, rounded to 6 dp
+    // then a fixed double expression order, rounded to 6 dp. The
+    // variance is ANCHORED (r10): ssd = Σ(v−m)² folded exactly about
+    // the quantized mean m, served as ssd/n − δ² with δ = mean − m —
+    // the same two-pass form the engine folds, so no catastrophic
+    // cancellation on either side
     "q28_zscore_normalize" ->
       """WITH q AS (
         |  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
-        |), st AS (
+        |), a AS (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(v) AS DOUBLE) AS s1,
-        |    CAST(SUM(v * v) AS DOUBLE) AS s2,
         |    CAST(MIN(v) AS DOUBLE) AS vmin,
-        |    CAST(MAX(v) AS DOUBLE) AS vmax
+        |    CAST(MAX(v) AS DOUBLE) AS vmax,
+        |    CAST(CAST(SUM(v) AS DOUBLE) / COUNT(*) AS DECIMAL(12,2)) AS m
         |  FROM q GROUP BY 1
+        |), sd AS (
+        |  SELECT q.event_type, CAST(SUM((v - m) * (v - m)) AS DOUBLE) AS ssd
+        |  FROM q JOIN a USING (event_type) GROUP BY 1
+        |), st AS (
+        |  SELECT a.*, sd.ssd,
+        |    s1 / n - CAST(m AS DOUBLE) AS delta
+        |  FROM a JOIN sd USING (event_type)
         |)
         |SELECT q.event_id, q.event_type,
-        |  CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
-        |    THEN round((CAST(v AS DOUBLE) - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+        |  CASE WHEN ssd / n - delta * delta > 0
+        |    THEN round((CAST(v AS DOUBLE) - s1 / n) / sqrt(ssd / n - delta * delta), 6)
         |    ELSE 0.0 END AS value_z,
         |  CASE WHEN vmax > vmin
         |    THEN round((CAST(v AS DOUBLE) - vmin) / (vmax - vmin), 6)

@@ -674,18 +674,45 @@ object Relational {
   /** The exact-decimal group moments [[zscoreNormalize]] folds — split
     * out so the stats can be TRAINED on a reference corpus or batch
     * snapshot and SERVED elsewhere ([[applyNormalization]], the
-    * streaming normalize gate): (group, n, s1, s2, vmin, vmax) with the
-    * sums folded exactly before the double cast.
+    * streaming normalize gate): (group, n, s1, m, ssd, vmin, vmax)
+    * with every sum folded exactly in decimal before the double cast.
+    *
+    * Numerics (r10): the one-pass `s2/n − mean²` form catastrophically
+    * cancels for groups with large mean and tiny spread (both terms
+    * ~mean², their difference ~variance — doubles can flip it ≤ 0 or
+    * inflate it). So the variance is anchored: a first pass folds the
+    * exact decimal sum, the group's mean is quantized to an exact
+    * decimal anchor `m = CAST(s1/n AS DECIMAL)`, and a second pass
+    * folds `ssd = Σ(v − m)²` EXACTLY in decimal (v and m share the
+    * value scale, so each square is exact). The served variance is
+    * then `ssd/n − δ²` with `δ = mean − m` ≤ half an ulp of the
+    * anchor scale — two small same-magnitude terms, no cancellation
+    * of large ones. Both passes are map-side scans into tiny per-group
+    * aggs (the anchor joins back by BROADCAST); the corpus is never
+    * shuffled, which is what matters at scale — a second scan is cheap,
+    * a lost z-score sign is not. The whole fold stays deterministic
+    * under any partitioning and is mirrored expression-for-expression
+    * in the DuckDB oracle.
     */
   def normalizationStats(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame =
-    df.select(q(groupCol).as("group"), q(valueCol).cast(D).as("__v"))
-      .groupBy("group").agg(
+      valueCol: String): DataFrame = {
+    val vals = df.select(q(groupCol).as("group"), q(valueCol).cast(D).as("__v"))
+    val anchors = vals.groupBy("group").agg(
         count(lit(1)).as("n"),
         sum(col("__v")).cast("double").as("s1"),
-        sum(col("__v") * col("__v")).cast("double").as("s2"),
         min(col("__v")).cast("double").as("vmin"),
         max(col("__v")).cast("double").as("vmax"))
+      // the anchor stays within [vmin, vmax] of the same decimal type,
+      // so the ANSI cast can never overflow
+      .withColumn("m", (col("s1") / col("n")).cast(D))
+    // the anchor columns are constant per group, so carrying them as
+    // grouping keys folds everything into the second agg — no extra
+    // join (and no extra exchange) to reassemble the stats row
+    vals.join(broadcast(anchors), "group")
+      .groupBy("group", "n", "s1", "vmin", "vmax", "m").agg(
+        sum((col("__v") - col("m")) * (col("__v") - col("m")))
+          .cast("double").as("ssd"))
+  }
 
   /** Serve side of [[zscoreNormalize]]: apply precomputed
     * [[normalizationStats]] to any frame (batch or stream) — a
@@ -697,7 +724,10 @@ object Relational {
       q(valueCol).cast(D).as("__v"))
     val vd = col("__v").cast("double")
     val mean = col("s1") / col("n")
-    val variance = col("s2") / col("n") - mean * mean
+    // anchored variance (see normalizationStats): δ = mean − anchor is
+    // tiny by construction, so neither term is a near-cancelling square
+    val delta = mean - col("m").cast("double")
+    val variance = col("ssd") / col("n") - delta * delta
     base.join(broadcast(stats), col("__g") === col("group"))
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         when(variance > 0.0, round((vd - mean) / sqrt(variance), 6))

@@ -347,11 +347,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
-  test("q28 normalize: one moments agg broadcast back, the corpus never shuffles") {
+  test("q28 normalize: two moment aggs broadcast back, the corpus never shuffles") {
     val df = Relational.q28ZscoreNormalize(spark, sf)
-    // stats agg + presentation sort; the stats join back must broadcast
-    // (five tiny rows), never shuffle the event side
-    assert(shuffles(df) <= 2)
+    // anchor agg + anchored-ssd agg + presentation sort; every join of
+    // stats back into the corpus must broadcast (five tiny rows),
+    // never shuffle the event side
+    assert(shuffles(df) <= 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))

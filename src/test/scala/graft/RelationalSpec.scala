@@ -124,6 +124,20 @@ class RelationalSpec extends SparkSpec {
     assert(re === out)
   }
 
+  test("zscoreNormalize survives large mean with tiny spread (no cancellation)") {
+    import spark.implicits._
+    // mean ~1e9, sd 0.01: the one-pass s2/n − mean² form loses the
+    // variance entirely here (both terms ~1e18, their true difference
+    // 1e-4 — far below a double's ulp at that magnitude); the anchored
+    // two-pass fold must recover z = ±1 to ~1e-4
+    val df = Seq((1L, "g", 1000000000.00), (2L, "g", 1000000000.02))
+      .toDF("id", "g", "v")
+    val out = Relational.zscoreNormalize(df, "id", "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out(1L) + 1.0) < 1e-4, s"z=${out(1L)}, want ~ -1")
+    assert(math.abs(out(2L) - 1.0) < 1e-4, s"z=${out(2L)}, want ~ +1")
+  }
+
   test("fkIntegrity counts orphans, null keys, and distinct keys exactly") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(3L), None, None)
