@@ -542,6 +542,15 @@ object Similarity {
     * O(k * N * dim) greedy runs inside `flatMapGroups` per q_id over
     * the <= shortlist-size group, queries spread across the cluster.
     * Nothing quadratic in the corpus, nothing on the driver.
+    *
+    * Contract: candidate vectors attach by INNER join on `n_id` — a
+    * shortlist entry whose id has no row in `emb` is silently dropped,
+    * which can shrink a query's result below k. That is the right
+    * default for the intended composition (the shortlist came FROM
+    * `emb` via s01-s06, so ids always resolve); callers re-ranking a
+    * shortlist against a DIFFERENT embedding frame must ensure it
+    * covers every shortlist id (or pre-join and fail on the mismatch —
+    * a missing vector there is usually a bug worth surfacing).
     */
   def mmrRerank(shortlist: DataFrame, emb: DataFrame, k: Int = K,
       lambda: Double = 0.5, idCol: String = "vec_id",

@@ -482,10 +482,13 @@ class SimilaritySpec extends SparkSpec {
         var picked = List.empty[Long]
         (1 to 6).flatMap { r =>
           if (cand.isEmpty) None else {
+            // tie key mirrors the operator exactly: equal MMR scores
+            // break by best relevance, then lowest id (the operator's
+            // pre-sort (rel desc, id asc) + strict '>')
             val best = cand.maxBy { case (id, relv) =>
               val maxSim = if (picked.isEmpty) 0.0
                 else picked.map(p => cos(vecs(id), vecs(p))).max
-              (0.4 * relv - 0.6 * maxSim, -id)
+              (0.4 * relv - 0.6 * maxSim, relv, -id)
             }
             picked = picked :+ best._1
             cand = cand.filterNot(_._1 == best._1)
