@@ -50,6 +50,7 @@ object SparkEntry {
     "q26_temperature_mix" -> (Relational.q26TemperatureMix _),
     "q27_fk_integrity" -> (Relational.q27FkIntegrity _),
     "q28_zscore_normalize" -> (Relational.q28ZscoreNormalize _),
+    "q29_salted_skew_join" -> (Relational.q29SaltedSkewJoin _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -895,6 +896,13 @@ object SparkEntry {
         |    THEN round((CAST(v AS DOUBLE) - vmin) / (vmax - vmin), 6)
         |    ELSE 0.0 END AS value_minmax
         |FROM q JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // the salting is a partitioning trick and must be invisible in the
+    // result: the oracle IS the plain inner join, raw columns untouched
+    "q29_salted_skew_join" ->
+      """SELECT event_id, user_id, event_type, value, c_name, c_acctbal
+        |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
 
     // identical md5 bucket + sign-bit arithmetic (the house

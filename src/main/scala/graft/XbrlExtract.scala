@@ -102,6 +102,12 @@ object XbrlExtract {
     * table. Overcounts only rows the per-table axis-subset filter later
     * drops. The driver receives one count per TABLE — taxonomy-bounded
     * metadata (255 rows for ferc1), never data-scaled.
+    *
+    * This IS one extra aggregation pass over the store beyond the
+    * store's own materialization; it has never registered in the x05
+    * profile (the store is persisted, the pass is a cached scan into a
+    * 255-row agg). If it ever does, piggyback the counts on the store's
+    * materialization via `observe` metrics instead of a second pass.
     */
   private def estimateTableRows(
       spark: SparkSession,

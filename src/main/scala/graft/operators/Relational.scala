@@ -804,6 +804,23 @@ object Relational {
     edges.reduce(_ unionByName _).orderBy("edge")
   }
 
+  /** q29: gate binding of [[saltedJoin]] — the events fact side
+    * scattered over 8 salt replicas of the customer dim, joined on
+    * `user_id` (`c_custkey` renamed into the probe's key name, the
+    * operator's same-name contract). Fully SQL-oracled as the PLAIN
+    * inner join: the salting is a partitioning trick and must be
+    * invisible in the result. Pure projection on both sides — no
+    * arithmetic, so raw doubles pass the oracle hash bit-exactly.
+    */
+  def q29SaltedSkewJoin(s: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      Tables.customer(s, dir).select(col("c_custkey").as("user_id"),
+        col("c_name"), col("c_acctbal")),
+      on = "user_id", salt = 8)
+      .orderBy("event_id")
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).
