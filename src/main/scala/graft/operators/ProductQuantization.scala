@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{CosineSimilarity, L2Squared, PqAdc, PqEncode}
+import graft.functions.{CosineSimilarity, L2Squared, PqAdc, PqEncode, Sq8Dot, Sq8Encode}
 
 /** Product-quantization ANN (SURVEY.md §2.4, s05) — the memory-bound
   * scale path the IVF/LSH variants don't cover: the corpus is stored as
@@ -418,5 +418,71 @@ object ProductQuantization {
     ivfPqTopK(Similarity.normalized(e, "vec_id", "embedding"), encoded,
       withUnit(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding"),
       coarse, pqCb, K, NumProbes, Shortlist, M)
+  }
+
+  // ----- SQ8 (s10): symmetric int8 scalar quantization -----
+
+  /** SQ8-encode any embeddings frame: `(vec_id, codes BINARY)`, one
+    * byte per dimension — `round(unit_i * 127)`. No training pass at
+    * all (contrast [[trainPqCodebook]]'s Lloyd rounds): unit
+    * normalization bounds every component in [-1, 1], so the scale is
+    * the constant 127. The 4x-smaller code store is the scan the hot
+    * ANN pass streams; encode is map-only in the scan projection.
+    */
+  def sq8Encode(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    withUnit(emb, idCol, vecCol)
+      .select(col("vec_id"), Sq8Encode.encode(s, col("unit")).as("codes"))
+  }
+
+  /** Asymmetric SQ8 scan -> shortlist -> exact rescore: codes stay
+    * int8, queries stay float (`graft_sq8_dot`), the top `shortlist`
+    * approximate matches per query rescore against the float corpus
+    * with exact cosine. Max per-pair quantization error is bounded by
+    * Cauchy-Schwarz at sqrt(dim)/254 (~0.03 at dim 64), which the
+    * rescore then erases for everything it shortlists — the standard
+    * SQ recipe (e.g. FAISS's SQ8 index family).
+    */
+  private def sq8TopK(corpus: DataFrame, encoded: DataFrame, q: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val cand = encoded
+      .crossJoin(broadcast(q.select(col("vec_id").as("q_id"), col("unit").as("q_unit"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      // shortlistRescore ranks an ascending DISTANCE; negate the dot
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (-Sq8Dot.dot(s, col("codes"), col("q_unit"))).as("adist"))
+    shortlistRescore(corpus, cand,
+      q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k, shortlist)
+  }
+
+  /** Library form: SQ8 ANN over any embeddings frame. Encodes the
+    * corpus in this invocation; long-lived callers persist
+    * [[sq8Encode]]'s output once (the s10 gate form does, via the
+    * session index cache).
+    */
+  def annSq8(emb: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = K,
+      shortlist: Int = Shortlist): DataFrame =
+    sq8TopK(Similarity.normalized(emb, idCol, vecCol),
+      sq8Encode(emb, idCol, vecCol),
+      withUnit(queries, idCol, vecCol), k, shortlist)
+
+  /** s10: gate binding — corpus SQ8-encoded once per session
+    * (SharedIndex), queries vec_id < 10. rows-only oracle (the int8
+    * rounding is engine-local); SimilaritySpec holds recall vs exact
+    * s01, the quantization-error bound, and the 1-byte-per-dimension
+    * code size.
+    */
+  def s10AnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val encoded = SharedIndex(s, dir, "sq8_codes") {
+      sq8Encode(e)
+    }
+    sq8TopK(Similarity.normalized(e, "vec_id", "embedding"), encoded,
+      withUnit(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding"),
+      K, Shortlist)
   }
 }

@@ -181,6 +181,59 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
   }
 
+  test("s10 SQ8 gate keeps high recall, exact rescored cosines, and 1-byte-per-dim codes") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val sq = ProductQuantization.s10AnnSq8(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(sq.nonEmpty)
+    val recall = exact.keySet.count(k => sq.exists(_._1 == k)).toDouble / exact.size
+    info(s"s10 SQ8 recall vs s01: $recall")
+    // int8 quantization error per pair is bounded at sqrt(dim)/254
+    // (~0.03 at dim 64) — far below this corpus's cosine gaps, so with
+    // the 64-candidate shortlist rescore recall should be near-total
+    assert(recall >= 0.9, s"recall $recall")
+    // returned cosines are exact rescores on the original floats
+    sq.filter { case (k, _) => exact.contains(k) }
+      .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
+    // the code store really is one byte per dimension (4x under float32)
+    val e = Tables.embeddings(spark, sf)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val codeLens = ProductQuantization.sq8Encode(e)
+      .select(length(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(codeLens.toSeq === Seq(dim), s"code bytes ${codeLens.toSeq} vs dim $dim")
+  }
+
+  test("SQ8 approximate dot stays within the quantization error bound of true cosine") {
+    import graft.functions.{Sq8Dot, Sq8Encode, UnitVector}
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val s = spark
+    val unit = e.select(col("vec_id"), UnitVector.unit(s, col("embedding")).as("u"))
+    val q = unit.filter(col("vec_id") === 0L).select(col("u").as("qu"))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val bound = math.sqrt(dim.toDouble) / 254.0 + 1e-9
+    val errs = unit.crossJoin(broadcast(q))
+      .select(abs(
+        Sq8Dot.dot(s, Sq8Encode.encode(s, col("u")), col("qu")) -
+          graft.functions.CosineSimilarity.cosine(s, col("u"), col("qu"))).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    info(s"max SQ8 dot error: $errs (bound $bound)")
+    assert(errs <= bound, s"error $errs exceeds Cauchy-Schwarz bound $bound")
+  }
+
+  test("SQ8 finds a planted identical vector (codes equal => max approx dot)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = base :+ (500L, base(3)._2.clone())
+    val emb = planted.toDF("vec_id", "embedding")
+    val out = ProductQuantization.annSq8(emb, emb.filter(col("vec_id") === 3L), k = 1)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(2) === 500L, s"expected the planted copy, got ${out.head}")
+    assert(math.abs(out.head.getDouble(3) - 1.0) < 1e-6)
+  }
+
   test("PQ on the clustered corpus: trained codebook recalls cluster neighbors") {
     val (emb, queries) = clusteredCorpus
     val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
