@@ -1073,4 +1073,42 @@ object Text {
     */
   def t17HashedFeatures(s: SparkSession, dir: String): DataFrame =
     hashedFeatures(Tables.documents(s, dir))
+
+  // -----------------------------------------------------------------
+  // t18: Shannon entropy quality signals (char + token level)
+  // -----------------------------------------------------------------
+
+  /** Per-doc Shannon entropy at BOTH granularities — the Gopher-style
+    * repetitiveness gates t02's ratio features cannot see: low CHAR
+    * entropy flags keyboard mash / single-char runs, low TOKEN entropy
+    * flags boilerplate and template text even when individual tokens
+    * look fine. `(doc_id, n_tokens, char_entropy, token_entropy)`.
+    *
+    * Scale shape: perfectly map-only — both entropies are ONE native
+    * in-row expression each ([[graft.functions.ShannonEntropy]]:
+    * in-row frequency map, per-term decimal rounding so the fold is
+    * iteration-order-independent), no explode, no shuffle but the
+    * presentation sort. The corpus is touched once.
+    */
+  def entropyStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    import graft.functions.ShannonEntropy.entropy
+    normalized(docs, idCol, textCol)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"),
+        entropy(s, expr("filter(split(text, ''), x -> x != '')")).as("char_entropy"),
+        entropy(s, expr("filter(split(text, ' '), x -> x != '')")).as("token_entropy"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("char_entropy"), col("token_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** t18: gate binding of [[entropyStats]]. rows-only oracle (the
+    * order-independent decimal fold is engine-local; a SQL twin would
+    * re-derive the policy); TextSpec pins a driver reference model
+    * bit-for-bit plus the closed-form uniform/constant cases.
+    */
+  def t18EntropyStats(s: SparkSession, dir: String): DataFrame =
+    entropyStats(Tables.documents(s, dir))
 }

@@ -549,6 +549,66 @@ class TextSpec extends SparkSpec {
     assert(got(3L) === ref(word) ++ ref(mid))
   }
 
+  test("entropyStats matches a driver model bit-for-bit and closed forms") {
+    import spark.implicits._
+    // driver reference with the SAME determinism policy: per-term
+    // decimal-12 rounding, exact sum (order-independent)
+    def refEntropy(syms: Seq[String]): Option[Double] = {
+      if (syms.isEmpty) None
+      else {
+        val n = syms.size.toDouble
+        val sum = syms.groupBy(identity).values.map(_.size).map { c =>
+          val p = c / n
+          BigDecimal(p * (StrictMath.log(p) / StrictMath.log(2.0)))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        Some(-sum.toDouble)
+      }
+    }
+    val texts = Seq(
+      (1L, "abab abab"),          // uniform chars a,b,space
+      (2L, "aaaa"),               // single symbol: char entropy 0
+      (3L, "x y z w"),            // 4 uniform tokens: token entropy 2.0
+      (4L, "the cat sat on the mat the end"))
+    val got = Text.entropyStats(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    for ((id, text) <- texts) {
+      val chars = text.split("").filter(_.nonEmpty).toSeq
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      assert(got(id)._1 === toks.size.toLong)
+      assert(got(id)._2 === refEntropy(chars), s"char entropy doc $id")
+      assert(got(id)._3 === refEntropy(toks), s"token entropy doc $id")
+    }
+    // closed forms: constant string -> 0 bits; 4 uniform tokens -> 2 bits
+    assert(got(2L)._2 === Some(0.0))
+    assert(got(3L)._3 === Some(2.0))
+    // the gate runs on real docs without error and is map-only
+    val gate = Text.t18EntropyStats(spark, sf)
+    assert(gate.count() > 0)
+    assert(gate.collect().forall(r => r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0))
+  }
+
+  test("entropyStats is partition-independent and flags planted low-entropy docs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val a = Text.entropyStats(docs).collect().map(_.toSeq).toSeq
+    val b = Text.entropyStats(docs.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    import spark.implicits._
+    // a mashed doc scores far below a normal one on char entropy, and
+    // a template doc far below on token entropy — the two failure
+    // modes the signal exists to separate
+    val probe = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (2L, "yes no yes no yes no yes no yes no"),
+      (3L, "the quick brown fox jumps over a lazy dog tonight")).toDF("doc_id", "text")
+    val e = Text.entropyStats(probe).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(e(1L)._1 < 0.5 && e(3L)._1 > 3.0, s"char: ${e(1L)._1} vs ${e(3L)._1}")
+    assert(e(2L)._2 < 1.5 && e(3L)._2 > 3.0, s"token: ${e(2L)._2} vs ${e(3L)._2}")
+  }
+
   test("trainQualityClassifier fits a separable problem and scoring is calibrated") {
     import spark.implicits._
     // one signal feature with a 0.3 margin around the decision point
