@@ -74,6 +74,7 @@ object SparkEntry {
     // accuracy vs exact Jaccard, and determinism
     "d12_incremental_dedup" -> (Dedup.d12IncrementalDedup _),
     "d13_containment_dups" -> (Dedup.d13ContainmentDups _),
+    "d14_line_dedup" -> (Dedup.d14LineDedup _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -647,6 +648,36 @@ object SparkEntry {
     "d02_dedup_ngram_jaccard" -> D02OracleSql,
 
     "d13_containment_dups" -> D13OracleSql,
+
+    // same 16-token disjoint chunking as the engine (the t15 CTE at
+    // stride = chunkSize), then the global keep-first rule as a window
+    // (fine in the oracle; the ENGINE uses a mergeable min agg) and
+    // ordered reassembly; COALESCE('') because string_agg FILTER of an
+    // all-dropped doc is NULL while concat_ws of nothing is ''
+    "d14_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    16 * greatest(0, CAST(ceil((len(toks) - 16) / 16.0) AS BIGINT)) AS max_start
+        |  FROM toks WHERE len(toks) >= 1
+        |), lines AS (
+        |  SELECT doc_id, s // 16 AS line_no,
+        |    array_to_string(toks[s + 1 : least(n, s + 16)], ' ') AS line
+        |  FROM (SELECT doc_id, toks, n, unnest(range(0, max_start + 1, 16)) AS s FROM d)
+        |), marked AS (
+        |  SELECT doc_id, line_no, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1 AS keep
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE keep), '') AS kept_text
+        |FROM marked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // connected components over the d02 pairs via transitive closure;
     // the recursive CTE's UNION dedups, so it reaches the fixpoint

@@ -1121,4 +1121,61 @@ object Dedup {
     incrementalNearDups(sigs, bands, docs.filter(col("doc_id") % 5 === 0),
       minEstJaccard = 0.35).limit(100)
   }
+
+  // ----- d14: C4-style line-level dedup (sub-document granularity) ---
+
+  /** Global keep-first line deduplication over an exploded
+    * `(doc, pos, line)` frame — C4's cleaning rule at line granularity:
+    * every distinct line survives exactly ONCE corpus-wide (at its
+    * first occurrence in `(doc, pos)` order) and every later
+    * occurrence is dropped, which is how boilerplate (nav bars, cookie
+    * banners, license headers) is stripped from web corpora without
+    * touching whole-document dedup. Returns one row per document:
+    * `(doc_id, n_lines, n_kept, n_removed, kept_text)` with the
+    * surviving lines rejoined in order.
+    *
+    * Scale shape: keep-first is a MERGEABLE min(struct(doc, pos)) agg
+    * keyed by the line digest — never a row_number window partitioned
+    * by line content, which would pour a boilerplate line repeated
+    * millions of times into ONE window task (the d02 stop-phrase skew
+    * lesson at line granularity). The min table (one row per distinct
+    * line) joins back by digest; the per-doc reassembly groups by
+    * doc_id with a doc-bounded collect. Two aggregation shuffles plus
+    * the join — all mergeable, no skewed window anywhere.
+    */
+  def lineDedup(lines: DataFrame, docCol: String = "doc_id",
+      posCol: String = "line_no", lineCol: String = "line"): DataFrame = {
+    val l = lines.select(Cols.q(docCol).as("__doc"), Cols.q(posCol).as("__pos"),
+      Cols.q(lineCol).as("__line"))
+      .withColumn("__h", md5(col("__line").cast("binary")))
+    val firsts = l.groupBy(col("__h"))
+      .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+    l.join(firsts, "__h")
+      .withColumn("__keep",
+        col("__doc") === col("__first.__doc") && col("__pos") === col("__first.__pos"))
+      .groupBy(col("__doc").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))).getField("__line"))
+          .as("kept_text"))
+      .withColumn("n_removed", col("n_lines") - col("n_kept"))
+      .select("doc_id", "n_lines", "n_kept", "n_removed", "kept_text")
+  }
+
+  /** d14: gate binding of [[lineDedup]] — documents are cut into
+    * disjoint 16-token segments ([[Text.chunkDocs]] with stride =
+    * chunkSize, the flat synthetic corpus's stand-in for newlines) and
+    * deduped keep-first corpus-wide. Fully SQL-oracled: the chunking,
+    * the global first-occurrence rule, and the ordered reassembly all
+    * have exact DuckDB twins.
+    */
+  def d14LineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedup(
+      Text.chunkDocs(Tables.documents(s, dir), chunkSize = 16, stride = 16)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text")),
+      "doc_id", "chunk_id", "chunk_text")
+      .orderBy("doc_id")
 }

@@ -584,4 +584,44 @@ class DedupSpec extends SparkSpec {
     assert(compacted.collect().map(_.toSeq).toSet ===
       freshBands.collect().map(_.toSeq).toSet)
   }
+
+  test("d14 lineDedup keeps each line's global first occurrence and rebuilds docs in order") {
+    import spark.implicits._
+    // BOILER repeats across three docs; each doc also has unique lines
+    val lines = Seq(
+      (1L, 0L, "unique one"), (1L, 1L, "BOILER"), (1L, 2L, "tail one"),
+      (2L, 0L, "BOILER"), (2L, 1L, "unique two"),
+      (3L, 0L, "unique three"), (3L, 1L, "BOILER"), (3L, 2L, "unique two"))
+      .toDF("doc_id", "line_no", "line")
+    val out = Dedup.lineDedup(lines).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1 owns BOILER's first occurrence (doc order), keeps all 3
+    assert(out(1L) === ((3L, 3L, 0L, "unique one BOILER tail one")))
+    // doc 2 loses BOILER, keeps "unique two" (its first occurrence)
+    assert(out(2L) === ((2L, 1L, 1L, "unique two")))
+    // doc 3 loses BOILER and the repeated "unique two"
+    assert(out(3L) === ((3L, 1L, 2L, "unique three")))
+    // a doc whose EVERY line first-occurred elsewhere keeps nothing,
+    // and kept_text is the empty string, never null
+    val out4 = Dedup.lineDedup(lines.unionByName(
+        Seq((4L, 0L, "BOILER"), (4L, 1L, "unique two")).toDF("doc_id", "line_no", "line")))
+      .filter($"doc_id" === 4L).collect().head
+    assert(out4.getLong(2) === 0L && out4.getString(4) === "")
+    // partitioning cannot change the keep-first winner
+    val re = Dedup.lineDedup(lines.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(re === out.map { case (k, v) => k -> v._4 })
+  }
+
+  test("d14 keep-first is a mergeable min agg, never a line-partitioned window") {
+    // the skew guard: a boilerplate line repeated millions of times
+    // must spread over the agg's map-side combine, not pour into one
+    // window task — pin the executed plan windowless
+    val df = Dedup.d14LineDedup(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan.take(2000))
+  }
 }
