@@ -207,4 +207,50 @@ class PipelineSpec extends SparkSpec {
     val packed = Text.packSequences(train, budgetTokens = 2048L)
     assert(packed.count() === train.count(), "every fluent train doc packs exactly once")
   }
+
+  test("entropy gate -> line dedup -> skew-safe dim join composes (round-10 surface)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val total = docs.count()
+
+    // 1. entropy gates: drop mash/template docs (permissive thresholds
+    //    keep most of the word-salad synthetic corpus)
+    val ent = Text.entropyStats(docs)
+    val kept = docs.join(
+      ent.filter(col("char_entropy") > 1.0 && col("token_entropy") > 1.0)
+        .select("doc_id"), "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= total)
+
+    // 2. line-level boilerplate strip: chunk -> global keep-first ->
+    //    the stripped text carries forward as the new doc body
+    val lines = Text.chunkDocs(kept, chunkSize = 16, stride = 16)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val stripped = Dedup.lineDedup(lines, "doc_id", "chunk_id", "chunk_text")
+    assert(stripped.count() === lines.select("doc_id").distinct().count())
+    // mass conservation: kept + removed = total lines
+    assert(stripped.filter(col("n_kept") + col("n_removed") =!= col("n_lines")).count() === 0L)
+    // this corpus repeats 16-token chunks across docs rarely but not
+    // never at sf0.001 — at minimum nothing NEGATIVE and text rebuilds
+    val rebuilt = stripped.filter(col("n_removed") === 0L)
+      .join(kept, "doc_id")
+      .filter(col("kept_text") =!= regexp_replace(col("text"), "\\s+", " "))
+    // docs with nothing removed rebuild to their (whitespace-collapsed,
+    // 16-token-grouped) token stream exactly
+    assert(rebuilt.count() === 0L)
+
+    // 3. attach a dimension through the deterministic salted join and
+    //    re-derive the plain-join answer
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("src_key"), col("c_name"))
+    val fact = stripped.withColumn("src_key", col("doc_id") % 100)
+    val viaSalt = Relational.saltedJoin(fact, dim, "src_key", salt = 4)
+    val plain = fact.join(dim, Seq("src_key"))
+    assert(viaSalt.count() === plain.count())
+
+    // 4. the SQ8 retrieval tier slots in where IVF/PQ would
+    val emb = Tables.embeddings(spark, sf)
+    val nn = graft.operators.ProductQuantization.annSq8(
+      emb, emb.filter(col("vec_id") < 3), k = 5)
+    assert(nn.select("q_id").distinct().count() === 3L)
+  }
 }
