@@ -51,6 +51,7 @@ object SparkEntry {
     "q27_fk_integrity" -> (Relational.q27FkIntegrity _),
     "q28_zscore_normalize" -> (Relational.q28ZscoreNormalize _),
     "q29_salted_skew_join" -> (Relational.q29SaltedSkewJoin _),
+    "q30_group_quantiles" -> (Relational.q30GroupQuantiles _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -930,6 +931,40 @@ object SparkEntry {
         |    ELSE 0.0 END AS value_minmax
         |FROM q JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // identical type-7 interpolation spelled out on both sides (the
+    // built-in quantile_cont orders its doubles differently): DECIMAL
+    // quantize once, rank ties harmless (equal values), h/frac/lerp in
+    // a fixed double expression order, rounded to 6 dp
+    "q30_group_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), t AS (
+        |  SELECT event_type, n, q AS quantile, (n - 1) * q AS h
+        |  FROM (SELECT DISTINCT event_type, n FROM r),
+        |       (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
+        |), t2 AS (
+        |  SELECT event_type, quantile,
+        |    CAST(floor(h) AS BIGINT) + 1 AS lo_r,
+        |    least(CAST(floor(h) AS BIGINT) + 2, n) AS hi_r,
+        |    h - floor(h) AS frac
+        |  FROM t
+        |), p AS (
+        |  SELECT t2.event_type, quantile, frac,
+        |    MAX(CASE WHEN r.r = lo_r THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = hi_r THEN v END) AS vhi
+        |  FROM t2 JOIN r ON r.event_type = t2.event_type
+        |    AND (r.r = lo_r OR r.r = hi_r)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, quantile, round(vlo + frac * (vhi - vlo), 6) AS value
+        |FROM p ORDER BY event_type, quantile""".stripMargin,
 
     // the salting is a partitioning trick and must be invisible in the
     // result: the oracle IS the plain inner join, raw columns untouched

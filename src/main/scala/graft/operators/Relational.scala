@@ -821,6 +821,65 @@ object Relational {
       on = "user_id", salt = 8)
       .orderBy("event_id")
 
+  /** Exact linear-interpolated quantiles per group — the precise twin
+    * of q18's sketch percentiles, for when the number matters (SLA
+    * cutoffs, contract thresholds, reward-model calibration splits):
+    * for quantile q over n sorted values, `h = (n-1)·q`,
+    * `value = v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1] − v[⌊h⌋])` (the standard
+    * "linear" / type-7 definition) — the formula is spelled out
+    * EXPRESSION-FOR-EXPRESSION rather than calling the built-in
+    * `percentile`, because Spark's and DuckDB's interpolations order
+    * their double operations differently and the gate hashes bits.
+    * Output long-form: `(group, quantile, value)`.
+    *
+    * Scale shape: ONE window exchange serves both the rank and the
+    * per-group count (same partition spec, the q23 single-exchange
+    * discipline; the row buffer spills); the per-(group, q) target
+    * ranks are a tiny broadcast, the final agg touches only the ≤2
+    * picked rows per (group, q). The per-group sort is exact
+    * quantiles' inherent cost — at 100 TB run q18's mergeable sketch
+    * instead, or pre-thin with q19/q20 and bound the error by sampling
+    * theory; this operator is for the groups where exactness is the
+    * requirement.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(x => x >= 0.0 && x <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    val v = df.select(q(groupCol).as("group"),
+      q(valueCol).cast(D).cast("double").as("__v"))
+    val wp = Window.partitionBy("group")
+    val ranked = v.select(col("group"), col("__v"),
+      row_number().over(wp.orderBy("__v")).as("__r"),
+      count(lit(1)).over(wp).as("n"))
+    val targets = ranked.filter(col("__r") === 1)
+      .select(col("group").as("__g"), col("n"),
+        explode(array(qs.map(lit): _*)).as("quantile"))
+      .withColumn("h", (col("n") - 1).cast("double") * col("quantile"))
+      .withColumn("lo_r", floor(col("h")).cast("long") + 1)
+      .withColumn("hi_r", least(floor(col("h")).cast("long") + 2, col("n")))
+      .withColumn("frac", col("h") - floor(col("h")))
+      .select("__g", "quantile", "lo_r", "hi_r", "frac")
+    ranked.join(broadcast(targets),
+        col("group") === col("__g") &&
+          (col("__r") === col("lo_r") || col("__r") === col("hi_r")))
+      .groupBy(col("group"), col("quantile"), col("frac"))
+      .agg(max(when(col("__r") === col("lo_r"), col("__v"))).as("__vlo"),
+        max(when(col("__r") === col("hi_r"), col("__v"))).as("__vhi"))
+      .select(col("group"), col("quantile"),
+        round(col("__vlo") + col("frac") * (col("__vhi") - col("__vlo")), 6)
+          .as("value"))
+  }
+
+  /** q30: gate binding of [[exactQuantiles]] on `events.value` per
+    * `event_type` at the standard quartiles + p95. Fully SQL-oracled —
+    * identical rank/interpolation arithmetic in DuckDB.
+    */
+  def q30GroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    exactQuantiles(Tables.events(s, dir), "event_type", "value")
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type", "quantile")
+
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value
     * percentiles (`percentile_approx`).

@@ -138,6 +138,35 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(out(2L) - 1.0) < 1e-4, s"z=${out(2L)}, want ~ +1")
   }
 
+  test("exactQuantiles matches the hand model, the built-in percentile, and is partition-independent") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0)).toDF("g", "v")
+    val out = Relational.exactQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // type-7: h=(n-1)q; a has n=5 → p25 at h=1 exactly, p90 at h=3.6
+    assert(out(("a", 0.25)) === 2.0)
+    assert(out(("a", 0.5)) === 3.0)
+    assert(out(("a", 0.9)) === 4.0 + 0.6 * 1.0)
+    // b has n=4 → p50 at h=1.5 interpolates 20..30
+    assert(out(("b", 0.5)) === 25.0)
+    // agrees with Spark's own exact percentile (same type-7 definition)
+    val builtin = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr("percentile(v, array(0.25, 0.5, 0.9))").as("p"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zip(Seq(0.25, 0.5, 0.9)).map { case (x, q) => (r.getString(0), q) -> x }
+      }.toMap
+    for ((k, x) <- builtin) assert(math.abs(out(k) - x) < 1e-9, s"$k: ${out(k)} vs $x")
+    // partitioning cannot change an exact quantile
+    val re = Relational.exactQuantiles(df.repartition(7), "g", "v", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(re === out)
+    // single-value group: every quantile is that value
+    val one = Relational.exactQuantiles(Seq(("c", 7.0)).toDF("g", "v"), "g", "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(_.getDouble(2))
+    assert(one.toSeq === Seq(7.0, 7.0, 7.0))
+  }
+
   test("fkIntegrity counts orphans, null keys, and distinct keys exactly") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(3L), None, None)
