@@ -574,6 +574,39 @@ class PlanAuditSpec extends SparkSpec {
     } finally store.unpersist()
   }
 
+  test("t18 entropy is map-only up to the presentation sort") {
+    assert(shuffles(Text.t18EntropyStats(spark, sf)) <= 1)
+  }
+
+  test("q30 quantiles: one window exchange serves rank and count; targets broadcast") {
+    val df = Relational.q30GroupQuantiles(spark, sf)
+    // window sort + the tiny final agg + presentation sort
+    assert(shuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("q29 salted join: equi-join on (key, salt), replication never a cartesian") {
+    val df = Relational.q29SaltedSkewJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("s10 SQ8 encode runs codegen'd inside the scan stage") {
+    val df = graft.operators.ProductQuantization.sq8Encode(
+      Tables.embeddings(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the encode projection sits inside a WholeStageCodegen span
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert(plan.contains("graft_sq8_encode"), plan.take(2000))
+    assert(shuffles(df) === 0)
+  }
+
   test("LSH geometry sizing: building the s08 + d08 plans costs at most one counting job") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
