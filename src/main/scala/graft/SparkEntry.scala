@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_zscore_normalize" -> (Relational.q28ZscoreNormalize _),
     "q29_salted_skew_join" -> (Relational.q29SaltedSkewJoin _),
     "q30_group_quantiles" -> (Relational.q30GroupQuantiles _),
+    "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -931,6 +932,33 @@ object SparkEntry {
         |    ELSE 0.0 END AS value_minmax
         |FROM q JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // the 32-term interleave is the SAME generated string on both
+    // sides (Relational.zInterleaveSql); bins are floor(double-div) —
+    // exact and engine-identical at these magnitudes (see zorderKey)
+    "q31_zorder_key" -> (
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(l_partkey AS BIGINT) AS c1, CAST(l_suppkey AS BIGINT) AS c2
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT min(c1) AS min1, max(c1) AS max1,
+        |         min(c2) AS min2, max(c2) AS max2 FROM b
+        |), binned AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CASE WHEN max1 > min1
+        |      THEN CAST(floor((c1 - min1) * 65535 / (max1 - min1)) AS BIGINT)
+        |      ELSE 0 END AS b1,
+        |    CASE WHEN max2 > min2
+        |      THEN CAST(floor((c2 - min2) * 65535 / (max2 - min2)) AS BIGINT)
+        |      ELSE 0 END AS b2
+        |  FROM b, s
+        |)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(""".stripMargin +
+        graft.operators.Relational.zInterleaveSql("b1", "b2") +
+      """ AS BIGINT) AS z
+        |FROM binned ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
     // identical type-7 interpolation spelled out on both sides (the
     // built-in quantile_cont orders its doubles differently): DECIMAL

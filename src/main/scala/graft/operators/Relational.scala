@@ -821,6 +821,77 @@ object Relational {
       on = "user_id", salt = 8)
       .orderBy("event_id")
 
+  /** The 32-term bit-interleave `z = Σ_i ((b1>>i)&1)<<2i | ((b2>>i)&1)<<(2i+1)`
+    * as a SQL string — ONE generator serves both engines (Spark SQL and
+    * DuckDB share the token syntax used here), so the gate's oracle is
+    * the same expression by construction, not by careful transcription.
+    */
+  private[graft] def zInterleaveSql(b1: String, b2: String): String =
+    (0 until 16).map { i =>
+      s"((($b1 >> $i) & 1) << ${2 * i}) | ((($b2 >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  /** Z-order (Morton) layout key over two integer columns — the
+    * data-layout step a 100 TB lake runs so that files are selective on
+    * BOTH filter columns at once (Delta's OPTIMIZE ZORDER, Iceberg's
+    * sort orders): each column min-max-bins to 16 bits with EXACT
+    * integer arithmetic (`(v − min)·65535 / (max − min)`, integer
+    * division — portable across engines, no doubles anywhere), and the
+    * bins' bits interleave into one 32-bit Morton key. Sorting or
+    * range-partitioning by `z` clusters rows so every file's min/max
+    * footer spans a narrow range of BOTH columns — parquet row-group
+    * pruning then skips on either predicate, where a lexicographic
+    * sort leaves the second column full-range in every file
+    * (BucketingSpec-style locality proven in RelationalSpec).
+    *
+    * Scale shape: one tiny global min/max agg broadcast back (the
+    * corpus never shuffles for the KEY; the layout write itself range-
+    * partitions by z — that shuffle IS the product). Constant columns
+    * bin to 0. Appends that shift min/max re-bin only on the next
+    * compaction, like every z-ordered table maintenance story.
+    */
+  def zorderKey(df: DataFrame, col1: String, col2: String): DataFrame = {
+    val base = df.withColumn("__c1", q(col1).cast("long"))
+      .withColumn("__c2", q(col2).cast("long"))
+    val stats = base.agg(
+      min(col("__c1")).as("__min1"), max(col("__c1")).as("__max1"),
+      min(col("__c2")).as("__min2"), max(col("__c2")).as("__max2"))
+    // floor(double-div) instead of integer div: Spark's `/` and
+    // DuckDB's `/` both promote to double, and at these magnitudes
+    // (numerator < 2^53, rational gap to any integer >= 1/range >>
+    // double ulp) the floor is exact and engine-identical
+    def bin(c: Column, lo: Column, hi: Column): Column =
+      when(hi > lo, floor((c - lo) * 65535L / (hi - lo)).cast("long")).otherwise(0L)
+    base.crossJoin(broadcast(stats))
+      .withColumn("__b1", bin(col("__c1"), col("__min1"), col("__max1")))
+      .withColumn("__b2", bin(col("__c2"), col("__min2"), col("__max2")))
+      .withColumn("z", expr(zInterleaveSql("__b1", "__b2")).cast("long"))
+      .drop("__c1", "__c2", "__b1", "__b2", "__min1", "__max1", "__min2", "__max2")
+  }
+
+  /** Re-layout a frame by its Morton key: range-partition into
+    * `numFiles` buckets and sort within each — written out, every file
+    * covers a compact rectangle of the (col1, col2) space. This is the
+    * write-side product; [[zorderKey]] is the testable key.
+    */
+  def zorderBy(df: DataFrame, col1: String, col2: String,
+      numFiles: Int = 16): DataFrame =
+    zorderKey(df, col1, col2)
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+
+  /** q31: gate binding of [[zorderKey]] over lineitem's
+    * (l_partkey, l_suppkey) — the two-predicate scan-pruning case.
+    * Fully SQL-oracled: bins are exact integer arithmetic and the
+    * interleave SQL string is SHARED with the oracle by construction.
+    */
+  def q31ZorderKey(s: SparkSession, dir: String): DataFrame =
+    zorderKey(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Exact linear-interpolated quantiles per group — the precise twin
     * of q18's sketch percentiles, for when the number matters (SLA
     * cutoffs, contract thresholds, reward-model calibration splits):

@@ -167,6 +167,37 @@ class RelationalSpec extends SparkSpec {
     assert(one.toSeq === Seq(7.0, 7.0, 7.0))
   }
 
+  test("zorderBy partitions cover compact rectangles of BOTH columns; lexicographic leaves col2 full-range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a full 256x256 uniform grid — every (x, y) cell once
+    val df = spark.range(0, 65536).select(
+      (col("id") / 256).cast("long").as("x"),
+      pmod(col("id"), lit(256)).as("y"))
+    def spans(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = laid.select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .collect()
+      (rows.map(_.getLong(1)).sum.toDouble / rows.length,
+        rows.map(_.getLong(2)).sum.toDouble / rows.length)
+    }
+    // 16 z-partitions over a 256x256 space = Morton quadrant blocks:
+    // BOTH spans sit near 64-128, far under the 255 full range
+    val (zx, zy) = spans(Relational.zorderBy(df, "x", "y", numFiles = 16))
+    info(s"z-order spans: x $zx, y $zy")
+    assert(zx <= 130 && zy <= 130, s"z-order spans x=$zx y=$zy")
+    // the lexicographic layout prunes x but leaves y full-range in
+    // EVERY file — the failure mode z-ordering exists to fix
+    val lex = df.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+    val (lx, ly) = spans(lex)
+    info(s"lexicographic spans: x $lx, y $ly")
+    assert(lx <= 32, s"lex x span $lx")
+    assert(ly >= 200, s"lex y span $ly — expected full-range")
+    // and the key itself is a pure projection: no data moved to make it
+    assert(Relational.zorderKey(df, "x", "y").count() === 65536L)
+  }
+
   test("fkIntegrity counts orphans, null keys, and distinct keys exactly") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(3L), None, None)
