@@ -53,6 +53,7 @@ object SparkEntry {
     "q29_salted_skew_join" -> (Relational.q29SaltedSkewJoin _),
     "q30_group_quantiles" -> (Relational.q30GroupQuantiles _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
+    "q32_sketch_state" -> (Relational.q32SketchState _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),

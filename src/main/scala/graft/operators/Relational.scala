@@ -821,6 +821,47 @@ object Relational {
       on = "user_id", salt = 8)
       .orderBy("event_id")
 
+  /** Mergeable distinct-count sketch STATE tables (Apache DataSketches
+    * HLL via Spark's own `hll_sketch_agg` family) — the incremental-
+    * analytics pattern q18's one-shot sketches can't serve: persist one
+    * fixed-size sketch per (group, partition-unit) — e.g. per day — and
+    * answer any coarser rollup later by UNIONING states, never
+    * re-touching the raw data. At 100 TB this is the only viable
+    * "distinct users last N days" architecture: the daily build is one
+    * mergeable agg over the day's partition, the serving query unions a
+    * few KB of state per day.
+    */
+  def sketchStates(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(q): _*)
+      .agg(hll_sketch_agg(q(valueCol)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll persisted sketch states up to `keepCols`: union the sketches,
+    * estimate, sum the exact row counts. State-in, answer-out — the raw
+    * data is never touched.
+    */
+  def sketchRollup(states: DataFrame, keepCols: Seq[String]): DataFrame =
+    states.groupBy(keepCols.map(q): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"),
+        sum(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_states"))
+
+  /** q32: gate binding — daily per-event-type HLL states over events,
+    * rolled up to per-type distinct-user estimates purely from state.
+    * rows-only oracle (sketch binaries and the HIP estimator are
+    * engine-local); RelationalSpec bounds the estimate against exact
+    * distinct counts and pins state-rollup vs direct-sketch agreement
+    * and partition independence.
+    */
+  def q32SketchState(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("day", (col("ts") / lit(86400L * 1000000000L)).cast("long"))
+    sketchRollup(sketchStates(e, Seq("event_type", "day"), "user_id"),
+      Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** The 32-term bit-interleave `z = Σ_i ((b1>>i)&1)<<2i | ((b2>>i)&1)<<(2i+1)`
     * as a SQL string — ONE generator serves both engines (Spark SQL and
     * DuckDB share the token syntax used here), so the gate's oracle is

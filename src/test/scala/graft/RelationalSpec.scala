@@ -198,6 +198,43 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.zorderKey(df, "x", "y").count() === 65536L)
   }
 
+  test("HLL sketch states roll up to accurate estimates without re-touching data") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val states = Relational.sketchStates(
+      e.withColumn("day", (col("ts") / lit(86400L * 1000000000L)).cast("long")),
+      Seq("event_type", "day"), "user_id")
+    val rolled = Relational.sketchRollup(states, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet === exact.keySet)
+    // HLL lgK default 12: rsd ~1.6%; allow 5% + slack at tiny counts
+    for ((k, d) <- exact)
+      assert(math.abs(rolled(k) - d) <= math.max(2.0, 0.05 * d),
+        s"$k: est ${rolled(k)} vs exact $d")
+    // state-table row count: one state per (event_type, day)
+    assert(states.count() ===
+      e.select(col("event_type"), (col("ts") / lit(86400L * 1000000000L)).cast("long"))
+        .distinct().count())
+    // rollup-from-state tracks the direct single-shot sketch closely
+    // (the HIP estimator is not merge-invariant, so allow a small gap)
+    val direct = Relational.sketchStates(e, Seq("event_type"), "user_id")
+    val directEst = Relational.sketchRollup(direct, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, d) <- directEst)
+      assert(math.abs(rolled(k) - d) <= math.max(2.0, 0.05 * d),
+        s"$k: rolled ${rolled(k)} vs direct $d")
+    // partitioning cannot change the state table's estimates
+    val re = Relational.sketchRollup(
+      Relational.sketchStates(
+        e.repartition(13).withColumn("day", (col("ts") / lit(86400L * 1000000000L)).cast("long")),
+        Seq("event_type", "day"), "user_id"),
+      Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re === rolled)
+  }
+
   test("fkIntegrity counts orphans, null keys, and distinct keys exactly") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(3L), None, None)
