@@ -837,6 +837,19 @@ object Relational {
       .agg(hll_sketch_agg(q(valueCol)).as("sketch"),
         count(lit(1)).as("n_rows"))
 
+  /** Compact a (possibly duplicated-key) sketch state table back to one
+    * row per key — the maintenance step of the incremental loop: each
+    * arriving batch APPENDS its own states (`sketchStates` on the
+    * batch, a map-only union), and compaction merges same-key sketches
+    * with `hll_union_agg`, exactly the d12 LSM append+compact shape but
+    * for aggregate state instead of signatures. StreamingSpec proves
+    * the per-micro-batch deployment equals the sequential batch fold.
+    */
+  def sketchCompact(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.groupBy(keyCols.map(q): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Roll persisted sketch states up to `keepCols`: union the sketches,
     * estimate, sum the exact row counts. State-in, answer-out — the raw
     * data is never touched.

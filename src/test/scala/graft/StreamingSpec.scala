@@ -503,4 +503,60 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.toSet === Set((11L, 1L), (20L, 10L), (30L, 10L), (30L, 20L)))
     } finally q.stop()
   }
+
+  test("streaming sketch-state maintenance: append + compact per micro-batch equals the sequential fold") {
+    // the q32 incremental-analytics loop on a stream: each micro-batch
+    // builds its OWN daily HLL states (map-side, fixed-size), appends
+    // them to the maintained state table, and compaction re-unions
+    // same-key sketches — raw events are never kept. The maintained
+    // table must equal folding the same batches sequentially through
+    // the batch operators, and its rollup must stay within HLL error
+    // of the exact distinct over everything seen.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    val batches = Seq(
+      (0L until 40L).map(i => ("click", i % 7, i)),       // day 0-6
+      (0L until 40L).map(i => ("click", i % 5, i + 20)),  // overlaps users
+      (0L until 30L).map(i => ("view", i % 3, i)))
+    def states(rows: Seq[(String, Long, Long)]) =
+      Relational.sketchStates(
+        rows.toDF("event_type", "day", "user_id"),
+        Seq("event_type", "day"), "user_id")
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long, Long)]
+    val q = input.toDF().toDF("event_type", "day", "user_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          val appended =
+            if (maintained == null) states(localized)
+            else maintained.unionByName(states(localized))
+          maintained = Relational.sketchCompact(appended, Seq("event_type", "day"))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+      // identical sequential fold through the batch operators
+      val ref = batches.tail.foldLeft(states(batches.head)) { (acc, b) =>
+        Relational.sketchCompact(acc.unionByName(states(b)), Seq("event_type", "day"))
+      }
+      def rolled(st: org.apache.spark.sql.DataFrame) =
+        Relational.sketchRollup(st, Seq("event_type")).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val got = rolled(maintained)
+      assert(got === rolled(ref))
+      // accuracy vs the exact distincts over everything streamed
+      val all = batches.flatten
+      val exact = all.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).distinct.size }
+      for ((k, d) <- exact)
+        assert(math.abs(got(k)._1 - d) <= math.max(2.0, 0.05 * d),
+          s"$k: est ${got(k)._1} vs exact $d")
+      // n_rows are exact longs and must survive the compactions
+      assert(got.view.mapValues(_._2).toMap ===
+        all.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+    } finally q.stop()
+  }
 }
