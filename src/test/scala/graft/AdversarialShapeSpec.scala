@@ -147,4 +147,22 @@ class AdversarialShapeSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
     }
   }
+
+  test("d14 line dedup: a corpus where EVERY doc shares EVERY line stays linear") {
+    import graft.operators.Dedup
+    // 5,000 docs, all with the same 3 lines: the firsts table collapses
+    // to 3 rows, the join back is 15k probe rows against 3 build rows
+    // (a broadcast at any scale), and keep-first must pick exactly doc
+    // 0's lines — one doc keeps everything, 4,999 keep nothing, no
+    // quadratic anywhere
+    val lines = (0L until 5000L).flatMap(d =>
+      Seq((d, 0L, "cookie banner"), (d, 1L, "nav bar"), (d, 2L, "license header")))
+      .toDF("doc_id", "line_no", "line")
+    val out = Dedup.lineDedup(lines).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out.size === 5000)
+    assert(out(0L) === ((3L, 3L, "cookie banner nav bar license header")))
+    assert(out.count { case (d, (_, kept, _)) => d > 0L && kept == 0L } === 4999)
+    assert(out.forall(_._2._1 == 3L))
+  }
 }
