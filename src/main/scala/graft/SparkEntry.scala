@@ -54,6 +54,7 @@ object SparkEntry {
     "q30_group_quantiles" -> (Relational.q30GroupQuantiles _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
+    "q33_agg_state" -> (Relational.q33AggState _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -933,6 +934,23 @@ object SparkEntry {
         |    ELSE 0.0 END AS value_minmax
         |FROM q JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // the state detour must be invisible: the oracle aggregates the
+    // raw rows directly (decimal fold, double cast, same mean
+    // expression) — lossless mergeability is the thing under test
+    "q33_agg_state" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
+        |), a AS (
+        |  SELECT event_type, COUNT(*) AS n_rows,
+        |    CAST(SUM(v) AS DOUBLE) AS sum_v,
+        |    CAST(MIN(v) AS DOUBLE) AS min_v,
+        |    CAST(MAX(v) AS DOUBLE) AS max_v
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT event_type, n_rows, sum_v, min_v, max_v,
+        |  round(sum_v / n_rows, 6) AS avg_v
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // the 32-term interleave is the SAME generated string on both
     // sides (Relational.zInterleaveSql); bins are floor(double-div) —

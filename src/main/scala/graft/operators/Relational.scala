@@ -821,6 +821,60 @@ object Relational {
       on = "user_id", salt = 8)
       .orderBy("event_id")
 
+  /** EXACT mergeable aggregate state — the non-sketch twin of
+    * [[sketchStates]] for the aggregates that merge losslessly
+    * (count / sum / min / max): one state row per (group, unit),
+    * values folded as exact decimals. Any coarser rollup — including
+    * averages, which are NOT mergeable directly but derive from
+    * sum/count — answers from state alone; appends compact by
+    * re-aggregation ([[aggCompact]]), the same maintenance loop shape.
+    * This is materialized-view maintenance done as plain tables: daily
+    * partial aggregates at ingest, serving queries that never touch
+    * raw data.
+    */
+  def aggStates(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(q): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(q(valueCol).cast(D)).as("sum_v"),
+        min(q(valueCol).cast(D)).as("min_v"),
+        max(q(valueCol).cast(D)).as("max_v"))
+
+  /** Merge same-key state rows after an append (sums add, extrema
+    * fold) — exact at any depth of re-compaction.
+    */
+  def aggCompact(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.groupBy(keyCols.map(q): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** Roll state up to `keepCols` and serve the derived aggregates —
+    * including the mean, computed from the EXACT decimal sum at serve
+    * time (the reason avg itself never needs to be state).
+    */
+  def aggRollup(states: DataFrame, keepCols: Seq[String]): DataFrame =
+    states.groupBy(keepCols.map(q): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_v")).cast("double").as("sum_v"),
+        min(col("min_v")).cast("double").as("min_v"),
+        max(col("max_v")).cast("double").as("max_v"))
+      .withColumn("avg_v", round(col("sum_v") / col("n_rows"), 6))
+
+  /** q33: gate binding — daily per-event-type exact states over
+    * events, rolled up to per-type totals purely from state. Fully
+    * SQL-oracled: the state detour must be INVISIBLE — the oracle
+    * computes the same aggregates directly from the raw rows (decimal
+    * fold, double cast, identical mean expression), so the gate pins
+    * lossless mergeability end to end.
+    */
+  def q33AggState(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("day", (col("ts") / lit(86400L * 1000000000L)).cast("long"))
+    aggRollup(aggStates(e, Seq("event_type", "day"), "value"),
+      Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Mergeable distinct-count sketch STATE tables (Apache DataSketches
     * HLL via Spark's own `hll_sketch_agg` family) — the incremental-
     * analytics pattern q18's one-shot sketches can't serve: persist one

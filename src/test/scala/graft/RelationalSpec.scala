@@ -198,6 +198,35 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.zorderKey(df, "x", "y").count() === 65536L)
   }
 
+  test("exact agg states: append + compact at any depth equals the direct aggregate bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val batches = (0 until 4).map(_ =>
+      (0 until 500).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(10).toLong, rnd.nextDouble() * 100)))
+    def states(rows: Seq[(String, Long, Double)]) =
+      Relational.aggStates(rows.toDF("g", "day", "v"), Seq("g", "day"), "v")
+    // fold: append each batch's states, compact after every append
+    val folded = batches.tail.foldLeft(states(batches.head)) { (acc, b) =>
+      Relational.aggCompact(acc.unionByName(states(b)), Seq("g", "day"))
+    }
+    val fromState = Relational.aggRollup(folded, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // direct single-shot aggregation of everything
+    val direct = Relational.aggRollup(
+      Relational.aggStates(batches.flatten.toDF("g", "day", "v"), Seq("g", "day"), "v"),
+      Seq("g"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(fromState === direct)
+    // and the serve-time mean really is the exact mean
+    val exactAvg = batches.flatten.groupBy(_._1).map { case (g, rs) =>
+      g -> BigDecimal(rs.map(t => BigDecimal(t._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / rs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((g, want) <- exactAvg)
+      assert(fromState(g).last === want, s"$g: ${fromState(g).last} vs $want")
+  }
+
   test("HLL sketch states roll up to accurate estimates without re-touching data") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, sf)
