@@ -98,6 +98,7 @@ object SparkEntry {
     // demotion, and the lambda = 1 pure-relevance identity
     "s09_mmr_rerank" -> (Similarity.s09MmrRerank _),
     "s10_ann_sq8" -> (ProductQuantization.s10AnnSq8 _),
+    "s11_ann_ivfsq8" -> (ProductQuantization.s11AnnIvfSq8 _),
     "t18_entropy_stats" -> (Text.t18EntropyStats _),
     // rows-only (an exact SQL knn oracle would be the all-pairs cross
     // join the operator exists to avoid); SimilaritySpec holds recall

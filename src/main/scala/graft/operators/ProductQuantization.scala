@@ -485,4 +485,82 @@ object ProductQuantization {
       withUnit(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding"),
       K, Shortlist)
   }
+
+  // ----- IVF-SQ8 (s11): coarse cells + int8 codes -----
+
+  /** IVF-SQ8 code store: unit corpus multi-assigned to coarse cells
+    * (the s03/s06 assignment), each copy carrying its GLOBAL-scale SQ8
+    * bytes — no residual, no LUT, nothing trained beyond the coarse
+    * codebook (SQ8's fixed unit-sphere scale, see [[sq8Encode]]).
+    * `(cell, vec_id, codes)`; the hot scan reads one byte per
+    * dimension in probed cells only.
+    */
+  def ivfSq8Encode(emb: DataFrame, coarse: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      replicas: Int = AssignReplicas): DataFrame = {
+    val s = emb.sparkSession
+    val u = withUnit(emb, idCol, vecCol)
+    Similarity.assignCells(
+        u.select(col("vec_id"), col("unit").as("embedding")),
+        coarse.select(col("cell"), col("centroid").as("seed_emb")), replicas)
+      .select(col("vec_id"), col("cell"),
+        Sq8Encode.encode(s, col("embedding")).as("codes"))
+  }
+
+  /** Probed-cell SQ8 scan -> shortlist -> exact rescore: queries keep
+    * full float precision against the int8 cell stores (asymmetric),
+    * so the only approximations are the cell pruning (recall-bounded
+    * by numProbes, the s03 story) and the sqrt(dim)/254 quantization
+    * error (erased by the rescore, the s10 story). Combines the two
+    * independent scan reductions: touch only probed cells AND read 4x
+    * fewer bytes per touched row.
+    */
+  private def ivfSq8TopK(corpus: DataFrame, encoded: DataFrame, q: DataFrame,
+      coarse: DataFrame, k: Int, numProbes: Int, shortlist: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val pw = Window.partitionBy("q_id").orderBy(col("c").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(coarse))
+      .select(col("vec_id").as("q_id"), col("embedding"), col("unit"), col("cell"),
+        CosineSimilarity.cosine(s, col("unit"), col("centroid")).as("c"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= numProbes)
+    val cand = encoded
+      .join(broadcast(probed.select(col("q_id"), col("cell"), col("unit"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (-Sq8Dot.dot(s, col("codes"), col("unit"))).as("adist"))
+      // multi-assignment: a pair met in several probed cells scores
+      // identically (global-scale codes) — min dedups
+      .groupBy("q_id", "n_id").agg(min(col("adist")).as("adist"))
+    shortlistRescore(corpus, cand,
+      probed.groupBy("q_id").agg(any_value(col("embedding")).as("q_emb")),
+      k, shortlist)
+  }
+
+  /** Library form: IVF-SQ8 ANN with a caller-trained coarse codebook
+    * ([[Similarity.trainIvfCodebook]] output). */
+  def annIvfSq8(emb: DataFrame, queries: DataFrame, coarse: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding", k: Int = K,
+      numProbes: Int = NumProbes, shortlist: Int = Shortlist): DataFrame =
+    ivfSq8TopK(Similarity.normalized(emb, idCol, vecCol),
+      ivfSq8Encode(emb, coarse, idCol, vecCol),
+      withUnit(queries, idCol, vecCol), coarse, k, numProbes, shortlist)
+
+  /** s11: gate binding — SHARES s06's session-cached coarse codebook
+    * (same geometry, trained once per session) plus its own cached SQ8
+    * cell store; queries vec_id < 10. rows-only oracle; SimilaritySpec
+    * holds recall vs exact s01 and the exact-cosine rescore.
+    */
+  def s11AnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = SharedIndex(s, dir, "ivfpq_coarse") {
+      Similarity.trainIvfCodebook(unitVectors(e), numCells = NumCells)
+    }
+    val encoded = SharedIndex(s, dir, "ivfsq8_codes") {
+      ivfSq8Encode(e, coarse)
+    }
+    ivfSq8TopK(Similarity.normalized(e, "vec_id", "embedding"), encoded,
+      withUnit(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding"),
+      coarse, K, NumProbes, Shortlist)
+  }
 }

@@ -234,6 +234,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(3) - 1.0) < 1e-6)
   }
 
+  test("s11 IVF-SQ8 gate keeps recall and exact rescored cosines vs s01") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivfsq = ProductQuantization.s11AnnIvfSq8(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(ivfsq.nonEmpty)
+    val recall = exact.keySet.count(k => ivfsq.exists(_._1 == k)).toDouble / exact.size
+    info(s"s11 IVF-SQ8 recall vs s01: $recall")
+    // cell pruning bounds recall like s03 (~0.9 at this geometry); the
+    // SQ8 error inside probed cells is erased by the rescore
+    assert(recall >= 0.7, s"recall $recall")
+    ivfsq.filter { case (k, _) => exact.contains(k) }
+      .foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-9, s"$k") }
+  }
+
   test("PQ on the clustered corpus: trained codebook recalls cluster neighbors") {
     val (emb, queries) = clusteredCorpus
     val codebook = ProductQuantization.trainPqCodebook(emb, m = 4, kCodes = 16)
