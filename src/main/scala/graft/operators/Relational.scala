@@ -880,7 +880,9 @@ object Relational {
     * analytics pattern q18's one-shot sketches can't serve: persist one
     * fixed-size sketch per (group, partition-unit) — e.g. per day — and
     * answer any coarser rollup later by UNIONING states, never
-    * re-touching the raw data. At 100 TB this is the only viable
+    * re-touching the raw data. `valueCol` must be int/bigint/string/
+    * binary (Spark's `hll_sketch_agg` contract) — cast a double id
+    * column to string first if its distinct VALUES are what you count. At 100 TB this is the only viable
     * "distinct users last N days" architecture: the daily build is one
     * mergeable agg over the day's partition, the serving query unions a
     * few KB of state per day.

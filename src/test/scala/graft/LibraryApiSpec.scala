@@ -135,6 +135,37 @@ class LibraryApiSpec extends SparkSpec {
     assert(row.getLong(1) === 2L && row.getLong(4) === 1L)
   }
 
+  test("r10 relational additions accept column names needing backticks") {
+    import graft.operators.{Dedup, Relational}
+    val vals = Seq(("g1", 1L, 1.0), ("g1", 1L, 2.0), ("g1", 2L, 3.0),
+      ("g2", 1L, 5.0)).toDF("the group", "a.day", "select")
+    // exact quantiles over odd names
+    val qn = Relational.exactQuantiles(vals, "the group", "select", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(qn === Map("g1" -> 2.0, "g2" -> 5.0))
+    // agg + sketch state over odd names
+    val ag = Relational.aggRollup(
+      Relational.aggStates(vals, Seq("the group", "a.day"), "select"),
+      Seq("the group")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ag === Map("g1" -> 3L, "g2" -> 1L))
+    // sketch value must be int/bigint/string/binary (hll_sketch_agg's
+    // contract) — distinct DAYS per group here
+    val sk = Relational.sketchRollup(
+      Relational.sketchStates(vals, Seq("the group"), "a.day"),
+      Seq("the group")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk("g1") === 2L && sk("g2") === 1L)
+    // z-order keys over odd names (long-castable cols)
+    val zk = Relational.zorderKey(
+      Seq((0L, 0L), (255L, 255L)).toDF("x col", "y.col"), "x col", "y.col")
+    assert(zk.columns.contains("z") && zk.count() === 2L)
+    // line dedup over odd names
+    val ld = Dedup.lineDedup(
+      Seq((1L, 0L, "dup"), (2L, 0L, "dup")).toDF("doc id", "pos.no", "the line"),
+      "doc id", "pos.no", "the line")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ld === Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {
     import graft.operators.Relational
     // the scale recipe from bpeTrain's scaladoc: train the merge table
