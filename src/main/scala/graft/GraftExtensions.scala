@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomSketch, CosineSimilarity, Fingerprint, HyperplaneBuckets, L2Squared, NfcNormalize, PqAdc, PqEncode, SimHash, UnitVector, WinnowPrints, WordShingles}
+import graft.functions.{BloomSketch, CosineSimilarity, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -64,6 +64,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowPrints].getName, "graft_winnow"),
       WinnowPrints.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_round"),
+      new ExpressionInfo(classOf[FastRound].getName, "graft_round"),
+      FastRound.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
+      (children: Seq[Expression]) => MinHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_encode"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, "graft_sq8_encode"),
+      Sq8Encode.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_dot"),
+      new ExpressionInfo(classOf[Sq8Dot].getName, "graft_sq8_dot"),
+      Sq8Dot.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[ShannonEntropy].getName, "graft_entropy"),
+      ShannonEntropy.builder))
+    // graft_lm_score_<key> / graft_bpe_encode_<key> are deliberately
+    // NOT injected here: they are content-keyed on a driver-held model
+    // (LmModel / BpeModel) and only exist bound to one, via their
+    // Column-API entry points.
     // Spark's own runtime-filter bloom sketch surfaced for SQL users:
     // graft_bloom_agg(xxhash64(v), items, bits) builds the filter,
     // graft_might_contain((SELECT bloom FROM b), xxhash64(v)) probes it

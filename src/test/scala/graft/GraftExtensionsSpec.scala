@@ -60,6 +60,17 @@ class GraftExtensionsSpec extends SparkSpec {
         |  g -> CAST(conv(substr(md5(CAST(g AS BINARY)), 1, 8), 16, 10) AS BIGINT))""".stripMargin)
       .collect().head.getSeq[Long](0)
     assert(wn === Seq(gramHashes.min))
+    // r10 injections: fast round, minhash signature, SQ8 pair, entropy
+    val rr = derived.sql("SELECT graft_round(CAST(1.2345675 AS DOUBLE), 6)").collect().head.getDouble(0)
+    assert(rr === 1.234568)
+    val mh = derived.sql("SELECT graft_minhash64(array('a b c'))").collect().head.getSeq[Long](0)
+    assert(mh.length === 64)
+    val sq = derived.sql(
+      "SELECT graft_sq8_dot(graft_sq8_encode(graft_unit(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))), graft_unit(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))))")
+      .collect().head.getDouble(0)
+    assert(math.abs(sq - 1.0) < 0.01, sq.toString)
+    val ent = derived.sql("SELECT graft_entropy(array('a','b','a','b'))").collect().head.getDouble(0)
+    assert(ent === 1.0)
   }
 
   test("wrong-arity SQL calls fail with a clear argument-count message") {
