@@ -99,6 +99,7 @@ object SparkEntry {
     "s09_mmr_rerank" -> (Similarity.s09MmrRerank _),
     "s10_ann_sq8" -> (ProductQuantization.s10AnnSq8 _),
     "s11_ann_ivfsq8" -> (ProductQuantization.s11AnnIvfSq8 _),
+    "s12_ann_filtered" -> (Similarity.s12AnnFiltered _),
     "t18_entropy_stats" -> (Text.t18EntropyStats _),
     // rows-only (an exact SQL knn oracle would be the all-pairs cross
     // join the operator exists to avoid); SimilaritySpec holds recall
@@ -613,6 +614,26 @@ object SparkEntry {
     // seeds / hyperplanes / cell seeds are engine-local, so no portable
     // SQL oracle exists; ScalaTest (DedupSpec/SimilaritySpec) checks
     // recall instead.
+    // the s01 oracle with the metadata predicate on the corpus side —
+    // the filter must be EXACT in the result, not approximate
+    "s12_ann_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings
+        |), q AS (SELECT * FROM e WHERE vec_id < 10),
+        |c AS (SELECT e.* FROM e JOIN embeddings USING (vec_id) WHERE label % 2 = 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_reduce(list_transform(list_zip(q.emb, b.emb), p -> p[1] * p[2]), (acc, v) -> acc + v) / (q.nrm * b.nrm) AS cosine
+        |  FROM q JOIN c b ON q.vec_id <> b.vec_id
+        |)
+        |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT q_id, n_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rank
+        |  FROM pairs
+        |) WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     "s01_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb,

@@ -212,6 +212,51 @@ object Similarity {
       codebook.select(Cols.q(cellCol).as("cell"), Cols.q(centroidCol).as("seed_emb")),
       k, numProbes, assignReplicas)
 
+  /** Predicate-constrained (filtered) vector search, exact form:
+    * brute-force cosine top-k over the subset of the corpus satisfying
+    * `predicate` — retrieval with a metadata filter ("nearest docs
+    * FROM THIS SOURCE / LICENSE / LANGUAGE"), the ubiquitous serving
+    * constraint plain ANN ignores. Exact and fully oracle-able; the
+    * correctness baseline [[annIvfFiltered]] is measured against.
+    */
+  def annFiltered(emb: DataFrame, queries: DataFrame,
+      predicate: org.apache.spark.sql.Column, k: Int = K,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    annBruteforce(emb.filter(predicate), queries, idCol, vecCol, k)
+
+  /** Filtered ANN, the scale path: the SHARED (unfiltered) IVF index
+    * is probed as usual, and the predicate intersects the probed
+    * cells' candidates as an id-semi-join BEFORE any rescoring — the
+    * posting-list-intersection shape of every filtered-search engine.
+    * The index is NEVER rebuilt per predicate (that would make
+    * filters unusable operationally); the price is recall under very
+    * selective filters — the query's nearest SURVIVING neighbors may
+    * sit in unprobed cells, so callers raise `numProbes` as filters
+    * get sharper (the standard over-probing rule; SimilaritySpec
+    * measures recall vs [[annFiltered]] and pins that every returned
+    * neighbor satisfies the predicate).
+    */
+  def annIvfFiltered(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      idCol: String = "vec_id", vecCol: String = "embedding", k: Int = K,
+      numProbes: Int = NumProbes, assignReplicas: Int = AssignReplicas): DataFrame = {
+    val e = normalized(emb, idCol, vecCol)
+    val allowed = emb.filter(predicate).select(Cols.q(idCol).as("vec_id"))
+    val seeds = codebook.select(col("cell"), col("centroid").as("seed_emb"))
+    val assigned = assignCells(e, seeds, assignReplicas)
+      .join(allowed, Seq("vec_id"), "left_semi")
+    ivfTopK(assigned, probes(normalized(queries, idCol, vecCol), seeds, numProbes), k)
+  }
+
+  /** s12: gate binding of exact [[annFiltered]] — queries vec_id < 10
+    * against the even-label half of the corpus. Fully SQL-oracled (the
+    * s01 oracle with the predicate on the corpus side).
+    */
+  def s12AnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    annFiltered(e, e.filter(col("vec_id") < NumQueries), col("label") % 2 === 0)
+  }
+
   /** Train an IVF coarse quantizer: hash-sampled init ([[ivfSeeds]])
     * refined by `iterations` Lloyd rounds — assign every vector to its
     * nearest centroid (cosine), recompute each cell's centroid as the

@@ -234,6 +234,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(3) - 1.0) < 1e-6)
   }
 
+  test("filtered ANN: every neighbor satisfies the predicate, IVF path holds recall, over-probing helps") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val pred = col("label") % 2 === 0
+    val evenIds = e.filter(pred).collect().map(_.getLong(0)).toSet
+    // exact form: the s12 gate — ONLY even-label neighbors, k per query
+    val exact = Similarity.annFiltered(e, q, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty && exact.forall { case (_, n) => evenIds.contains(n) })
+    // IVF path over the SHARED (unfiltered) index: predicate respected
+    // exactly, recall measured vs the exact filtered baseline
+    val coarse = Similarity.trainIvfCodebook(e)
+    def ivfAt(probes: Int) = Similarity.annIvfFiltered(e, q, coarse, pred,
+        numProbes = probes)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = ivfAt(12)
+    assert(ivf.forall { case (_, n) => evenIds.contains(n) })
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    info(s"filtered IVF recall vs exact filtered: $recall")
+    assert(recall >= 0.7, s"recall $recall")
+    // the over-probing rule: more probes can only widen the candidate
+    // set — recall at 32 probes covers everything the index can reach
+    val wide = ivfAt(32)
+    val wideRecall = exact.count(wide.contains).toDouble / exact.size
+    info(s"filtered IVF recall at 32 probes: $wideRecall")
+    assert(wideRecall >= recall)
+    assert(wideRecall >= 0.95, s"wide recall $wideRecall")
+  }
+
   test("s11 IVF-SQ8 gate keeps recall and exact rescored cosines vs s01") {
     val exact = Similarity.s01AnnBruteforce(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
