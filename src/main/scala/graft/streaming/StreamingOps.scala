@@ -329,4 +329,37 @@ object StreamingOps {
   def normalizeGate(rows: DataFrame, stats: DataFrame, idCol: String,
       groupCol: String, valueCol: String): DataFrame =
     graft.operators.Relational.applyNormalization(rows, stats, idCol, groupCol, valueCol)
+
+  /** TRUE stream-stream interval join — both sides unbounded (the
+    * stateful capability [[rangeCountAttribution]]'s one-stream buffer
+    * deliberately avoids): every purchase pairs with every same-user
+    * touch inside `(purchase_ts − interval, purchase_ts]` — q17's
+    * interval semantics (exclusive lower, inclusive upper) as emitted
+    * PAIRS rather than counts, matching across micro-batch boundaries
+    * in either direction (a touch buffered now can join a purchase
+    * arriving later, and vice versa).
+    *
+    * State is Spark's own stream-stream join state, bounded by the
+    * watermark + the time-range condition: each side retains only rows
+    * the other side could still legally match (purchases up to
+    * watermark, touches up to watermark + interval) — the reason BOTH
+    * sides must be watermarked, and the reason this scales to
+    * unbounded inputs where a naive cache of either stream cannot.
+    * Append mode; a pair emits as soon as both rows have arrived.
+    *
+    * Expected columns per side: `(user_id, ts TIMESTAMP, event_id)`.
+    */
+  def intervalJoin(purchases: DataFrame, touches: DataFrame,
+      watermark: String = "30 minutes",
+      interval: String = "30 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    val t = touches.withWatermark("ts", watermark).alias("t")
+    p.join(t,
+        col("p.user_id") === col("t.user_id") &&
+          col("t.ts") <= col("p.ts") &&
+          col("t.ts") > col("p.ts") - expr(s"INTERVAL $interval"))
+      .select(col("p.event_id").as("purchase_id"),
+        col("p.user_id").as("user_id"),
+        col("t.event_id").as("touch_id"))
+  }
 }

@@ -559,4 +559,47 @@ class StreamingSpec extends SparkSpec {
         all.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs across micro-batch boundaries, equal to the batch join") {
+    implicit val ctx = spark.sqlContext
+    // base offset keeps every event ABOVE the query's initial
+    // watermark (epoch 0): an event AT the watermark is dropped as
+    // late on arrival — real deployments never sit at epoch 0, tests do
+    def ts(min: Long) = new java.sql.Timestamp((10000 + min) * 60000L)
+    // touches and purchases interleave across FORCED micro-batches:
+    // touch 100 (batch 1) must pair with purchase 200 (batch 2) — the
+    // buffered-left case — and purchase 201 (batch 2) with touch 103
+    // (batch 3) — the buffered-right case
+    val touchIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      purchIn.toDF().toDF("user_id", "ts", "event_id"),
+      touchIn.toDF().toDF("user_id", "ts", "event_id"),
+      watermark = "10 minutes", interval = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      touchIn.addData((1L, ts(0), 100L), (2L, ts(5), 101L))
+      q.processAllAvailable()
+      purchIn.addData((1L, ts(20), 200L), (1L, ts(90), 201L))
+      q.processAllAvailable()
+      touchIn.addData((1L, ts(80), 103L), (2L, ts(100), 104L))
+      purchIn.addData((2L, ts(6), 202L))
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      // batch reference: same condition over everything streamed
+      val allT = Seq((1L, 0L, 100L), (2L, 5L, 101L), (1L, 80L, 103L), (2L, 100L, 104L))
+      val allP = Seq((1L, 20L, 200L), (1L, 90L, 201L), (2L, 6L, 202L))
+      val want = (for {
+        (pu, pt, pid) <- allP
+        (tu, tt, tid) <- allT
+        if pu == tu && tt <= pt && tt > pt - 30
+      } yield (pid, tid)).toSet
+      assert(want === Set((200L, 100L), (201L, 103L), (202L, 101L)))
+      assert(got === want, s"got $got")
+      // both sides carry join state (the stream-stream signature)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
 }
