@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Text}
+import org.apache.spark.sql.functions._
+
+/** Randomized structural invariants for the round-10 operators — the
+  * properties that must hold on ANY input, checked on seeded random
+  * corpora (the saltedJoin/temporal-join discipline of
+  * TemporalJoinPropertiesSpec applied to the new surface).
+  */
+class OperatorPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rnd(seed: Int) = new scala.util.Random(seed)
+
+  test("lineDedup: every distinct line survives exactly once, corpus-wide, on random data") {
+    for (seed <- Seq(1, 7, 42)) {
+      val r = rnd(seed)
+      // small line alphabet forces heavy cross-doc repetition
+      val lines = (0L until 80L).flatMap(d =>
+        (0L until (1 + r.nextInt(6)).toLong).map(p => (d, p, s"line${r.nextInt(12)}")))
+      val df = lines.toDF("doc_id", "line_no", "line")
+      val out = Dedup.lineDedup(df).collect()
+      // mass conservation per doc
+      out.foreach(row =>
+        assert(row.getLong(1) === row.getLong(2) + row.getLong(3), row.toString))
+      // global uniqueness: total keeps == distinct lines in the corpus
+      val distinctLines = lines.map(_._3).distinct.size
+      assert(out.map(_.getLong(2)).sum === distinctLines.toLong, s"seed $seed")
+      // and the winner is the true (doc, pos)-minimal occurrence
+      val firsts = lines.groupBy(_._3).map { case (_, occ) => occ.minBy(t => (t._1, t._2)) }
+      val keptPerDoc = firsts.groupBy(_._1).map { case (d, f) => d -> f.size.toLong }
+      out.foreach(row =>
+        assert(row.getLong(2) === keptPerDoc.getOrElse(row.getLong(0), 0L), row.toString))
+    }
+  }
+
+  test("exactQuantiles: monotone in q, bounded by extrema, exact at q=0 and q=1, on random data") {
+    for (seed <- Seq(2, 9)) {
+      val r = rnd(seed)
+      val rows = (0 until 400).map(_ => (s"g${r.nextInt(4)}", math.rint(r.nextDouble() * 10000) / 100))
+      val df = rows.toDF("g", "v")
+      val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val out = Relational.exactQuantiles(df, "g", "v", qs).collect()
+        .map(row => (row.getString(0), row.getDouble(1)) -> row.getDouble(2)).toMap
+      val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      for ((g, vs) <- byG) {
+        // exact endpoints
+        assert(out((g, 0.0)) === vs.head, s"$g min")
+        assert(out((g, 1.0)) === vs.last, s"$g max")
+        // monotone and bounded
+        val series = qs.map(q => out((g, q)))
+        series.zip(series.tail).foreach { case (a, b) => assert(a <= b, s"$g: $series") }
+        series.foreach(v => assert(v >= vs.head && v <= vs.last, s"$g: $v"))
+      }
+    }
+  }
+
+  test("zorderKey: z in [0, 2^32), deterministic, and monotone on the leading quadrant") {
+    val r = rnd(5)
+    val rows = (0L until 500L).map(_ => (r.nextInt(100000).toLong, r.nextInt(100000).toLong))
+    val df = rows.toDF("x", "y")
+    val z1 = Relational.zorderKey(df, "x", "y").collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
+    z1.values.foreach(z => assert(z >= 0L && z < (1L << 32), z.toString))
+    // content-determinism under repartitioning
+    val z2 = Relational.zorderKey(df.repartition(7), "x", "y").collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
+    assert(z1 === z2)
+    // quadrant monotonicity: any point in the low-low quadrant of the
+    // binned space sorts before any point in the high-high quadrant
+    val (minX, maxX) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (minY, maxY) = (rows.map(_._2).min, rows.map(_._2).max)
+    def half(v: Long, lo: Long, hi: Long) = (v - lo).toDouble / (hi - lo) < 0.5
+    val lowLow = z1.filter { case ((x, y), _) => half(x, minX, maxX) && half(y, minY, maxY) }
+    val highHigh = z1.filter { case ((x, y), _) => !half(x, minX, maxX) && !half(y, minY, maxY) }
+    if (lowLow.nonEmpty && highHigh.nonEmpty)
+      assert(lowLow.values.max < highHigh.values.min,
+        s"${lowLow.values.max} !< ${highHigh.values.min}")
+  }
+
+  test("entropy: bounded by log2(distinct), zero iff constant, permutation-invariant") {
+    for (seed <- Seq(3, 11)) {
+      val r = rnd(seed)
+      val texts = (0L until 60L).map { i =>
+        val k = 1 + r.nextInt(6)
+        val toks = (0 until (5 + r.nextInt(40))).map(_ => s"w${r.nextInt(k)}")
+        (i, toks.mkString(" "), toks)
+      }
+      val out = Text.entropyStats(texts.map(t => (t._1, t._2)).toDF("doc_id", "text"))
+        .collect().map(row => row.getLong(0) -> row.getDouble(3)).toMap
+      for ((id, _, toks) <- texts) {
+        val h = out(id)
+        val distinct = toks.distinct.size
+        assert(h >= 0.0 && h <= math.log(distinct.toDouble) / math.log(2.0) + 1e-9,
+          s"doc $id: H=$h distinct=$distinct")
+        if (distinct == 1) assert(h === 0.0)
+      }
+      // permutation invariance: shuffled tokens, same entropy
+      val shuffled = texts.map(t => (t._1, r.shuffle(t._3).mkString(" ")))
+      val out2 = Text.entropyStats(shuffled.toDF("doc_id", "text"))
+        .collect().map(row => row.getLong(0) -> row.getDouble(3)).toMap
+      assert(out2 === out, s"seed $seed")
+    }
+  }
+
+  test("agg/sketch state: compaction order cannot change the rollup") {
+    val r = rnd(13)
+    val rows = (0 until 600).map(_ =>
+      (s"g${r.nextInt(3)}", r.nextInt(5).toLong, r.nextInt(1000).toLong))
+    val df = rows.toDF("g", "day", "v")
+    val batches = rows.grouped(150).toSeq
+    def fold(order: Seq[Seq[(String, Long, Long)]]) = {
+      val folded = order.map(b =>
+        Relational.aggStates(b.toDF("g", "day", "v"), Seq("g", "day"), "v"))
+        .reduce((a, b) => Relational.aggCompact(a.unionByName(b), Seq("g", "day")))
+      Relational.aggRollup(folded, Seq("g")).collect()
+        .map(row => row.getString(0) -> row.toSeq.tail).toMap
+    }
+    assert(fold(batches) === fold(batches.reverse))
+    assert(fold(batches) === fold(Seq(rows)))
+  }
+}
