@@ -578,10 +578,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Text.t18EntropyStats(spark, sf)) <= 1)
   }
 
-  test("q30 quantiles: one window exchange serves rank and count; targets broadcast") {
+  test("q30 quantiles: histogram agg + one distinct-value window; targets broadcast") {
     val df = Relational.q30GroupQuantiles(spark, sf)
-    // window sort + the tiny final agg + presentation sort
-    assert(shuffles(df) <= 3)
+    // mergeable (group, value) count agg + the distinct-value window +
+    // the tiny final agg + presentation sort — the window's input is
+    // the HISTOGRAM, never raw rows (the sf10 lesson)
+    assert(shuffles(df) <= 4)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
