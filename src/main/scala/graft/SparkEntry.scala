@@ -964,7 +964,7 @@ object SparkEntry {
       """WITH q AS (
         |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
         |), a AS (
-        |  SELECT event_type, COUNT(*) AS n_rows,
+        |  SELECT event_type, COUNT(v) AS n_rows,
         |    CAST(SUM(v) AS DOUBLE) AS sum_v,
         |    CAST(MIN(v) AS DOUBLE) AS min_v,
         |    CAST(MAX(v) AS DOUBLE) AS max_v

@@ -835,7 +835,10 @@ object Relational {
   def aggStates(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame =
     df.groupBy(groupCols.map(q): _*)
-      .agg(count(lit(1)).as("n_rows"),
+      // count the VALUE, not the row: sum/min/max skip NULLs, so the
+      // served mean must divide by the same population (SQL AVG
+      // convention) — counting rows here would silently deflate it
+      .agg(count(q(valueCol)).as("n_rows"),
         sum(q(valueCol).cast(D)).as("sum_v"),
         min(q(valueCol).cast(D)).as("min_v"),
         max(q(valueCol).cast(D)).as("max_v"))
@@ -1034,8 +1037,11 @@ object Relational {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
     require(qs.nonEmpty && qs.forall(x => x >= 0.0 && x <= 1.0),
       s"quantiles must be in [0,1], got $qs")
+    // SQL aggregate convention: NULL values carry no rank (a null
+    // would otherwise sort below every value and shift every quantile)
     val v = df.select(q(groupCol).as("group"),
       q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
     val counts = v.groupBy("group", "__v").agg(count(lit(1)).as("__c"))
     // both windows share the (group) hash partitioning — one exchange;
     // the ordering column is distinct per row, so RANGE/ROWS coincide

@@ -104,6 +104,34 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("null values follow the SQL aggregate convention in quantiles and agg state") {
+    val vals = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)))
+      .toDF("g", "v")
+    // median of {1, 3} is 2 — a null must NOT rank as the lowest value
+    val med = Relational.exactQuantiles(vals, "g", "v", Seq(0.5))
+      .collect().head.getDouble(2)
+    assert(med === 2.0, s"median $med")
+    // AVG over the non-null population: (1+3)/2, not (1+3)/3
+    val roll = Relational.aggRollup(
+      Relational.aggStates(vals, Seq("g"), "v"), Seq("g")).collect().head
+    assert(roll.getLong(1) === 2L && roll.getDouble(5) === 2.0, roll.toString)
+    // lineDedup: a null line never matches anything and is dropped —
+    // a doc of ONLY null lines drops with it (md5(null) joins nothing)
+    val ld = Dedup.lineDedup(
+      Seq((1L, 0L, "x"), (2L, 0L, null.asInstanceOf[String]))
+        .toDF("doc_id", "line_no", "line")).collect()
+    assert(ld.map(_.getLong(0)).toSeq === Seq(1L))
+    // entropy: null text yields null signals, empty text yields
+    // n_tokens 0 with null entropies — never a crash, never a 0.0
+    // masquerading as a real measurement
+    val ent = Text.entropyStats(
+      Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (3L, ""))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(ent(2L)._2.isEmpty && ent(3L)._2.isEmpty)
+    assert(ent(1L)._2.nonEmpty)
+  }
+
   test("agg/sketch state: compaction order cannot change the rollup") {
     val r = rnd(13)
     val rows = (0 until 600).map(_ =>
