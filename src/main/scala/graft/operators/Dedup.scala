@@ -1142,6 +1142,11 @@ object Dedup {
     * line) joins back by digest; the per-doc reassembly groups by
     * doc_id with a doc-bounded collect. Two aggregation shuffles plus
     * the join — all mergeable, no skewed window anywhere.
+    *
+    * NULL lines carry no content to deduplicate and are dropped (their
+    * digest joins nothing); a document consisting ONLY of null lines
+    * drops with them — spec-pinned, so callers with nullable line
+    * sources coalesce first if empty-doc rows must survive.
     */
   def lineDedup(lines: DataFrame, docCol: String = "doc_id",
       posCol: String = "line_no", lineCol: String = "line"): DataFrame = {
