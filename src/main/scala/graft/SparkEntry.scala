@@ -55,6 +55,10 @@ object SparkEntry {
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
     "q33_agg_state" -> (Relational.q33AggState _),
+    "q34_grouping_sets" -> (Relational.q34GroupingSets _),
+    "q35_gap_islands" -> (Relational.q35GapIslands _),
+    "q36_interval_merge" -> (Relational.q36IntervalMerge _),
+    "q37_weighted_sample" -> (Relational.q37WeightedSample _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -973,6 +977,82 @@ object SparkEntry {
         |SELECT event_type, n_rows, sum_v, min_v, max_v,
         |  round(sum_v / n_rows, 6) AS avg_v
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // explicit gid arithmetic (GROUPING(a)*2 + GROUPING(b)) and the
+    // '(all)' sentinel instead of NULL keys, so neither grouping-id
+    // bit conventions nor NULL sort order can diverge across engines
+    "q34_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, priority, status""".stripMargin,
+
+    // integer ns-to-day division and the tick − rank island id —
+    // exact longs end to end on both engines
+    "q35_gap_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island,
+        |    day
+        |  FROM d
+        |), r AS (
+        |  SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start
+        |  FROM runs GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_ticks,
+        |  COUNT(*) AS n_islands, MAX(len) AS longest_run,
+        |  MIN(start) AS first_tick
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // running-max-end island flags over exact ns longs; the cumulative
+    // flag sum casts to BIGINT (DuckDB widens window SUMs to HUGEINT)
+    "q36_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS start_ns,
+        |    epoch_ns(ts) + (event_id % 7 + 1) * 3600000000000 AS end_ns
+        |  FROM events
+        |), f AS (
+        |  SELECT *,
+        |    max(end_ns) OVER (PARTITION BY user_id ORDER BY start_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), g AS (
+        |  SELECT *, CAST(SUM(CASE WHEN pmax IS NULL OR start_ns > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY start_ns, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS merged_id
+        |  FROM f
+        |)
+        |SELECT user_id, merged_id, MIN(start_ns) AS start_ns,
+        |  MAX(end_ns) AS end_ns, COUNT(*) AS n_merged
+        |FROM g GROUP BY user_id, merged_id
+        |ORDER BY user_id, merged_id""".stripMargin,
+
+    // identical 48-bit md5-prefix u and the order-equivalent
+    // Efraimidis–Spirakis key w / −ln(u); ranks separate by ~12 orders
+    // of magnitude more than any libm ulp gap (see weightedSample)
+    "q37_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(greatest(n_chars, 1) AS DOUBLE) /
+        |      (-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT) + 0.5)
+        |        / 281474976710656.0)) AS wk
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, n_chars, wk,
+        |    row_number() OVER (PARTITION BY source ORDER BY wk DESC, doc_id) AS smp_rank
+        |  FROM k
+        |)
+        |SELECT source, doc_id, n_chars, round(wk, 2) AS wkey, smp_rank
+        |FROM r WHERE smp_rank <= 20
+        |ORDER BY source, smp_rank""".stripMargin,
 
     // the 32-term interleave is the SAME generated string on both
     // sides (Relational.zInterleaveSql); bins are floor(double-div) —

@@ -1306,4 +1306,171 @@ object Relational {
         lit("N").as("o_orderstatus"), col("o_totalprice"), lit("U").as("op"))
     cdcMerge(o, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"))
   }
+
+  /** Multi-granularity summary in ONE pass via GROUPING SETS — the
+    * reporting shape q08's ROLLUP can't express: rollup only nests
+    * (a,b) → (a) → (), while a dashboard wants the two independent
+    * single-axis breakdowns AND the cross AND the grand total. Four
+    * separate groupBys would scan the corpus four times; grouping sets
+    * expand each input row to its matching sets BEFORE the exchange,
+    * so one scan + one map-side-combined hash aggregation serves all
+    * four granularities — at 100 TB the scan dominates and this is 4×
+    * fewer passes. `gid` is the explicit grouping indicator
+    * (`grouping(a)*2 + grouping(b)`, bit set = aggregated away) and
+    * grouped-away keys surface as the `(all)` sentinel, so the output
+    * carries no NULLs whose sort order could differ across engines.
+    */
+  def groupingSetsSummary(df: DataFrame, aCol: String, bCol: String,
+      valueCol: String): DataFrame =
+    df.groupingSets(
+        Seq(Seq(q(aCol), q(bCol)), Seq(q(aCol)), Seq(q(bCol)), Seq.empty),
+        q(aCol), q(bCol))
+      .agg(
+        (grouping(q(aCol)).cast("int") * 2 + grouping(q(bCol)).cast("int"))
+          .as("gid"),
+        count(lit(1)).as("n_rows"),
+        expr(s"CAST(SUM(CAST(${valueCol} AS $D)) AS DOUBLE)").as("total_value"))
+      .select(coalesce(q(aCol), lit("(all)")).as("a"),
+        coalesce(q(bCol), lit("(all)")).as("b"),
+        col("gid"), col("n_rows"), col("total_value"))
+
+  /** q34: gate binding of [[groupingSetsSummary]] on orders by
+    * (priority, status). Fully SQL-oracled — DuckDB's GROUPING SETS
+    * with the identical explicit gid arithmetic.
+    */
+  def q34GroupingSets(s: SparkSession, dir: String): DataFrame =
+    groupingSetsSummary(Tables.orders(s, dir),
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+      .withColumnRenamed("a", "priority").withColumnRenamed("b", "status")
+      .orderBy("gid", "priority", "status")
+
+  /** Gap-and-islands: collapse each key's set of active integer ticks
+    * (days, hours, …) into runs of CONSECUTIVE ticks and summarize the
+    * runs per key — the activity-streak / coverage-gap question
+    * (reference analog: which filing periods does an entity cover
+    * without interruption). The classic trick: within a key, rank the
+    * distinct ticks ascending; `tick − rank` is constant exactly along
+    * a consecutive run, so it IS the island id — no self-join, no
+    * iteration.
+    *
+    * Scale shape: distinct → rank → two aggregations, ALL partitioned
+    * by the same key, so after the first exchange on `keyCol`
+    * everything stays co-partitioned (one shuffle end to end; AQE
+    * coalesces the tail). Nothing is ever paired row×row.
+    */
+  def gapIslands(df: DataFrame, keyCol: String, tickCol: String): DataFrame = {
+    val ticks = df.select(q(keyCol), q(tickCol).cast("long").as("__tick"))
+      .filter(col("__tick").isNotNull).distinct()
+    val w = Window.partitionBy(q(keyCol)).orderBy(col("__tick"))
+    val runs = ticks
+      .withColumn("__island", col("__tick") - row_number().over(w))
+      .groupBy(q(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__len"), min(col("__tick")).as("__start"))
+    runs.groupBy(q(keyCol))
+      .agg(sum(col("__len")).as("active_ticks"),
+        count(lit(1)).as("n_islands"),
+        max(col("__len")).as("longest_run"),
+        min(col("__start")).as("first_tick"))
+  }
+
+  /** q35: gate binding of [[gapIslands]] on events — per-user runs of
+    * consecutive ACTIVE DAYS (ns epoch integer-divided to days, exact
+    * on both engines). Fully SQL-oracled.
+    */
+  def q35GapIslands(s: SparkSession, dir: String): DataFrame =
+    gapIslands(
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day")),
+      "user_id", "day")
+      .orderBy("user_id")
+
+  /** Merge overlapping/touching intervals per key (interval union —
+    * the validity-window coalescing step behind SCD compaction,
+    * sessionized-coverage reports, and reservation/outage rollups).
+    * A row starts a new merged interval iff its start exceeds the
+    * running max end of ALL earlier intervals of that key (window max
+    * over `rows 1 preceding`'s unbounded frame); the running count of
+    * those starts labels the merged group. Interval arithmetic stays
+    * in exact integer ns.
+    *
+    * Scale shape: both window frames and the final aggregation share
+    * one (key, start, id) sort within one hash partitioning of
+    * `keyCol` — a single exchange+sort serves the whole operator. The
+    * per-key merge is inherently sequential BY SEMANTICS (each
+    * decision depends on the running max), so the window formulation
+    * is the distributed optimum: keys run in parallel, rows stream
+    * through the frame without materializing pairs.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, idCol: String): DataFrame = {
+    val ord = Seq(q(startCol).asc, q(idCol).asc)
+    val base = Window.partitionBy(q(keyCol)).orderBy(ord: _*)
+    val prevMax = base.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__pmax", max(q(endCol)).over(prevMax))
+      .withColumn("__new",
+        when(col("__pmax").isNull || q(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("merged_id", sum(col("__new")).over(cum))
+      .groupBy(q(keyCol), col("merged_id"))
+      .agg(min(q(startCol)).as("start_ns"), max(q(endCol)).as("end_ns"),
+        count(lit(1)).as("n_merged"))
+  }
+
+  /** q36: gate binding of [[mergeIntervals]] — events become intervals
+    * [ts, ts + (event_id mod 7 + 1) hours] (deterministic synthetic
+    * durations, exact ns longs) merged per user. Fully SQL-oracled.
+    */
+  def q36IntervalMerge(s: SparkSession, dir: String): DataFrame =
+    mergeIntervals(
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts").as("start_ns"),
+        (col("ts") + (expr("event_id % 7") + lit(1L)) * lit(3600L * 1000000000L))
+          .as("end_ns")),
+      "user_id", "start_ns", "end_ns", "event_id")
+      .orderBy("user_id", "merged_id")
+
+  /** Deterministic weighted sampling without replacement (top-k per
+    * group) — the source-mixing step that q20's per-group FRACTIONS
+    * can't express: when each row should be kept proportionally to its
+    * own weight (chars, tokens, a quality score), Efraimidis–Spirakis
+    * reservoir keys `u^(1/w)` make "take the k largest keys" an exact
+    * weighted sample. The uniform u derives from the house md5-prefix
+    * trick (48 bits of the id's digest), so the sample is reproducible
+    * across reruns, partitionings, AND engines; the key is ranked in
+    * the order-equivalent form `w / −ln(u)` whose double magnitudes
+    * (≫1) keep adjacent ranks separated by ~12 orders of magnitude
+    * more than any libm ulp disagreement.
+    *
+    * Scale shape: map-only keying, then ONE window top-k per group —
+    * Catalyst's WindowGroupLimit pushes the rank filter into a
+    * partial top-k BEFORE the exchange, so the shuffle carries ≈ k
+    * rows per group per input partition, not the corpus.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u48 = conv(substring(md5(q(idCol).cast("string").cast("binary")), 1, 12),
+      16, 10).cast("long")
+    val u = (u48.cast("double") + 0.5) / lit(281474976710656.0) // 2^48
+    val wgt = greatest(q(weightCol).cast("double"), lit(1.0))
+    val ranked = df
+      .withColumn("__wkey", wgt / -log(u))
+      .withColumn("smp_rank", row_number().over(
+        Window.partitionBy(q(groupCol)).orderBy(col("__wkey").desc, q(idCol))))
+      .filter(col("smp_rank") <= k)
+    ranked.select(q(groupCol), q(idCol), q(weightCol),
+      round(col("__wkey"), 2).as("wkey"), col("smp_rank"))
+  }
+
+  /** q37: gate binding of [[weightedSample]] on documents — 20 docs
+    * per source, weighted by n_chars (longer docs proportionally more
+    * likely, the token-budget-aware mixture). Fully SQL-oracled:
+    * identical md5-derived u and key arithmetic in DuckDB.
+    */
+  def q37WeightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", "n_chars", 20)
+      .orderBy("source", "smp_rank")
 }

@@ -148,4 +148,116 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fold(batches) === fold(batches.reverse))
     assert(fold(batches) === fold(Seq(rows)))
   }
+
+  test("groupingSetsSummary: each granularity equals its standalone groupBy, on random data") {
+    for (seed <- Seq(4, 17)) {
+      val r = rnd(seed)
+      val rows = (0 until 500).map(_ =>
+        (s"a${r.nextInt(4)}", s"b${r.nextInt(3)}", r.nextInt(10000) / 100.0))
+      val df = rows.toDF("a", "b", "v")
+      val out = Relational.groupingSetsSummary(df, "a", "b", "v").collect()
+        .map(row => (row.getString(0), row.getString(1), row.getInt(2)) ->
+          ((row.getLong(3), row.getDouble(4)))).toMap
+      def exact(sel: ((String, String, Double)) => Boolean) = {
+        val s = rows.filter(sel)
+        (s.size.toLong,
+          s.map(t => BigDecimal(t._3).setScale(2)).sum.toDouble)
+      }
+      // cross cells
+      for (a <- rows.map(_._1).distinct; b <- rows.map(_._2).distinct
+          if rows.exists(t => t._1 == a && t._2 == b))
+        assert(out((a, b, 0)) === exact(t => t._1 == a && t._2 == b))
+      // single-axis slices carry the (all) sentinel and the right gid bit
+      for (a <- rows.map(_._1).distinct)
+        assert(out((a, "(all)", 1)) === exact(_._1 == a))
+      for (b <- rows.map(_._2).distinct)
+        assert(out(("(all)", b, 2)) === exact(_._2 == b))
+      // grand total
+      assert(out(("(all)", "(all)", 3)) === exact(_ => true))
+      // exactly the four granularities, no spurious rows
+      assert(out.size ===
+        rows.map(t => (t._1, t._2)).distinct.size +
+          rows.map(_._1).distinct.size + rows.map(_._2).distinct.size + 1)
+    }
+  }
+
+  test("gapIslands: runs match a driver reference on random sparse tick sets") {
+    for (seed <- Seq(6, 23)) {
+      val r = rnd(seed)
+      // sparse ticks with duplicates: islands of every length arise
+      val rows = (0 until 800).map(_ => (r.nextInt(20).toLong, r.nextInt(40).toLong))
+      val out = Relational.gapIslands(rows.toDF("k", "tick"), "k", "tick")
+        .collect().map(row => row.getLong(0) ->
+          ((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))).toMap
+      val byK = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+      for ((k, ticks) <- byK) {
+        // driver model: split the sorted distinct ticks at gaps > 1
+        val runs = ticks.foldLeft(List.empty[List[Long]]) {
+          case (acc, t) if acc.nonEmpty && t == acc.head.head + 1 =>
+            (t :: acc.head) :: acc.tail
+          case (acc, t) => List(t) :: acc
+        }.map(_.size.toLong)
+        assert(out(k) === ((ticks.size.toLong, runs.size.toLong, runs.max, ticks.head)), s"key $k")
+      }
+    }
+  }
+
+  test("mergeIntervals: merged spans are disjoint, ordered, and cover exactly the input") {
+    for (seed <- Seq(8, 31)) {
+      val r = rnd(seed)
+      val rows = (0L until 600L).map { i =>
+        val s = r.nextInt(1000).toLong
+        (r.nextInt(12).toLong, i, s, s + 1 + r.nextInt(50).toLong)
+      }
+      val out = Relational.mergeIntervals(
+        rows.toDF("k", "id", "s", "e"), "k", "s", "e", "id").collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+          row.getLong(3), row.getLong(4)))
+      val byK = out.groupBy(_._1)
+      for ((k, merged) <- byK) {
+        val sorted = merged.sortBy(_._2)
+        // island ids are 1..n and spans strictly separated by a gap
+        assert(sorted.map(_._2).toSeq === (1L to sorted.size).toSeq)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 > a._4, s"key $k: $a overlaps $b")
+          case _ =>
+        }
+        // driver model: sweep the sorted intervals
+        val ivs = rows.filter(_._1 == k).map(t => (t._3, t._4)).sortBy(identity)
+        val model = ivs.tail.foldLeft(List(ivs.head)) { case (acc, (s, e)) =>
+          if (s <= acc.head._2) (acc.head._1, math.max(acc.head._2, e)) :: acc.tail
+          else (s, e) :: acc
+        }.reverse
+        assert(sorted.map(t => (t._3, t._4)).toSeq === model, s"key $k")
+        // mass: every input row lands in exactly one merged span
+        assert(sorted.map(_._5).sum === rows.count(_._1 == k))
+      }
+    }
+  }
+
+  test("weightedSample: equals the driver Efraimidis–Spirakis model and is partition-stable") {
+    val r = rnd(12)
+    val rows = (0L until 500L).map(i =>
+      (i, s"g${r.nextInt(3)}", (1 + r.nextInt(4000)).toLong))
+    val df = rows.toDF("id", "g", "w")
+    val k = 15
+    val out = Relational.weightedSample(df, "g", "id", "w", k).collect()
+      .map(row => (row.getString(0), row.getInt(4)) -> row.getLong(1)).toMap
+    // driver model with the identical md5-prefix u and key arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      math.max(w.toDouble, 1.0) / -math.log(u)
+    }
+    val model = rows.groupBy(_._2).view.mapValues(_.map(t => (t._1, key(t._1, t._3)))
+      .sortBy { case (id, kk) => (-kk, id) }.take(k).map(_._1)).toMap
+    for ((g, ids) <- model; (id, i) <- ids.zipWithIndex)
+      assert(out((g, i + 1)) === id, s"group $g rank ${i + 1}")
+    // content-determinism under repartitioning
+    val out2 = Relational.weightedSample(df.repartition(7), "g", "id", "w", k)
+      .collect().map(row => (row.getString(0), row.getInt(4)) -> row.getLong(1)).toMap
+    assert(out2 === out)
+  }
 }

@@ -578,6 +578,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Text.t18EntropyStats(spark, sf)) <= 1)
   }
 
+  test("q34 grouping sets: ONE scan expanded, one aggregation — not four passes") {
+    val df = Relational.q34GroupingSets(spark, sf)
+    // Expand feeds a single map-side-combined hash agg + the
+    // presentation sort; four separate groupBys would be four scans
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(2000))
+  }
+
+  test("q35 gap islands: distinct + window + both aggs inside two key exchanges") {
+    // exchange 1: distinct on (user, day); exchange 2: the user window —
+    // whose partitioning then SATISFIES both downstream aggregations
+    // (user ⊆ every later grouping key), so they add no exchange;
+    // + the presentation sort
+    assert(shuffles(Relational.q35GapIslands(spark, sf)) <= 3)
+  }
+
+  test("q36 interval merge: one key exchange serves both window frames and the agg") {
+    // both frames share the (user | start, id) sort; groupBy
+    // (user, merged_id) is satisfied by the window's partitioning;
+    // + the presentation sort
+    assert(shuffles(Relational.q36IntervalMerge(spark, sf)) <= 2)
+  }
+
+  test("q37 weighted sample: rank filter pushed as a partial top-k before the exchange") {
+    val df = Relational.q37WeightedSample(spark, sf)
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // WindowGroupLimit = per-partition top-k BEFORE the shuffle: the
+    // exchange carries ~k rows per group per input split, not the corpus
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("q30 quantiles: histogram agg + one distinct-value window; targets broadcast") {
     val df = Relational.q30GroupQuantiles(spark, sf)
     // mergeable (group, value) count agg + the distinct-value window +
