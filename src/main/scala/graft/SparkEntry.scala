@@ -104,6 +104,7 @@ object SparkEntry {
     "s10_ann_sq8" -> (ProductQuantization.s10AnnSq8 _),
     "s11_ann_ivfsq8" -> (ProductQuantization.s11AnnIvfSq8 _),
     "s12_ann_filtered" -> (Similarity.s12AnnFiltered _),
+    "s13_ann_hamming" -> (Similarity.s13AnnHamming _),
     "t18_entropy_stats" -> (Text.t18EntropyStats _),
     // rows-only (an exact SQL knn oracle would be the all-pairs cross
     // join the operator exists to avoid); SimilaritySpec holds recall
@@ -635,6 +636,29 @@ object SparkEntry {
         |SELECT q_id, rank, n_id, round(cosine, 6) AS cosine FROM (
         |  SELECT q_id, n_id, cosine, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rank
         |  FROM pairs
+        |) WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // the one fully-oracled ANN entry: the sign-bit fold, XOR+POPCNT
+    // distance, and (hamming, n_id) tie order restate verbatim —
+    // nothing engine-local (cf. s02/s03 whose geometry is)
+    "s13_ann_hamming" ->
+      """WITH c AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(embedding[1:48],
+        |      x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)),
+        |      (acc, b) -> acc * 2 + b) AS code
+        |  FROM embeddings
+        |), q AS (SELECT vec_id AS q_id, code AS q_code FROM c WHERE vec_id < 10),
+        |d AS (
+        |  SELECT q_id, c.vec_id AS n_id,
+        |    CAST(bit_count(xor(q_code, code)) AS INT) AS hamming
+        |  FROM q JOIN c ON c.vec_id != q_id
+        |)
+        |SELECT q_id, rank, n_id, hamming FROM (
+        |  SELECT q_id, n_id, hamming,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS INT) AS rank
+        |  FROM d
         |) WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -656,5 +656,106 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val shortlist = annBruteforce(e, e.filter(col("vec_id") < NumQueries), k = 50)
     mmrRerank(shortlist, e, k = K, lambda = 0.5)
+  }
+
+  /** Sign-bit binarization of an embedding: bit i of the code = 1 iff
+    * component i > 0 — the 1-bit-per-dimension quantization (sign
+    * random projection with the identity basis) closing the
+    * compression family below SQ8 (s10, 8 bits/dim) and PQ (s05,
+    * ~1 bit/dim learned): a 64-float vector becomes ONE 8-byte long,
+    * 32× smaller, and similarity becomes a 2-instruction XOR+POPCNT.
+    * `bits` caps at 48 so the fold stays inside a signed 64-bit long
+    * on every engine (DuckDB's BIGINT has no unsigned twin).
+    *
+    * Deliberately a portable big-endian fold (`acc*2 + sign`) over the
+    * leading dims rather than a native expression: it is ONE map-only
+    * pass per row at encode time, and the arithmetic restates verbatim
+    * in DuckDB `list_reduce` — which makes s13 the only FULLY
+    * SQL-ORACLED entry of the ANN family (every other variant's
+    * geometry is engine-local).
+    */
+  def signCode(vec: Column, bits: Int = 48): Column = {
+    require(bits >= 1 && bits <= 48, s"bits must be in [1,48], got $bits")
+    aggregate(slice(vec, 1, bits), lit(0L),
+      (acc, x) => acc * 2 + when(x > lit(0f), 1L).otherwise(0L))
+  }
+
+  /** Exact Hamming top-k over 64-bit binary codes: queries broadcast,
+    * the corpus streams through XOR+bit_count in whole-stage codegen,
+    * one per-query window with the rank filter pushed as a
+    * WindowGroupLimit partial top-k. Same plan shape as [[annBruteforce]]
+    * but the scanned payload is 8 bytes/row instead of 256 — the scan
+    * that makes "exact over everything" survive ~32× longer into the
+    * corpus-growth curve before the s02/s03 bucketed variants take over.
+    * Expects (idCol, codeCol) frames; ties break (distance, n_id).
+    */
+  def hammingKnn(codes: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+      codeCol: String = "code", k: Int = K): DataFrame = {
+    val c = codes.select(Cols.q(idCol).as("vec_id"), Cols.q(codeCol).as("code"))
+    val q = queries.select(Cols.q(idCol).as("vec_id"), Cols.q(codeCol).as("code"))
+    val cand = broadcast(q.as("a"))
+      .join(c.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        bit_count(col("a.code").bitwiseXOR(col("b.code"))).as("hamming"))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("n_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Chunk-pruned Hamming top-k — the scale path when even the 8-byte
+    * scan is too much per query: codes explode to `nChunks` 16-bit
+    * chunk keys (the d04 pigeonhole: any pair with distance < nChunks
+    * shares at least one chunk), candidates are the corpus rows
+    * sharing a chunk with a query, rescored exactly. Per-(chunk, key)
+    * corpus buckets are capped like every other candidate generator
+    * here; the spec measures recall vs [[hammingKnn]]. Close neighbors
+    * (the ones a knn graph exists to find) are exactly the pairs the
+    * pigeonhole guarantees; far ranks are best-effort.
+    */
+  def hammingKnnPruned(codes: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", codeCol: String = "code", k: Int = K,
+      nChunks: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 4, s"nChunks must be in [1,4], got $nChunks")
+    def chunked(df: DataFrame): DataFrame =
+      df.select(Cols.q(idCol).as("vec_id"), Cols.q(codeCol).as("code"),
+        explode(array((0 until nChunks).map(ch =>
+          struct(lit(ch).as("chunk"),
+            shiftright(Cols.q(codeCol), ch * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
+          .as("cb"))
+        .select(col("vec_id"), col("code"),
+          col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    // cap the CORPUS side per (chunk, key) — a degenerate mass of
+    // identical codes would otherwise go candidate-quadratic
+    val wcap = Window.partitionBy("chunk", "key").orderBy(col("vec_id"))
+    val corpus = chunked(codes)
+      .withColumn("__r", row_number().over(wcap))
+      .filter(col("__r") <= maxBucketSize).drop("__r")
+    val cand = broadcast(chunked(queries).as("a"))
+      .join(corpus.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        bit_count(col("a.code").bitwiseXOR(col("b.code"))).as("hamming"))
+      .groupBy("q_id", "n_id").agg(min(col("hamming")).as("hamming"))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("n_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** s13: gate binding — sign-binarized embeddings (48 bits), exact
+    * Hamming top-10 for queries vec_id < 10. FULLY SQL-oracled: the
+    * sign fold, the XOR+bit_count distance, and the tie order restate
+    * verbatim in DuckDB (the one ANN entry where nothing is
+    * engine-local). SimilaritySpec adds the pruned-path recall and the
+    * sign-flip sensitivity pins.
+    */
+  def s13AnnHamming(s: SparkSession, dir: String): DataFrame = {
+    val codes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), signCode(col("embedding")).as("code"))
+    hammingKnn(codes, codes.filter(col("vec_id") < NumQueries))
   }
 }

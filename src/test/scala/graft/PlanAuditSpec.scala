@@ -602,6 +602,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Relational.q36IntervalMerge(spark, sf)) <= 2)
   }
 
+  test("s13 hamming: queries broadcast, partial top-k before the window exchange") {
+    val df = graft.operators.Similarity.s13AnnHamming(spark, sf)
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q37 weighted sample: rank filter pushed as a partial top-k before the exchange") {
     val df = Relational.q37WeightedSample(spark, sf)
     assert(shuffles(df) <= 2)

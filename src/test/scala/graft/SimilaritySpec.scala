@@ -595,4 +595,67 @@ class SimilaritySpec extends SparkSpec {
       }.toSet
     assert(got.toSet === want, "driver greedy model mismatch")
   }
+
+  test("signCode folds sign bits big-endian and flips exactly the touched bit") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => if (i % 3 == 0) 0.5f else -0.5f)
+    val flipped = base.clone(); flipped(5) = -base(5)
+    val out = Seq((0L, base.toSeq), (1L, flipped.toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.signCode(col("embedding")).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver model: bit i of the 48-bit code is dim i, big-endian fold
+    def model(v: Array[Float]) =
+      v.take(48).foldLeft(0L)((acc, x) => acc * 2 + (if (x > 0) 1L else 0L))
+    assert(out(0L) === model(base))
+    assert(out(1L) === model(flipped))
+    // one sign flip inside the window = Hamming distance exactly 1
+    assert(java.lang.Long.bitCount(out(0L) ^ out(1L)) === 1)
+    // a flip OUTSIDE the 48-dim window must not change the code
+    val outside = base.clone(); outside(60) = -base(60)
+    val c3 = Seq((2L, outside.toSeq)).toDF("vec_id", "embedding")
+      .select(Similarity.signCode(col("embedding"))).collect().head.getLong(0)
+    assert(c3 === out(0L))
+  }
+
+  test("hammingKnn equals a driver brute-force model on random codes") {
+    import spark.implicits._
+    val r = new scala.util.Random(21)
+    val codes = (0L until 300L).map(i => (i, r.nextLong() & 0xFFFFFFFFFFFFL))
+    val df = codes.toDF("vec_id", "code")
+    val out = Similarity.hammingKnn(df, df.filter(col("vec_id") < 5), k = 8)
+      .collect().map(r0 => (r0.getLong(0), r0.getInt(1)) -> ((r0.getLong(2), r0.getInt(3))))
+      .toMap
+    for (q <- 0L until 5L) {
+      val qc = codes(q.toInt)._2
+      val want = codes.filter(_._1 != q)
+        .map { case (id, c) => (id, java.lang.Long.bitCount(qc ^ c)) }
+        .sortBy { case (id, d) => (d, id) }.take(8)
+      want.zipWithIndex.foreach { case ((id, d), i) =>
+        assert(out((q, i + 1)) === ((id, d)), s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
+  test("hammingKnnPruned recalls close neighbors and finds planted near-dups at rank 1") {
+    import spark.implicits._
+    val r = new scala.util.Random(33)
+    val codes = (0L until 400L).map(i => (i, r.nextLong() & 0xFFFFFFFFFFFFL)).toMap
+    // plant: for each query, a twin at Hamming distance 1 (pigeonhole-
+    // guaranteed: distance < 4 chunks always shares a chunk)
+    val planted = (0L until 5L).map(q => (1000L + q, codes(q) ^ (1L << r.nextInt(48))))
+    val all = (codes.toSeq ++ planted).toDF("vec_id", "code")
+    val queries = all.filter(col("vec_id") < 5)
+    val exact = Similarity.hammingKnn(all, queries, k = 10)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(2))).toSet
+    val pruned = Similarity.hammingKnnPruned(all, queries, k = 10)
+      .collect().map(r0 => (r0.getLong(0), r0.getInt(1), r0.getLong(2), r0.getInt(3)))
+    val prunedSet = pruned.map(t => (t._1, t._3)).toSet
+    val recall = exact.count(prunedSet.contains).toDouble / exact.size
+    info(s"hammingKnnPruned recall vs exact: $recall")
+    assert(recall >= 0.5, s"recall $recall")
+    // every planted twin surfaces at rank 1, distance 1
+    for (q <- 0L until 5L)
+      assert(pruned.exists(t => t._1 == q && t._2 === 1 && t._3 == 1000L + q && t._4 === 1),
+        s"query $q twin missing from rank 1")
+  }
 }
