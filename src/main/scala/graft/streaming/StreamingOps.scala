@@ -41,6 +41,22 @@ case class TouchBuffer(tsMs: Seq[Long])
 /** A purchase with its preceding-interval touch count. */
 case class RangeCounted(purchase_id: Long, user_id: Long, n_touches: Long)
 
+/** One event for [[StreamingOps.windowTopK]]. */
+case class TopKEvent(event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+/** Bounded per-(window, key) state for [[StreamingOps.windowTopK]]:
+  * at most k (value, event_id) entries, whatever the ingest rate.
+  */
+case class TopKBuffer(items: Seq[(Double, Long)])
+
+/** A finalized leaderboard row emitted by [[StreamingOps.windowTopK]]. */
+case class WindowTopK(
+    event_type: String,
+    window_start: java.sql.Timestamp,
+    rank: Int,
+    event_id: Long,
+    value: Double)
+
 /** Structured Streaming operators (SURVEY.md §2.5).
   *
   * Both take an unbounded DataFrame (readStream source) and return a
@@ -361,5 +377,61 @@ object StreamingOps {
       .select(col("p.event_id").as("purchase_id"),
         col("p.user_id").as("user_id"),
         col("t.event_id").as("touch_id"))
+  }
+
+  /** Streaming windowed top-k: for each (tumbling window, key), emit
+    * the k highest-value events once the watermark closes the window —
+    * the leaderboard/heavy-hitter question (top sellers per hour, top
+    * error sources per window) with state bounded BY CONSTRUCTION:
+    * each open (window, key) holds at most k (value, id) entries, the
+    * arriving batch folds into that bounded buffer, and the buffer is
+    * emitted ranked + dropped the moment event time passes the window
+    * end. The alternative — window-agg then rank — would buffer every
+    * event of the window in the state store; this never holds more
+    * than k·(open windows)·(keys) rows whatever the ingest rate.
+    *
+    * Append-mode (a window's ranking is final when emitted, because
+    * the watermark says no in-horizon event can still change it); ties
+    * break (value desc, event_id asc) like batch q07.
+    */
+  def windowTopK(
+      events: Dataset[TopKEvent],
+      k: Int = 3,
+      windowMinutes: Int = 60,
+      watermark: String = "30 minutes"): Dataset[WindowTopK] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val winMs = windowMinutes * 60000L
+
+    def emit(key: (String, Long), s: TopKBuffer): Iterator[WindowTopK] =
+      s.items.sortBy { case (v, id) => (-v, id) }.zipWithIndex.iterator.map {
+        case ((v, id), i) =>
+          WindowTopK(key._1, new java.sql.Timestamp(key._2), i + 1, id, v)
+      }
+
+    def fn(key: (String, Long), evs: Iterator[TopKEvent],
+        state: GroupState[TopKBuffer]): Iterator[WindowTopK] =
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        emit(key, s)
+      } else {
+        // fold the batch into the bounded buffer: keep only the k
+        // best (value desc, event_id asc) seen so far
+        val merged = (state.getOption.map(_.items).getOrElse(Seq.empty) ++
+          evs.map(e => (e.value, e.event_id)))
+          .sortBy { case (v, id) => (-v, id) }.take(k)
+        state.update(TopKBuffer(merged))
+        // final the moment the watermark passes the window end
+        state.setTimeoutTimestamp(
+          math.max(key._2 + winMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.event_type, e.ts.getTime / winMs * winMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -602,4 +602,51 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming windowTopK equals the driver leaderboard on real events, state bounded by k") {
+    import graft.streaming.{TopKEvent, WindowTopK}
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val k = 3
+    val winMs = 60 * 60000L
+
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") <= 40L)
+      .select("event_type", "ts", "event_id", "value")
+      .collect()
+      .map(r => TopKEvent(r.getString(0), new Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getDouble(3)))
+
+    // driver truth: per (type, window) the k best by (value desc, id asc)
+    val expected = evs.groupBy(e => (e.event_type, e.ts.getTime / winMs * winMs))
+      .toSeq.flatMap { case ((t, w), es) =>
+        es.map(e => (e.value, e.event_id)).sortBy { case (v, id) => (-v, id) }
+          .take(k).zipWithIndex
+          .map { case ((v, id), i) => (t, w, i + 1, id, v) }
+      }.toSet
+
+    val input = MemoryStream[TopKEvent]
+    val q = StreamingOps.windowTopK(input.toDS(), k = k, windowMinutes = 60,
+      watermark = "0 minutes")
+      .writeStream.format("memory").queryName("win_topk").outputMode("append").start()
+    try {
+      // deliver across several micro-batches so buffers fold incrementally
+      evs.grouped(200).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // mid-stream the state is BOUNDED: at most k rows per (window, key)
+      val openKeys = evs.map(e => (e.event_type, e.ts.getTime / winMs * winMs)).distinct.size
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= openKeys.toLong, s"$stateRows state rows for $openKeys keys")
+      // two watermark-advancing triggers flush every window
+      val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 48L * 3600 * 1000)
+      input.addData(TopKEvent("flush", flushTs, -1L, 0.0)); q.processAllAvailable()
+      input.addData(TopKEvent("flush", flushTs, -2L, 0.0)); q.processAllAvailable()
+      val got = spark.table("win_topk").as[WindowTopK].collect()
+        .filter(_.event_type != "flush")
+        .map(r => (r.event_type, r.window_start.getTime, r.rank, r.event_id, r.value))
+        .toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
