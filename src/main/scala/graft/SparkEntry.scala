@@ -59,6 +59,7 @@ object SparkEntry {
     "q35_gap_islands" -> (Relational.q35GapIslands _),
     "q36_interval_merge" -> (Relational.q36IntervalMerge _),
     "q37_weighted_sample" -> (Relational.q37WeightedSample _),
+    "q38_iqr_outliers" -> (Relational.q38IqrOutliers _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1058,6 +1059,57 @@ object SparkEntry {
         |  MAX(end_ns) AS end_ns, COUNT(*) AS n_merged
         |FROM g GROUP BY user_id, merged_id
         |ORDER BY user_id, merged_id""".stripMargin,
+
+    // the q30 interpolation CTE at q1/q3, pivoted to Tukey fences —
+    // fence arithmetic on the ROUNDED quantiles so the boundary
+    // comparisons are bit-identical across engines
+    "q38_iqr_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), t AS (
+        |  SELECT event_type, n, q AS quantile, (n - 1) * q AS h
+        |  FROM (SELECT DISTINCT event_type, n FROM r),
+        |       (SELECT unnest([0.25, 0.75]) AS q)
+        |), t2 AS (
+        |  SELECT event_type, quantile,
+        |    CAST(floor(h) AS BIGINT) + 1 AS lo_r,
+        |    least(CAST(floor(h) AS BIGINT) + 2, n) AS hi_r,
+        |    h - floor(h) AS frac
+        |  FROM t
+        |), p AS (
+        |  SELECT t2.event_type, quantile, frac,
+        |    MAX(CASE WHEN r.r = lo_r THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = hi_r THEN v END) AS vhi
+        |  FROM t2 JOIN r ON r.event_type = t2.event_type
+        |    AND (r.r = lo_r OR r.r = hi_r)
+        |  GROUP BY 1, 2, 3
+        |), qv AS (
+        |  SELECT event_type, quantile, round(vlo + frac * (vhi - vlo), 6) AS value
+        |  FROM p
+        |), f AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN quantile = 0.25 THEN value END) AS q1,
+        |    MAX(CASE WHEN quantile = 0.75 THEN value END) AS q3
+        |  FROM qv GROUP BY event_type
+        |), f2 AS (
+        |  SELECT event_type, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo_fence,
+        |    q3 + 1.5 * (q3 - q1) AS hi_fence
+        |  FROM f
+        |)
+        |SELECT v.event_type, q1, q3, lo_fence, hi_fence,
+        |  COUNT(*) AS n_values,
+        |  CAST(SUM(CASE WHEN v.v < lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN v.v > hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM v JOIN f2 ON v.event_type = f2.event_type
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY v.event_type""".stripMargin,
 
     // identical 48-bit md5-prefix u and the order-equivalent
     // Efraimidis–Spirakis key w / −ln(u); ranks separate by ~12 orders

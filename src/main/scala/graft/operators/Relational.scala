@@ -1473,4 +1473,49 @@ object Relational {
         .select(col("doc_id"), col("source"), col("n_chars")),
       "source", "doc_id", "n_chars", 20)
       .orderBy("source", "smp_rank")
+
+  /** Tukey IQR outlier fences per group — the ROBUST outlier gate z-
+    * scores (q28) can't provide: a heavy tail inflates the mean and
+    * stddev until the outliers that caused it look normal, while
+    * quartiles barely move. Fences are the classic
+    * `[q1 − mult·IQR, q3 + mult·IQR]`; the output is one summary row
+    * per group (fences + in/low/high counts) — the data-quality
+    * profile consulted before numeric columns feed a model.
+    *
+    * Builds on [[exactQuantiles]] (exact q1/q3 on the VALUE HISTOGRAM,
+    * never a raw-row sort) and pivots the two quantile rows per group
+    * into fences; the fence frame is per-group-tiny, so serving it
+    * back is a broadcast join and the classify+count pass is one
+    * mergeable aggregation over the corpus. Fence arithmetic runs on
+    * the ROUNDED quantiles (exactQuantiles' 6-dp contract) so the
+    * fences — and therefore every boundary comparison — are
+    * bit-identical across engines.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      mult: Double = 1.5): DataFrame = {
+    val fences = exactQuantiles(df, groupCol, valueCol, Seq(0.25, 0.75))
+      .groupBy("group")
+      .agg(max(when(col("quantile") === 0.25, col("value"))).as("q1"),
+        max(when(col("quantile") === 0.75, col("value"))).as("q3"))
+      .withColumn("lo_fence", col("q1") - lit(mult) * (col("q3") - col("q1")))
+      .withColumn("hi_fence", col("q3") + lit(mult) * (col("q3") - col("q1")))
+    df.select(q(groupCol).as("group"),
+        q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(broadcast(fences), "group")
+      .groupBy(col("group"), col("q1"), col("q3"),
+        col("lo_fence"), col("hi_fence"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("__v") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+  }
+
+  /** q38: gate binding of [[iqrOutliers]] on events.value per
+    * event_type at the standard 1.5×IQR. Fully SQL-oracled — the q30
+    * interpolation CTE pivoted to fences, identical double arithmetic.
+    */
+  def q38IqrOutliers(s: SparkSession, dir: String): DataFrame =
+    iqrOutliers(Tables.events(s, dir), "event_type", "value")
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type")
 }

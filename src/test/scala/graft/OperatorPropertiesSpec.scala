@@ -235,6 +235,37 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("iqrOutliers: fences and counts match a driver Tukey model, outliers cannot hide themselves") {
+    for (seed <- Seq(5, 19)) {
+      val r = rnd(seed)
+      // a clean core plus planted extremes that a mean/stddev gate
+      // would absorb into its own threshold
+      val rows = (0 until 300).map(_ => ("g", 50.0 + r.nextInt(2000) / 100.0)) ++
+        (0 until 8).map(i => ("g", 100000.0 + i)) ++
+        (0 until 3).map(i => ("g", -50000.0 - i))
+      val out = Relational.iqrOutliers(rows.toDF("g", "v"), "g", "v").collect().head
+      def q7(vs: Seq[Double], q: Double): Double = {
+        val s = vs.sorted
+        val h = (s.size - 1) * q
+        val lo = math.floor(h).toInt
+        val hi = math.min(lo + 1, s.size - 1)
+        BigDecimal(s(lo) + (h - lo) * (s(hi) - s(lo)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val vs = rows.map(_._2)
+      val (q1, q3) = (q7(vs, 0.25), q7(vs, 0.75))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      assert(out.getDouble(1) === q1 && out.getDouble(2) === q3, out.toString)
+      assert(out.getDouble(3) === lo && out.getDouble(4) === hi, out.toString)
+      assert(out.getLong(5) === rows.size.toLong)
+      assert(out.getLong(6) === vs.count(_ < lo).toLong, "n_low")
+      assert(out.getLong(7) === vs.count(_ > hi).toLong, "n_high")
+      // robustness: every planted extreme is flagged — the quartile
+      // fences did not stretch to cover them
+      assert(out.getLong(6) >= 3L && out.getLong(7) >= 8L, out.toString)
+    }
+  }
+
   test("weightedSample: equals the driver Efraimidis–Spirakis model and is partition-stable") {
     val r = rnd(12)
     val rows = (0L until 500L).map(i =>

@@ -602,6 +602,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Relational.q36IntervalMerge(spark, sf)) <= 2)
   }
 
+  test("q38 IQR outliers: fences broadcast back, classify pass is one mergeable agg") {
+    val df = Relational.q38IqrOutliers(spark, sf)
+    // q30's quantile machinery (histogram agg + distinct-value window +
+    // tiny pivot aggs) + the broadcast fence join + ONE corpus
+    // classify agg + the presentation sort; the corpus never shuffles
+    // for the classification itself
+    assert(shuffles(df) <= 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("s13 hamming: queries broadcast, partial top-k before the window exchange") {
     val df = graft.operators.Similarity.s13AnnHamming(spark, sf)
     assert(shuffles(df) <= 2)
