@@ -60,6 +60,7 @@ object SparkEntry {
     "q36_interval_merge" -> (Relational.q36IntervalMerge _),
     "q37_weighted_sample" -> (Relational.q37WeightedSample _),
     "q38_iqr_outliers" -> (Relational.q38IqrOutliers _),
+    "q39_funnel" -> (Relational.q39Funnel _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1110,6 +1111,31 @@ object SparkEntry {
         |FROM v JOIN f2 ON v.event_type = f2.event_type
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY v.event_type""".stripMargin,
+
+    // identical stacked whole-partition windows: stage i's MIN-CASE
+    // references stage i−1's column, null previous stage cascades to
+    // null (never reached) — exact ns longs end to end
+    "q39_funnel" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+        |      OVER (PARTITION BY user_id) AS view_ts
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND tns > view_ts THEN tns END)
+        |      OVER (PARTITION BY user_id) AS click_ts
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tns > click_ts THEN tns END)
+        |      OVER (PARTITION BY user_id) AS purchase_ts
+        |  FROM w2
+        |)
+        |SELECT user_id, view_ts, click_ts, purchase_ts,
+        |  CAST(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage
+        |FROM (SELECT DISTINCT user_id, view_ts, click_ts, purchase_ts FROM w3)
+        |ORDER BY user_id""".stripMargin,
 
     // identical 48-bit md5-prefix u and the order-equivalent
     // Efraimidis–Spirakis key w / −ln(u); ranks separate by ~12 orders

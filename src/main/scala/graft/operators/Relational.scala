@@ -1518,4 +1518,57 @@ object Relational {
     iqrOutliers(Tables.events(s, dir), "event_type", "value")
       .withColumnRenamed("group", "event_type")
       .orderBy("event_type")
+
+  /** Sequential funnel analysis: for each entity, the earliest
+    * timestamp of stage i that STRICTLY FOLLOWS its stage i−1 time
+    * (earliest-conversion semantics: first view, first click after
+    * that view, first purchase after that click) plus the furthest
+    * stage reached — the conversion/attribution question q13's
+    * sessions and q16's as-of join circle but don't answer.
+    *
+    * Each stage is one whole-partition window aggregate over the SAME
+    * `partitionBy(entity)` (stage i's condition references stage i−1's
+    * column, so the stages stack as successive Window operators — but
+    * they all share one hash partitioning and need NO sort, so the
+    * corpus is exchanged ONCE and never again; the final per-entity
+    * collapse rides the same partitioning). A stage condition on a
+    * null previous stage is null → excluded from MIN → cascading
+    * nulls, exactly the "never reached" semantics.
+    */
+  def funnel(df: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy("__e")
+    var cur = df.select(q(entityCol).as("__e"), q(typeCol).as("__t"),
+      q(tsCol).cast("long").as("__ts"))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val hit = col("__t") === lit(st)
+      val cond = if (i == 0) hit else hit && col("__ts") > col(s"stage${i - 1}_ts")
+      cur = cur.withColumn(s"stage${i}_ts", min(when(cond, col("__ts"))).over(w))
+    }
+    val stageCols = stages.indices.map(i => col(s"stage${i}_ts"))
+    cur.groupBy(col("__e"))
+      .agg(max(stageCols.head).as("stage0_ts"),
+        stageCols.tail.zipWithIndex.map { case (c, i) =>
+          max(c).as(s"stage${i + 1}_ts")
+        }: _*)
+      .withColumnRenamed("__e", entityCol)
+      .withColumn("funnel_stage",
+        stages.indices.map(i =>
+          when(col(s"stage${i}_ts").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+  }
+
+  /** q39: gate binding of [[funnel]] on events — the view → click →
+    * purchase conversion funnel per user, earliest-conversion times as
+    * exact ns longs. Fully SQL-oracled: identical stacked-window
+    * arithmetic in DuckDB.
+    */
+  def q39Funnel(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage0_ts").as("view_ts"),
+        col("stage1_ts").as("click_ts"), col("stage2_ts").as("purchase_ts"),
+        col("funnel_stage"))
+      .orderBy("user_id")
 }

@@ -266,6 +266,32 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("funnel: stage times equal a driver sequential model, nulls cascade, on random journeys") {
+    for (seed <- Seq(7, 29)) {
+      val r = rnd(seed)
+      val types = Seq("view", "click", "purchase", "noise")
+      val rows = (0 until 1200).map(_ =>
+        (r.nextInt(40).toLong, types(r.nextInt(types.size)), (1000 + r.nextInt(5000)).toLong))
+      val out = Relational.funnel(rows.toDF("u", "t", "ts"), "u", "t", "ts",
+        Seq("view", "click", "purchase")).collect()
+        .map(row => row.getLong(0) -> ((Option(row.get(1)), Option(row.get(2)),
+          Option(row.get(3)), row.getInt(4)))).toMap
+      for ((u, evs) <- rows.groupBy(_._1)) {
+        def firstAfter(t: String, after: Option[Long]): Option[Long] =
+          after match {
+            case None if t == "view" => evs.filter(_._2 == t).map(_._3).minOption
+            case Some(a) => evs.filter(e => e._2 == t && e._3 > a).map(_._3).minOption
+            case None => None
+          }
+        val v = firstAfter("view", None)
+        val c = v.flatMap(a => firstAfter("click", Some(a)))
+        val p = c.flatMap(a => firstAfter("purchase", Some(a)))
+        val stage = Seq(v, c, p).count(_.isDefined)
+        assert(out(u) === ((v, c, p, stage)), s"user $u")
+      }
+    }
+  }
+
   test("weightedSample: equals the driver Efraimidis–Spirakis model and is partition-stable") {
     val r = rnd(12)
     val rows = (0L until 500L).map(i =>

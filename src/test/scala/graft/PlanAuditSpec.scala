@@ -615,6 +615,12 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("q39 funnel: all stacked stage windows and the collapse share ONE entity exchange") {
+    // three whole-partition windows (no sort) + the per-entity agg all
+    // ride a single hash partitioning; + the presentation sort
+    assert(shuffles(Relational.q39Funnel(spark, sf)) <= 2)
+  }
+
   test("s13 hamming: queries broadcast, partial top-k before the window exchange") {
     val df = graft.operators.Similarity.s13AnnHamming(spark, sf)
     assert(shuffles(df) <= 2)
