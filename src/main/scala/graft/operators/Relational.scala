@@ -1329,7 +1329,7 @@ object Relational {
         (grouping(q(aCol)).cast("int") * 2 + grouping(q(bCol)).cast("int"))
           .as("gid"),
         count(lit(1)).as("n_rows"),
-        expr(s"CAST(SUM(CAST(${valueCol} AS $D)) AS DOUBLE)").as("total_value"))
+        sum(q(valueCol).cast(D)).cast("double").as("total_value"))
       .select(coalesce(q(aCol), lit("(all)")).as("a"),
         coalesce(q(bCol), lit("(all)")).as("b"),
         col("gid"), col("n_rows"), col("total_value"))

@@ -166,6 +166,41 @@ class LibraryApiSpec extends SparkSpec {
     assert(ld === Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("late-r10 additions accept column names needing backticks") {
+    import graft.operators.{Relational, Similarity}
+    val vals = Seq(("g1", "x", 1L, 1.0), ("g1", "y", 2L, 2.0),
+      ("g2", "x", 3L, 5.0)).toDF("the group", "b col", "a.day", "select")
+    // grouping sets over odd names
+    val gs = Relational.groupingSetsSummary(vals, "the group", "b col", "select")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(gs(("(all)", "(all)")) === 3L && gs(("g1", "(all)")) === 2L)
+    // gap islands over odd names
+    val gi = Relational.gapIslands(vals, "the group", "a.day")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gi === Map("g1" -> 1L, "g2" -> 1L))
+    // interval merge over odd names (start/end as castable longs)
+    val im = Relational.mergeIntervals(
+      Seq(("k", 1L, 0L, 10L), ("k", 2L, 5L, 20L)).toDF("the key", "id.x", "s col", "e col"),
+      "the key", "s col", "e col", "id.x")
+    assert(im.count() === 1L)
+    // weighted sample over odd names
+    val ws = Relational.weightedSample(vals, "the group", "a.day", "select", 1)
+    assert(ws.count() === 2L)
+    // IQR fences over odd names
+    val iq = Relational.iqrOutliers(vals, "the group", "select")
+    assert(iq.count() === 2L)
+    // funnel over odd names
+    val fu = Relational.funnel(vals, "the group", "b col", "a.day", Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(fu === Map("g1" -> 2, "g2" -> 1))
+    // hamming knn over odd names
+    val hk = Similarity.hammingKnn(
+      Seq((0L, 3L), (1L, 1L), (2L, 12L)).toDF("vec id", "the code"),
+      Seq((0L, 3L)).toDF("vec id", "the code"), "vec id", "the code", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(hk.toSeq === Seq((1, 1L), (2, 2L)))
+  }
+
   test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {
     import graft.operators.Relational
     // the scale recipe from bpeTrain's scaladoc: train the merge table
