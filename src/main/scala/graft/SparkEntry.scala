@@ -61,6 +61,8 @@ object SparkEntry {
     "q37_weighted_sample" -> (Relational.q37WeightedSample _),
     "q38_iqr_outliers" -> (Relational.q38IqrOutliers _),
     "q39_funnel" -> (Relational.q39Funnel _),
+    "q40_group_histogram" -> (Relational.q40GroupHistogram _),
+    "q41_group_regression" -> (Relational.q41GroupRegression _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1111,6 +1113,66 @@ object SparkEntry {
         |FROM v JOIN f2 ON v.event_type = f2.event_type
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY v.event_type""".stripMargin,
+
+    // identical double bin arithmetic (operation order mirrored);
+    // sparse bins, top edge clamped, constant groups collapse to bin 0
+    "q40_group_histogram" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax FROM v GROUP BY 1
+        |), binned AS (
+        |  SELECT v.event_type, vmin, vmax,
+        |    CASE WHEN vmax > vmin
+        |      THEN least(CAST(floor((v - vmin) * 20.0 / (vmax - vmin)) AS INT), 19)
+        |      ELSE 0 END AS bin
+        |  FROM v JOIN b ON v.event_type = b.event_type
+        |)
+        |SELECT event_type, bin,
+        |  round(vmin + bin * ((vmax - vmin) / 20.0), 6) AS bin_lo,
+        |  round(vmin + (bin + 1) * ((vmax - vmin) / 20.0), 6) AS bin_hi,
+        |  COUNT(*) AS n
+        |FROM binned GROUP BY event_type, bin, vmin, vmax
+        |ORDER BY event_type, bin""".stripMargin,
+
+    // the q28 anchored-moment discipline applied bivariate: exact
+    // DECIMAL products about quantized anchors, δ-corrected at serve
+    "q41_group_regression" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(12,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT g, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy
+        |  FROM v GROUP BY 1
+        |), a2 AS (
+        |  SELECT *, CAST(sx / n AS DECIMAL(12,2)) AS mx,
+        |    CAST(sy / n AS DECIMAL(12,2)) AS my
+        |  FROM a
+        |), m AS (
+        |  SELECT v.g, n, sx, sy, mx, my,
+        |    CAST(SUM((x - mx) * (x - mx)) AS DOUBLE) AS sxx,
+        |    CAST(SUM((y - my) * (y - my)) AS DOUBLE) AS syy,
+        |    CAST(SUM((x - mx) * (y - my)) AS DOUBLE) AS sxy
+        |  FROM v JOIN a2 ON v.g = a2.g
+        |  GROUP BY 1, 2, 3, 4, 5, 6
+        |), f AS (
+        |  SELECT g, n, sx, sy, sxx, syy, sxy,
+        |    sx / n - CAST(mx AS DOUBLE) AS dx,
+        |    sy / n - CAST(my AS DOUBLE) AS dy
+        |  FROM m
+        |), f2 AS (
+        |  SELECT *, sxx / n - dx * dx AS cxx, syy / n - dy * dy AS cyy,
+        |    sxy / n - dx * dy AS cxy
+        |  FROM f
+        |)
+        |SELECT g AS l_returnflag, n, round(cxy, 6) AS cov,
+        |  CASE WHEN cxx > 0 AND cyy > 0 THEN round(cxy / sqrt(cxx * cyy), 6) END AS corr,
+        |  CASE WHEN cxx > 0 THEN round(cxy / cxx, 6) END AS beta,
+        |  CASE WHEN cxx > 0 THEN round(sy / n - (cxy / cxx) * (sx / n), 6) END AS alpha
+        |FROM f2 ORDER BY l_returnflag""".stripMargin,
 
     // identical stacked whole-partition windows: stage i's MIN-CASE
     // references stage i−1's column, null previous stage cascades to

@@ -1571,4 +1571,108 @@ object Relational {
         col("stage1_ts").as("click_ts"), col("stage2_ts").as("purchase_ts"),
         col("funnel_stage"))
       .orderBy("user_id")
+
+  /** Equi-width histogram per group — the distribution SHAPE profile
+    * completing the family (q18 sketches, q30 exact quantiles, q38
+    * robust fences): `nBins` equal-width bins over each group's
+    * [min, max], emitted sparsely (empty bins absent). The per-group
+    * bounds are one tiny agg broadcast back (the q31/q38 shape); the
+    * binning is a map-side expression and the count is ONE mergeable
+    * (group, bin) aggregation — the corpus never shuffles raw rows,
+    * and the output is bounded by groups × nBins regardless of input
+    * size. Bin arithmetic runs in doubles with the identical
+    * operation order on both engines; the top edge clamps into the
+    * last bin, constant groups collapse to bin 0.
+    */
+  def groupHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      nBins: Int = 20): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val vals = df.select(q(groupCol).as("group"),
+        q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = vals.groupBy("group")
+      .agg(min(col("__v")).as("vmin"), max(col("__v")).as("vmax"))
+    val width = (col("vmax") - col("vmin")) / lit(nBins.toDouble)
+    vals.join(broadcast(bounds), "group")
+      .withColumn("bin",
+        when(col("vmax") > col("vmin"),
+          least(floor((col("__v") - col("vmin")) * lit(nBins.toDouble) /
+            (col("vmax") - col("vmin"))).cast("int"), lit(nBins - 1)))
+          .otherwise(0))
+      .groupBy(col("group"), col("vmin"), col("vmax"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("group"), col("bin"),
+        round(col("vmin") + col("bin") * width, 6).as("bin_lo"),
+        round(col("vmin") + (col("bin") + 1) * width, 6).as("bin_hi"),
+        col("n"))
+  }
+
+  /** q40: gate binding of [[groupHistogram]] on events.value per
+    * event_type, 20 bins. Fully SQL-oracled — identical double bin
+    * arithmetic in DuckDB.
+    */
+  def q40GroupHistogram(s: SparkSession, dir: String): DataFrame =
+    groupHistogram(Tables.events(s, dir), "event_type", "value")
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type", "bin")
+
+  /** Per-group bivariate statistics — covariance, Pearson correlation,
+    * and the OLS regression line (slope + intercept) of y on x — the
+    * relationship profile none of the univariate family measures.
+    * Numerically ANCHORED like q28: raw Σxy/Σx²/Σy² forms cancel
+    * catastrophically for large-mean/small-spread data, so the second
+    * pass folds exact DECIMAL products about quantized per-group
+    * anchors (δ-corrected at serve time: cov = Σ(x−mx)(y−my)/n −
+    * δx·δy with both δ tiny by construction). Scale shape: two
+    * mergeable group aggs with the anchor frame broadcast between
+    * them (the corpus never shuffles), constant-x/constant-y groups
+    * yield null correlation/slope rather than a 0/0.
+    */
+  def groupRegression(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val vals = df.select(q(groupCol).as("group"),
+        q(xCol).cast(D).as("__x"), q(yCol).cast(D).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val anchors = vals.groupBy("group").agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).cast("double").as("sx"),
+        sum(col("__y")).cast("double").as("sy"))
+      .withColumn("mx", (col("sx") / col("n")).cast(D))
+      .withColumn("my", (col("sy") / col("n")).cast(D))
+    val moments = vals.join(broadcast(anchors), "group")
+      .groupBy(col("group"), col("n"), col("sx"), col("sy"),
+        col("mx"), col("my"))
+      .agg(
+        sum((col("__x") - col("mx")) * (col("__x") - col("mx")))
+          .cast("double").as("sxx"),
+        sum((col("__y") - col("my")) * (col("__y") - col("my")))
+          .cast("double").as("syy"),
+        sum((col("__x") - col("mx")) * (col("__y") - col("my")))
+          .cast("double").as("sxy"))
+    val dx = col("sx") / col("n") - col("mx").cast("double")
+    val dy = col("sy") / col("n") - col("my").cast("double")
+    val cxx = col("sxx") / col("n") - dx * dx
+    val cyy = col("syy") / col("n") - dy * dy
+    val cxy = col("sxy") / col("n") - dx * dy
+    val beta = cxy / cxx
+    moments.select(col("group"), col("n"),
+      round(cxy, 6).as("cov"),
+      when(cxx > 0.0 && cyy > 0.0, round(cxy / sqrt(cxx * cyy), 6))
+        .as("corr"),
+      when(cxx > 0.0, round(beta, 6)).as("beta"),
+      when(cxx > 0.0,
+        round(col("sy") / col("n") - beta * (col("sx") / col("n")), 6))
+        .as("alpha"))
+  }
+
+  /** q41: gate binding of [[groupRegression]] — quantity vs extended
+    * price per return flag on lineitem (the do-bigger-orders-cost-
+    * proportionally-more question). Fully SQL-oracled: identical
+    * anchored DECIMAL folds in DuckDB.
+    */
+  def q41GroupRegression(s: SparkSession, dir: String): DataFrame =
+    groupRegression(Tables.lineitem(s, dir), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+      .withColumnRenamed("group", "l_returnflag")
+      .orderBy("l_returnflag")
 }

@@ -292,6 +292,66 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("groupHistogram: mass conserved, bins bounded, every value inside its bin") {
+    for (seed <- Seq(14, 27)) {
+      val r = rnd(seed)
+      val rows = (0 until 500).map(_ => (s"g${r.nextInt(3)}", r.nextInt(10000) / 100.0)) ++
+        Seq(("const", 7.0), ("const", 7.0), ("const", 7.0))
+      val out = Relational.groupHistogram(rows.toDF("g", "v"), "g", "v", nBins = 16)
+        .collect().map(row => (row.getString(0), row.getInt(1),
+          row.getDouble(2), row.getDouble(3), row.getLong(4)))
+      for ((g, vs) <- rows.groupBy(_._1).view.mapValues(_.map(_._2))) {
+        val bins = out.filter(_._1 == g)
+        assert(bins.map(_._5).sum === vs.size.toLong, s"$g mass")
+        assert(bins.forall(b => b._2 >= 0 && b._2 < 16), s"$g bin range")
+        // bin edges tile [min, max]: lo < hi except possibly a
+        // constant group, and widths agree across bins
+        if (vs.distinct.size > 1) {
+          bins.foreach(b => assert(b._3 < b._4, s"$g: $b"))
+          // every value's recomputed bin is represented
+          val (mn, mx) = (vs.min, vs.max)
+          vs.foreach { v =>
+            val bin = math.min(math.floor((v - mn) * 16.0 / (mx - mn)).toInt, 15)
+            assert(bins.exists(_._2 == bin), s"$g value $v bin $bin missing")
+          }
+        } else assert(bins.map(_._2).toSeq === Seq(0), s"$g constant group")
+      }
+    }
+  }
+
+  test("groupRegression: matches an exact driver model and survives large-mean cancellation") {
+    val r = rnd(16)
+    val rows = (0 until 400).map { _ =>
+      val x = r.nextInt(10000) / 100.0
+      (s"g${r.nextInt(3)}", x, math.rint((2.5 * x + 40 + r.nextGaussian() * 25) * 100) / 100)
+    }
+    val out = Relational.groupRegression(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(row => row.getString(0) ->
+        ((row.getLong(1), row.getDouble(2), row.getDouble(3), row.getDouble(4)))).toMap
+    for ((g, es) <- rows.groupBy(_._1)) {
+      val n = es.size.toDouble
+      val (xs, ys) = (es.map(_._2), es.map(_._3))
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / n
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum / n
+      val vy = ys.map(y => (y - my) * (y - my)).sum / n
+      val (gn, gcov, gcorr, gbeta) = out(g)
+      assert(gn === es.size.toLong)
+      assert(math.abs(gcov - cov) < 2e-6, s"$g cov $gcov vs $cov")
+      assert(math.abs(gcorr - cov / math.sqrt(vx * vy)) < 2e-6, s"$g corr")
+      assert(math.abs(gbeta - cov / vx) < 2e-6, s"$g beta")
+    }
+    // the anchored fold's reason to exist: perfectly-correlated data
+    // at mean 1e7 with centimeter spread — the raw sum-of-squares
+    // form loses every significant digit here
+    val big = (0 until 100).map(i => ("big", 1.0e7 + i / 100.0, 2.0 * (1.0e7 + i / 100.0) + 1.0))
+    val b = Relational.groupRegression(big.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(b.getDouble(3) === 1.0, s"corr ${b.getDouble(3)}") // corr
+    assert(math.abs(b.getDouble(4) - 2.0) < 1e-5, s"beta ${b.getDouble(4)}")
+    assert(math.abs(b.getDouble(5) - 1.0) < 1e-2, s"alpha ${b.getDouble(5)}")
+  }
+
   test("weightedSample: equals the driver Efraimidis–Spirakis model and is partition-stable") {
     val r = rnd(12)
     val rows = (0L until 500L).map(i =>

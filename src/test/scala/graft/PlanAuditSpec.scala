@@ -621,6 +621,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Relational.q39Funnel(spark, sf)) <= 2)
   }
 
+  test("q40 histogram: bounds broadcast back, one mergeable (group, bin) agg") {
+    val df = Relational.q40GroupHistogram(spark, sf)
+    // bounds agg + broadcast serve + (group, bin) count agg + sort;
+    // raw rows never shuffle for the binning itself
+    assert(shuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q41 regression: anchor pass broadcast into the moment pass, corpus never shuffles") {
+    val df = Relational.q41GroupRegression(spark, sf)
+    assert(shuffles(df) <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("s13 hamming: queries broadcast, partial top-k before the window exchange") {
     val df = graft.operators.Similarity.s13AnnHamming(spark, sf)
     assert(shuffles(df) <= 2)
