@@ -253,4 +253,54 @@ class PipelineSpec extends SparkSpec {
       emb, emb.filter(col("vec_id") < 3), k = 5)
     assert(nn.select("q_id").distinct().count() === 3L)
   }
+
+  test("profile -> weighted mix -> binary retrieval -> jsonl egress composes (late-r10 surface)") {
+    import graft.operators.Similarity
+    import graft.sources.CorpusSource
+
+    // 1. profile the corpus: distribution shape + robust outlier
+    //    fences agree on the value column's support
+    val hist = Relational.groupHistogram(Tables.events(spark, sf), "event_type", "value")
+    val fences = Relational.iqrOutliers(Tables.events(spark, sf), "event_type", "value")
+    val hByG = hist.groupBy("group").agg(
+      min("bin_lo").as("lo"), max("bin_hi").as("hi"), sum("n").as("mass"))
+    val joined = hByG.join(fences, Seq("group")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // histogram mass equals the fence pass's population
+      assert(r.getLong(3) === r.getAs[Long]("n_values"), r.toString)
+    }
+
+    // 2. weighted source mix: longer docs proportionally likelier,
+    //    deterministic across engines and partitionings
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang", "source", "n_chars")
+    val mixed = Relational.weightedSample(docs, "source", "doc_id", "n_chars", 25)
+    val nMixed = mixed.count()
+    assert(nMixed > 0 && nMixed <= docs.select("source").distinct().count() * 25)
+
+    // 3. the sampled corpus leaves as JSONL and round-trips exactly
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_jsonl").toString + "/mix"
+    CorpusSource.writeJsonl(mixed.join(docs.select("doc_id", "text", "lang"), "doc_id"), out)
+    val (clean, corrupt) = CorpusSource.quarantine(CorpusSource.readJsonl(
+      spark, out, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))))
+    assert(corrupt.count() === 0L && clean.count() === nMixed)
+
+    // 4. binary-code retrieval tier over the embeddings: exact hamming
+    //    and the pruned path agree on the planted-duplicate answer
+    val codes = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.signCode(col("embedding")).as("code"))
+    val queries = codes.filter(col("vec_id") < 3)
+    val exact = Similarity.hammingKnn(codes, queries, k = 5)
+    val pruned = Similarity.hammingKnnPruned(codes, queries, k = 5)
+    assert(exact.select("q_id").distinct().count() === 3L)
+    assert(pruned.select("q_id").distinct().count() === 3L)
+
+    // 5. behavioral summary per user: funnel stage and activity runs
+    //    derive from the same events, so their user sets must nest
+    val fun = Relational.q39Funnel(spark, sf).select("user_id").distinct()
+    val isl = Relational.q35GapIslands(spark, sf).select("user_id").distinct()
+    assert(fun.exceptAll(isl).count() === 0L)
+  }
 }
