@@ -63,6 +63,7 @@ object SparkEntry {
     "q39_funnel" -> (Relational.q39Funnel _),
     "q40_group_histogram" -> (Relational.q40GroupHistogram _),
     "q41_group_regression" -> (Relational.q41GroupRegression _),
+    "q42_unpivot" -> (Relational.q42Unpivot _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1135,6 +1136,28 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM binned GROUP BY event_type, bin, vmin, vmax
         |ORDER BY event_type, bin""".stripMargin,
+
+    // the portable UNION ALL spelling of the same wide -> long
+    // reshape; DECIMAL-quantized doubles on both sides
+    "q42_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS extendedprice,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS discount,
+        |    CAST(CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS tax
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS value FROM w
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM w
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', discount FROM w
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', tax FROM w
+        |)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     // the q28 anchored-moment discipline applied bivariate: exact
     // DECIMAL products about quantized anchors, δ-corrected at serve

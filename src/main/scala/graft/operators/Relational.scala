@@ -1675,4 +1675,36 @@ object Relational {
       "l_quantity", "l_extendedprice")
       .withColumnRenamed("group", "l_returnflag")
       .orderBy("l_returnflag")
+
+  /** Wide → long reshape (unpivot/melt): the exact INVERSE of q04's
+    * pivot, and the load-bearing half of the round trip — the
+    * reference's fact model IS the long form (one (entity, metric,
+    * value) row per fact), so re-deriving it from a wide table is how
+    * extracted tables feed back into fact-level tooling. Spark's
+    * native `unpivot` expands each row to one row per value column
+    * INSIDE the scan projection (an Expand, like q34 — map-only, no
+    * shuffle, no UDF); values unify to the common cast type up front.
+    */
+  def meltWide(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      metricName: String = "metric", valueName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "meltWide needs at least one value column")
+    df.unpivot(idCols.map(Cols.q).toArray, valueCols.map(Cols.q).toArray,
+      metricName, valueName)
+  }
+
+  /** q42: gate binding of [[meltWide]] — lineitem's four pricing
+    * measures melted to (orderkey, linenumber, metric, value) long
+    * form. Fully SQL-oracled: the oracle is the portable UNION ALL
+    * spelling of the same reshape, DECIMAL-quantized on both sides.
+    */
+  def q42Unpivot(s: SparkSession, dir: String): DataFrame =
+    meltWide(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(D).cast("double").as("quantity"),
+        col("l_extendedprice").cast(D).cast("double").as("extendedprice"),
+        col("l_discount").cast(D).cast("double").as("discount"),
+        col("l_tax").cast(D).cast("double").as("tax")),
+      Seq("l_orderkey", "l_linenumber"),
+      Seq("quantity", "extendedprice", "discount", "tax"))
+      .orderBy("l_orderkey", "l_linenumber", "metric")
 }

@@ -352,6 +352,22 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(b.getDouble(5) - 1.0) < 1e-2, s"alpha ${b.getDouble(5)}")
   }
 
+  test("meltWide: wide -> long -> pivot-back is the identity, nulls preserved by default") {
+    val r = rnd(22)
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 7 == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(r.nextInt(1000) / 10.0),
+        java.lang.Double.valueOf(r.nextInt(1000) / 10.0)))
+    val wide = rows.toDF("id", "a", "b")
+    val long = Relational.meltWide(wide, Seq("id"), Seq("a", "b"))
+    // every (id, metric) cell appears exactly once, including nulls
+    assert(long.count() === 400L)
+    val back = long.groupBy("id").pivot("metric", Seq("a", "b")).agg(first("value", ignoreNulls = false))
+    val w0 = wide.collect().map(x => x.getLong(0) -> ((Option(x.get(1)), Option(x.get(2))))).toMap
+    val w1 = back.collect().map(x => x.getLong(0) -> ((Option(x.get(1)), Option(x.get(2))))).toMap
+    assert(w0 === w1)
+  }
+
   test("weightedSample: equals the driver Efraimidis–Spirakis model and is partition-stable") {
     val r = rnd(12)
     val rows = (0L until 500L).map(i =>

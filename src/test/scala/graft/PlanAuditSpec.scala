@@ -638,6 +638,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q42 unpivot: the reshape is an in-scan Expand, only the presentation sort shuffles") {
+    val df = Relational.q42Unpivot(spark, sf)
+    assert(shuffles(df) <= 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(2000))
+  }
+
   test("s13 hamming: queries broadcast, partial top-k before the window exchange") {
     val df = graft.operators.Similarity.s13AnnHamming(spark, sf)
     assert(shuffles(df) <= 2)
