@@ -64,6 +64,7 @@ object SparkEntry {
     "q40_group_histogram" -> (Relational.q40GroupHistogram _),
     "q41_group_regression" -> (Relational.q41GroupRegression _),
     "q42_unpivot" -> (Relational.q42Unpivot _),
+    "q43_densify_locf" -> (Relational.q43DensifyLocf _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1136,6 +1137,29 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM binned GROUP BY event_type, bin, vmin, vmax
         |ORDER BY event_type, bin""".stripMargin,
+
+    // identical per-key spine (range is inclusive-exclusive, hence
+    // hi + 1) and IGNORE-NULLS carry-forward; missing tick OR null
+    // observation both count as gaps
+    "q43_densify_locf" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS daily_value
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT event_type, unnest(range(MIN(day), MAX(day) + 1)) AS day
+        |  FROM daily GROUP BY event_type
+        |), j AS (
+        |  SELECT s.event_type, s.day, d.daily_value
+        |  FROM span s LEFT JOIN daily d
+        |    ON s.event_type = d.event_type AND s.day = d.day
+        |)
+        |SELECT event_type, day,
+        |  last_value(daily_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  daily_value IS NULL AS is_filled
+        |FROM j ORDER BY event_type, day""".stripMargin,
 
     // the portable UNION ALL spelling of the same wide -> long
     // reshape; DECIMAL-quantized doubles on both sides

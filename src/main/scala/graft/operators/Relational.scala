@@ -1707,4 +1707,51 @@ object Relational {
       Seq("l_orderkey", "l_linenumber"),
       Seq("quantity", "extendedprice", "discount", "tax"))
       .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** Time-series densification: expand each key's observed integer
+    * ticks to its FULL [min, max] spine and carry the last observation
+    * forward into the gaps (LOCF) — the step that turns sparse event
+    * aggregates into the regular series downstream joins and window
+    * features assume (every asof-style consumer silently depends on
+    * it). A missing tick OR a null observation both count as gaps
+    * (`is_filled` marks them); nothing extrapolates before a key's
+    * first observation. Contract: ONE row per (key, tick) — aggregate
+    * first (the q43 gate does), or a duplicated tick fans the spine
+    * join out.
+    *
+    * Scale shape: the spine generates from each key's own (lo, hi)
+    * span — one tiny agg, a map-side `sequence` explode (spine length
+    * is bounded by the time range, not the data volume), a
+    * co-partitioned left join back on (key, tick), and ONE key-window
+    * carry-forward. Keys shuffle; observations only ever meet their
+    * own key's spine.
+    */
+  def densifyLocf(df: DataFrame, keyCol: String, tickCol: String,
+      valueCol: String): DataFrame = {
+    val obs = df.select(q(keyCol).as("__k"), q(tickCol).cast("long").as("__t"),
+      q(valueCol).as("__v"))
+    val spine = obs.groupBy("__k")
+      .agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"))
+      .select(col("__k"), explode(sequence(col("__lo"), col("__hi"))).as("__t"))
+    val w = Window.partitionBy("__k").orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("__k", "__t"), "left")
+      .select(col("__k").as(keyCol), col("__t").as(tickCol),
+        last(col("__v"), ignoreNulls = true).over(w).as("value"),
+        col("__v").isNull.as("is_filled"))
+  }
+
+  /** q43: gate binding of [[densifyLocf]] — the per-type DAILY value
+    * series (decimal-exact daily sums) densified over each type's day
+    * span. Fully SQL-oracled: identical spine generation and
+    * IGNORE-NULLS carry-forward in DuckDB.
+    */
+  def q43DensifyLocf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast(D)).cast("double").as("daily_value"))
+    densifyLocf(daily, "event_type", "day", "daily_value")
+      .orderBy("event_type", "day")
+  }
 }

@@ -165,4 +165,31 @@ class AdversarialShapeSpec extends SparkSpec {
     assert(out.count { case (d, (_, kept, _)) => d > 0L && kept == 0L } === 4999)
     assert(out.forall(_._2._1 == 3L))
   }
+
+  test("hamming pruned knn: a mass-identical code block caps out instead of going quadratic") {
+    import graft.operators.Similarity
+    // 20,000 corpus vectors ALL with the same code: every chunk of
+    // every query collides with the whole corpus. The per-(chunk, key)
+    // cap bounds the probed candidates at queries x chunks x cap, so
+    // the result is exact top-k over the capped survivors — never the
+    // 20k x queries full rescore, and never an OOM'd bucket list
+    val cap = 500
+    val codes = (0L until 20000L).map(i => (i, 0x1234L))
+    val queries = (0L until 4L).map(i => (100000L + i, 0x1234L))
+    val out = Similarity.hammingKnnPruned(
+      codes.toDF("vec_id", "code"), queries.toDF("vec_id", "code"),
+      k = 10, maxBucketSize = cap)
+    val rows = out.collect()
+    // every query still gets its k answers (the cap keeps >= k rows)
+    assert(rows.map(_.getLong(0)).distinct.length === 4)
+    assert(rows.length === 40)
+    // and all at distance 0 — the capped bucket is still the RIGHT set
+    assert(rows.forall(_.getInt(3) === 0))
+    // shape guard: the candidate join's probe side is bounded by the
+    // cap, not the corpus — verified by the executed plan not carrying
+    // a 20k x 4 nested loop (equi-join on (chunk, key) only)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
 }

@@ -368,6 +368,39 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(w0 === w1)
   }
 
+  test("densifyLocf: complete spine, exact carry-forward, null observations are gaps") {
+    for (seed <- Seq(10, 25)) {
+      val r = rnd(seed)
+      // one row per (key, tick) — densifyLocf's documented contract
+      // (the gate pre-aggregates; a duplicate tick would fan the
+      // spine join out)
+      val rows = (0 until 300).map { _ =>
+        val v = if (r.nextInt(5) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(r.nextInt(1000) / 10.0)
+        (s"k${r.nextInt(6)}", r.nextInt(40).toLong, v)
+      }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val out = Relational.densifyLocf(rows.toDF("k", "t", "v"), "k", "t", "v")
+        .collect().map(row => (row.getString(0), row.getLong(1)) ->
+          ((Option(row.get(2)).map(_.asInstanceOf[Double]), row.getBoolean(3))))
+        .toMap
+      for ((k, obs) <- rows.groupBy(_._1)) {
+        val ticks = obs.map(_._2)
+        val (lo, hi) = (ticks.min, ticks.max)
+        // spine completeness: every tick in [lo, hi] present, none outside
+        assert(out.keys.count(_._1 == k) === (hi - lo + 1).toInt, s"key $k spine")
+        val byT = obs.map(o => o._2 -> Option(o._3).map(_.doubleValue)).toMap
+        var carried: Option[Double] = None
+        for (t <- lo to hi) {
+          byT.get(t).flatten.foreach(v => carried = Some(v))
+          val (gotV, gotFilled) = out((k, t))
+          assert(gotV === carried, s"$k@$t")
+          // a gap is a missing tick OR a null observation
+          assert(gotFilled === byT.get(t).forall(_.isEmpty), s"$k@$t filled flag")
+        }
+      }
+    }
+  }
+
   test("weightedSample: equals the driver Efraimidis–Spirakis model and is partition-stable") {
     val r = rnd(12)
     val rows = (0L until 500L).map(i =>

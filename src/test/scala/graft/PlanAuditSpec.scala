@@ -645,6 +645,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Expand"), plan.take(2000))
   }
 
+  test("q43 densify: span agg + spine explode + co-partitioned join + one key window") {
+    val df = Relational.q43DensifyLocf(spark, sf)
+    // daily agg, span agg, the (key, tick) join, the key window, and
+    // the presentation sort — observations only ever meet their own
+    // key's spine, never a cartesian
+    assert(shuffles(df) <= 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("s13 hamming: queries broadcast, partial top-k before the window exchange") {
     val df = graft.operators.Similarity.s13AnnHamming(spark, sf)
     assert(shuffles(df) <= 2)
