@@ -758,4 +758,31 @@ object Similarity {
       .select(col("vec_id"), signCode(col("embedding")).as("code"))
     hammingKnn(codes, codes.filter(col("vec_id") < NumQueries))
   }
+
+  /** Recall@k of an approximate ANN result against the exact baseline
+    * — the evaluation loop every approximate tier here is judged by
+    * (the specs compute it driver-side at test scale; this is the
+    * DISTRIBUTED form for judging an index over millions of queries).
+    * Both inputs are result frames in the house (q_id, rank, n_id)
+    * shape; rows beyond rank k on either side are ignored, so one
+    * call evaluates any k at or below what was retrieved. Per query:
+    * hits / |exact top-k| — a query the approximate side missed
+    * entirely still scores (0.0, via the left join), which a naive
+    * inner-join evaluation silently drops.
+    *
+    * Scale shape: two rank filters, one (q_id, n_id) equi-join, one
+    * count agg — everything co-partitions on q_id after the first
+    * exchange.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int = K): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = exact.filter(col("rank") <= k).select(col("q_id"), col("n_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
 }

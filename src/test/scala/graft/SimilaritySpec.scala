@@ -596,6 +596,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSet === want, "driver greedy model mismatch")
   }
 
+  test("recallAtK matches the specs' own driver-side recall and scores missed queries 0") {
+    val exact = Similarity.s01AnnBruteforce(spark, sf)
+    val lsh = Similarity.s02AnnLsh(spark, sf)
+    val out = Similarity.recallAtK(lsh, exact, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // driver model — the same computation every recall spec here does
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val a = lsh.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    for ((q, es) <- e) {
+      val hits = es.count(a.contains)
+      val (gotN, gotHits, gotR) = out(q)
+      assert(gotN === es.length.toLong && gotHits === hits.toLong, s"query $q")
+      assert(math.abs(gotR - hits.toDouble / es.length) < 1e-9, s"query $q recall")
+    }
+    // a query with NO approximate rows still appears, at recall 0
+    val missed = Similarity.recallAtK(lsh.filter(col("q_id") =!= 0L), exact, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(missed(0L) === 0.0)
+    assert(missed.keySet === out.keySet)
+  }
+
   test("signCode folds sign bits big-endian and flips exactly the touched bit") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => if (i % 3 == 0) 0.5f else -0.5f)
