@@ -41,6 +41,28 @@ case class TouchBuffer(tsMs: Seq[Long])
 /** A purchase with its preceding-interval touch count. */
 case class RangeCounted(purchase_id: Long, user_id: Long, n_touches: Long)
 
+/** One event for [[StreamingOps.funnelProgress]]: `ts` drives the
+  * watermark (ms precision is all Spark needs there); `ts_ns` is the
+  * exact nanosecond epoch the chain folds on, so stage ties resolve
+  * bit-identically to batch q39 even for sub-millisecond adjacency.
+  */
+case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, ts_ns: Long, event_type: String)
+
+/** Per-user funnel state: the (monotone) conversion chain plus the
+  * not-yet-ripe buffer of events still inside the watermark horizon —
+  * bounded by the user's event rate × the watermark delay, never by
+  * history (the chain itself is O(1)).
+  */
+case class FunnelChain(pending: Seq[(Long, String)],
+    v: Option[Long], c: Option[Long], p: Option[Long])
+
+/** A finalized per-user conversion journey (ns epochs matching batch
+  * q39, null = stage never reached) emitted by
+  * [[StreamingOps.funnelProgress]].
+  */
+case class FunnelJourney(user_id: Long, view_ts: java.lang.Long,
+    click_ts: java.lang.Long, purchase_ts: java.lang.Long, funnel_stage: Int)
+
 /** One event for [[StreamingOps.windowTopK]]. */
 case class TopKEvent(event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
 
@@ -432,6 +454,81 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .groupByKey(e => (e.event_type, e.ts.getTime / winMs * winMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming conversion funnel — the stateful deployment of batch
+    * q39 (view → click → purchase, earliest-conversion semantics) with
+    * EXACT batch equality under bounded disorder: q39's chain depends
+    * on global time order (the first view decides which clicks count),
+    * so events buffer per user until the watermark passes them, then
+    * fold into the chain in ascending-ts order — at which point the
+    * fold is order-exact: the first view seen IS the global min view,
+    * so the chain only ever extends, never revises. State = the O(1)
+    * chain + the in-horizon buffer (bounded by rate × watermark,
+    * never history — the q13/q16/q17 streaming tradeoff). The
+    * finalized journey emits once the user idles `maxIdleMinutes`
+    * past the watermark (append mode; stage ties resolve exactly like
+    * batch: a click at the view's own timestamp is NOT after it). A
+    * user who returns AFTER finalization starts a fresh journey — the
+    * q13 session-gap semantics applied to conversion chains, and the
+    * knob to set against expected revisit gaps (idle longer than the
+    * stream's largest within-user gap ⇒ exactly one journey per user,
+    * equal to batch q39 — StreamingSpec pins it).
+    */
+  def funnelProgress(
+      events: Dataset[FunnelEvent],
+      watermark: String = "30 minutes",
+      maxIdleMinutes: Int = 120): Dataset[FunnelJourney] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idleMs = maxIdleMinutes * 60000L
+
+    def fold(ch: FunnelChain, ripe: Seq[(Long, String)]): FunnelChain =
+      ripe.sortBy(_._1).foldLeft(ch) { case (s, (t, k)) =>
+        k match {
+          case "view" if s.v.isEmpty => s.copy(v = Some(t))
+          case "click" if s.c.isEmpty && s.v.exists(t > _) => s.copy(c = Some(t))
+          case "purchase" if s.p.isEmpty && s.c.exists(t > _) => s.copy(p = Some(t))
+          case _ => s
+        }
+      }
+
+    def journey(userId: Long, s: FunnelChain): FunnelJourney = {
+      val fin = fold(s, s.pending).copy(pending = Seq.empty)
+      FunnelJourney(userId,
+        fin.v.map(java.lang.Long.valueOf).orNull,
+        fin.c.map(java.lang.Long.valueOf).orNull,
+        fin.p.map(java.lang.Long.valueOf).orNull,
+        Seq(fin.v, fin.c, fin.p).count(_.isDefined))
+    }
+
+    def fn(userId: Long, evs: Iterator[FunnelEvent],
+        state: GroupState[FunnelChain]): Iterator[FunnelJourney] =
+      if (state.hasTimedOut) {
+        // idle past the watermark: everything buffered is ripe —
+        // finalize the chain and emit the journey once
+        val s = state.get
+        state.remove()
+        Iterator.single(journey(userId, s))
+      } else {
+        val wm = state.getCurrentWatermarkMs()
+        val incoming = evs.map(e => (e.ts_ns, e.event_type)).toSeq
+        val s0 = state.getOption.getOrElse(FunnelChain(Seq.empty, None, None, None))
+        val all = s0.pending ++ incoming
+        // ripe = at or before the watermark (ns compared in ms): no
+        // earlier event can still arrive, so the ts-order fold is final
+        val (ripe, hold) = all.partition(_._1 / 1000000L <= wm)
+        val s1 = fold(s0, ripe).copy(pending = hold)
+        state.update(s1)
+        val horizonMs = (all.map(_._1 / 1000000L) :+ wm).max
+        state.setTimeoutTimestamp(math.max(horizonMs + idleMs, wm + 1))
+        Iterator.empty
+      }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

@@ -603,6 +603,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnelProgress equals batch q39 on real events across shuffled micro-batches") {
+    import graft.streaming.{FunnelEvent, FunnelJourney}
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val users = 40L
+
+    val expected = graft.operators.Relational.q39Funnel(spark, sf)
+      .filter(col("user_id") <= users)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))).toMap
+
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") <= users)
+      .select("user_id", "ts", "event_type")
+      .collect()
+      .map(r => FunnelEvent(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(1), r.getString(2)))
+      .sortBy(_.ts_ns)
+
+    val input = MemoryStream[FunnelEvent]
+    // idle horizon longer than any within-user gap in the corpus, so
+    // every user yields exactly ONE journey (batch-equal); a shorter
+    // idle splits journeys at revisit gaps by design
+    val q = StreamingOps.funnelProgress(input.toDS(), watermark = "0 minutes",
+      maxIdleMinutes = 60 * 24 * 60)
+      .writeStream.format("memory").queryName("funnel_prog").outputMode("append").start()
+    try {
+      // deliver in coarse time order but SHUFFLED inside each block —
+      // in-horizon disorder the buffer must absorb exactly
+      val r = new scala.util.Random(7)
+      evs.grouped(evs.length / 3 + 1).foreach { block =>
+        input.addData(r.shuffle(block.toSeq)); q.processAllAvailable()
+      }
+      val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 70L * 24 * 3600 * 1000)
+      input.addData(FunnelEvent(99999L, flushTs, flushTs.getTime * 1000000L, "view"))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(99998L, flushTs, flushTs.getTime * 1000000L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_prog").as[FunnelJourney].collect()
+        .filter(_.user_id <= users)
+        .map(j => j.user_id -> ((Option(j.view_ts).map(_.longValue.asInstanceOf[Any]),
+          Option(j.click_ts).map(_.longValue.asInstanceOf[Any]),
+          Option(j.purchase_ts).map(_.longValue.asInstanceOf[Any]), j.funnel_stage))).toMap
+      assert(got.keySet === expected.keySet)
+      for ((u, e) <- expected) assert(got(u) === e, s"user $u")
+    } finally q.stop()
+  }
+
   test("streaming windowTopK equals the driver leaderboard on real events, state bounded by k") {
     import graft.streaming.{TopKEvent, WindowTopK}
     implicit val ctx = spark.sqlContext
