@@ -145,6 +145,7 @@ object SparkEntry {
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
+    "m04_media_dedup" -> (Multimodal.m04MediaDedup _),
     // XBRL engine over the reference's own test archives (rows-only —
     // no synthetic-table twin exists; see XbrlQueries scaladoc)
     "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),
@@ -1160,6 +1161,21 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  daily_value IS NULL AS is_filled
         |FROM j ORDER BY event_type, day""".stripMargin,
+
+    // the media table's payload IS the document's UTF-8 bytes and the
+    // type is a doc_id round-robin, so the byte-level dedup restates
+    // exactly (md5 of the same bytes, strlen = byte length in DuckDB)
+    "m04_media_dedup" ->
+      """SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+        |    ELSE 'video/mp4' END AS media_type,
+        |  md5(text) AS payload_md5,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_type, payload_md5""".stripMargin,
 
     // the portable UNION ALL spelling of the same wide -> long
     // reshape; DECIMAL-quantized doubles on both sides

@@ -199,4 +199,32 @@ object Multimodal {
         }
       })(org.apache.spark.sql.Encoders.product[SampledFrame])
   }
+
+  /** Exact payload dedup over any media frame — the checksum-level
+    * pass a multimodal pipeline runs BEFORE decode (decoding the same
+    * bytes twice is pure waste, and media corpora are full of
+    * byte-identical re-uploads): group by (media_type, md5(payload)),
+    * keep the lowest id as the canonical copy. Codec-free — it reads
+    * ONLY bytes, so unlike m01–m03's decode plumbing it is fully
+    * oracle-able (the gate's synthesized payloads are UTF-8 text,
+    * which DuckDB md5's to the same digest). One mergeable
+    * aggregation; the payload column itself never shuffles (the hash
+    * and byte length compute in-scan and only those travel).
+    */
+  def mediaDedup(media: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame =
+    media.toDF()
+      .select(col("doc_id"), col("media_type"),
+        md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("media_type"), col("payload_md5"), col("n_bytes"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** m04: gate binding of [[mediaDedup]] on the synthesized media
+    * table. Fully SQL-oracled — the one multimodal entry where
+    * nothing is stubbed (no codec in the path, bytes only).
+    */
+  def m04MediaDedup(s: SparkSession, dir: String): DataFrame =
+    mediaDedup(mediaTable(s, dir))
+      .orderBy("media_type", "payload_md5")
 }

@@ -84,6 +84,28 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("m04 media dedup collapses planted byte-identical payloads, never across types") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRecord
+    val bytes = "the very same frame".getBytes("UTF-8")
+    val other = "a different frame".getBytes("UTF-8")
+    val media = Seq(
+      MediaRecord(10L, "image/jpeg", bytes),
+      MediaRecord(11L, "image/jpeg", bytes), // dup within type -> collapses
+      MediaRecord(12L, "audio/wav", bytes), // same bytes, other type -> kept apart
+      MediaRecord(13L, "image/jpeg", other))
+      .toDS()
+    val out = Multimodal.mediaDedup(media).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size === 3)
+    val imgDup = out.filter { case ((t, _), (_, keep, _)) => t == "image/jpeg" && keep == 10L }
+    assert(imgDup.values.toSeq === Seq((bytes.length.toLong, 10L, 2L)))
+    assert(out.exists { case ((t, _), (_, keep, n)) => t == "audio/wav" && keep == 12L && n == 1L })
+    // mass conservation: copies sum to input rows
+    assert(out.values.map(_._3).sum === 4L)
+  }
+
   test("m03 audio windowing emits dense overlapping windows within header bounds") {
     val a = Multimodal.m03AudioWindows(spark, sf)
     assert(a.columns.toSeq === Seq(
