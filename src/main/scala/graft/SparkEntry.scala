@@ -65,6 +65,9 @@ object SparkEntry {
     "q41_group_regression" -> (Relational.q41GroupRegression _),
     "q42_unpivot" -> (Relational.q42Unpivot _),
     "q43_densify_locf" -> (Relational.q43DensifyLocf _),
+    "q44_cohort_retention" -> (Relational.q44CohortRetention _),
+    "q45_equidepth_hist" -> (Relational.q45EquidepthHistogram _),
+    "q46_compaction_bins" -> (Relational.q46CompactionBins _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -89,6 +92,7 @@ object SparkEntry {
     "d12_incremental_dedup" -> (Dedup.d12IncrementalDedup _),
     "d13_containment_dups" -> (Dedup.d13ContainmentDups _),
     "d14_line_dedup" -> (Dedup.d14LineDedup _),
+    "d15_template_dedup" -> (Dedup.d15TemplateDedup _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -740,6 +744,19 @@ object SparkEntry {
         |FROM marked GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // the character-identical RE2-portable canonicalization (digit runs
+    // -> '0', explicit [ \t\n\r] whitespace class -> one space, lower,
+    // trim), then the d01 digest-group convention
+    "d15_template_dedup" ->
+      """SELECT
+        |  md5(lower(trim(regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g')))) AS canon_md5,
+        |  MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY keep_doc_id""".stripMargin,
+
     // connected components over the d02 pairs via transitive closure;
     // the recursive CTE's UNION dedups, so it reaches the fixpoint
     "d07_dup_clusters" ->
@@ -1161,6 +1178,71 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  daily_value IS NULL AS is_filled
         |FROM j ORDER BY event_type, day""".stripMargin,
+
+    // identical integer week math (ns-epoch day div 7), distinct
+    // (user, week) first, per-user window min as the cohort; retention
+    // is IEEE division of two exact BIGINTs — deterministic, no
+    // rounding needed
+    "q44_cohort_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 86400000000000) // 7 AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, week,
+        |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM weekly
+        |), n AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT n.cohort_week, n.week_offset, n.n_active,
+        |  s.n_active AS cohort_size,
+        |  CAST(n.n_active AS DOUBLE) / CAST(s.n_active AS DOUBLE) AS retention
+        |FROM n JOIN n s ON s.cohort_week = n.cohort_week AND s.week_offset = 0
+        |ORDER BY n.cohort_week, n.week_offset""".stripMargin,
+
+    // identical histogram-then-integer-bucket formulation: collapse to
+    // the per-group value histogram first, cumulative-count the
+    // DISTINCT values, bucket id = exact integer cum*B//n; window SUMs
+    // cast back to BIGINT (the q25 DECIMAL-widening lesson)
+    "q45_equidepth_hist" ->
+      """WITH hist AS (
+        |  SELECT event_type AS g, value AS v, COUNT(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, v, c,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n_total
+        |  FROM hist
+        |)
+        |SELECT g AS event_type, (cum_before * 10) // n_total AS bucket,
+        |  CAST(SUM(c) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM cum GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // identical DECIMAL-cents exact cumulative sizes in file-key order;
+    // bin id = exact integer cum_before // (target cents); BIGINT casts
+    // on the widening window SUM
+    "q46_compaction_bins" ->
+      """WITH sized AS (
+        |  SELECT o_orderstatus AS g, o_orderkey AS f,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |), cum AS (
+        |  SELECT g, f, cents,
+        |    CAST(COALESCE(SUM(cents) OVER (PARTITION BY g ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM sized
+        |)
+        |SELECT g AS o_orderstatus, cum_before // 100000000 AS bin,
+        |  COUNT(*) AS n_files,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS bin_size,
+        |  MIN(f) AS first_file, MAX(f) AS last_file
+        |FROM cum GROUP BY 1, 2
+        |ORDER BY o_orderstatus, bin""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

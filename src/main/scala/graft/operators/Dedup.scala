@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1183,4 +1183,48 @@ object Dedup {
         .select(col("doc_id"), col("chunk_id"), col("chunk_text")),
       "doc_id", "chunk_id", "chunk_text")
       .orderBy("doc_id")
+
+  /** Canonical "template" form of a document: lowercase, digit runs
+    * collapsed to a single `0`, whitespace runs to one space, trimmed —
+    * the CCNet-style normalization that makes boilerplate pages
+    * differing only in counters, timestamps, casing, or formatting
+    * hash identically. Deliberately spelled in the RE2-portable regex
+    * subset (`[ \t\n\r]` written out, never `\s` — Java and RE2
+    * disagree on `\s`'s membership) so the DuckDB oracle applies the
+    * character-identical regexes.
+    */
+  private[graft] def templateCanon(text: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(text, "[0-9]+", "0"),
+      "[ \\t\\n\\r]+", " ")))
+
+  /** Normalize-then-hash ("template") dedup: exact dedup after
+    * [[templateCanon]] — the cheap near-dup tier that catches pages
+    * differing ONLY in casing / counters / whitespace, run BEFORE the
+    * shingle methods (d02/d03) in real pipelines so the expensive
+    * tiers see fewer rows. Reference analog: the extractor's
+    * exact-duplicate drop (datapackage.py:524-533) operates on values
+    * already normalized by fact parsing; this is the same
+    * canonicalize-then-exact discipline at document granularity.
+    *
+    * Scale shape: identical to d01 — canonicalization is map-only
+    * codegen'd string work fused into the scan, then ONE digest
+    * groupBy with map-side partials. At 100 TB: hash-partition by
+    * digest; the shuffle carries one row per distinct template per
+    * map partition.
+    */
+  def templateDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
+      .groupBy(md5(templateCanon(col("text")).cast("binary")).as("canon_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** d15: gate binding of [[templateDedup]] — fully SQL-oracled (the
+    * canonicalization is the same two RE2-portable regexes in DuckDB;
+    * md5-of-text equality is the d01/m04 convention). The gate corpus
+    * is already canonical, so the planted-variant collapse (case /
+    * digit / whitespace variants into one group) is pinned in
+    * DedupSpec rather than exercised here.
+    */
+  def d15TemplateDedup(s: SparkSession, dir: String): DataFrame =
+    templateDedup(Tables.documents(s, dir)).orderBy("keep_doc_id")
 }

@@ -1754,4 +1754,136 @@ object Relational {
     densifyLocf(daily, "event_type", "day", "daily_value")
       .orderBy("event_type", "day")
   }
+
+  /** Cohort retention matrix: entities bucketed by their FIRST-activity
+    * period (the cohort), then for each (cohort, periods-since) the
+    * count still active — the standard growth/retention analysis, and
+    * for a corpus pipeline the same shape as "documents by first-crawl
+    * snapshot × re-crawl offset". `retention` is the IEEE division of
+    * two exact BIGINT counts (deterministic across engines — no
+    * rounding dance needed).
+    *
+    * Scale shape: activity collapses to distinct (entity, period)
+    * FIRST (one shuffle with map-side combine — the raw event volume
+    * never goes further); the cohort is a per-entity window min over
+    * those already-collapsed rows; the matrix is one more mergeable
+    * agg. Cohort sizes are the matrix's own offset-0 rows (every
+    * cohort has one by construction), picked up by a window over the
+    * MATRIX — cohorts × offsets rows, so the last two exchanges are
+    * metadata-sized. No join anywhere: the join formulation would
+    * recompute the whole activity chain for its second branch.
+    */
+  def cohortRetention(df: DataFrame, entityCol: String, periodCol: String): DataFrame = {
+    val activity = df.select(q(entityCol).as("__e"), q(periodCol).cast("long").as("__p"))
+      .distinct()
+    val w = Window.partitionBy("__e")
+    val counts = activity
+      .withColumn("cohort", min(col("__p")).over(w))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val wc = Window.partitionBy("cohort")
+    counts
+      .withColumn("cohort_size",
+        max(when(col("period_offset") === 0, col("n_active"))).over(wc))
+      .select(col("cohort"), col("period_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention"))
+  }
+
+  /** q44: gate binding of [[cohortRetention]] — users cohorted by
+    * first-event WEEK (day div 7 on the ns-epoch clock). Fully
+    * SQL-oracled: integer week math, BIGINT counts, exact-integer
+    * division on both sides.
+    */
+  def q44CohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetention(
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("(ts div 86400000000000) div 7").as("week")),
+      "user_id", "week")
+      .withColumnRenamed("cohort", "cohort_week")
+      .withColumnRenamed("period_offset", "week_offset")
+      .orderBy("cohort_week", "week_offset")
+
+  /** Equi-depth histogram (the complement of q40's equi-WIDTH bins and
+    * q30's quantile POINTS): per group, assign each distinct value to
+    * the bucket holding its cumulative rank, so buckets carry ~equal
+    * row counts and boundaries land on values (ties never straddle
+    * buckets — the property optimizers and samplers want from depth
+    * histograms).
+    *
+    * Scale shape: the q30 lesson applied — NEVER a per-group ntile
+    * window over raw rows (one task per group at 100 TB). Rows first
+    * collapse to the per-group VALUE HISTOGRAM (one shuffle, map-side
+    * combine, output bounded by value cardinality not volume); the
+    * cumulative window then runs over distinct values only, and the
+    * bucket id is exact integer math `cum_before * B div n` — no float
+    * boundary can disagree across engines.
+    */
+  def equidepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "equidepthHistogram needs at least one bucket")
+    val hist = df.filter(q(valueCol).isNotNull)
+      .groupBy(q(groupCol).as("__g"), q(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__cum", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("__g")))
+      .withColumn("bucket", expr(s"(__cum * $buckets) div __n"))
+      .groupBy(col("__g").as(groupCol), col("bucket"))
+      .agg(sum(col("__c")).cast("long").as("n"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
+  /** q45: gate binding of [[equidepthHistogram]] — 10 depth buckets of
+    * events.value per event_type. Fully SQL-oracled (identical
+    * histogram-then-integer-bucket formulation; DuckDB's window SUMs
+    * cast back to BIGINT per the q25 widening lesson).
+    */
+  def q45EquidepthHistogram(s: SparkSession, dir: String): DataFrame =
+    equidepthHistogram(Tables.events(s, dir), "event_type", "value", 10)
+      .orderBy("event_type", "bucket")
+
+  /** Compaction bin-packing: the lake-maintenance planner that turns a
+    * FILE LISTING (one row per file with its byte size) into compaction
+    * assignments — consecutive files in key order packed into bins of
+    * ~`targetBytes` (bin = exact integer `cum_before div target`, so a
+    * file starting before a boundary closes that bin: bins can
+    * slightly overshoot, never undershoot-and-fragment). Pairs with
+    * q31 (z-order WHAT to rewrite) — this is HOW MUCH and WITH WHOM.
+    *
+    * Scale shape: compaction planning is metadata work — one row per
+    * FILE, so 100 TB ≈ a few million rows, not the data volume. Sizes
+    * go exact (DECIMAL cents) before the cumulative window; the
+    * per-group window over a file listing is bounded by listing size
+    * by construction. The plan's output (group, bin) is what a
+    * rewrite job then executes per bin, embarrassingly parallel.
+    */
+  def compactionBins(files: DataFrame, groupCol: String, fileCol: String,
+      sizeCol: String, targetSize: Long): DataFrame = {
+    require(targetSize > 0, "compactionBins needs a positive target size")
+    val sized = files.select(q(groupCol).as("__g"), q(fileCol).as("__f"),
+      q(sizeCol).cast(D).as("__sz"))
+      .withColumn("__cents", expr("CAST(__sz * 100 AS BIGINT)"))
+    val w = Window.partitionBy("__g").orderBy("__f")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized
+      .withColumn("__cum", coalesce(sum(col("__cents")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${targetSize * 100}"))
+      .groupBy(col("__g").as(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        (sum(col("__cents")).cast("double") / 100.0).as("bin_size"),
+        min(col("__f")).as("first_file"), max(col("__f")).as("last_file"))
+  }
+
+  /** q46: gate binding of [[compactionBins]] — orders stand in for the
+    * file listing (o_orderkey the file id, o_totalprice the size,
+    * o_orderstatus the partition), packed toward 1M-unit bins. Fully
+    * SQL-oracled: DECIMAL cents, integer bin ids, BIGINT casts on
+    * DuckDB's widening window SUM.
+    */
+  def q46CompactionBins(s: SparkSession, dir: String): DataFrame =
+    compactionBins(Tables.orders(s, dir), "o_orderstatus", "o_orderkey",
+      "o_totalprice", 1000000L)
+      .orderBy("o_orderstatus", "bin")
 }

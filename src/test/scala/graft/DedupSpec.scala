@@ -624,4 +624,28 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(3000))
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan.take(2000))
   }
+
+  test("d15 templateDedup collapses case / counter / whitespace variants, nothing else") {
+    import spark.implicits._
+    // four spellings of one template page plus two genuinely distinct
+    // docs; only the variants may merge
+    val docs = Seq(
+      (10L, "Breaking News: 17 items found on page 3"),
+      (11L, "breaking news: 42 items found on page 7"),
+      (12L, "BREAKING  NEWS: 9 items\tfound on\npage 12"),
+      (13L, " breaking news: 0 items found on page 0 "),
+      (20L, "breaking views: 17 items found on page 3"), // one letter off
+      (21L, "something else entirely")).toDF("doc_id", "text")
+    val out = Dedup.templateDedup(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(10L -> 4L, 20L -> 1L, 21L -> 1L))
+    // content-determinism under repartitioning
+    val re = Dedup.templateDedup(docs.repartition(5)).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(re === out)
+    // and the canon itself is what the scaladoc claims
+    val canon = docs.select(Dedup.templateCanon($"text")).distinct().collect().map(_.getString(0))
+    assert(canon.toSet === Set("breaking news: 0 items found on page 0",
+      "breaking views: 0 items found on page 0", "something else entirely"))
+  }
 }

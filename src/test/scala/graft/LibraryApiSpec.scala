@@ -201,6 +201,32 @@ class LibraryApiSpec extends SparkSpec {
     assert(hk.toSeq === Seq((1, 1L), (2, 2L)))
   }
 
+  test("r10 final additions accept column names needing backticks") {
+    import graft.operators.{Dedup, Relational}
+    // cohort retention over odd names
+    val act = Seq(("u1", 1L), ("u1", 2L), ("u2", 2L))
+      .toDF("user id", "the.week")
+    val cr = Relational.cohortRetention(act, "user id", "the.week")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cr === Map((1L, 0L) -> 1L, (1L, 1L) -> 1L, (2L, 0L) -> 1L))
+    // equi-depth histogram over odd names
+    val vals = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0))
+      .toDF("the group", "select")
+    val eh = Relational.equidepthHistogram(vals, "the group", "select", 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(eh === Map(0L -> 2L, 1L -> 2L))
+    // compaction bins over odd names
+    val fl = Seq(("p", 1L, 30.0), ("p", 2L, 30.0), ("p", 3L, 30.0))
+      .toDF("the part", "file id", "size.bytes")
+    val cb = Relational.compactionBins(fl, "the part", "file id", "size.bytes", 50L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(cb === Map(0L -> 2L, 1L -> 1L))
+    // template dedup over odd names
+    val td = Dedup.templateDedup(
+      Seq((1L, "A 1"), (2L, "a 2")).toDF("doc id", "the text"), "doc id", "the text")
+    assert(td.count() === 1L)
+  }
+
   test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {
     import graft.operators.Relational
     // the scale recipe from bpeTrain's scaladoc: train the merge table

@@ -426,4 +426,108 @@ class OperatorPropertiesSpec extends SparkSpec {
       .collect().map(row => (row.getString(0), row.getInt(4)) -> row.getLong(1)).toMap
     assert(out2 === out)
   }
+
+  test("cohortRetention equals the driver model on random activity") {
+    for (seed <- Seq(3, 11)) {
+      val r = rnd(seed)
+      // 60 entities, sparse activity over 8 periods, repeated events
+      val events = (0 until 600).map(_ => (r.nextInt(60).toLong, (2 + r.nextInt(8)).toLong))
+      val df = events.toDF("u", "p")
+      val out = Relational.cohortRetention(df, "u", "p").collect()
+        .map(row => (row.getLong(0), row.getLong(1)) ->
+          (row.getLong(2), row.getLong(3), row.getDouble(4))).toMap
+      // driver model
+      val weekly = events.distinct
+      val cohort = weekly.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val matrix = weekly.groupBy { case (u, p) => (cohort(u), p - cohort(u)) }
+        .view.mapValues(_.size.toLong).toMap
+      assert(out.keySet === matrix.keySet, s"seed $seed")
+      for (((c, off), (n, size, ret)) <- out) {
+        assert(n === matrix((c, off)), s"seed $seed ($c,$off)")
+        assert(size === matrix((c, 0L)), s"seed $seed cohort size $c")
+        assert(ret === n.toDouble / size.toDouble, s"seed $seed retention")
+      }
+      // offset 0 is every cohort's own size: retention exactly 1.0
+      out.collect { case ((_, 0L), (_, _, ret)) => ret }.foreach(v => assert(v === 1.0))
+    }
+  }
+
+  test("equidepthHistogram equals the driver model; buckets partition values in order") {
+    for (seed <- Seq(4, 13)) {
+      val r = rnd(seed)
+      // few distinct values force heavy ties (the case that breaks
+      // row-rank formulations; value-rank must keep ties together)
+      val rows = (0 until 500).map(_ => (s"g${r.nextInt(3)}", (r.nextInt(37) * 10).toDouble))
+      val df = rows.toDF("g", "v")
+      val b = 8
+      val out = Relational.equidepthHistogram(df, "g", "v", b).collect()
+        .map(row => (row.getString(0), row.getLong(1)) ->
+          (row.getLong(2), row.getDouble(3), row.getDouble(4))).toMap
+      val byG = rows.groupBy(_._1)
+      // mass conservation and bucket-id bounds
+      for ((g, rs) <- byG) {
+        val mine = out.filter(_._1._1 == g)
+        assert(mine.values.map(_._1).sum === rs.size.toLong, s"seed $seed $g mass")
+        mine.keys.foreach { case (_, bk) => assert(bk >= 0 && bk < b, s"$g bucket $bk") }
+        // buckets partition the distinct values in value order: each
+        // bucket's hi strictly below the next bucket's lo
+        val ordered = mine.toSeq.sortBy(_._1._2).map(_._2)
+        ordered.foreach { case (_, lo, hi) => assert(lo <= hi) }
+        ordered.zip(ordered.tail).foreach { case ((_, _, hi), (_, lo, _)) =>
+          assert(hi < lo, s"seed $seed $g overlap") }
+        // driver model: cum-before of the value histogram, integer bucket
+        val hist = rs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val n = rs.size.toLong
+        var cum = 0L
+        val model = scala.collection.mutable.Map.empty[Long, (Long, Double, Double)]
+        for ((v, c) <- hist) {
+          val bk = cum * b / n
+          model.updateWith(bk) {
+            case None => Some((c, v, v))
+            case Some((cc, lo, hi)) => Some((cc + c, math.min(lo, v), math.max(hi, v)))
+          }
+          cum += c
+        }
+        assert(mine.map { case ((_, bk), t) => bk -> t } === model.toMap, s"seed $seed $g")
+      }
+    }
+  }
+
+  test("compactionBins equals the driver model; bins are contiguous key ranges") {
+    for (seed <- Seq(6, 17)) {
+      val r = rnd(seed)
+      val target = 50L // cents target = 5000
+      val files = (0 until 300).map(i =>
+        (s"p${r.nextInt(3)}", i.toLong, math.rint(r.nextDouble() * 3000) / 100))
+      val df = files.toDF("part", "f", "sz")
+      val out = Relational.compactionBins(df, "part", "f", "sz", target).collect()
+        .map(row => (row.getString(0), row.getLong(1)) ->
+          (row.getLong(2), row.getDouble(3), row.getLong(4), row.getLong(5))).toMap
+      for ((g, fs) <- files.groupBy(_._1)) {
+        val mine = out.filter(_._1._1 == g).toSeq.sortBy(_._1._2)
+        // mass conservation: every file lands in exactly one bin
+        assert(mine.map(_._2._1).sum === fs.size.toLong, s"seed $seed $g")
+        // bins tile the key space in order, no interleaving
+        mine.map(_._2).zip(mine.map(_._2).tail).foreach { case ((_, _, _, last), (_, _, first, _)) =>
+          assert(last < first, s"seed $seed $g ranges interleave") }
+        // driver model: exact cents cumsum in key order
+        val sorted = fs.sortBy(_._2)
+        var cum = 0L
+        val model = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+        for ((_, f, sz) <- sorted) {
+          val cents = BigDecimal(sz).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .*(100).toLongExact
+          val bk = cum / (target * 100)
+          model.updateWith(bk) {
+            case None => Some((1L, cents, f, f))
+            case Some((nf, tot, lo, _)) => Some((nf + 1, tot + cents, lo, f))
+          }
+          cum += cents
+        }
+        val modelOut = model.view.mapValues { case (nf, tot, lo, hi) =>
+          (nf, tot.toDouble / 100.0, lo, hi) }.toMap
+        assert(mine.map { case ((_, bk), t) => bk -> t }.toMap === modelOut, s"seed $seed $g")
+      }
+    }
+  }
 }

@@ -656,6 +656,43 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("q44 retention: distinct first, sizes from the matrix's own window, no join") {
+    val df = Relational.q44CohortRetention(spark, sf)
+    // distinct (user, week), the per-user cohort window, the matrix
+    // agg, the matrix-sized cohort window, the presentation sort —
+    // raw activity rows only cross the first two
+    assert(shuffles(df) <= 5)
+    // no join node at all: a join formulation would recompute the
+    // whole activity chain for its second branch
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q45 equi-depth: value-histogram agg first; windows run on distinct values only") {
+    val df = Relational.q45EquidepthHistogram(spark, sf)
+    // (group, value) histogram agg, ONE group exchange shared by both
+    // windows, the (group, bucket) agg, and the presentation sort
+    assert(shuffles(df) <= 4)
+    // the q30 lesson: never an ntile/rank window over raw rows — the
+    // window input must be the aggregated histogram
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
+  test("q46 compaction: metadata-sized — one group window, one bin agg, the sort") {
+    assert(shuffles(Relational.q46CompactionBins(spark, sf)) <= 3)
+  }
+
+  test("d15 template dedup: one aggregation shuffle plus the presentation sort") {
+    val df = Dedup.d15TemplateDedup(spark, sf)
+    assert(shuffles(df) <= 2)
+    // canonicalization must fuse into the scan-side partial agg, not
+    // stage separately
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("s13 hamming: queries broadcast, partial top-k before the window exchange") {
     val df = graft.operators.Similarity.s13AnnHamming(spark, sf)
     assert(shuffles(df) <= 2)
