@@ -68,6 +68,8 @@ object SparkEntry {
     "q44_cohort_retention" -> (Relational.q44CohortRetention _),
     "q45_equidepth_hist" -> (Relational.q45EquidepthHistogram _),
     "q46_compaction_bins" -> (Relational.q46CompactionBins _),
+    "q47_rolling_stats" -> (Relational.q47RollingStats _),
+    "q48_attribution" -> (Relational.q48Attribution _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1243,6 +1245,45 @@ object SparkEntry {
         |  MIN(f) AS first_file, MAX(f) AS last_file
         |FROM cum GROUP BY 1, 2
         |ORDER BY o_orderstatus, bin""".stripMargin,
+
+    // identical 7-day RANGE frame over integer days; the frame sum
+    // stays DECIMAL-exact and the avg is IEEE division of exact values
+    "q47_rolling_stats" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS dv
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, CAST(dv AS DOUBLE) AS daily_value,
+        |  CAST(SUM(dv) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+        |  CAST(SUM(dv) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS roll_avg
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // identical IGNORE NULLS carry with the identical (ts, id) total
+    // order and 1-PRECEDING frame; all columns integer so nothing can
+    // drift
+    "q48_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT user_id, t, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER w AS touch_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, event_id AS conv_id, t AS conv_ts, touch_id, touch_ts,
+        |  t - touch_ts AS gap_ns
+        |FROM m WHERE event_type = 'purchase'
+        |ORDER BY user_id, conv_ts, conv_id""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

@@ -1886,4 +1886,84 @@ object Relational {
     compactionBins(Tables.orders(s, dir), "o_orderstatus", "o_orderkey",
       "o_totalprice", 1000000L)
       .orderBy("o_orderstatus", "bin")
+
+  /** Trailing-window rolling statistics over a regular series: per key,
+    * the RANGE-frame sum/count/avg of the last `span` ticks — the
+    * moving-average feature q06's cumulative window cannot express (a
+    * bounded range frame evicts, a running frame never does). Input
+    * contract matches [[densifyLocf]]: one row per (key, tick) —
+    * aggregate first, as the q47 gate does.
+    *
+    * Scale shape: ONE per-key window (rows ordered by tick, frame
+    * bounded by span); the sum goes exact DECIMAL inside the frame and
+    * back to DOUBLE at serve, so eviction arithmetic cannot drift —
+    * and the avg is the IEEE division of two exact values.
+    */
+  def rollingWindowStats(df: DataFrame, keyCol: String, tickCol: String,
+      valueCol: String, span: Int): DataFrame = {
+    require(span > 0, "rollingWindowStats needs a positive span")
+    val w = Window.partitionBy(q(keyCol)).orderBy(q(tickCol).cast("long"))
+      .rangeBetween(-(span - 1L), 0L)
+    df.select(q(keyCol), q(tickCol).cast("long").as(tickCol), q(valueCol),
+      sum(q(valueCol).cast(D)).over(w).cast("double").as("roll_sum"),
+      count(q(valueCol)).over(w).as("roll_n"),
+      (sum(q(valueCol).cast(D)).over(w).cast("double") /
+        count(q(valueCol)).over(w).cast("double")).as("roll_avg"))
+  }
+
+  /** q47: gate binding of [[rollingWindowStats]] — the 7-day trailing
+    * sum/avg of each event type's decimal-exact daily value series.
+    * Fully SQL-oracled (identical RANGE frame over integer days in
+    * DuckDB).
+    */
+  def q47RollingStats(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast(D)).cast("double").as("daily_value"))
+    rollingWindowStats(daily, "event_type", "day", "daily_value", 7)
+      .orderBy("event_type", "day")
+  }
+
+  /** Last-touch attribution: each conversion event credited to the
+    * SAME entity's most recent strictly-preceding touch event — the
+    * marketing-attribution classic, and for a corpus pipeline the
+    * "which crawl seeded this document" provenance question. Ordering
+    * is total ((ts, id) tiebreak) and the carry frame ends at `1
+    * PRECEDING`, so a touch sharing the conversion's timestamp
+    * attributes only if its id sorts first; conversions with no prior
+    * touch keep NULL credit (organic).
+    *
+    * Scale shape: the scan filter keeps only touch+conversion rows
+    * (pushed to parquet), then ONE per-entity window carries the last
+    * touch forward — the q16 as-of lesson: never a range join, never
+    * per-conversion lookback.
+    */
+  def lastTouchAttribution(df: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchType: String,
+      convType: String): DataFrame = {
+    val e = df.select(q(entityCol).as("__e"), q(tsCol).cast("long").as("__t"),
+      q(idCol).as("__i"), q(typeCol).as("__y"))
+      .filter(col("__y").isin(touchType, convType))
+    val w = Window.partitionBy("__e").orderBy(col("__t"), col("__i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("touch_id",
+        last(when(col("__y") === touchType, col("__i")), ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when(col("__y") === touchType, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__y") === convType)
+      .select(col("__e").as(entityCol), col("__i").as("conv_id"),
+        col("__t").as("conv_ts"), col("touch_id"), col("touch_ts"),
+        (col("__t") - col("touch_ts")).as("gap_ns"))
+  }
+
+  /** q48: gate binding of [[lastTouchAttribution]] — purchases credited
+    * to the user's last preceding click. Fully SQL-oracled (identical
+    * IGNORE NULLS carry with the identical total order and 1-PRECEDING
+    * frame in DuckDB; all columns integer).
+    */
+  def q48Attribution(s: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(s, dir), "user_id", "ts", "event_id",
+      "event_type", "click", "purchase")
+      .orderBy("user_id", "conv_ts", "conv_id")
 }

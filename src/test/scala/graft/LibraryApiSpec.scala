@@ -225,6 +225,19 @@ class LibraryApiSpec extends SparkSpec {
     val td = Dedup.templateDedup(
       Seq((1L, "A 1"), (2L, "a 2")).toDF("doc id", "the text"), "doc id", "the text")
     assert(td.count() === 1L)
+    // rolling stats over odd names
+    val rs = Relational.rollingWindowStats(
+      Seq(("g", 1L, 10.0), ("g", 2L, 20.0)).toDF("the key", "a.day", "select"),
+      "the key", "a.day", "select", 7)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(rs === Map(1L -> 10.0, 2L -> 30.0))
+    // attribution over odd names
+    val at = Relational.lastTouchAttribution(
+      Seq(("u", 1L, 1L, "touch"), ("u", 2L, 2L, "conv"))
+        .toDF("user id", "ts.ns", "event id", "the kind"),
+      "user id", "ts.ns", "event id", "the kind", "touch", "conv")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(at.toSeq === Seq((2L, 1L)))
   }
 
   test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {

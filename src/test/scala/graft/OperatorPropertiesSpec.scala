@@ -493,6 +493,57 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("rollingWindowStats equals the driver model on random sparse series") {
+    for (seed <- Seq(8, 21)) {
+      val r = rnd(seed)
+      // sparse ticks so the RANGE frame holds a VARYING row count (the
+      // property a ROWS frame would get wrong)
+      val rows = (for (g <- 0 until 3; t <- 0 until 40 if r.nextDouble() < 0.5)
+        yield (s"g$g", t.toLong, math.rint(r.nextDouble() * 1000) / 100)).toSeq
+      val df = rows.toDF("g", "t", "v")
+      val span = 7
+      val out = Relational.rollingWindowStats(df, "g", "t", "v", span).collect()
+        .map(row => (row.getString(0), row.getLong(1)) ->
+          (row.getDouble(3), row.getLong(4), row.getDouble(5))).toMap
+      assert(out.size === rows.size)
+      for ((g, t, _) <- rows) {
+        val frame = rows.filter(x => x._1 == g && x._2 <= t && x._2 > t - span)
+        val sum = frame.map(x => BigDecimal(x._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        val n = frame.size.toLong
+        val (os, on, oa) = out((g, t))
+        assert(os === sum && on === n && oa === sum / n.toDouble, s"seed $seed ($g,$t)")
+      }
+    }
+  }
+
+  test("lastTouchAttribution equals the driver model; same-ts touches follow the id tiebreak") {
+    for (seed <- Seq(5, 19)) {
+      val r = rnd(seed)
+      // duplicate timestamps on purpose: the (ts, id) tiebreak must decide
+      val events = (0 until 400).map(i =>
+        (r.nextInt(20).toLong, (r.nextInt(50) * 10).toLong, i.toLong,
+          Seq("click", "purchase", "noise")(r.nextInt(3))))
+      val df = events.toDF("u", "ts", "id", "kind")
+      val out = Relational.lastTouchAttribution(df, "u", "ts", "id", "kind",
+        "click", "purchase").collect()
+        .map(row => row.getLong(1) -> Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+      // driver model: scan each user's (ts, id)-sorted stream
+      val model = scala.collection.mutable.Map.empty[Long, Option[Long]]
+      for ((_, stream) <- events.groupBy(_._1)) {
+        var lastClick: Option[Long] = None
+        for ((_, _, id, kind) <- stream.sortBy(e => (e._2, e._3))) {
+          if (kind == "purchase") model(id) = lastClick
+          if (kind == "click") lastClick = Some(id)
+        }
+      }
+      assert(out === model.toMap, s"seed $seed")
+      // noise events may never take credit
+      val clickIds = events.filter(_._4 == "click").map(_._3).toSet
+      out.values.flatten.foreach(id => assert(clickIds.contains(id)))
+    }
+  }
+
   test("compactionBins equals the driver model; bins are contiguous key ranges") {
     for (seed <- Seq(6, 17)) {
       val r = rnd(seed)

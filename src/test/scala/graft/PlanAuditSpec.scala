@@ -684,6 +684,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(Relational.q46CompactionBins(spark, sf)) <= 3)
   }
 
+  test("q47 rolling: daily agg + ONE bounded-range key window + the sort") {
+    assert(shuffles(Relational.q47RollingStats(spark, sf)) <= 3)
+  }
+
+  test("q48 attribution: one entity window over the filtered scan, never a range join") {
+    val df = Relational.q48Attribution(spark, sf)
+    assert(shuffles(df) <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    // the type filter reaches the scan, not a post-window Filter
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
   test("d15 template dedup: one aggregation shuffle plus the presentation sort") {
     val df = Dedup.d15TemplateDedup(spark, sf)
     assert(shuffles(df) <= 2)
