@@ -117,6 +117,10 @@ object SparkEntry {
     "s11_ann_ivfsq8" -> (ProductQuantization.s11AnnIvfSq8 _),
     "s12_ann_filtered" -> (Similarity.s12AnnFiltered _),
     "s13_ann_hamming" -> (Similarity.s13AnnHamming _),
+    // rows-only: the knn graph underneath is engine-local LSH;
+    // SimilaritySpec holds driver-model equality and the convexity /
+    // identity / determinism pins
+    "s14_score_propagation" -> (Similarity.s14ScorePropagation _),
     "t18_entropy_stats" -> (Text.t18EntropyStats _),
     // rows-only (an exact SQL knn oracle would be the all-pairs cross
     // join the operator exists to avoid); SimilaritySpec holds recall

@@ -785,4 +785,78 @@ object Similarity {
       .select(col("q_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
+
+  /** Score propagation over a similarity graph: `rounds` bounded
+    * iterations of
+    * `score' (v) = (1-alpha)*seed(v) + alpha * Σ w(v,n)·score(n) / Σ w(v,n)`
+    * — the label-smoothing / quality-propagation step that pushes a
+    * trusted per-document signal (a classifier score, a human rating)
+    * along near-duplicate and nearest-neighbor edges, the standard
+    * trick for scoring the long tail a classifier never saw. The
+    * restart term anchors every node to its own seed (personalized-
+    * PageRank shape), so propagation refines, never erases.
+    *
+    * Deterministic across partitionings: each round's weighted sums
+    * fold EXACT decimals (weights and scores quantized at 6dp — the
+    * d05/s08 cosine discipline), the convex blend runs in doubles on
+    * those exact operands, and the result re-quantizes (native
+    * `graft_round`) before the next round, so aggregation order cannot
+    * drift a bit. Nodes without in-edges keep their current score.
+    *
+    * Scale shape: per round ONE equi-join (edges ⋈ scores on the
+    * neighbor endpoint) and ONE destination aggregation — both
+    * key-partitioned, mergeable, skew-bounded by the graph's in-degree
+    * (k, for a [[knnJoinLsh]] graph). Rounds are flat-checkpointed
+    * (the d07 storage discipline): plan depth stays constant, each
+    * generation released as its successor materializes.
+    */
+  def scorePropagation(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "vec_id", scoreCol: String = "score",
+      srcCol: String = "q_id", dstCol: String = "n_id",
+      weightCol: String = "cosine", alpha: Double = 0.5,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "scorePropagation needs at least one round")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val s = nodes.sparkSession
+    val Dm = "decimal(18,6)"
+    val e = edges.select(Cols.q(srcCol).as("__v"), Cols.q(dstCol).as("__n"),
+      graft.functions.FastRound.round6(s, Cols.q(weightCol).cast("double")).cast(Dm).as("__w"))
+    val seed = nodes.select(Cols.q(idCol).as("__id"),
+      graft.functions.FastRound.round6(s, Cols.q(scoreCol).cast("double")).as("__s0"))
+    var gen = IterativeCheckpoint(seed.withColumn("__score", col("__s0")))
+    for (_ <- 1 to rounds) {
+      val cur = gen.df
+      val agg = e.join(cur.select(col("__id").as("__n"), col("__score")), "__n")
+        .groupBy(col("__v"))
+        .agg(sum(col("__w") * col("__score").cast(Dm)).as("__wsum"),
+          sum(col("__w")).as("__wtot"))
+      val next = IterativeCheckpoint(
+        cur.join(agg, cur("__id") === agg("__v"), "left")
+          .select(col("__id"), col("__s0"),
+            graft.functions.FastRound.round6(s,
+              when(col("__wtot").isNull, col("__score"))
+                .otherwise(lit(1.0 - alpha) * col("__s0") +
+                  lit(alpha) * (col("__wsum").cast("double") / col("__wtot").cast("double"))))
+              .as("__score")))
+      gen.release()
+      gen = next
+    }
+    gen.df.select(col("__id").as(idCol), col("__s0").as("seed_score"),
+      col("__score").as("score"))
+  }
+
+  /** s14: gate binding of [[scorePropagation]] — the embeddings' label
+    * (an integer class id, the corpus's stand-in for a trusted
+    * per-item signal) smoothed for 3 rounds over the s08 knn graph
+    * (session-cached buckets, same geometry). rows-only oracle (the
+    * graph is engine-local LSH); SimilaritySpec holds driver-model
+    * equality, the convexity bound, the isolated-node and alpha=0
+    * identities, and bit-determinism under repartitioning.
+    */
+  def s14ScorePropagation(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("double").as("score"))
+    scorePropagation(nodes, s08KnnJoin(s, dir), rounds = 3)
+      .orderBy("vec_id")
+  }
 }

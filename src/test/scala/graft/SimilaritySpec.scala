@@ -679,4 +679,74 @@ class SimilaritySpec extends SparkSpec {
       assert(pruned.exists(t => t._1 == q && t._2 === 1 && t._3 == 1000L + q && t._4 === 1),
         s"query $q twin missing from rank 1")
   }
+
+  test("scorePropagation equals the driver model bit-for-bit on a random graph") {
+    import spark.implicits._
+    val r = new scala.util.Random(77)
+    val n = 40
+    val seeds = (0L until n.toLong).map(i => (i, r.nextInt(10).toDouble))
+    // random sparse digraph with 6dp-exact weights; node 39 left isolated
+    val edges = (for (_ <- 0 until 150) yield {
+      val a = r.nextInt(n - 1).toLong; var b = r.nextInt(n - 1).toLong
+      (a, b, (r.nextInt(999) + 1) / 1000.0)
+    }).distinct.filter(t => t._1 != t._2)
+    val nodesDf = seeds.toDF("vec_id", "score")
+    val edgesDf = edges.toDF("q_id", "n_id", "cosine")
+    val alpha = 0.5
+    val rounds = 3
+    val out = Similarity.scorePropagation(nodesDf, edgesDf, alpha = alpha, rounds = rounds)
+      .collect().map(row => row.getLong(0) -> (row.getDouble(1), row.getDouble(2))).toMap
+    // driver model: exact BigDecimal folds, double blend, graft_round
+    def r6(x: Double) = graft.functions.FastRound.round(x, 6, 1e6)
+    val inEdges = edges.groupBy(_._1)
+    var cur = seeds.map { case (i, s0) => i -> r6(s0) }.toMap
+    val s0m = cur
+    for (_ <- 1 to rounds) {
+      cur = cur.map { case (v, sc) =>
+        v -> (inEdges.get(v) match {
+          case None => sc
+          case Some(es) =>
+            // mirror the engine's double -> DECIMAL(18,6) casts (HALF_UP)
+            def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            val wsum = es.map { case (_, b, w) => d6(r6(w)) * d6(cur(b)) }.sum
+            val wtot = es.map { case (_, _, w) => d6(r6(w)) }.sum
+            r6((1.0 - alpha) * s0m(v) + alpha * (wsum.toDouble / wtot.toDouble))
+        })
+      }
+    }
+    assert(out.keySet === cur.keySet)
+    for ((v, (s0, sc)) <- out) {
+      assert(s0 === s0m(v), s"node $v seed")
+      assert(sc === cur(v), s"node $v score")
+    }
+    // convexity: every score stays inside the seed hull
+    val (lo, hi) = (seeds.map(_._2).min, seeds.map(_._2).max)
+    out.values.foreach { case (_, sc) => assert(sc >= lo && sc <= hi) }
+    // the isolated node kept its seed exactly
+    assert(out(39L)._2 === r6(seeds(39)._2))
+    // alpha = 0: propagation is the identity on seeds
+    val id0 = Similarity.scorePropagation(nodesDf, edgesDf, alpha = 0.0, rounds = 2)
+      .collect().map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    id0.foreach { case (v, sc) => assert(sc === s0m(v), s"alpha=0 node $v") }
+    // bit-determinism under repartitioning (decimal folds, not doubles)
+    val re = Similarity.scorePropagation(nodesDf.repartition(7),
+      edgesDf.repartition(5), alpha = alpha, rounds = rounds)
+      .collect().map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(re === out.map { case (k, v) => k -> v._2 })
+  }
+
+  test("s14 gate runs over the real knn graph and smooths toward neighborhoods") {
+    val df = Similarity.s14ScorePropagation(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length > 0)
+    // every corpus vector keeps a row, scores stay in the label hull
+    val n = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(rows.length.toLong === n)
+    rows.foreach { r0 =>
+      val sc = r0.getDouble(2)
+      assert(sc >= 0.0 && sc <= 9.0, r0.toString)
+    }
+    // propagation moved SOME scores off their seeds (the graph is real)
+    assert(rows.count(r0 => r0.getDouble(1) != r0.getDouble(2)) > 0)
+  }
 }
