@@ -156,6 +156,10 @@ object SparkEntry {
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
     "m04_media_dedup" -> (Multimodal.m04MediaDedup _),
+    // rows-only: the fingerprint is the m01 stub decode (no codec in
+    // the container); MultimodalSpec pins planted-twin recall, the
+    // guaranteed-miss negative, and the bucket cap
+    "m05_phash_neardups" -> (Multimodal.m05PhashNearDups _),
     // XBRL engine over the reference's own test archives (rows-only —
     // no synthetic-table twin exists; see XbrlQueries scaladoc)
     "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),

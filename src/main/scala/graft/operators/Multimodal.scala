@@ -227,4 +227,77 @@ object Multimodal {
   def m04MediaDedup(s: SparkSession, dir: String): DataFrame =
     mediaDedup(mediaTable(s, dir))
       .orderBy("media_type", "payload_md5")
+
+  /** 64-bit perceptual fingerprint per media item: the decode runs
+    * partition-wise (m01's plumbing) and the fingerprint derives from
+    * the DECODED content — in a real deployment the DCT-of-pixels
+    * pHash / chromaprint replaces ONLY the stub mix below, which is a
+    * deterministic function of the stub decode's checksum (so
+    * byte-identical payloads get identical fingerprints, the property
+    * the spec pins; LOCALITY — visually-near payloads landing at small
+    * Hamming distance — arrives with the real codec, not the stub).
+    */
+  def mediaPhash(media: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame =
+    decode(media).toDF()
+      .select(col("doc_id"), col("media_type"),
+        xxhash64(col("checksum")).as("phash"))
+
+  /** Hamming near-dup pairs over any 64-bit fingerprint frame, blocked
+    * by a partition column (cross-modal pairs are meaningless):
+    * the d04 pigeonhole — each code splits into four 16-bit chunks, a
+    * pair at Hamming distance <= 3 must agree on at least one chunk
+    * (guaranteed recall at the [[Dedup.simhashPairs]] threshold), so
+    * candidates come from per-(block, chunk, key) buckets with the
+    * standard size cap enforced BEFORE list aggregation (a degenerate
+    * corpus — millions of identical fingerprints — caps out instead of
+    * going quadratic). Verification is a map-side XOR popcount on the
+    * candidate row; dedup runs AFTER the distance filter (the d04/d08
+    * lesson: deduping first shuffles the full candidate volume to save
+    * nothing).
+    */
+  def phashNearDups(codes: DataFrame, idCol: String = "doc_id",
+      codeCol: String = "phash", blockCol: String = "media_type",
+      maxDistance: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"4x16-bit pigeonhole guarantees recall only to distance 3: $maxDistance")
+    val sig = codes.select(Cols.q(idCol).as("doc_id"), Cols.q(blockCol).as("block"),
+      Cols.q(codeCol).cast("long").as("code"))
+    val chunked = sig.select(
+        struct(col("doc_id"), col("code"), col("block")).as("dc"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("code"), c * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("cb"))
+      .select(col("dc"), col("dc.block").as("block"),
+        col("cb.chunk").as("chunk"), col("cb.key").as("key"))
+    Dedup.bucketPairs(Dedup.cappedIdBuckets(chunked, Seq("block", "chunk", "key"), "dc",
+        maxBucketSize.toLong, minSize = 2L))
+      .select(col("d1.block").as(blockCol),
+        col("d1.doc_id").as("id1"), col("d2.doc_id").as("id2"),
+        bit_count(col("d1.code").bitwiseXOR(col("d2.code"))).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates(blockCol, "id1", "id2")
+  }
+
+  /** m05: gate binding of [[phashNearDups]] — fingerprints of the real
+    * media table plus DETERMINISTIC planted twins (the first 25 items
+    * re-fingerprinted with <= 2 bits flipped at hash-chosen positions,
+    * ids offset by 100000 — the d12 discipline of synthesizing the
+    * dup-bearing input from the corpus itself, since the corpus has no
+    * natural byte-dups). Every planted twin must surface at its
+    * Hamming distance; natural collisions among ~500 independent
+    * 64-bit codes are nil. rows-only oracle (the fingerprint is the
+    * m01 stub decode); MultimodalSpec pins the planted recall, the
+    * guaranteed-miss negative, and the cap.
+    */
+  def m05PhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val ph = mediaPhash(mediaTable(s, dir))
+    val twins = ph.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("media_type"),
+        expr("""phash
+          |  ^ shiftleft(1L, cast(pmod(xxhash64(doc_id), 64) AS INT))
+          |  ^ shiftleft(1L, cast(pmod(xxhash64(doc_id * 31), 64) AS INT))
+          |""".stripMargin.replace("\n", " ")).as("phash"))
+    phashNearDups(ph.unionByName(twins))
+      .orderBy("media_type", "id1", "id2")
+  }
 }

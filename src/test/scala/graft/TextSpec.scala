@@ -106,6 +106,60 @@ class TextSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 4L)
   }
 
+  test("m05 phash: identical payloads fingerprint identically; near pairs surface, far pairs don't") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRecord
+    val bytes = "the very same frame".getBytes("UTF-8")
+    val media = Seq(
+      MediaRecord(1L, "image/jpeg", bytes),
+      MediaRecord(2L, "image/jpeg", bytes),
+      MediaRecord(3L, "image/jpeg", "different".getBytes("UTF-8"))).toDS()
+    val ph = Multimodal.mediaPhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ph(1L) === ph(2L))
+    assert(ph(1L) !== ph(3L))
+    // determinism under repartitioning
+    val ph2 = Multimodal.mediaPhash(media.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ph2 === ph)
+
+    // constructed codes: exact distances, the pigeonhole guarantee and
+    // its boundary, and the block fence
+    val base = 0x0123456789ABCDEFL
+    val codes = Seq(
+      (10L, "img", base),
+      (11L, "img", base ^ 1L), // d=1, shares 3 chunks
+      (12L, "img", base ^ 7L), // d=3, shares 3 chunks -> guaranteed found
+      // d=4 FROM BASE, one flip per 16-bit chunk -> shares no chunk
+      // with 10, guaranteed miss there; but it DOES share chunk 0 with
+      // 11 (both flipped bit 0) at d=3 -> found, the pigeonhole working
+      (13L, "img", base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))),
+      (20L, "aud", base)) // same code, other block -> fenced off
+      .toDF("doc_id", "media_type", "phash")
+    val pairs = Multimodal.phashNearDups(codes).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    assert(pairs === Map((10L, 11L) -> 1, (10L, 12L) -> 3, (11L, 12L) -> 2,
+      (11L, 13L) -> 3))
+    assert(!pairs.contains((10L, 13L)))
+    // the cap: a degenerate corpus of identical fingerprints drops its
+    // oversized buckets instead of going quadratic
+    val degenerate = (0L until 3000L).map(i => (i, "img", 42L)).toDF("doc_id", "media_type", "phash")
+    assert(Multimodal.phashNearDups(degenerate, maxBucketSize = 1000).count() === 0L)
+  }
+
+  test("m05 gate surfaces every planted twin at its true distance") {
+    val out = Multimodal.m05PhashNearDups(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    // all 25 planted twins (ids offset by 100000), each at hamming <= 2
+    val planted = out.filter { case ((a, b), _) => b == a + 100000L }
+    assert(planted.size === 25, out.keys.toSeq.sorted.mkString(","))
+    planted.values.foreach(d => assert(d >= 0 && d <= 2))
+    // determinism
+    val again = Multimodal.m05PhashNearDups(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    assert(again === out)
+  }
+
   test("m03 audio windowing emits dense overlapping windows within header bounds") {
     val a = Multimodal.m03AudioWindows(spark, sf)
     assert(a.columns.toSeq === Seq(
