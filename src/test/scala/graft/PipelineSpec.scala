@@ -303,4 +303,52 @@ class PipelineSpec extends SparkSpec {
     val isl = Relational.q35GapIslands(spark, sf).select("user_id").distinct()
     assert(fun.exceptAll(isl).count() === 0L)
   }
+
+  test("template dedup -> retention/attribution -> densify+rolling -> propagation -> compaction composes (final-r10 surface)") {
+    import graft.operators.Similarity
+
+    // 1. canonicalization can only MERGE groups exact hashing keeps apart
+    val docs = Tables.documents(spark, sf)
+    val exactGroups = Dedup.exactDedup(docs).count()
+    val templGroups = Dedup.templateDedup(docs).count()
+    assert(templGroups <= exactGroups && templGroups > 0)
+
+    // 2. behavioral stack over ONE events table: the cohort matrix's
+    //    activity mass is positive and every attributed conversion's
+    //    user exists in the same universe
+    val cohorts = Relational.q44CohortRetention(spark, sf)
+    assert(cohorts.agg(sum("n_active")).head.getLong(0) > 0L)
+    val conv = Relational.q48Attribution(spark, sf).select("user_id").distinct()
+    val users = Tables.events(spark, sf).select("user_id").distinct()
+    assert(conv.exceptAll(users).count() === 0L)
+
+    // 3. densify -> rolling: on the gap-free LOCF spine every trailing
+    //    frame is FULL once past warm-up (roll_n == min(span, age+1)) —
+    //    the cross-operator contract that makes rolling features sane
+    val daily = Tables.events(spark, sf)
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("v"))
+    val dense = Relational.densifyLocf(daily, "event_type", "day", "v")
+    val rolled = Relational.rollingWindowStats(dense, "event_type", "day", "value", 4)
+    rolled.collect().groupBy(_.getString(0)).values.foreach { rows =>
+      rows.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(4) === math.min(4, i + 1).toLong, r.toString)
+      }
+    }
+
+    // 4. the propagation tier consumes the knn graph the retrieval tier
+    //    builds; smoothed scores stay inside the label hull
+    val emb = Tables.embeddings(spark, sf)
+    val graph = Similarity.knnJoin(emb, k = 5)
+    val prop = Similarity.scorePropagation(
+      emb.select(col("vec_id"), col("label").cast("double").as("score")), graph)
+    val scores = prop.collect()
+    assert(scores.length.toLong === emb.count())
+    scores.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 9.0, r.toString))
+
+    // 5. the lake-maintenance plan accounts for every "file" exactly once
+    val plan = Relational.q46CompactionBins(spark, sf)
+    assert(plan.agg(sum("n_files")).head.getLong(0) === Tables.orders(spark, sf).count())
+  }
 }
