@@ -70,6 +70,7 @@ object SparkEntry {
     "q46_compaction_bins" -> (Relational.q46CompactionBins _),
     "q47_rolling_stats" -> (Relational.q47RollingStats _),
     "q48_attribution" -> (Relational.q48Attribution _),
+    "q49_event_transitions" -> (Relational.q49EventTransitions _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1292,6 +1293,24 @@ object SparkEntry {
         |  t - touch_ts AS gap_ns
         |FROM m WHERE event_type = 'purchase'
         |ORDER BY user_id, conv_ts, conv_id""".stripMargin,
+
+    // identical lead window over the identical (ts, id) total order;
+    // gap sums exact BIGINT ns (cast against DuckDB's widening SUM),
+    // the mean is IEEE division of exact operands
+    "q49_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(epoch_ns(ts)) OVER w AS nt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |)
+        |SELECT event_type AS from_type, to_type, COUNT(*) AS n,
+        |  CAST(SUM(nt - t) AS BIGINT) AS gap_ns_sum,
+        |  CAST(CAST(SUM(nt - t) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gap_ns_avg
+        |FROM e WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

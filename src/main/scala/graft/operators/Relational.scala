@@ -1966,4 +1966,44 @@ object Relational {
     lastTouchAttribution(Tables.events(s, dir), "user_id", "ts", "event_id",
       "event_type", "click", "purchase")
       .orderBy("user_id", "conv_ts", "conv_id")
+
+  /** Event-transition (first-order Markov) statistics: for every
+    * consecutive pair in each entity's totally-ordered stream, the
+    * (from, to) transition count and the exact dwell-time sum/mean —
+    * the "what happens next" matrix behind pathing analysis, Markov
+    * attribution, and next-action models; q39's funnel asks about ONE
+    * prescribed path, this measures ALL of them. Ordering is total
+    * ((ts, id) tiebreak); a same-ts pair contributes a 0-gap
+    * transition in tiebreak order rather than being dropped.
+    *
+    * Scale shape: ONE per-entity window (lead over the total order —
+    * pairing is per-row, never a self-join) feeding ONE mergeable
+    * (from, to) aggregation whose output is bounded by the type
+    * alphabet squared, whatever the event volume. Gap sums stay exact
+    * BIGINT ns; the mean is IEEE division of exact operands.
+    */
+  def eventTransitions(df: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__e")).orderBy(col("__t"), col("__i"))
+    df.select(q(entityCol).as("__e"), q(tsCol).cast("long").as("__t"),
+      q(idCol).as("__i"), q(typeCol).as("__y"))
+      .withColumn("__ny", lead(col("__y"), 1).over(w))
+      .withColumn("__nt", lead(col("__t"), 1).over(w))
+      .filter(col("__ny").isNotNull)
+      .groupBy(col("__y").as("from_type"), col("__ny").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__nt") - col("__t")).as("gap_ns_sum"),
+        (sum(col("__nt") - col("__t")).cast("double") /
+          count(lit(1)).cast("double")).as("gap_ns_avg"))
+  }
+
+  /** q49: gate binding of [[eventTransitions]] over the user event
+    * streams. Fully SQL-oracled (identical lead window with the
+    * identical total order in DuckDB; BIGINT casts on its widening
+    * SUM).
+    */
+  def q49EventTransitions(s: SparkSession, dir: String): DataFrame =
+    eventTransitions(Tables.events(s, dir), "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy("from_type", "to_type")
 }

@@ -238,6 +238,13 @@ class LibraryApiSpec extends SparkSpec {
       "user id", "ts.ns", "event id", "the kind", "touch", "conv")
       .collect().map(r => (r.getLong(1), r.getLong(3)))
     assert(at.toSeq === Seq((2L, 1L)))
+    // transitions over odd names
+    val tr = Relational.eventTransitions(
+      Seq(("u", 1L, 1L, "a"), ("u", 2L, 2L, "b"), ("u", 3L, 3L, "a"))
+        .toDF("user id", "ts.ns", "event id", "the kind"),
+      "user id", "ts.ns", "event id", "the kind")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tr === Map(("a", "b") -> 1L, ("b", "a") -> 1L))
   }
 
   test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {

@@ -544,6 +544,38 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("eventTransitions equals the driver model; mass = rows - entities") {
+    for (seed <- Seq(12, 23)) {
+      val r = rnd(seed)
+      // duplicate timestamps on purpose: the (ts, id) tiebreak decides
+      // pairing, and same-ts pairs must contribute 0-gap transitions
+      val events = (0 until 500).map(i =>
+        (r.nextInt(25).toLong, (r.nextInt(40) * 10).toLong, i.toLong,
+          s"t${r.nextInt(4)}"))
+      val df = events.toDF("u", "ts", "id", "kind")
+      val out = Relational.eventTransitions(df, "u", "ts", "id", "kind").collect()
+        .map(row => (row.getString(0), row.getString(1)) ->
+          (row.getLong(2), row.getLong(3), row.getDouble(4))).toMap
+      // driver model over each entity's (ts, id)-sorted stream
+      val model = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+      for ((_, stream) <- events.groupBy(_._1)) {
+        val s = stream.sortBy(e => (e._2, e._3))
+        s.zip(s.tail).foreach { case ((_, t1, _, k1), (_, t2, _, k2)) =>
+          val (n, g) = model.getOrElse((k1, k2), (0L, 0L))
+          model((k1, k2)) = (n + 1, g + (t2 - t1))
+        }
+      }
+      assert(out.keySet === model.keySet, s"seed $seed")
+      for (((f, t), (n, g, avg)) <- out) {
+        assert((n, g) === model((f, t)), s"seed $seed ($f,$t)")
+        assert(avg === g.toDouble / n.toDouble, s"seed $seed avg")
+      }
+      // mass: every consecutive pair transitions exactly once
+      val entities = events.map(_._1).distinct.size
+      assert(out.values.map(_._1).sum === (events.size - entities).toLong, s"seed $seed")
+    }
+  }
+
   test("compactionBins equals the driver model; bins are contiguous key ranges") {
     for (seed <- Seq(6, 17)) {
       val r = rnd(seed)

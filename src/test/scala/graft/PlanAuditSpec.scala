@@ -697,6 +697,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(2000))
   }
 
+  test("q49 transitions: one entity lead window + one bounded matrix agg + the sort") {
+    val df = Relational.q49EventTransitions(spark, sf)
+    assert(shuffles(df) <= 3)
+    // pairing is the lead window, never a self-join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("d15 template dedup: one aggregation shuffle plus the presentation sort") {
     val df = Dedup.d15TemplateDedup(spark, sf)
     assert(shuffles(df) <= 2)
