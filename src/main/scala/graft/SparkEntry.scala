@@ -71,6 +71,7 @@ object SparkEntry {
     "q47_rolling_stats" -> (Relational.q47RollingStats _),
     "q48_attribution" -> (Relational.q48Attribution _),
     "q49_event_transitions" -> (Relational.q49EventTransitions _),
+    "q50_countmin_state" -> (Relational.q50CountminState _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1311,6 +1312,21 @@ object SparkEntry {
         |FROM e WHERE to_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // the house content-stable md5 bucketing restated counter for
+    // counter: salt = value ':' row index, bucket = 48-bit md5 prefix
+    // mod width — bit-identical across engines
+    "q50_countmin_state" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS val FROM events
+        |), e AS (
+        |  SELECT event_type, val, unnest(range(0, 4)) AS d FROM v
+        |)
+        |SELECT event_type, d,
+        |  ('0x' || substr(md5(val || ':' || CAST(d AS VARCHAR)), 1, 12))::BIGINT % 64 AS bucket,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY 1, 2, 3
+        |ORDER BY event_type, d, bucket""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

@@ -2006,4 +2006,71 @@ object Relational {
     eventTransitions(Tables.events(s, dir), "user_id", "ts", "event_id",
       "event_type")
       .orderBy("from_type", "to_type")
+
+  /** Mergeable FREQUENCY-sketch state tables (count-min) — the third
+    * leg of the state family: q32 sketches DISTINCTS, q33 keeps exact
+    * per-key aggregates, and this bounds per-VALUE frequency queries
+    * ("how often did X appear") where exact value-level state would
+    * explode at 100 TB (the state is groups × depth × width rows,
+    * whatever the value cardinality). State is the SPARSE
+    * (group, d, bucket, n) counter matrix: `depth` independent
+    * md5-salted hash rows × `width` buckets, mergeable by plain
+    * counter ADDITION at any compaction depth; a point query serves
+    * as the MIN over the d counters — the classic CM guarantee:
+    * errors only ever ADD, an estimate can never undercount. Buckets
+    * come from the house content-stable md5-prefix of `value ":" d`,
+    * so states are bit-identical across reruns, partitionings, AND
+    * engines — the whole sketch is SQL-oracle-able, unlike binary HLL
+    * state.
+    */
+  def countMinStates(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 1, "countMinStates needs positive depth and width")
+    df.select(groupCols.map(q) :+ q(valueCol).cast("string").as("__v"): _*)
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("d", col("d").cast("long"))
+      .withColumn("bucket", pmod(
+        expr("CAST(conv(substring(md5(CAST(concat(__v, ':', d) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"),
+        lit(width.toLong)))
+      .groupBy(groupCols.map(q) :+ col("d") :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge same-key CM state rows after an append — counters ADD,
+    * exactly, at any re-compaction depth (the q33/d12 LSM shape).
+    */
+  def countMinCompact(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.groupBy(keyCols.map(q) :+ col("d") :+ col("bucket"): _*)
+      .agg(sum(col("n")).cast("long").as("n"))
+
+  /** Point-query a CM state table for each (group, value) row of
+    * `queries`: recompute the d salted buckets, left-join the state
+    * (a missing counter IS zero), take the min — state-in, answer-out,
+    * the raw data never touched. `estimate >= true count` always.
+    */
+  def countMinEstimate(states: DataFrame, keyCols: Seq[String],
+      queries: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    val probes = queries
+      .select(keyCols.map(q) :+ q(valueCol).cast("string").as("__v"): _*)
+      .distinct()
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("d", col("d").cast("long"))
+      .withColumn("bucket", pmod(
+        expr("CAST(conv(substring(md5(CAST(concat(__v, ':', d) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"),
+        lit(width.toLong)))
+    probes.join(states, keyCols :+ "d" :+ "bucket", "left")
+      .groupBy(keyCols.map(q) :+ col("__v").as(valueCol): _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("estimate"))
+  }
+
+  /** q50: gate binding of [[countMinStates]] — per-event-type user
+    * frequency sketches (depth 4 × width 64). Fully SQL-oracled: the
+    * md5 bucketing, the salt, and the counter counts restate exactly
+    * in DuckDB (the one frequency sketch an engine-independent oracle
+    * can check counter for counter).
+    */
+  def q50CountminState(s: SparkSession, dir: String): DataFrame =
+    countMinStates(Tables.events(s, dir), Seq("event_type"), "user_id")
+      .orderBy("event_type", "d", "bucket")
 }

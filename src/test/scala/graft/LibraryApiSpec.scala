@@ -245,6 +245,14 @@ class LibraryApiSpec extends SparkSpec {
       "user id", "ts.ns", "event id", "the kind")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(tr === Map(("a", "b") -> 1L, ("b", "a") -> 1L))
+    // count-min over odd names: build, then point-query through the
+    // same odd columns
+    val cmDf = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("the group", "select")
+    val cmStates = Relational.countMinStates(cmDf, Seq("the group"), "select", 2, 16)
+    val cmEst = Relational.countMinEstimate(cmStates, Seq("the group"),
+      cmDf.distinct(), "select", 2, 16)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(cmEst("x") >= 2L && cmEst("y") >= 1L)
   }
 
   test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {

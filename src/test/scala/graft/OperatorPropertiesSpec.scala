@@ -576,6 +576,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("countMin: split states merge to the one-shot build; estimates never undercount") {
+    import graft.operators.Relational
+    val r = rnd(14)
+    val rows = (0 until 600).map(_ => (s"g${r.nextInt(3)}", s"v${r.nextInt(30)}"))
+    val df = rows.toDF("g", "v")
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getString(0), row.getLong(1), row.getLong(2)) -> row.getLong(3)
+    val oneShot = Relational.countMinStates(df, Seq("g"), "v", depth = 4, width = 32)
+      .collect().map(key).toMap
+    // LSM shape: two batch builds appended then compacted == one shot, EXACTLY
+    val merged = Relational.countMinCompact(
+      Relational.countMinStates(rows.take(300).toDF("g", "v"), Seq("g"), "v", 4, 32)
+        .unionByName(
+          Relational.countMinStates(rows.drop(300).toDF("g", "v"), Seq("g"), "v", 4, 32)),
+      Seq("g")).collect().map(key).toMap
+    assert(merged === oneShot)
+    // the CM guarantee: estimate >= truth for EVERY seen (group, value)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val states = Relational.countMinStates(df, Seq("g"), "v", 4, 32)
+    val queries = rows.distinct.toDF("g", "v")
+    val est = Relational.countMinEstimate(states, Seq("g"), queries, "v", 4, 32)
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) -> r0.getLong(2)).toMap
+    assert(est.keySet === truth.keySet)
+    est.foreach { case (k, e) => assert(e >= truth(k), s"$k undercounted: $e < ${truth(k)}") }
+    // collision-free width: estimates are EXACT (30 values, 4x4096
+    // counters, fixed md5 buckets — deterministic for this corpus)
+    val wide = Relational.countMinStates(df, Seq("g"), "v", 4, 4096)
+    val estW = Relational.countMinEstimate(wide, Seq("g"), queries, "v", 4, 4096)
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) -> r0.getLong(2)).toMap
+    assert(estW === truth)
+    // state size is bounded by construction, whatever the row volume
+    assert(oneShot.size <= 3 * 4 * 32)
+  }
+
   test("compactionBins equals the driver model; bins are contiguous key ranges") {
     for (seed <- Seq(6, 17)) {
       val r = rnd(seed)

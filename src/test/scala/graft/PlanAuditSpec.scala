@@ -705,6 +705,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("q50 count-min: map-side salted explode + one bounded counter agg + the sort") {
+    assert(shuffles(Relational.q50CountminState(spark, sf)) <= 2)
+  }
+
   test("d15 template dedup: one aggregation shuffle plus the presentation sort") {
     val df = Dedup.d15TemplateDedup(spark, sf)
     assert(shuffles(df) <= 2)
