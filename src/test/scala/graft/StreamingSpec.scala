@@ -560,6 +560,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min maintenance: per-micro-batch append + compact is EXACTLY the one-shot sketch") {
+    // the q50 loop on a stream — same shape as the HLL maintenance
+    // above, but counters ADD exactly, so the maintained state must be
+    // bit-equal (not merely within error) to sketching everything seen
+    // in one shot, and point estimates keep the never-undercount
+    // guarantee over the full history
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    val batches = Seq(
+      (0 until 50).map(i => ("click", s"u${i % 9}")),
+      (0 until 50).map(i => ("click", s"u${i % 6}")),
+      (0 until 30).map(i => ("view", s"u${i % 4}")))
+    def states(rows: Seq[(String, String)]) =
+      Relational.countMinStates(rows.toDF("event_type", "user"),
+        Seq("event_type"), "user", depth = 3, width = 16)
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("event_type", "user").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getString(1))).toSeq
+          val appended =
+            if (maintained == null) states(localized)
+            else maintained.unionByName(states(localized))
+          maintained = Relational.countMinCompact(appended, Seq("event_type"))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+      val all = batches.flatten
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)
+      val oneShot = states(all).collect().map(key).toMap
+      assert(maintained.collect().map(key).toMap === oneShot)
+      // point estimates over the full history never undercount
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = Relational.countMinEstimate(maintained, Seq("event_type"),
+        all.distinct.toDF("event_type", "user"), "user", depth = 3, width = 16)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      est.foreach { case (k, e) => assert(e >= truth(k), s"$k undercounted") }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs across micro-batch boundaries, equal to the batch join") {
     implicit val ctx = spark.sqlContext
     // base offset keeps every event ABOVE the query's initial
