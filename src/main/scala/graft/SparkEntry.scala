@@ -1296,8 +1296,9 @@ object SparkEntry {
         |ORDER BY user_id, conv_ts, conv_id""".stripMargin,
 
     // identical lead window over the identical (ts, id) total order;
-    // gap sums exact BIGINT ns (cast against DuckDB's widening SUM),
-    // the mean is IEEE division of exact operands
+    // gap sums fold EXACT (DuckDB's HUGEINT == the engine's
+    // DECIMAL(38,0) fold — a BIGINT ns fold overflows at 10M events,
+    // the sf10 finding) and serve as IEEE doubles of the exact value
     "q49_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,
@@ -1307,8 +1308,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
         |)
         |SELECT event_type AS from_type, to_type, COUNT(*) AS n,
-        |  CAST(SUM(nt - t) AS BIGINT) AS gap_ns_sum,
-        |  CAST(CAST(SUM(nt - t) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gap_ns_avg
+        |  CAST(SUM(nt - t) AS DOUBLE) AS gap_ns_sum,
+        |  CAST(SUM(nt - t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gap_ns_avg
         |FROM e WHERE to_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY from_type, to_type""".stripMargin,

@@ -1979,12 +1979,16 @@ object Relational {
     * Scale shape: ONE per-entity window (lead over the total order —
     * pairing is per-row, never a self-join) feeding ONE mergeable
     * (from, to) aggregation whose output is bounded by the type
-    * alphabet squared, whatever the event volume. Gap sums stay exact
-    * BIGINT ns; the mean is IEEE division of exact operands.
+    * alphabet squared, whatever the event volume. Gap sums fold in
+    * exact DECIMAL(38,0) — a BIGINT ns fold overflows at ~9.2e18,
+    * which a mere 10M-event stream at ns granularity already exceeds
+    * (the sf10 spot check caught exactly this) — and serve as the
+    * IEEE double of the exact fold; the mean divides exact operands.
     */
   def eventTransitions(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col("__e")).orderBy(col("__t"), col("__i"))
+    val gap = (col("__nt") - col("__t")).cast("decimal(38,0)")
     df.select(q(entityCol).as("__e"), q(tsCol).cast("long").as("__t"),
       q(idCol).as("__i"), q(typeCol).as("__y"))
       .withColumn("__ny", lead(col("__y"), 1).over(w))
@@ -1992,8 +1996,8 @@ object Relational {
       .filter(col("__ny").isNotNull)
       .groupBy(col("__y").as("from_type"), col("__ny").as("to_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("__nt") - col("__t")).as("gap_ns_sum"),
-        (sum(col("__nt") - col("__t")).cast("double") /
+        sum(gap).cast("double").as("gap_ns_sum"),
+        (sum(gap).cast("double") /
           count(lit(1)).cast("double")).as("gap_ns_avg"))
   }
 

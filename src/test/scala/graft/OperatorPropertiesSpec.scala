@@ -555,20 +555,23 @@ class OperatorPropertiesSpec extends SparkSpec {
       val df = events.toDF("u", "ts", "id", "kind")
       val out = Relational.eventTransitions(df, "u", "ts", "id", "kind").collect()
         .map(row => (row.getString(0), row.getString(1)) ->
-          (row.getLong(2), row.getLong(3), row.getDouble(4))).toMap
-      // driver model over each entity's (ts, id)-sorted stream
-      val model = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+          (row.getLong(2), row.getDouble(3), row.getDouble(4))).toMap
+      // driver model over each entity's (ts, id)-sorted stream; the
+      // exact fold is a BigInt (mirroring the DECIMAL(38,0) engine
+      // fold that survives ns sums a Long cannot), served as double
+      val model = scala.collection.mutable.Map.empty[(String, String), (Long, BigInt)]
       for ((_, stream) <- events.groupBy(_._1)) {
         val s = stream.sortBy(e => (e._2, e._3))
         s.zip(s.tail).foreach { case ((_, t1, _, k1), (_, t2, _, k2)) =>
-          val (n, g) = model.getOrElse((k1, k2), (0L, 0L))
+          val (n, g) = model.getOrElse((k1, k2), (0L, BigInt(0)))
           model((k1, k2)) = (n + 1, g + (t2 - t1))
         }
       }
       assert(out.keySet === model.keySet, s"seed $seed")
       for (((f, t), (n, g, avg)) <- out) {
-        assert((n, g) === model((f, t)), s"seed $seed ($f,$t)")
-        assert(avg === g.toDouble / n.toDouble, s"seed $seed avg")
+        val (mn, mg) = model((f, t))
+        assert(n === mn && g === mg.toDouble, s"seed $seed ($f,$t)")
+        assert(avg === mg.toDouble / n.toDouble, s"seed $seed avg")
       }
       // mass: every consecutive pair transitions exactly once
       val entities = events.map(_._1).distinct.size
