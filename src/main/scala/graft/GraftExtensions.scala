@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomSketch, CosineSimilarity, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
+import graft.functions.{BloomSketch, CosineSimilarity, DctPhash, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_round"),
       new ExpressionInfo(classOf[FastRound].getName, "graft_round"),
       FastRound.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dct_phash"),
+      new ExpressionInfo(classOf[DctPhash].getName, "graft_dct_phash"),
+      (children: Seq[Expression]) => DctPhash(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),

@@ -1101,7 +1101,7 @@ object SparkEntry {
     "q38_iqr_outliers" ->
       """WITH v AS (
         |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), r AS (
         |  SELECT event_type, v,
         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
@@ -1151,7 +1151,7 @@ object SparkEntry {
     "q40_group_histogram" ->
       """WITH v AS (
         |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), b AS (
         |  SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax FROM v GROUP BY 1
         |), binned AS (

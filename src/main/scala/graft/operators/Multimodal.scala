@@ -228,19 +228,25 @@ object Multimodal {
     mediaDedup(mediaTable(s, dir))
       .orderBy("media_type", "payload_md5")
 
-  /** 64-bit perceptual fingerprint per media item: the decode runs
-    * partition-wise (m01's plumbing) and the fingerprint derives from
-    * the DECODED content — in a real deployment the DCT-of-pixels
-    * pHash / chromaprint replaces ONLY the stub mix below, which is a
-    * deterministic function of the stub decode's checksum (so
-    * byte-identical payloads get identical fingerprints, the property
-    * the spec pins; LOCALITY — visually-near payloads landing at small
-    * Hamming distance — arrives with the real codec, not the stub).
+  /** 64-bit perceptual fingerprint per media item: the REAL DCT pHash
+    * ([[graft.functions.DctPhash]] — box-resample to 32x32, 2-D DCT-II,
+    * top-left 8x8 median split), computed natively INSIDE the scan so
+    * the payload bytes never leave it; only the 8-byte code travels.
+    * The only stubbed step is the bytes→pixels decode, embedded in the
+    * expression as an identity raster codec (payload bytes ARE the
+    * grayscale pixels — what decoding an uncompressed PGM/BMP body
+    * does; no media libs in this container). Because the raster is the
+    * payload, a few-byte payload delta is a few-pixel delta, and the
+    * hash's LOCALITY — near-identical content landing within a few
+    * bits, distinct content near 32 — is real and measured in the spec,
+    * not asserted. A real deployment swaps only the raster step for a
+    * JPEG/PNG decode.
     */
   def mediaPhash(media: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame =
-    decode(media).toDF()
+    media.toDF()
       .select(col("doc_id"), col("media_type"),
-        xxhash64(col("checksum")).as("phash"))
+        graft.functions.DctPhash.phash(media.sparkSession, col("payload"))
+          .as("phash"))
 
   /** Hamming near-dup pairs over any 64-bit fingerprint frame, blocked
     * by a partition column (cross-modal pairs are meaningless):
@@ -278,26 +284,45 @@ object Multimodal {
       .dropDuplicates(blockCol, "id1", "id2")
   }
 
-  /** m05: gate binding of [[phashNearDups]] — fingerprints of the real
-    * media table plus DETERMINISTIC planted twins (the first 25 items
-    * re-fingerprinted with <= 2 bits flipped at hash-chosen positions,
-    * ids offset by 100000 — the d12 discipline of synthesizing the
-    * dup-bearing input from the corpus itself, since the corpus has no
-    * natural byte-dups). Every planted twin must surface at its
-    * Hamming distance; natural collisions among ~500 independent
-    * 64-bit codes are nil. rows-only oracle (the fingerprint is the
-    * m01 stub decode); MultimodalSpec pins the planted recall, the
-    * guaranteed-miss negative, and the cap.
+  /** m05: gate binding of [[phashNearDups]] — DCT pHash fingerprints of
+    * the real media table plus DETERMINISTIC planted twins: the first
+    * 25 items with two hash-chosen PAYLOAD bytes perturbed (letters
+    * case-flip, spaces bump to '@'), ids offset by 100000 — the d12
+    * discipline of synthesizing the dup-bearing input from the corpus
+    * itself. The perturbation is a few-pixel delta through the
+    * identity-raster decode, so the twins exercise the REAL locality
+    * claim end to end (payload edit → pixel delta → low-frequency DCT
+    * shift → small Hamming distance → pigeonhole band → pair): a twin
+    * surfaces iff the pHash genuinely lands it within the distance-3
+    * band — measured 19/25 at sf0.001 and 21/25 at sf0.01, with zero
+    * natural corpus pairs inside the band (nearest natural pair: 4
+    * bits). rows-only oracle (the raster decode is the container
+    * stub); TextSpec pins the planted recall floor, the
+    * only-planted-pairs property, and determinism.
     */
   def m05PhashNearDups(s: SparkSession, dir: String): DataFrame = {
-    val ph = mediaPhash(mediaTable(s, dir))
-    val twins = ph.filter(col("doc_id") < 25)
+    import org.apache.spark.sql.Column
+    val media = mediaTable(s, dir).toDF()
+    // flip one 1-based position of an ASCII string: letters case-flip
+    // (xor 0x20), a space becomes '@' (never NUL/empty, so length —
+    // and therefore the raster side — is preserved)
+    def flipAt(t: Column, p: Column): Column = {
+      val code = ascii(t.substr(p, lit(1)))
+      val flipped = when(code === 32, lit(64))
+        .otherwise(code.bitwiseXOR(lit(32)))
+      concat(t.substr(lit(1), p - lit(1)), chr(flipped.cast("long")),
+        t.substr(p + lit(1), lit(Int.MaxValue)))
+    }
+    val text = col("payload").cast("string")
+    val len = length(text).cast("long")
+    val p1 = pmod(xxhash64(col("doc_id")), len).cast("int") + lit(1)
+    val p2 = pmod(xxhash64(col("doc_id") * 31), len).cast("int") + lit(1)
+    val twins = media.filter(col("doc_id") < 25)
       .select((col("doc_id") + 100000L).as("doc_id"), col("media_type"),
-        expr("""phash
-          |  ^ shiftleft(1L, cast(pmod(xxhash64(doc_id), 64) AS INT))
-          |  ^ shiftleft(1L, cast(pmod(xxhash64(doc_id * 31), 64) AS INT))
-          |""".stripMargin.replace("\n", " ")).as("phash"))
-    phashNearDups(ph.unionByName(twins))
+        flipAt(flipAt(text, p1), p2).cast("binary").as("payload"))
+    val all = media.unionByName(twins)
+      .as[MediaRecord](org.apache.spark.sql.Encoders.product[MediaRecord])
+    phashNearDups(mediaPhash(all))
       .orderBy("media_type", "id1", "id2")
   }
 }

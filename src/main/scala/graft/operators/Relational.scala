@@ -1442,6 +1442,18 @@ object Relational {
     * (≫1) keep adjacent ranks separated by ~12 orders of magnitude
     * more than any libm ulp disagreement.
     *
+    * Weight contract: weights are CLAMPED to `max(w, 1.0)` before
+    * keying. The clamp exists for the degenerate inputs a corpus
+    * always contains — zero, negative, or null weights would produce
+    * 0/−ln(u), a sign-flipped key, or a null key respectively, each of
+    * which silently corrupts the ranking — and it means weights are
+    * interpreted as "at least one unit": rows whose weights are ALL
+    * below 1 sample uniformly, not proportionally. Callers sampling
+    * by a fractional score (e.g. a [0,1] quality probability) should
+    * pre-scale it into a ≥1 range (`score * 1e6`) to keep
+    * proportionality; count-like weights (chars, tokens, bytes — the
+    * intended inputs) are unaffected.
+    *
     * Scale shape: map-only keying, then ONE window top-k per group —
     * Catalyst's WindowGroupLimit pushes the rank filter into a
     * partial top-k BEFORE the exchange, so the shuffle carries ≈ k

@@ -801,7 +801,14 @@ object Similarity {
     * d05/s08 cosine discipline), the convex blend runs in doubles on
     * those exact operands, and the result re-quantizes (native
     * `graft_round`) before the next round, so aggregation order cannot
-    * drift a bit. Nodes without in-edges keep their current score.
+    * drift a bit. Nodes without in-edges keep their current score —
+    * and so do nodes whose in-edge weights sum to exactly 0 (all
+    * cosines quantizing to 0.000000, or mixed-sign weights
+    * cancelling): the blend is skipped rather than dividing by zero,
+    * which would otherwise inject NaN/Infinity into every later
+    * round. Weights are expected non-negative (cosine/Jaccard
+    * affinities); negative weights are tolerated but make the
+    * "convex blend" reading inapplicable for the affected nodes.
     *
     * Scale shape: per round ONE equi-join (edges ⋈ scores on the
     * neighbor endpoint) and ONE destination aggregation — both
@@ -834,7 +841,8 @@ object Similarity {
         cur.join(agg, cur("__id") === agg("__v"), "left")
           .select(col("__id"), col("__s0"),
             graft.functions.FastRound.round6(s,
-              when(col("__wtot").isNull, col("__score"))
+              when(col("__wtot").isNull || col("__wtot") === lit(BigDecimal(0)),
+                  col("__score"))
                 .otherwise(lit(1.0 - alpha) * col("__s0") +
                   lit(alpha) * (col("__wsum").cast("double") / col("__wtot").cast("double"))))
               .as("__score")))

@@ -71,6 +71,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(sq - 1.0) < 0.01, sq.toString)
     val ent = derived.sql("SELECT graft_entropy(array('a','b','a','b'))").collect().head.getDouble(0)
     assert(ent === 1.0)
+    // r11 injection: the DCT perceptual hash (known vector pins the
+    // whole resample->DCT->median-split pipeline through SQL)
+    val ph = derived.sql(
+      "SELECT graft_dct_phash(CAST('the quick brown fox jumps over the lazy dog' AS BINARY))")
+      .collect().head.getLong(0)
+    assert(ph === 381241804075191743L)
   }
 
   test("wrong-arity SQL calls fail with a clear argument-count message") {

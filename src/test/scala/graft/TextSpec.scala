@@ -147,17 +147,81 @@ class TextSpec extends SparkSpec {
     assert(Multimodal.phashNearDups(degenerate, maxBucketSize = 1000).count() === 0L)
   }
 
-  test("m05 gate surfaces every planted twin at its true distance") {
+  test("m05 gate: payload-perturbed twins surface through the real pHash; no natural pairs") {
     val out = Multimodal.m05PhashNearDups(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
-    // all 25 planted twins (ids offset by 100000), each at hamming <= 2
-    val planted = out.filter { case ((a, b), _) => b == a + 100000L }
-    assert(planted.size === 25, out.keys.toSeq.sorted.mkString(","))
-    planted.values.foreach(d => assert(d >= 0 && d <= 2))
+    // every surfaced pair is a planted twin (the corpus has no natural
+    // pairs inside the distance-3 band: nearest natural pair is 4 bits)
+    out.keys.foreach { case (a, b) => assert(b === a + 100000L, s"natural pair ($a,$b)") }
+    // measured locality, not constructed: two perturbed payload bytes
+    // land 19 of 25 twins within the band at this corpus — pin the
+    // floor, not the exact set, so the recall is the assertion
+    assert(out.size >= 18, s"only ${out.size} planted twins surfaced")
+    out.values.foreach(d => assert(d >= 0 && d <= 3))
     // determinism
     val again = Multimodal.m05PhashNearDups(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
     assert(again === out)
+  }
+
+  test("DCT pHash: locality is real — few-byte deltas land within a few bits, distinct content far") {
+    import graft.functions.DctPhash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // real corpus payloads (the gate's own input), perturbed by hand
+    val texts = Tables.documents(spark, sf).orderBy("doc_id")
+      .limit(50).collect().map(_.getAs[String]("text"))
+    val codes = texts.map(t => DctPhash.compute(t.getBytes("UTF-8")))
+    // few-byte delta: case-flip 2 deterministic letter positions
+    val nearDists = texts.zip(codes).zipWithIndex.map { case ((t, c), i) =>
+      val q = t.getBytes("UTF-8")
+      for (k <- 0 until 2) {
+        val pos = (i * 131 + k * 977) % q.length
+        q(pos) = if (q(pos) == 32) 64.toByte else (q(pos) ^ 0x20).toByte
+      }
+      ham(c, DctPhash.compute(q))
+    }
+    assert(nearDists.count(_ <= 3) >= (nearDists.length * 3) / 4,
+      s"few-byte deltas: ${nearDists.mkString(",")}")
+    assert(nearDists.max <= 12, s"a 2-byte delta moved ${nearDists.max} bits")
+    // distinct content: all pairwise distances clear the band with margin
+    val farDists = for (i <- codes.indices; j <- (i + 1) until codes.length)
+      yield ham(codes(i), codes(j))
+    assert(farDists.min > 3, s"natural pair at ${farDists.min} bits")
+    assert(farDists.sum.toDouble / farDists.size > 16.0)
+    // monotone in perturbation mass: a 20-byte delta moves further than
+    // the 2-byte delta on average, but still far under distinct content
+    val midDists = texts.zip(codes).map { case (t, c) =>
+      val q = t.getBytes("UTF-8")
+      for (k <- 0 until 20) {
+        val pos = (100 + k) % q.length
+        q(pos) = if (q(pos) == 32) 64.toByte else (q(pos) ^ 0x20).toByte
+      }
+      ham(c, DctPhash.compute(q))
+    }
+    assert(midDists.sum.toDouble / midDists.length >=
+      nearDists.sum.toDouble / nearDists.length)
+  }
+
+  test("DCT pHash: known vector, balanced codes, edge cases") {
+    import graft.functions.DctPhash
+    // algorithm drift trap: the exact 64-bit code of a fixed payload
+    // (box-resample -> 32x32 DCT-II -> 8x8 median split, StrictMath)
+    val fox = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    assert(DctPhash.compute(fox) === 381241804075191743L)
+    // median split balances the code: at most half the bits set, and
+    // the DC coefficient (bit 0) always clears the median of a
+    // non-degenerate raster
+    assert(java.lang.Long.bitCount(DctPhash.compute(fox)) <= 32)
+    assert((DctPhash.compute(fox) & 1L) === 1L)
+    assert(DctPhash.compute(Array.empty[Byte]) === 0L)
+    // single byte and constant rasters still produce stable codes
+    assert(DctPhash.compute(Array[Byte](65)) === DctPhash.compute(Array[Byte](65)))
+    // native expression == static compute, computed in-scan
+    import spark.implicits._
+    val df = Seq((1L, fox)).toDF("id", "payload")
+    val viaExpr = df.select(DctPhash.phash(spark, col("payload")).as("p"))
+      .collect().head.getLong(0)
+    assert(viaExpr === 381241804075191743L)
   }
 
   test("m03 audio windowing emits dense overlapping windows within header bounds") {
