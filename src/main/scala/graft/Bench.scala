@@ -24,16 +24,32 @@ package graft
   * line mid-object, so the artifact must not depend on stdout
   * surviving intact.
   *
-  * Load evidence (r10): the box this runs on has transient external
-  * load spikes that inflated whole rep passes in r9's artifact (x05
-  * reps 9.2-30.5 s with the same plan). So each rep pass — including
-  * the warmup — now records (a) a fixed single-thread CPU probe (a
-  * deterministic xorshift loop, ~0.2 s on an idle core; contention
-  * stretches it) and (b) /proc/loadavg at pass start. `contended_reps`
-  * lists the timed-pass indices whose probe exceeded 1.5x the best
-  * probe — a reviewer can discount those reps' medians from the
-  * artifact alone instead of guessing whether a spread is plan cost or
-  * box noise.
+  * Load evidence (r10, tightened r11): the box this runs on has
+  * transient external load spikes that inflated whole rep passes in
+  * r9's artifact (x05 reps 9.2-30.5 s with the same plan). So each rep
+  * pass — including the warmup — records (a) a fixed single-thread CPU
+  * probe (a deterministic xorshift loop; contention stretches it) and
+  * (b) /proc/loadavg at pass start. `contended_reps` lists the
+  * timed-pass indices whose probe exceeded 1.2x the best probe OR
+  * whose 1-minute loadavg exceeded cores/4 — r10's loaded artifact
+  * showed loadavg 8.86 with x05 reps to 27 s while the old 1.5x probe
+  * trip stayed silent (max ratio 1.32), so the flag now trips on
+  * either signal; quiet passes on this box self-load to ~3-6 between
+  * passes, comfortably under the 32-core/4 = 8 line. A reviewer can
+  * discount flagged reps from the artifact alone instead of guessing
+  * whether a spread is plan cost or box noise.
+  *
+  * s08 dual numbers (r11): s14 session-caches s08's knn graph as its
+  * input index, and Spark's cache manager then serves the s08 gate
+  * query's identical plan from that cache — so the `queries` row for
+  * s08_knn_join measures the CACHED SERVE (the steady-state read a
+  * deployment doing repeated propagation sees; r10's 0.156 s vs r9's
+  * 2.49 s build was this, silently). The separate `s08_knn_build`
+  * object times the cold BUILD by dropping exactly the cached graph
+  * before each rep (the LSH bucket store stays session-cached, as it
+  * is for every other rep — same basis as r9's number). Both numbers
+  * are real; they answer different questions, and the artifact now
+  * carries both explicitly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -78,7 +94,14 @@ object Bench {
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
-    def samplePass(): Unit = { loads += loadavg(); probes += probe() }
+    val load1s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def samplePass(): Unit = {
+      val l = loadavg()
+      loads += l
+      load1s += (try l.stripPrefix("[").split(",").head.toDouble
+        catch { case _: Throwable => 0.0 })
+      probes += probe()
+    }
     samplePass()
     val cold = suite.map { case (name, fn) => name -> runOnce(name, fn) }
     val timed = scala.collection.mutable.LinkedHashMap(
@@ -86,6 +109,15 @@ object Bench {
     for (_ <- 1 to reps) {
       samplePass()
       for ((name, fn) <- suite) timed(name) = timed(name) :+ runOnce(name, fn)
+    }
+    // cold-build s08 (see scaladoc): drop the session-cached knn graph
+    // before each rep so the run rebuilds it; runs AFTER the timed
+    // passes so the cached-serve meaning of the s08 row is untouched
+    val s08BuildReps = SparkEntry.queries.get("s08_knn_join").map { fn =>
+      (1 to reps).map { _ =>
+        graft.operators.Similarity.invalidateKnnGraph(spark, sfDir)
+        runOnce("s08_knn_build", fn)
+      }
     }
 
     val medians = timed.map { case (k, v) => k -> median(v) }
@@ -108,10 +140,20 @@ object Bench {
       "probe_sec" -> probes.map(r3).mkString("[", ",", "]"),
       "loadavg" -> loads.mkString("[", ",", "]"),
       "contended_reps" -> {
+        // probe >1.2x the best timed-pass probe OR 1-min loadavg above
+        // cores/4 (the r10 loaded artifact tripped neither at 1.5x)
         val minP = probes.drop(1).min
-        probes.drop(1).zipWithIndex.collect { case (p, i) if p > 1.5 * minP => i + 1 }
-          .mkString("[", ",", "]")
+        val loadLine = Runtime.getRuntime.availableProcessors() / 4.0
+        probes.drop(1).zip(load1s.drop(1)).zipWithIndex.collect {
+          case ((p, l1), i) if p > 1.2 * minP || l1 > loadLine => i + 1
+        }.mkString("[", ",", "]")
       },
+      "s08_knn_build" -> s08BuildReps.map(r => obj(Seq(
+        "median" -> r3(median(r)),
+        "min" -> r3(r.min),
+        "reps" -> r.map(r3).mkString("[", ",", "]"),
+        "basis" -> "\"cold graph rebuild per rep (knn_graph cache dropped; LSH bucket store stays session-cached); the queries.s08_knn_join row is the cached serve\""
+      ))).getOrElse("null"),
       "sf" -> ("\"" + sfDir + "\"")))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try {

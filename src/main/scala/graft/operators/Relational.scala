@@ -1870,6 +1870,20 @@ object Relational {
     * per-group window over a file listing is bounded by listing size
     * by construction. The plan's output (group, bin) is what a
     * rewrite job then executes per bin, embarrassingly parallel.
+    *
+    * Mega-listing rule: the cumulative window is ONE TASK PER GROUP by
+    * semantics (a running sum is sequential within its key), so a
+    * degenerate listing — 10^8 files under a single prefix — would
+    * serialize. The recipe is to SHARD THE LISTING KEY: pass a
+    * composite `groupCol` (table + lake partition, e.g.
+    * `concat(table, '/', dt)`), which is what a real compaction
+    * planner wants anyway — a rewrite job cannot merge files across
+    * hive/iceberg partitions, so bins never need to span them. Packing
+    * the composite key is EXACTLY equivalent to packing each shard
+    * independently (the cumulative sum restarts per key), which
+    * LibraryApiSpec pins, and it bounds every window task at
+    * files-per-partition. A listing that is genuinely one unbounded
+    * un-partitioned prefix is a lake-layout bug, not a planner input.
     */
   def compactionBins(files: DataFrame, groupCol: String, fileCol: String,
       sizeCol: String, targetSize: Long): DataFrame = {

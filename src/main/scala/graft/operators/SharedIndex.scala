@@ -51,6 +51,16 @@ private[operators] object SharedIndex {
       }
     }
 
+  /** Unpersist and drop ONE named index for (session, dir), leaving
+    * sibling indexes cached — the bench uses this to time a cold
+    * rebuild of a specific artifact without perturbing anything else.
+    * Blocking, so the blocks are really gone before timing starts.
+    */
+  def invalidateEntry(s: SparkSession, dir: String, name: String): Unit =
+    synchronized {
+      cache.remove((s, dir, name)).foreach(_.unpersist(blocking = true))
+    }
+
   /** Unpersist and drop every index the session holds. */
   def invalidate(s: SparkSession): Unit = synchronized {
     val keys = cache.keys.filter(_._1 eq s).toVector

@@ -869,8 +869,22 @@ object Similarity {
     // like the other index artifacts (codebooks, code stores, bucket
     // stores) — the gate measures PROPAGATION, not the s08 build it
     // composes with
-    val graph = SharedIndex(s, dir, "knn_graph_k10") { s08KnnJoin(s, dir) }
+    val graph = SharedIndex(s, dir, KnnGraphIndexName) { s08KnnJoin(s, dir) }
     scorePropagation(nodes, graph, rounds = 3)
       .orderBy("vec_id")
   }
+
+  /** Session-cache key of s14's knn-graph input index. Because the
+    * cached graph IS s08's plan, Spark's cache manager also serves the
+    * s08 gate query from it once s14 has run — so a bench that wants
+    * s08's cold BUILD cost must drop this entry first.
+    */
+  private[graft] val KnnGraphIndexName = "knn_graph_k10"
+
+  /** Bench hook: unpersist the session-cached knn graph (and nothing
+    * else) so the next s08 run measures the cold graph build rather
+    * than a cache read. See [[KnnGraphIndexName]].
+    */
+  private[graft] def invalidateKnnGraph(s: SparkSession, dir: String): Unit =
+    SharedIndex.invalidateEntry(s, dir, KnnGraphIndexName)
 }

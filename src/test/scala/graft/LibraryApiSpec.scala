@@ -255,6 +255,44 @@ class LibraryApiSpec extends SparkSpec {
     assert(cmEst("x") >= 2L && cmEst("y") >= 1L)
   }
 
+  test("compactionBins: the listing-shard recipe — packing a composite key equals packing each shard alone") {
+    import graft.operators.Relational
+    // a 2-level lake listing (table x day), the shape the scaladoc's
+    // mega-listing rule prescribes: the cumulative window is one task
+    // per GROUP, so a planner over 10^8 files shards the key into
+    // table/partition prefixes — which a rewrite job requires anyway
+    // (it cannot merge files across lake partitions)
+    val listing = for {
+      table <- Seq("lineitem", "orders")
+      day <- 0 until 5
+      f <- 0 until 200
+    } yield (table, day, table.hashCode.abs % 97 * 100000L + day * 1000L + f,
+      50.0 + (f * 37 % 400))
+    val df = listing.toDF("table", "day", "file_id", "size")
+      .withColumn("shard", concat_ws("/", col("table"), col("day")))
+    val packed = Relational.compactionBins(df, "shard", "file_id", "size", 5000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    // every bin lives inside one shard by construction (the group IS
+    // the shard), and the composite-key pack is bit-equal to packing
+    // each shard's listing through the operator INDEPENDENTLY — the
+    // equivalence that makes the recipe free of semantic cost
+    for (table <- Seq("lineitem", "orders"); day <- 0 until 5) {
+      val shard = s"$table/$day"
+      val alone = Relational.compactionBins(
+        df.filter(col("shard") === shard), "shard", "file_id", "size", 5000L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(alone === packed.filter(_._1._1 == shard), s"shard $shard diverged")
+    }
+    // the shard bound holds: no window partition saw more than one
+    // shard's files (200 here), and every file is packed exactly once
+    assert(packed.values.map(_._1).sum === listing.size.toLong)
+    assert(packed.groupBy(_._1._1).forall(_._2.values.map(_._1).sum == 200L))
+  }
+
   test("bpeTrain composes over a stratified sample (the train-on-sample recipe)") {
     import graft.operators.Relational
     // the scale recipe from bpeTrain's scaladoc: train the merge table

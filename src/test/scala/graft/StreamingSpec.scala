@@ -591,8 +591,18 @@ class StreamingSpec extends SparkSpec {
       }
       .start()
     try {
-      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+      // the state bound IS the operator's reason to exist: after every
+      // micro-batch the maintained table stays within the fixed
+      // groups x depth x width counter grid (2 x 3 x 16 = 96 rows)
+      // no matter how many raw events have streamed through — raw
+      // rows are never kept
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        assert(maintained.count() <= 2L * 3L * 16L,
+          s"state grew past the counter grid: ${maintained.count()} rows")
+      }
       val all = batches.flatten
+      assert(all.size > 2 * 3 * 16, "test must stream more events than counters")
       def key(r: org.apache.spark.sql.Row) =
         (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)
       val oneShot = states(all).collect().map(key).toMap
