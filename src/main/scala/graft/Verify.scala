@@ -32,7 +32,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the restriction applies to the oracle dump too, so a subset run
+    // composes with tools/check_oracle.py (which iterates the dumped
+    // oracle entries) — e.g. the sf10 spot-check of the bench subset
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

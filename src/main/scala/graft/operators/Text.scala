@@ -564,6 +564,88 @@ object Text {
       .orderBy("merge_rank")
   }
 
+  /** [[bpeTrain]] with BATCHED merge rounds: each driver round-trip
+    * selects up to `batch` SYMBOL-DISJOINT merges from the ranked pair
+    * counts and applies them in one vocabulary pass, cutting the
+    * round-trips (and Spark jobs) from `nMerges` to ≈`nMerges/batch` —
+    * the knob that matters when a realistic vocabulary costs thousands
+    * of tiny jobs at one merge each.
+    *
+    * What stays exact: merging (a,b) only changes adjacent-pair counts
+    * involving `a` or `b`, so every pair chosen under the disjointness
+    * rule (no shared lhs/rhs/merged symbol within the batch) has a
+    * count unaffected by its batch-mates — each recorded `pair_count`
+    * is the true corpus count at its own application point, and the
+    * batch applies order-independently. What changes vs pure greedy:
+    * a batch cannot pick a pair INVOLVING a symbol created earlier in
+    * the same batch (greedy rank order interleaves those), so the
+    * learned table can deviate from Sennrich rank order — gate that
+    * trade with the spec corpus comparison in TextSpec, and see SURVEY
+    * §5 for the measured adjudication (wall-clock vs table fidelity)
+    * against the default train-on-sample recipe. `batch = 1` IS
+    * [[bpeTrain]], pinned bit-for-bit in the spec.
+    *
+    * Determinism: the candidate ranking, the greedy disjoint-prefix
+    * selection, and the fold order are all total-ordered, so the table
+    * is partition- and rerun-independent like the greedy trainer's.
+    */
+  def bpeTrainBatched(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nMerges: Int = 10, minPairCount: Long = 2L,
+      batch: Int = 16): DataFrame = {
+    require(nMerges > 0, "bpeTrainBatched needs nMerges > 0")
+    require(minPairCount >= 1L, "bpeTrainBatched needs minPairCount >= 1")
+    require(batch >= 1, "bpeTrainBatched needs batch >= 1")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val vocab = normalized(docs, idCol, textCol)
+      .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(initialSyms(col("word")).as("syms"), col("n"))
+    var gen = IterativeCheckpoint(vocab)
+    var merges = Vector.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val want = math.min(batch, nMerges - rank + 1)
+      // over-fetch: disjointness thins the ranked prefix (adjacent
+      // ranks often share a hot symbol), so pull 4x and select
+      val top = gen.df
+        .select(col("n"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(4 * want).collect()
+        .filter(_.getLong(2) >= minPairCount)
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        for (r <- top if chosen.size < want) {
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            chosen += ((a, b, r.getLong(2)))
+            used ++= Seq(a, b, a + b)
+          }
+        }
+        for ((a, b, c) <- chosen) {
+          merges :+= ((rank, a, b, a + b, c))
+          rank += 1
+        }
+        val folded = chosen.foldLeft(col("syms")) {
+          case (acc, (a, b, _)) => mergeFold(acc, a, b)
+        }
+        val next = IterativeCheckpoint(gen.df.withColumn("syms", folded))
+        gen.release()
+        gen = next
+      }
+    }
+    gen.release()
+    merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   /** Apply a learned merge table to any documents frame: each doc's
     * words become BPE symbol arrays (merges applied in rank order,
     * [[mergeFold]] semantics), flattened to one `tokens` array per doc

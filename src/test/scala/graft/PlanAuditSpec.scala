@@ -768,6 +768,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(df) === 0)
   }
 
+  test("m05 pHash computes codegen'd inside the scan; the payload never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Multimodal.mediaPhash(
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), org.apache.spark.sql.functions.lit("image/jpeg").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[graft.operators.Multimodal.MediaRecord](
+          org.apache.spark.sql.Encoders.product[graft.operators.Multimodal.MediaRecord]))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the hash projection sits inside a WholeStageCodegen span over the
+    // scan — no typed-object decode stage, no shuffle: the payload
+    // column dies in the scan and only the 8-byte code leaves
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert(plan.contains("graft_dct_phash"), plan.take(2000))
+    assert(!plan.contains("MapPartitions"), plan.take(2000))
+    assert(shuffles(df) === 0)
+  }
+
   test("LSH geometry sizing: building the s08 + d08 plans costs at most one counting job") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

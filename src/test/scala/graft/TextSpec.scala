@@ -616,6 +616,42 @@ class TextSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bpeTrainBatched: batch=1 IS the greedy trainer; at a real budget the batched table encodes EQUAL") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toVector
+    // batch=1 must be bit-for-bit the greedy trainer (same candidate
+    // ranking, same argmax, same fold)
+    val greedy24 = table(Text.bpeTrain(docs, nMerges = 24))
+    assert(table(Text.bpeTrainBatched(docs, nMerges = 24, batch = 1)) === greedy24)
+    // the measured adjudication (BpeAdjudicate, SURVEY §5): rank ORDER
+    // deviates under batching (a batch cannot extend a symbol it just
+    // created, so chains arrive later) — the contract is tokenizer
+    // QUALITY at a budget that covers the frequent-pair space, where
+    // batched(16) encodes the corpus to the same total tokens as
+    // greedy while paying ~1/16th the driver round-trips. At a
+    // deliberately tiny budget greedy IS better (chains win early):
+    // measured +7% tokens at nMerges=24 — that trade is the scaladoc's
+    // guidance, not a defect, so the pin runs at the real budget.
+    val budget = 120
+    val greedy = table(Text.bpeTrain(docs, nMerges = budget, minPairCount = 1L))
+    val batched = table(Text.bpeTrainBatched(docs, nMerges = budget,
+      minPairCount = 1L, batch = 16))
+    def totalTokens(t: Vector[(Int, String, String, String, Long)]) = {
+      val merges = t.map(m => (m._2, m._3))
+      Text.bpeEncode(docs, merges).agg(sum("n_tokens")).collect().head.getLong(0)
+    }
+    val gTok = totalTokens(greedy)
+    val bTok = totalTokens(batched)
+    assert(math.abs(gTok - bTok).toDouble / gTok <= 0.005,
+      s"greedy $gTok vs batched $bTok tokens")
+    // determinism of the batched path
+    assert(table(Text.bpeTrainBatched(docs, nMerges = budget,
+      minPairCount = 1L, batch = 16)) === batched)
+  }
+
   test("bpeTrain: best pair counts never increase, and training is partition-independent") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val a = Text.bpeTrain(docs, nMerges = 6).collect().map(_.toSeq).toSeq
