@@ -72,6 +72,9 @@ object SparkEntry {
     "q48_attribution" -> (Relational.q48Attribution _),
     "q49_event_transitions" -> (Relational.q49EventTransitions _),
     "q50_countmin_state" -> (Relational.q50CountminState _),
+    "q51_winsorize" -> (Relational.q51Winsorize _),
+    "q52_label_consensus" -> (Relational.q52LabelConsensus _),
+    "q53_column_profile" -> (Relational.q53ColumnProfile _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -97,6 +100,8 @@ object SparkEntry {
     "d13_containment_dups" -> (Dedup.d13ContainmentDups _),
     "d14_line_dedup" -> (Dedup.d14LineDedup _),
     "d15_template_dedup" -> (Dedup.d15TemplateDedup _),
+    "d16_url_dedup" -> (Dedup.d16UrlDedup _),
+    "d17_ngram_novelty" -> (Dedup.d17NgramNovelty _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -769,6 +774,84 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY keep_doc_id""".stripMargin,
 
+    // the same deterministic messy-URL construction, then each canon
+    // step restated: whole-match scheme+host extract (idx 0), lowercase,
+    // default-port strip, fragment/query split, tracking-param filter +
+    // sort, trailing-slash strip — RE2-portable, no replacement
+    // backreferences (the d15 discipline)
+    "d16_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END
+        |    || 'Example.COM'
+        |    || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+        |    || '/Docs/' || CAST(doc_id % 60 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |    || '?utm_source=feed&id=' || CAST(doc_id % 12 AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 0 THEN '&ref=tw#sec2' ELSE '' END AS url
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS sh
+        |  FROM u
+        |), s2 AS (
+        |  SELECT doc_id, lower(sh) AS shl, substr(url, length(sh) + 1) AS rest
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN shl LIKE 'http://%' THEN regexp_replace(shl, ':80$', '')
+        |         WHEN shl LIKE 'https://%' THEN regexp_replace(shl, ':443$', '')
+        |         ELSE shl END AS shp,
+        |    regexp_replace(rest, '#.*$', '') AS nofrag
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, shp,
+        |    regexp_replace(nofrag, '\?.*$', '') AS path,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS qs
+        |  FROM s3
+        |), s5 AS (
+        |  SELECT doc_id, shp,
+        |    regexp_replace(path, '/+$', '') AS pathc,
+        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      x -> x != '' AND NOT regexp_matches(x, '^(utm_|gclid=|fbclid=|ref=)'))), '&') AS qsc
+        |  FROM s4
+        |), c AS (
+        |  SELECT doc_id,
+        |    shp || pathc || CASE WHEN qsc != '' THEN '?' || qsc ELSE '' END AS canon_url
+        |  FROM s5
+        |)
+        |SELECT canon_url, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM c GROUP BY 1
+        |ORDER BY canon_url""".stripMargin,
+
+    // the d06 shingle CTE (uncapped distinct 3-grams) over the q19
+    // md5 split: eval = val+test docs, reference = train docs
+    "d17_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks
+        |), eval AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '52'
+        |), ref AS (
+        |  SELECT DISTINCT shingle FROM sh
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '52'
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM eval GROUP BY 1
+        |), seen AS (
+        |  SELECT e.doc_id, count(*) AS s
+        |  FROM eval e JOIN ref r ON e.shingle = r.shingle GROUP BY 1
+        |)
+        |SELECT z.doc_id, z.n AS n_shingles,
+        |  z.n - COALESCE(seen.s, 0) AS n_novel,
+        |  round(CAST(z.n - COALESCE(seen.s, 0) AS DOUBLE) / z.n, 6) AS novelty
+        |FROM sizes z LEFT JOIN seen ON seen.doc_id = z.doc_id
+        |ORDER BY z.doc_id""".stripMargin,
+
     // connected components over the d02 pairs via transitive closure;
     // the recursive CTE's UNION dedups, so it reaches the fixpoint
     "d07_dup_clusters" ->
@@ -1328,6 +1411,108 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM e GROUP BY 1, 2, 3
         |ORDER BY event_type, d, bucket""".stripMargin,
+
+    // the q30/q38 interpolation CTE at (0.05, 0.95), then a map-only
+    // least/greatest clamp on the bit-identical rounded fences
+    "q51_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), t AS (
+        |  SELECT event_type, n, q AS quantile, (n - 1) * q AS h
+        |  FROM (SELECT DISTINCT event_type, n FROM r),
+        |       (SELECT unnest([0.05, 0.95]) AS q)
+        |), t2 AS (
+        |  SELECT event_type, quantile,
+        |    CAST(floor(h) AS BIGINT) + 1 AS lo_r,
+        |    least(CAST(floor(h) AS BIGINT) + 2, n) AS hi_r,
+        |    h - floor(h) AS frac
+        |  FROM t
+        |), p AS (
+        |  SELECT t2.event_type, quantile, frac,
+        |    MAX(CASE WHEN r.r = lo_r THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = hi_r THEN v END) AS vhi
+        |  FROM t2 JOIN r ON r.event_type = t2.event_type
+        |    AND (r.r = lo_r OR r.r = hi_r)
+        |  GROUP BY 1, 2, 3
+        |), qv AS (
+        |  SELECT event_type, quantile, round(vlo + frac * (vhi - vlo), 6) AS fence
+        |  FROM p
+        |), f AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN quantile = 0.05 THEN fence END) AS lo_fence,
+        |    MAX(CASE WHEN quantile = 0.95 THEN fence END) AS hi_fence
+        |  FROM qv GROUP BY event_type
+        |)
+        |SELECT v.event_type, event_id, v AS value,
+        |  least(greatest(v, lo_fence), hi_fence) AS winsorized,
+        |  (v < lo_fence OR v > hi_fence) AS clipped,
+        |  lo_fence, hi_fence
+        |FROM v JOIN f ON v.event_type = f.event_type
+        |ORDER BY v.event_type, event_id""".stripMargin,
+
+    // counts, the deterministic (count DESC, label ASC) tie-break, and
+    // the agreement ratio restate exactly; SUM OVER goes HUGEINT in
+    // DuckDB, hence the BIGINT cast
+    "q52_label_consensus" ->
+      """WITH votes AS (
+        |  SELECT user_id, event_type AS label, COUNT(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, label, n,
+        |    CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, label) AS rk
+        |  FROM votes
+        |)
+        |SELECT user_id, label AS consensus, n AS n_votes, tot AS n_total,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS agreement,
+        |  (n * 2 > tot) AS is_majority
+        |FROM r WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // one wide aggregation row restated per column; numeric min/max
+    // through the house DECIMAL(12,2)->DOUBLE policy, string min/max
+    // lexical, NULLs typed per branch
+    "q53_column_profile" ->
+      """WITH w AS (
+        |  SELECT COUNT(*) AS nr,
+        |    COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+        |    MIN(CAST(CAST(o_orderkey AS DECIMAL(12,2)) AS DOUBLE)) AS mn1,
+        |    MAX(CAST(CAST(o_orderkey AS DECIMAL(12,2)) AS DOUBLE)) AS mx1,
+        |    COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+        |    MIN(CAST(CAST(o_custkey AS DECIMAL(12,2)) AS DOUBLE)) AS mn2,
+        |    MAX(CAST(CAST(o_custkey AS DECIMAL(12,2)) AS DOUBLE)) AS mx2,
+        |    COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+        |    MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+        |    COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+        |    MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)) AS mn4,
+        |    MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)) AS mx4,
+        |    COUNT(o_orderpriority) AS nn5, COUNT(DISTINCT o_orderpriority) AS nd5,
+        |    MIN(o_orderpriority) AS mn5, MAX(o_orderpriority) AS mx5
+        |  FROM orders
+        |)
+        |SELECT 'o_orderkey' AS col_name, nr AS n_rows, nr - nn1 AS n_null,
+        |  nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM w
+        |UNION ALL
+        |SELECT 'o_custkey', nr, nr - nn2, nd2, mn2, mx2,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM w
+        |UNION ALL
+        |SELECT 'o_orderstatus', nr, nr - nn3, nd3,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn3, mx3 FROM w
+        |UNION ALL
+        |SELECT 'o_totalprice', nr, nr - nn4, nd4, mn4, mx4,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM w
+        |UNION ALL
+        |SELECT 'o_orderpriority', nr, nr - nn5, nd5,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn5, mx5 FROM w
+        |ORDER BY col_name""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

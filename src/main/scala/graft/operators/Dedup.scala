@@ -1227,4 +1227,120 @@ object Dedup {
     */
   def d15TemplateDedup(s: SparkSession, dir: String): DataFrame =
     templateDedup(Tables.documents(s, dir)).orderBy("keep_doc_id")
+
+  /** RFC-3986-style URL canonicalization, the web-corpus twin of
+    * [[templateCanon]]: lowercase scheme+host (case-insensitive per
+    * RFC), strip the scheme's default port (:80/:443), drop the
+    * fragment (never sent to the server), strip trailing slashes from
+    * the path, and drop tracking parameters (utm_*, gclid, fbclid,
+    * ref) while SORTING the surviving query params — the variants
+    * crawlers see of one underlying page. Path and parameter case are
+    * preserved (case-sensitive per RFC). A schemeless input passes
+    * through the path/query steps only. Built entirely from
+    * RE2-portable extract/replace steps (no replacement backreferences
+    * — each engine's `$1` vs `\1` divergence never arises), so the
+    * same canon restates in any engine.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val sh = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val shl = lower(sh)
+    val shp = when(shl.startsWith("http://"), regexp_replace(shl, ":80$", ""))
+      .when(shl.startsWith("https://"), regexp_replace(shl, ":443$", ""))
+      .otherwise(shl)
+    val rest = url.substr(length(sh) + 1, length(url))
+    val nofrag = regexp_replace(rest, "#.*$", "")
+    val path = regexp_replace(nofrag, "\\?.*$", "")
+    val qs = regexp_extract(nofrag, "\\?(.*)$", 1)
+    val pathc = regexp_replace(path, "/+$", "")
+    val kept = array_sort(filter(split(qs, "&"), x =>
+      x =!= lit("") && not(x.rlike("^(utm_|gclid=|fbclid=|ref=)"))))
+    val qsc = array_join(kept, "&")
+    concat(shp, pathc,
+      when(qsc =!= lit(""), concat(lit("?"), qsc)).otherwise(lit("")))
+  }
+
+  /** Canonical-URL dedup: [[canonicalizeUrl]] then the d01/d15
+    * keep-first discipline — the FIRST dedup tier of a web-scraped
+    * corpus (a crawl sees the same page as http/https, with and
+    * without tracking params, fragments, and trailing slashes; URL
+    * canon collapses those before any content hashing runs).
+    *
+    * Scale shape: identical to d15 — the canon is map-only codegen'd
+    * string work fused into the scan, then ONE canonical-key groupBy
+    * with map-side partials; the shuffle carries one row per distinct
+    * canonical URL per map partition.
+    */
+  def urlDedup(df: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame =
+    df.select(Cols.q(idCol).as("__id"),
+        canonicalizeUrl(Cols.q(urlCol)).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("__id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** d16: gate binding of [[urlDedup]] — the gate corpus has no URL
+    * column, so both engines construct the SAME messy URLs
+    * deterministically from doc_id: mixed-case scheme/host, a default
+    * :80 port on every 5th, a trailing slash on every 3rd, a utm_
+    * tracking param on all, a ref param + fragment on every 4th. The
+    * page identity is (doc_id % 60) — the id param's % 12 divides 60 —
+    * so the 500 sf0.01 docs are 60 real pages seen under ~8 crawl
+    * variants each, and the gate exercises the ACTUAL collapse (counts
+    * + keep-first), not just canon-string equality. Fully SQL-oracled
+    * (the d15 RE2-portability discipline).
+    */
+  def d16UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("HTTP://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+      lit("Example.COM"),
+      when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Docs/"), (col("doc_id") % 60).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), (col("doc_id") % 12).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("&ref=tw#sec2")).otherwise(lit(""))
+    ).as("url"))
+    urlDedup(messy).orderBy("canon_url")
+  }
+
+  /** Per-doc n-gram novelty against a reference corpus: the fraction
+    * of each doc's distinct word-3-grams that appear NOWHERE in the
+    * reference — the inverse of [[contaminationCheck]], scored over
+    * every doc rather than a contaminated top-k. The training-data
+    * read: novelty ~ 0 against the existing training set means the
+    * candidate doc adds nothing (skip it); novelty ~ 1 against a
+    * deduped corpus flags genuinely new material (or noise — pair with
+    * t02's quality score). Shares the contamination family's shingle
+    * store, so the 100 TB story is d06's: one mergeable distinct-
+    * shingle aggregation per side, one shingle-keyed equi-join, one
+    * per-doc rollup — never doc × doc.
+    */
+  def ngramNovelty(corpus: DataFrame, reference: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cs = contaminationShingles(corpus, idCol, textCol)
+    val rs = contaminationShingles(reference, idCol, textCol)
+      .select("shingle").distinct()
+    val sizes = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val seen = cs.join(rs, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("__seen"))
+    sizes.join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("__seen"), lit(0L))).as("n_novel"),
+        round((col("n_shingles") - coalesce(col("__seen"), lit(0L)))
+          .cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
+
+  /** d17: gate binding of [[ngramNovelty]] — the q19 deterministic
+    * val/test docs scored against the train split (the
+    * "is the held-out set actually held out, and is new data actually
+    * new" composition a real pipeline runs). Fully SQL-oracled: the
+    * md5 split, the shingle CTE, and the anti-count restate exactly.
+    */
+  def d17NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Relational.deterministicSplit(
+      Tables.documents(s, dir), "doc_id")
+    ngramNovelty(
+      docs.filter(col("split") =!= "train"),
+      docs.filter(col("split") === "train"))
+      .orderBy("doc_id")
+  }
 }

@@ -2103,4 +2103,158 @@ object Relational {
   def q50CountminState(s: SparkSession, dir: String): DataFrame =
     countMinStates(Tables.events(s, dir), Seq("event_type"), "user_id")
       .orderBy("event_type", "d", "bucket")
+
+  /** Per-group winsorization: clamp every value into its group's
+    * [loQ, hiQ] exact-quantile fences — the outlier-capping step that
+    * runs BEFORE q28's normalization in a feature pipeline (a z-score
+    * over unclipped heavy tails is dominated by the tail; winsorize
+    * first, then normalize). Exact fences via [[exactQuantiles]]
+    * (type-7 interpolation, the q30 discipline) so the clamp threshold
+    * is a defined number, not a sketch estimate; `clipped` flags the
+    * affected rows so downstream can audit the clip rate per group.
+    *
+    * Scale shape: [[exactQuantiles]]'s histogram aggregation (mergeable
+    * `(group, value) → count`, ONE window exchange over per-group
+    * DISTINCT values) produces a groups×2 fence frame that broadcasts;
+    * the serve is a map-only broadcast-hash join + two comparisons —
+    * the corpus itself never shuffles. At extreme per-group continuous
+    * cardinality, swap the fence pass for q18's mergeable sketch
+    * percentiles and keep the identical map-only serve.
+    */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0.0 && hiQ <= 1.0 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    val v = df.select(q(groupCol).as("__g2"), q(idCol).as("__id"),
+      q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val fences = exactQuantiles(df, groupCol, valueCol, Seq(loQ, hiQ))
+      .groupBy(col("group"))
+      .agg(max(when(col("quantile") === loQ, col("value"))).as("lo_fence"),
+        max(when(col("quantile") === hiQ, col("value"))).as("hi_fence"))
+    v.join(broadcast(fences), col("__g2") === col("group"))
+      .select(col("__g2").as(groupCol), col("__id").as(idCol),
+        col("__v").as(valueCol),
+        least(greatest(col("__v"), col("lo_fence")), col("hi_fence"))
+          .as("winsorized"),
+        (col("__v") < col("lo_fence") || col("__v") > col("hi_fence"))
+          .as("clipped"),
+        col("lo_fence"), col("hi_fence"))
+  }
+
+  /** q51: gate binding of [[winsorize]] — `events.value` clamped into
+    * each event type's exact [p05, p95]. Fully SQL-oracled: the fence
+    * CTE restates q30's interpolation arithmetic at (0.05, 0.95) and
+    * the clamp runs least/greatest on bit-identical rounded fences.
+    */
+  def q51Winsorize(s: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.events(s, dir), "event_type", "event_id", "value")
+      .orderBy("event_type", "event_id")
+
+  /** Majority-vote label consensus: per item, the modal label over its
+    * votes with a DETERMINISTIC tie-break (higher count first, then
+    * lexically smallest label) — the annotation-resolution step of a
+    * labeled-data pipeline (multiple raters / heuristic labelers /
+    * model votes per item collapse to one training label plus an
+    * agreement score for confidence filtering). `agreement` is the
+    * plurality fraction; `is_majority` marks a strict >50% winner —
+    * filter on either to keep only confidently-labeled items.
+    *
+    * Scale shape: ONE mergeable vote-count aggregation (map-side
+    * combined, keyed (item, label) so raters of one item spread over
+    * partitions until the combine), then ONE (item)-keyed exchange
+    * serving both windows (unordered total + ordered row_number —
+    * Catalyst's WindowGroupLimit pushes the rank-1 filter into a
+    * partial top-1 before the shuffle). Vote volume per item is
+    * rater-bounded, so no skew path is needed.
+    */
+  def labelConsensus(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val votes = df.filter(q(labelCol).isNotNull)
+      .groupBy(q(itemCol).as("__item"), q(labelCol).as("__label"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("__item")
+    votes
+      .withColumn("__tot", sum(col("__n")).over(w))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("__n").desc, col("__label"))))
+      .filter(col("__rk") === 1)
+      .select(col("__item").as(itemCol), col("__label").as("consensus"),
+        col("__n").as("n_votes"), col("__tot").as("n_total"),
+        round(col("__n").cast("double") / col("__tot").cast("double"), 6)
+          .as("agreement"),
+        (col("__n") * 2 > col("__tot")).as("is_majority"))
+  }
+
+  /** q52: gate binding of [[labelConsensus]] — each user's events vote
+    * for an event type; the consensus is the user's modal type. Fully
+    * SQL-oracled (counts, the deterministic tie-break, and the
+    * agreement ratio restate exactly).
+    */
+  def q52LabelConsensus(s: SparkSession, dir: String): DataFrame =
+    labelConsensus(Tables.events(s, dir), "user_id", "event_type")
+      .orderBy("user_id")
+
+  /** Long-form column profile: per requested column, row/null/distinct
+    * counts plus typed min/max — the pipeline-health check every
+    * ingest runs before trusting a new data drop (nullity spikes,
+    * cardinality collapse, and range drift are the three cheap
+    * early-warning signals). Numeric columns report `min_num`/`max_num`
+    * under the house DECIMAL(12,2)→DOUBLE policy; string columns
+    * report lexical `min_str`/`max_str` (strings hash exactly across
+    * engines; doubles rendered AS strings would not).
+    *
+    * Scale shape: ONE aggregation over one scan — every metric is a
+    * mergeable partial (count/min/max), assembled long-form by a
+    * map-only explode of the single wide row, so profiling N columns
+    * costs one pass regardless of N. The exception is exact
+    * `n_distinct`, whose multi-column form Catalyst plans as an Expand
+    * (one duplicated stream per distinct column — the standard exact
+    * shape, input×N before the partial combine); at 100 TB pass
+    * `approxDistinct = true` to swap in HLL++ partials and keep the
+    * whole profile a single narrow pass (the q18 trade, estimates
+    * within ~0.5% rsd).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    import org.apache.spark.sql.types.NumericType
+    val isNum: Map[String, Boolean] = cols.map { c =>
+      c -> df.schema(c).dataType.isInstanceOf[NumericType]
+    }.toMap
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(q(c)).as(s"__nn_$c"),
+        (if (approxDistinct) approx_count_distinct(q(c)) else countDistinct(q(c)))
+          .as(s"__nd_$c")) ++
+      (if (isNum(c)) Seq(
+        min(q(c).cast(D).cast("double")).as(s"__min_$c"),
+        max(q(c).cast(D).cast("double")).as(s"__max_$c"))
+      else Seq(
+        min(q(c).cast("string")).as(s"__min_$c"),
+        max(q(c).cast("string")).as(s"__max_$c")))
+    } :+ count(lit(1)).as("__nr")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val metrics = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__nr").as("n_rows"),
+        (col("__nr") - q(s"__nn_$c")).as("n_null"),
+        q(s"__nd_$c").cast("long").as("n_distinct"),
+        (if (isNum(c)) q(s"__min_$c") else lit(null).cast("double")).as("min_num"),
+        (if (isNum(c)) q(s"__max_$c") else lit(null).cast("double")).as("max_num"),
+        (if (isNum(c)) lit(null).cast("string") else q(s"__min_$c")).as("min_str"),
+        (if (isNum(c)) lit(null).cast("string") else q(s"__max_$c")).as("max_str"))
+    }
+    wide.select(explode(array(metrics: _*)).as("m")).select("m.*")
+  }
+
+  /** q53: gate binding of [[profileColumns]] over five orders columns
+    * (three numeric, two string). Fully SQL-oracled: counts, exact
+    * distincts, and the DECIMAL-policy min/max restate exactly.
+    */
+  def q53ColumnProfile(s: SparkSession, dir: String): DataFrame =
+    profileColumns(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority"))
+      .orderBy("col_name")
 }

@@ -648,4 +648,77 @@ class DedupSpec extends SparkSpec {
     assert(canon.toSet === Set("breaking news: 0 items found on page 0",
       "breaking views: 0 items found on page 0", "something else entirely"))
   }
+
+  test("canonicalizeUrl: each RFC step does exactly what it claims, nothing else") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase; path case preserved
+      "HTTP://WWW.Example.COM/Docs/A" -> "http://www.example.com/Docs/A",
+      // default ports stripped per scheme; non-default kept
+      "http://ex.com:80/a" -> "http://ex.com/a",
+      "https://ex.com:443/a" -> "https://ex.com/a",
+      "http://ex.com:8080/a" -> "http://ex.com:8080/a",
+      // https keeps :80 (not its default)
+      "https://ex.com:80/a" -> "https://ex.com:80/a",
+      // fragment dropped, trailing slashes stripped (root → bare host)
+      "http://ex.com/a/b/#sec" -> "http://ex.com/a/b",
+      "http://ex.com/" -> "http://ex.com",
+      // tracking params dropped, survivors sorted, empty query dropped
+      "http://ex.com/p?utm_source=x&b=2&a=1&ref=tw" -> "http://ex.com/p?a=1&b=2",
+      "http://ex.com/p?gclid=1&fbclid=2&utm_b=3" -> "http://ex.com/p",
+      // param VALUES keep case, only whole tracking params go
+      "http://ex.com/p?Q=Mixed&utm_x=1" -> "http://ex.com/p?Q=Mixed",
+      // schemeless input: path/query steps still apply
+      "ex.com/a/?utm_a=1&z=9" -> "ex.com/a?z=9")
+    val got = cases.map(_._1).toDF("url")
+      .select(Dedup.canonicalizeUrl($"url")).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, s"input $in") }
+  }
+
+  test("urlDedup collapses crawl variants of one page and keeps the first id") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTP://Ex.COM:80/page/1?utm_s=a&id=7#top"),
+      (2L, "http://ex.com/page/1/?id=7"),
+      (3L, "http://ex.com/page/1?ref=x&id=7"),
+      (4L, "http://ex.com/page/2?id=7"), // different path — must NOT merge
+      (5L, "http://ex.com/page/1?id=8")  // different surviving param — must NOT merge
+    ).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(urls).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      "http://ex.com/page/1?id=7" -> ((1L, 3L)),
+      "http://ex.com/page/2?id=7" -> ((4L, 1L)),
+      "http://ex.com/page/1?id=8" -> ((5L, 1L))))
+    // the gate binding exercises a REAL collapse on the synthetic corpus
+    val gate = Dedup.d16UrlDedup(spark, sf)
+    val n = gate.count()
+    val copies = gate.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0)
+    assert(n < copies, s"$n canon urls over $copies rows — no collapse happened")
+    // map-only canon + one groupBy: no join anywhere in the plan
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("ngramNovelty: fully-seen → 0, fully-novel → 1, mixed → exact fraction") {
+    import spark.implicits._
+    val reference = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // shingles of ref: {a b c, b c d, c d e}
+    val corpus = Seq(
+      (1L, "a b c d"),        // both shingles seen → novelty 0
+      (2L, "x y z w"),        // none seen → novelty 1
+      (3L, "a b c q r"),      // {a b c} seen; {b c q, c q r} novel → 2/3
+      (4L, "a b")             // < 3 tokens → excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(corpus, reference)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      1L -> ((2L, 0L, 0.0)),
+      2L -> ((2L, 2L, 1.0)),
+      3L -> ((3L, 2L, 0.666667))))
+    // novelty against an EMPTY reference is 1 everywhere it scores
+    val empty = Dedup.ngramNovelty(corpus, reference.filter($"doc_id" < 0L))
+      .collect().map(r => r.getDouble(3))
+    assert(empty.nonEmpty && empty.forall(_ === 1.0))
+  }
 }

@@ -455,4 +455,95 @@ class RelationalSpec extends SparkSpec {
     assert(keptByGroup("c") === 10)
     assert(keptByGroup("b").toDouble / 100 > keptByGroup("a").toDouble / 1000)
   }
+
+  test("winsorize clamps exactly at the type-7 fences and flags only clipped rows") {
+    import spark.implicits._
+    // group A: 1..20 → p05 fence = 1 + 0.95*(2-1) = 1.95,
+    //                  p95 fence = 19 + 0.05*(20-19) = 19.05
+    val a = (1 to 20).map(i => ("A", i.toLong, i.toDouble))
+    // group B: constant → both fences = 7.0, nothing clips
+    val b = (1 to 5).map(i => ("B", 100L + i, 7.0))
+    val df = (a ++ b).toDF("grp", "id", "v")
+    val out = Relational.winsorize(df, "grp", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getBoolean(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(("A", 1L)) === ((1.95, true, 1.95, 19.05)))
+    assert(out(("A", 2L)) === ((2.0, false, 1.95, 19.05)))
+    assert(out(("A", 19L)) === ((19.0, false, 1.95, 19.05)))
+    assert(out(("A", 20L)) === ((19.05, true, 1.95, 19.05)))
+    (3 to 18).foreach(i => assert(out(("A", i.toLong))._1 === i.toDouble))
+    b.foreach { case (_, id, _) => assert(out(("B", id)) === ((7.0, false, 7.0, 7.0))) }
+    // partition independence
+    val re = Relational.winsorize(df.repartition(7), "grp", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(re === out.view.mapValues(_._1).toMap)
+  }
+
+  test("winsorize serves through a broadcast of the fence frame — the corpus never shuffles") {
+    val df = Relational.q51Winsorize(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.toLowerCase.contains("cartesian"),
+      plan.take(3000))
+  }
+
+  test("labelConsensus: majority, deterministic tie-break, agreement, null votes dropped") {
+    import spark.implicits._
+    val votes = Seq(
+      (1L, "pos"), (1L, "pos"), (1L, "neg"),             // clear majority
+      (2L, "pos"), (2L, "neg"),                          // tie → lexically smaller
+      (3L, "neu"),                                       // singleton
+      (4L, "a"), (4L, "b"), (4L, "b"), (4L, "c"),        // plurality, not majority
+      (5L, null), (5L, "x")                              // null vote ignored
+    ).toDF("item", "label")
+    val out = Relational.labelConsensus(votes, "item", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(1L) === (("pos", 2L, 3L, 0.666667, true)))
+    assert(out(2L) === (("neg", 1L, 2L, 0.5, false))) // tie-break: label ASC
+    assert(out(3L) === (("neu", 1L, 1L, 1.0, true)))
+    assert(out(4L) === (("b", 2L, 4L, 0.5, false)))
+    assert(out(5L) === (("x", 1L, 1L, 1.0, true)))
+    // determinism under repartitioning
+    val re = Relational.labelConsensus(votes.repartition(5), "item", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re === out.view.mapValues(_._1).toMap)
+  }
+
+  test("labelConsensus plan: one vote agg + one item exchange serving both windows") {
+    val df = Relational.q52LabelConsensus(spark, sf)
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // (user,label) vote agg + user window + presentation sort
+    assert(exchanges.size <= 3, s"${exchanges.size} exchanges")
+  }
+
+  test("profileColumns: counts, nullity, exact distincts, typed min/max") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, "a"), (2L, null), (null, "c"), (3L, "a"))
+      .toDF("num", "str")
+    val out = Relational.profileColumns(df, Seq("num", "str"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val num = out("num")
+    assert(num.getLong(1) === 5L && num.getLong(2) === 1L && num.getLong(3) === 3L)
+    assert(num.getDouble(4) === 1.0 && num.getDouble(5) === 3.0)
+    assert(num.isNullAt(6) && num.isNullAt(7))
+    val str = out("str")
+    assert(str.getLong(1) === 5L && str.getLong(2) === 1L && str.getLong(3) === 3L)
+    assert(str.isNullAt(4) && str.isNullAt(5))
+    assert(str.getString(6) === "a" && str.getString(7) === "c")
+    // the approx path agrees at tiny cardinality and drops the Expand
+    val approx = Relational.profileColumns(df, Seq("num", "str"), approxDistinct = true)
+    assert(approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      === Map("num" -> 3L, "str" -> 3L))
+    val exactPlan = Relational.profileColumns(df, Seq("num", "str"))
+      .queryExecution.executedPlan.toString
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan.take(2000))
+    assert(!approxPlan.contains("Expand"), approxPlan.take(2000))
+  }
 }
