@@ -2168,12 +2168,32 @@ object Relational {
     * partial top-1 before the shuffle). Vote volume per item is
     * rater-bounded, so no skew path is needed.
     */
-  def labelConsensus(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
-    val votes = df.filter(q(labelCol).isNotNull)
+  /** Vote-count STATE for [[labelConsensus]] — `(item, label) → n`
+    * rows, the mergeable half of the consensus (the q33/q50 state
+    * discipline): states from separate batches union and
+    * [[voteCompact]] by plain addition, so a stream maintains votes
+    * without keeping raw rows, and [[consensusFromVotes]] serves the
+    * answer state-in/answer-out at any point.
+    */
+  def voteStates(df: DataFrame, itemCol: String, labelCol: String): DataFrame =
+    df.filter(q(labelCol).isNotNull)
       .groupBy(q(itemCol).as("__item"), q(labelCol).as("__label"))
       .agg(count(lit(1)).as("__n"))
+
+  /** Merge same-key vote states after an append — counts ADD, exactly,
+    * at any re-compaction depth.
+    */
+  def voteCompact(states: DataFrame): DataFrame =
+    states.groupBy(col("__item"), col("__label"))
+      .agg(sum(col("__n")).cast("long").as("__n"))
+
+  /** Serve the consensus from a vote-state table (see
+    * [[labelConsensus]] for the semantics and scale shape of the
+    * item-keyed window pass).
+    */
+  def consensusFromVotes(states: DataFrame, itemCol: String): DataFrame = {
     val w = Window.partitionBy("__item")
-    votes
+    states
       .withColumn("__tot", sum(col("__n")).over(w))
       .withColumn("__rk", row_number().over(
         w.orderBy(col("__n").desc, col("__label"))))
@@ -2184,6 +2204,9 @@ object Relational {
           .as("agreement"),
         (col("__n") * 2 > col("__tot")).as("is_majority"))
   }
+
+  def labelConsensus(df: DataFrame, itemCol: String, labelCol: String): DataFrame =
+    consensusFromVotes(voteStates(df, itemCol, labelCol), itemCol)
 
   /** q52: gate binding of [[labelConsensus]] — each user's events vote
     * for an event type; the consensus is the user's modal type. Fully

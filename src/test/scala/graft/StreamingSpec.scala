@@ -616,6 +616,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vote maintenance: per-micro-batch append + compact serves EXACTLY the batch consensus") {
+    // the q52 loop on a stream — annotation votes arrive over time, the
+    // maintained (item, label) -> n state is mergeable by plain
+    // addition (raw votes never kept), and consensusFromVotes serves
+    // the answer state-in/answer-out at any point, bit-equal to
+    // running labelConsensus over everything streamed
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    val batches = Seq(
+      Seq((1L, "pos"), (1L, "neg"), (2L, "pos"), (3L, "a")),
+      Seq((1L, "pos"), (2L, "neg"), (2L, "neg"), (3L, "b")),
+      // the late batch FLIPS item 2's leader and breaks item 3's tie
+      Seq((2L, "pos"), (2L, "pos"), (3L, "a"), (4L, "x")))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("item", "label").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          val states = Relational.voteStates(
+            localized.toDF("item", "label"), "item", "label")
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Relational.voteCompact(appended).localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state is bounded by DISTINCT (item, label) pairs, never raw votes
+        assert(maintained.count() <= seen.distinct.size,
+          s"state grew past the distinct vote grid")
+        // served consensus == batch operator over everything streamed,
+        // row for row, AFTER EVERY BATCH (not just at the end)
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+        val served = rows(Relational.consensusFromVotes(maintained, "item"))
+        val batchRef = rows(Relational.labelConsensus(
+          seen.toSeq.toDF("item", "label"), "item", "label"))
+        assert(served === batchRef)
+      }
+      // the flip actually happened: item 2 ends pos (3 of 5), item 3's
+      // tie broke toward 'a' (2 of 3)
+      val fin = Relational.consensusFromVotes(maintained, "item").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(5))).toMap
+      assert(fin(2L) === (("pos", true)) && fin(3L) === (("a", true)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs across micro-batch boundaries, equal to the batch join") {
     implicit val ctx = spark.sqlContext
     // base offset keeps every event ABOVE the query's initial
