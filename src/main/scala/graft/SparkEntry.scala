@@ -75,6 +75,9 @@ object SparkEntry {
     "q51_winsorize" -> (Relational.q51Winsorize _),
     "q52_label_consensus" -> (Relational.q52LabelConsensus _),
     "q53_column_profile" -> (Relational.q53ColumnProfile _),
+    "q54_rater_agreement" -> (Relational.q54RaterAgreement _),
+    "q55_mad_outliers" -> (Relational.q55MadOutliers _),
+    "q56_psi_drift" -> (Relational.q56PsiDrift _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -159,6 +162,10 @@ object SparkEntry {
     "t15_chunk_docs" -> (Text.t15ChunkDocs _),
     "t16_tfidf_keywords" -> (Text.t16TfidfKeywords _),
     "t17_hashed_features" -> (Text.t17HashedFeatures _),
+    // rows-only: greedy rank-order merge application has no tractable
+    // single-SQL twin; TextSpec pins the native encode against the
+    // independent nested-fold formulation + word reconstruction
+    "t19_bpe_encode" -> (Text.t19BpeEncode _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -1513,6 +1520,223 @@ object SparkEntry {
         |SELECT 'o_orderpriority', nr, nr - nn5, nd5,
         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn5, mx5 FROM w
         |ORDER BY col_name""".stripMargin,
+
+    // generalized Fleiss: every p_i is one division of exact BIGINT
+    // counts, the p_i mean folds ROUNDED values through an exact
+    // DECIMAL(9,6) sum (order-independent), prevalence squares fold in
+    // DECIMAL(38,0); single-vote items excluded from p_i AND prevalence
+    "q54_rater_agreement" ->
+      """WITH votes AS (
+        |  SELECT user_id AS item, event_type AS label, COUNT(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), wn AS (
+        |  SELECT item, label, n,
+        |    CAST(SUM(n) OVER (PARTITION BY item) AS BIGINT) AS ni
+        |  FROM votes
+        |), qual AS (
+        |  SELECT * FROM wn WHERE ni >= 2
+        |), per AS (
+        |  SELECT item, MAX(ni) AS n_votes,
+        |    CAST(SUM(n * (n - 1)) AS BIGINT) AS agree
+        |  FROM qual GROUP BY 1
+        |), peri AS (
+        |  SELECT item, n_votes,
+        |    round(CAST(agree AS DOUBLE)
+        |      / CAST(n_votes * (n_votes - 1) AS DOUBLE), 6) AS p_i
+        |  FROM per
+        |), lab AS (
+        |  SELECT label, CAST(SUM(n) AS BIGINT) AS tot FROM qual GROUP BY 1
+        |), prev AS (
+        |  SELECT CAST(SUM(tot) AS BIGINT) AS nn,
+        |    SUM(CAST(tot AS DECIMAL(19,0)) * CAST(tot AS DECIMAL(19,0))) AS ssq
+        |  FROM lab
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    SUM(CAST(p_i AS DECIMAL(9,6))) AS sp
+        |  FROM peri
+        |), gl AS (
+        |  SELECT n_items,
+        |    round(CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS p_bar,
+        |    round(CAST(ssq AS DOUBLE)
+        |      / CAST(CAST(nn AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0))
+        |          AS DOUBLE), 6) AS p_e
+        |  FROM tot, prev
+        |)
+        |SELECT item AS user_id, n_votes, p_i, n_items, p_bar, p_e,
+        |  CASE WHEN p_e = 1.0 THEN NULL
+        |    ELSE round((p_bar - p_e) / (1.0 - p_e), 6) END AS kappa
+        |FROM peri, gl
+        |ORDER BY user_id""".stripMargin,
+
+    // two type-7 histogram passes (median, then MAD over DECIMAL-
+    // quantized deviations); z from exact integers/medians is
+    // bit-identical IEEE arithmetic, the flag reads the ROUNDED z
+    "q55_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), h1 AS (
+        |  SELECT g, v, COUNT(*) AS c FROM v GROUP BY 1, 2
+        |), r1 AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h1
+        |), t1 AS (
+        |  SELECT g,
+        |    CAST(floor(h) AS BIGINT) + 1 AS lo_r,
+        |    least(CAST(floor(h) AS BIGINT) + 2, n) AS hi_r,
+        |    h - floor(h) AS frac
+        |  FROM (SELECT g, n, CAST(n - 1 AS DOUBLE) * 0.5 AS h
+        |        FROM (SELECT DISTINCT g, n FROM r1))
+        |), p1 AS (
+        |  SELECT r1.g, frac,
+        |    MAX(CASE WHEN lo_r > cum - c AND lo_r <= cum THEN v END) AS vlo,
+        |    MAX(CASE WHEN hi_r > cum - c AND hi_r <= cum THEN v END) AS vhi
+        |  FROM r1 JOIN t1 ON r1.g = t1.g
+        |    AND ((lo_r > cum - c AND lo_r <= cum)
+        |      OR (hi_r > cum - c AND hi_r <= cum))
+        |  GROUP BY 1, 2
+        |), med AS (
+        |  SELECT g, round(vlo + frac * (vhi - vlo), 6) AS med FROM p1
+        |), d AS (
+        |  SELECT v.g, v.id, v.v, med,
+        |    CAST(CAST(abs(v.v - med) AS DECIMAL(12,2)) AS DOUBLE) AS dev
+        |  FROM v JOIN med USING (g)
+        |), h2 AS (
+        |  SELECT g, dev, COUNT(*) AS c FROM d GROUP BY 1, 2
+        |), r2 AS (
+        |  SELECT g, dev, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY dev) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h2
+        |), t2 AS (
+        |  SELECT g,
+        |    CAST(floor(h) AS BIGINT) + 1 AS lo_r,
+        |    least(CAST(floor(h) AS BIGINT) + 2, n) AS hi_r,
+        |    h - floor(h) AS frac
+        |  FROM (SELECT g, n, CAST(n - 1 AS DOUBLE) * 0.5 AS h
+        |        FROM (SELECT DISTINCT g, n FROM r2))
+        |), p2 AS (
+        |  SELECT r2.g, frac,
+        |    MAX(CASE WHEN lo_r > cum - c AND lo_r <= cum THEN dev END) AS vlo,
+        |    MAX(CASE WHEN hi_r > cum - c AND hi_r <= cum THEN dev END) AS vhi
+        |  FROM r2 JOIN t2 ON r2.g = t2.g
+        |    AND ((lo_r > cum - c AND lo_r <= cum)
+        |      OR (hi_r > cum - c AND hi_r <= cum))
+        |  GROUP BY 1, 2
+        |), mad AS (
+        |  SELECT g, round(vlo + frac * (vhi - vlo), 6) AS mad FROM p2
+        |)
+        |SELECT d.g AS event_type, d.id AS event_id, d.v AS value,
+        |  d.med AS med, mad.mad AS mad,
+        |  CASE WHEN mad.mad = 0 THEN NULL
+        |    ELSE round(0.6745 * (d.v - d.med) / mad.mad, 6) END AS robust_z,
+        |  CASE WHEN mad.mad = 0 THEN FALSE
+        |    ELSE abs(round(0.6745 * (d.v - d.med) / mad.mad, 6)) > 3.5
+        |    END AS is_outlier
+        |FROM d JOIN mad USING (g)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // reference-decile binning of both time halves; bin edges are the
+    // q30 type-7 CTE, bin = Σ(v >= edge), PSI terms eps-floored at
+    // 1e-6; ln differs ≤1 ulp across libm, invisible at 6dp
+    "q56_psi_drift" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, epoch_ns(ts) AS tsn,
+        |    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), span AS (
+        |  SELECT MIN(tsn) AS lo, MAX(tsn) AS hi FROM base
+        |), sided AS (
+        |  SELECT g, v,
+        |    CASE WHEN tsn <= lo + ((hi - lo) // 2) THEN 'ref' ELSE 'cur'
+        |      END AS side
+        |  FROM base, span
+        |), h AS (
+        |  SELECT g, v, COUNT(*) AS c FROM sided WHERE side = 'ref'
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h
+        |), t AS (
+        |  SELECT g, q AS quantile, n,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) + 1 AS lo_r,
+        |    least(CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) + 2, n) AS hi_r,
+        |    CAST(n - 1 AS DOUBLE) * q
+        |      - floor(CAST(n - 1 AS DOUBLE) * q) AS frac
+        |  FROM (SELECT DISTINCT g, n FROM r),
+        |       (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+        |                       0.6, 0.7, 0.8, 0.9]) AS q)
+        |), p AS (
+        |  SELECT r.g, quantile, frac,
+        |    MAX(CASE WHEN lo_r > cum - c AND lo_r <= cum THEN v END) AS vlo,
+        |    MAX(CASE WHEN hi_r > cum - c AND hi_r <= cum THEN v END) AS vhi
+        |  FROM r JOIN t ON r.g = t.g
+        |    AND ((lo_r > cum - c AND lo_r <= cum)
+        |      OR (hi_r > cum - c AND hi_r <= cum))
+        |  GROUP BY 1, 2, 3
+        |), qv AS (
+        |  SELECT g, quantile, round(vlo + frac * (vhi - vlo), 6) AS value
+        |  FROM p
+        |), wideb AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN quantile = 0.1 THEN value END) AS b0,
+        |    MAX(CASE WHEN quantile = 0.2 THEN value END) AS b1,
+        |    MAX(CASE WHEN quantile = 0.3 THEN value END) AS b2,
+        |    MAX(CASE WHEN quantile = 0.4 THEN value END) AS b3,
+        |    MAX(CASE WHEN quantile = 0.5 THEN value END) AS b4,
+        |    MAX(CASE WHEN quantile = 0.6 THEN value END) AS b5,
+        |    MAX(CASE WHEN quantile = 0.7 THEN value END) AS b6,
+        |    MAX(CASE WHEN quantile = 0.8 THEN value END) AS b7,
+        |    MAX(CASE WHEN quantile = 0.9 THEN value END) AS b8
+        |  FROM qv GROUP BY g
+        |), binned AS (
+        |  SELECT s.g, s.side,
+        |    (CASE WHEN v >= b0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b8 THEN 1 ELSE 0 END) AS bin
+        |  FROM sided s JOIN wideb USING (g)
+        |), counts AS (
+        |  SELECT g, bin,
+        |    CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM binned GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, bin, n_ref, n_cur,
+        |    CAST(SUM(n_ref) OVER (PARTITION BY g) AS BIGINT) AS nr,
+        |    CAST(SUM(n_cur) OVER (PARTITION BY g) AS BIGINT) AS nc
+        |  FROM counts
+        |), terms AS (
+        |  SELECT g, bin, n_ref, n_cur,
+        |    CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE) AS pr,
+        |    CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE) AS pc
+        |  FROM tot WHERE nc > 0
+        |), terms2 AS (
+        |  SELECT g, bin, n_ref, n_cur, pr, pc,
+        |    (greatest(pc, 1e-06) - greatest(pr, 1e-06))
+        |      * ln(greatest(pc, 1e-06) / greatest(pr, 1e-06)) AS pterm,
+        |    abs(pc - pr) AS dterm
+        |  FROM terms
+        |)
+        |SELECT g AS event_type, bin, n_ref, n_cur,
+        |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+        |  round(pterm, 6) AS psi_term,
+        |  round(SUM(pterm) OVER (PARTITION BY g), 6) AS psi,
+        |  round(0.5 * SUM(dterm) OVER (PARTITION BY g), 6) AS tvd
+        |FROM terms2 ORDER BY event_type, bin""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

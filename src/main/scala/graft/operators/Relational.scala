@@ -2280,4 +2280,216 @@ object Relational {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority"))
       .orderBy("col_name")
+
+  /** Inter-rater agreement (generalized Fleiss' kappa for variable
+    * raters per item) — the QUALITY metric over the same vote table
+    * q52 resolves: consensus tells you WHICH label won; kappa tells you
+    * whether the raters agree more than chance at all (kappa ≈ 0 means
+    * the "consensus" is noise and the labeling guidelines need work
+    * before the labels are trusted as training data). Per item i with
+    * n_i ≥ 2 votes, the pairwise agreement `p_i = Σ_l n_il(n_il−1) /
+    * (n_i(n_i−1))`; `p_bar` is the mean over items, `p_e = Σ_l p_l²`
+    * the chance agreement from label prevalence over qualifying items,
+    * and `kappa = (p_bar − p_e) / (1 − p_e)`. Single-vote items carry
+    * no pairwise signal and are excluded from both p_i and prevalence
+    * (documented contract; they still resolve in q52).
+    *
+    * Cross-engine determinism is integer-anchored end to end: every
+    * p_i is one division of exact BIGINT counts (bit-identical IEEE
+    * doubles on any engine), the p_i mean folds the ROUNDED values
+    * through an exact DECIMAL(9,6) sum (order-independent — a raw
+    * double sum over millions of items could drift past the 6dp gate
+    * rounding), and p_e is a DECIMAL(38,0) sum of squared label totals
+    * over N² (the q49 overflow lesson: totals square past BIGINT at
+    * corpus scale).
+    *
+    * Scale shape: one mergeable (item, label) vote-count agg, then ONE
+    * item-keyed exchange whose window serves the n_i filter; the two
+    * downstream aggs (per-item, per-label) and the two one-row global
+    * frames reduce from it — the corpus shuffles once, the globals
+    * broadcast back onto the per-item rows (crossJoin of a one-row
+    * total, the house pattern).
+    */
+  def raterAgreement(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val votes = voteStates(df, itemCol, labelCol) // (__item, __label, __n)
+    val wi = Window.partitionBy(col("__item"))
+    val qual = votes
+      .withColumn("__ni", sum(col("__n")).over(wi))
+      .filter(col("__ni") >= 2)
+    val per = qual.groupBy(col("__item"))
+      .agg(max(col("__ni")).cast("long").as("n_votes"),
+        sum(col("__n") * (col("__n") - 1)).cast("long").as("__agree"))
+      .withColumn("p_i", round(col("__agree").cast("double") /
+        (col("n_votes") * (col("n_votes") - 1)).cast("double"), 6))
+    val lab = qual.groupBy(col("__label"))
+      .agg(sum(col("__n")).cast("long").as("__tot"))
+    val prev = lab.agg(
+      sum(col("__tot")).cast("long").as("__nn"),
+      sum(col("__tot").cast("decimal(19,0)") * col("__tot").cast("decimal(19,0)"))
+        .as("__ssq"))
+    val tot = per.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      sum(col("p_i").cast("decimal(9,6)")).as("__sp"))
+    val glob = tot.crossJoin(prev).select(
+      col("n_items"),
+      round(col("__sp").cast("double") / col("n_items").cast("double"), 6)
+        .as("p_bar"),
+      round(col("__ssq").cast("double") /
+        (col("__nn").cast("decimal(19,0)") * col("__nn").cast("decimal(19,0)"))
+          .cast("double"), 6).as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") === 1.0, lit(null).cast("double"))
+          .otherwise(round((col("p_bar") - col("p_e")) /
+            (lit(1.0) - col("p_e")), 6)))
+    per.crossJoin(broadcast(glob))
+      .select(col("__item").as(itemCol), col("n_votes"), col("p_i"),
+        col("n_items"), col("p_bar"), col("p_e"), col("kappa"))
+  }
+
+  /** q54: gate binding of [[raterAgreement]] — each user's events vote
+    * for an event type (the q52 table read as an annotation task).
+    * Fully SQL-oracled: integer agreement counts, the DECIMAL(9,6)
+    * p_i fold, and the DECIMAL(38,0) prevalence squares restate
+    * exactly in DuckDB.
+    */
+  def q54RaterAgreement(s: SparkSession, dir: String): DataFrame =
+    raterAgreement(Tables.events(s, dir), "user_id", "event_type")
+      .orderBy("user_id")
+
+  /** MAD robust z-score per row — the ROBUST complement of q28's
+    * mean/sd normalization and q38's IQR fences: `z = 0.6745·(v −
+    * median) / MAD` (MAD = median absolute deviation about the group
+    * median; 0.6745 rescales so z matches the classic z-score on a
+    * normal population), flagged at the Iglewicz–Hoaglin |z| > 3.5.
+    * Unlike mean/sd, a handful of extreme values cannot drag the
+    * center or inflate the spread (the breakdown point is 50%), which
+    * is exactly what a quality filter over scraped data needs — the
+    * outliers being hunted are the ones that would have corrupted the
+    * mean. A group whose MAD is 0 (over half the values identical)
+    * yields null z and no flags by contract — callers wanting a
+    * fallback can rescore those groups with q28.
+    *
+    * Both quantile passes are [[exactQuantiles]] (type-7 over the
+    * value HISTOGRAM — the q30 discipline), so the center and spread
+    * are defined numbers: two mergeable (group, value)→count aggs,
+    * each with ONE window exchange over per-group DISTINCT values;
+    * the groups×1 median and MAD frames broadcast, and the serve is
+    * map-only — the corpus itself shuffles zero times. Deviations
+    * pass through the house DECIMAL(12,2) quantization so the second
+    * histogram stays as compact as the first.
+    */
+  def madRobustZ(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val v = df.select(q(groupCol).as("__g2"), q(idCol).as("__id"),
+        q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = exactQuantiles(df, groupCol, valueCol, Seq(0.5))
+      .select(col("group").as("__gm"), col("value").as("__med"))
+    val withMed = v.join(broadcast(med), col("__g2") === col("__gm"))
+      .withColumn("__dev", abs(col("__v") - col("__med")).cast(D).cast("double"))
+    val mad = exactQuantiles(withMed, "__g2", "__dev", Seq(0.5))
+      .select(col("group").as("__gd"), col("value").as("__mad"))
+    withMed.join(broadcast(mad), col("__g2") === col("__gd"))
+      .withColumn("robust_z",
+        when(col("__mad") === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(0.6745) * (col("__v") - col("__med")) / col("__mad"), 6)))
+      .select(col("__g2").as(groupCol), col("__id").as(idCol),
+        col("__v").as(valueCol), col("__med").as("med"),
+        col("__mad").as("mad"), col("robust_z"),
+        when(col("__mad") === 0.0, lit(false))
+          .otherwise(abs(col("robust_z")) > threshold).as("is_outlier"))
+  }
+
+  /** q55: gate binding of [[madRobustZ]] — every events row scored
+    * against its event type's median/MAD. Fully SQL-oracled: both
+    * type-7 histogram passes, the DECIMAL deviation quantization, and
+    * the rescaled z restate exactly in DuckDB (the flag is computed
+    * from the ROUNDED z on both engines).
+    */
+  def q55MadOutliers(s: SparkSession, dir: String): DataFrame =
+    madRobustZ(Tables.events(s, dir), "event_type", "event_id", "value")
+      .orderBy("event_type", "event_id")
+
+  /** Population-stability drift between the two halves of a table's
+    * time range — the "did the data change under me" check run before
+    * every retraining batch is trusted: per group, the REFERENCE
+    * window's exact deciles bin both windows, and each bin contributes
+    * `psi_term = (p_cur − p_ref)·ln(p_cur/p_ref)` (probabilities
+    * floored at `eps` so empty bins stay finite — the standard PSI
+    * convention) plus the total-variation term `|p_cur − p_ref|`.
+    * Rules of thumb: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 act;
+    * `tvd` is the ln-free companion (0 = identical, 1 = disjoint) for
+    * consumers who want a bounded metric. Groups absent from the
+    * reference window, or with an empty current window, are excluded
+    * (nothing to compare — documented contract).
+    *
+    * Cross-engine: bin edges are [[exactQuantiles]] type-7 values
+    * (defined numbers, 6dp), bin assignment is `Σ (v ≥ edge)` integer
+    * comparisons, p's are single divisions of exact BIGINT counts —
+    * all bit-identical IEEE; ln differs by ≤1 ulp across libm
+    * implementations, invisible at the 6dp gate rounding.
+    *
+    * Scale shape: one global min/max agg (broadcast back — the side
+    * split is then in-scan), the reference histogram agg (mergeable,
+    * ONE window exchange over per-group DISTINCT values), the edge
+    * frame pivoted to groups×(bins−1) and broadcast for a MAP-ONLY
+    * bin assignment (no per-row join fanout, no corpus shuffle), and
+    * one (group, bin) count agg whose map-side combine caps partial
+    * rows at groups×bins×2 per partition. The corpus never shuffles.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+      tsCol: String, bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val base = df.select(q(groupCol).as("__g2"), q(tsCol).as("__ts"),
+        q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__ts").isNotNull)
+    val span = base.agg(min(col("__ts")).as("__lo"), max(col("__ts")).as("__hi"))
+      .select(expr("__lo + ((__hi - __lo) div 2)").as("__mid"))
+    val sided = base.crossJoin(broadcast(span))
+      .withColumn("__side",
+        when(col("__ts") <= col("__mid"), lit("ref")).otherwise(lit("cur")))
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val edges = exactQuantiles(
+      sided.filter(col("__side") === "ref"), "__g2", "__v", qs)
+    val edgeCols = qs.zipWithIndex.map { case (qq, i) =>
+      max(when(col("quantile") === qq, col("value"))).as(s"__b$i")
+    }
+    val wide = edges.groupBy(col("group")).agg(edgeCols.head, edgeCols.tail: _*)
+    val binned = sided.join(broadcast(wide), col("__g2") === col("group"))
+      .withColumn("bin", qs.indices
+        .map(i => when(col("__v") >= col(s"__b$i"), 1).otherwise(0))
+        .reduce(_ + _))
+    val counts = binned.groupBy(col("__g2"), col("bin"))
+      .agg(sum(when(col("__side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val wg = Window.partitionBy(col("__g2"))
+    val withP = counts
+      .withColumn("__nr", sum(col("n_ref")).over(wg))
+      .withColumn("__nc", sum(col("n_cur")).over(wg))
+      .filter(col("__nc") > 0)
+      .withColumn("__pr", col("n_ref").cast("double") / col("__nr").cast("double"))
+      .withColumn("__pc", col("n_cur").cast("double") / col("__nc").cast("double"))
+      .withColumn("__pterm",
+        (greatest(col("__pc"), lit(eps)) - greatest(col("__pr"), lit(eps))) *
+          log(greatest(col("__pc"), lit(eps)) / greatest(col("__pr"), lit(eps))))
+      .withColumn("__dterm", abs(col("__pc") - col("__pr")))
+    withP.select(col("__g2").as(groupCol), col("bin"),
+      col("n_ref").cast("long").as("n_ref"), col("n_cur").cast("long").as("n_cur"),
+      round(col("__pr"), 6).as("p_ref"), round(col("__pc"), 6).as("p_cur"),
+      round(col("__pterm"), 6).as("psi_term"),
+      round(sum(col("__pterm")).over(wg), 6).as("psi"),
+      round(lit(0.5) * sum(col("__dterm")).over(wg), 6).as("tvd"))
+  }
+
+  /** q56: gate binding of [[psiDrift]] — events.value drift per event
+    * type, second time-half scored against the first's deciles. Fully
+    * SQL-oracled: the span split, the type-7 edge CTE, the Σ(v ≥ edge)
+    * binning, and the eps-floored PSI terms restate exactly in DuckDB.
+    */
+  def q56PsiDrift(s: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.events(s, dir), "event_type", "value", "ts")
+      .orderBy("event_type", "bin")
 }

@@ -700,6 +700,35 @@ object Text {
   def t12BpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(s, dir))
 
+  /** The fixed 18-merge English table t19 encodes with — a released
+    * tokenizer applied as-is (the common production case: the merge
+    * table ships with the model; training happened once, elsewhere).
+    * Any fixed rank order is a valid tokenizer; this one covers the
+    * highest-frequency English letter pairs so every document
+    * genuinely exercises multi-level merges (th→the, in→ing).
+    */
+  private[graft] val t19Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("a", "t"), ("o", "u"), ("i", "t"), ("i", "s"),
+    ("o", "f"), ("t", "o"), ("in", "g"))
+
+  /** t19: gate binding of [[bpeEncode]] — every document tokenized
+    * with the fixed [[t19Merges]] table; per doc the token count plus
+    * an md5 signature of the token sequence (the full arrays would
+    * dominate the gate parquet for no extra discriminating power —
+    * the signature pins every token in order). Rows-only in the
+    * driver gate by design: greedy rank-order merge application has
+    * no tractable single-SQL twin; TextSpec pins the native encode
+    * against the independent nested-fold formulation, word
+    * reconstruction, and this binding's signature determinism.
+    */
+  def t19BpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(s, dir), t19Merges)
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws(" ", col("tokens")).cast("binary")).as("tokens_sig"))
+      .orderBy("doc_id")
+
   // -----------------------------------------------------------------
   // t13: model-based quality classifier — the learned (CCNet/GPT-3-
   // style) quality filter next to t02's hand-rolled score: logistic

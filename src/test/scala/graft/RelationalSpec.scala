@@ -521,6 +521,142 @@ class RelationalSpec extends SparkSpec {
     assert(exchanges.size <= 3, s"${exchanges.size} exchanges")
   }
 
+  test("raterAgreement: hand-model p_i, prevalence-based p_e, kappa; singletons excluded") {
+    import spark.implicits._
+    val votes = Seq(
+      (1L, "pos"), (1L, "pos"), (1L, "neg"), // p_i = 2/6 = 0.333333
+      (2L, "pos"), (2L, "pos"),              // p_i = 1.0
+      (3L, "neu"),                           // singleton → excluded everywhere
+      (4L, "pos"), (4L, "neg"),              // p_i = 0.0
+      (5L, null), (5L, "pos")                // null dropped → singleton → excluded
+    ).toDF("item", "label")
+    val out = Relational.raterAgreement(votes, "item", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L)) // 3 and 5 carry no pairwise signal
+    assert(out(1L)._1 === 3L && out(1L)._2 === 0.333333)
+    assert(out(2L)._1 === 2L && out(2L)._2 === 1.0)
+    assert(out(4L)._1 === 2L && out(4L)._2 === 0.0)
+    // qualifying votes: pos 5, neg 2 over N=7 → p_e = 29/49;
+    // p_bar = (0.333333 + 1 + 0)/3; kappa = (p_bar−p_e)/(1−p_e)
+    out.values.foreach { case (_, _, nItems, pBar, pE, kappa) =>
+      assert(nItems === 3L)
+      assert(pBar === 0.444444)
+      assert(pE === 0.591837)
+      assert(kappa === -0.361113)
+    }
+    // perfect agreement on a single label → p_e = 1 → kappa undefined
+    val unanimous = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "label")
+    val u = Relational.raterAgreement(unanimous, "item", "label").collect()
+    assert(u.forall(r => r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0
+      && r.isNullAt(6)))
+    // determinism under repartitioning (the DECIMAL p_i fold is
+    // order-independent by construction)
+    val re = Relational.raterAgreement(votes.repartition(7), "item", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(re === out)
+  }
+
+  test("raterAgreement plan: the corpus shuffles once on item; globals broadcast back") {
+    val df = Relational.q54RaterAgreement(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // (item,label) vote agg + item window + per-item agg reuses the
+    // window partitioning; label agg + two one-row globals are
+    // single-partition folds; + presentation sort
+    assert(exchanges.size <= 6, s"${exchanges.size} exchanges")
+    val s = plan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "one-row globals must broadcast, not shuffle: " + s.take(3000))
+  }
+
+  test("madRobustZ: hand median/MAD, rescaled z, 3.5 flag; MAD=0 group yields null z") {
+    import spark.implicits._
+    // group A: 1..9 plus a gross outlier → median 5.5, MAD 2.5
+    val a = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+    // group B: constant → MAD 0 → null z by contract, nothing flags
+    val b = (1 to 5).map(i => ("B", 100L + i, 7.0))
+    val df = (a ++ b).toDF("grp", "id", "v")
+    val out = Relational.madRobustZ(df, "grp", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val big = out(("A", 9L)) // the 100.0 row
+    assert(big.getDouble(3) === 5.5 && big.getDouble(4) === 2.5)
+    assert(big.getDouble(5) === 25.4961 && big.getBoolean(6)) // 0.6745*94.5/2.5
+    val low = out(("A", 0L)) // the 1.0 row
+    assert(low.getDouble(5) === -1.2141 && !low.getBoolean(6))
+    assert(a.zipWithIndex.count { case (_, i) => out(("A", i.toLong)).getBoolean(6) } === 1)
+    b.foreach { case (_, id, _) =>
+      val r = out(("B", id))
+      assert(r.getDouble(4) === 0.0 && r.isNullAt(5) && !r.getBoolean(6))
+    }
+    // partition independence (both histogram passes are mergeable)
+    val re = Relational.madRobustZ(df.repartition(7), "grp", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(re === out.view.mapValues(r =>
+      (r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap)
+  }
+
+  test("madRobustZ serves map-only: median and MAD frames broadcast, corpus never sort-merges") {
+    val df = Relational.q55MadOutliers(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.toLowerCase.contains("cartesian"),
+      plan.take(3000))
+  }
+
+  test("psiDrift: zero on identical halves, planted shift scores, one-sided groups excluded") {
+    import spark.implicits._
+    // group A: identical multisets in both halves → exactly zero drift
+    val aRef = (1 to 10).map(i => ("A", i.toLong, i.toDouble))
+    val aCur = (1 to 10).map(i => ("A", 1000L + i, i.toDouble))
+    // group B: ref uniform 1..10 (one value per decile bin), cur all
+    // 100.0 (everything lands in bin 9) → tvd = 0.5·(9·0.1 + 0.9) = 0.9
+    val bRef = (1 to 10).map(i => ("B", i.toLong, i.toDouble))
+    val bCur = (1 to 10).map(i => ("B", 1000L + i, 100.0))
+    // group C exists only in the cur half, D only in the ref half —
+    // both excluded by contract
+    val cCur = Seq(("C", 1005L, 1.0))
+    val dRef = Seq(("D", 5L, 1.0))
+    val df = (aRef ++ aCur ++ bRef ++ bCur ++ cCur ++ dRef)
+      .toDF("grp", "ts", "v")
+    val out = Relational.psiDrift(df, "grp", "v", "ts").collect()
+    assert(out.map(_.getString(0)).toSet === Set("A", "B"))
+    val a = out.filter(_.getString(0) == "A")
+    assert(a.forall(r => r.getDouble(6) === 0.0 && r.getDouble(7) === 0.0
+      && r.getDouble(8) === 0.0), "identical halves must score exactly zero")
+    assert(a.forall(r => r.getLong(2) === r.getLong(3)))
+    val b = out.filter(_.getString(0) == "B").sortBy(_.getInt(1))
+    assert(b.map(_.getInt(1)).toSeq === (0 to 9), "all ten bins present")
+    assert(b.forall(_.getLong(2) === 1L), "ref: one value per decile bin")
+    assert(b.map(_.getLong(3)).toSeq === Seq.fill(9)(0L) :+ 10L,
+      "cur: everything in the top bin")
+    assert(b.head.getDouble(8) === 0.9) // tvd
+    assert(b.head.getDouble(7) > 10.0, s"psi = ${b.head.getDouble(7)}") // gross drift
+    // partition independence
+    val re = Relational.psiDrift(df.repartition(7), "grp", "v", "ts").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(7), r.getDouble(8))).toMap
+    assert(re === out.map(r =>
+      (r.getString(0), r.getInt(1)) -> (r.getDouble(7), r.getDouble(8))).toMap)
+  }
+
+  test("psiDrift plan: edges broadcast for a map-only bin assignment, corpus never sort-merges") {
+    val df = Relational.q56PsiDrift(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("profileColumns: counts, nullity, exact distincts, typed min/max") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](

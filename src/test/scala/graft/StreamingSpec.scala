@@ -671,6 +671,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted sample: bounded top-k state serves EXACTLY the batch q37 sample") {
+    // the q37 loop on a stream — the Efraimidis–Spirakis key is a pure
+    // deterministic function of (id, weight), so top-k telescopes:
+    // top-k(top-k(seen) ∪ batch) == top-k(seen ∪ batch). The maintained
+    // state is just the current winners' (group, id, weight) rows —
+    // k rows per group, never the corpus — and re-running the batch
+    // operator over the state IS the serve.
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    val k = 2
+    val batches = Seq(
+      Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("h", 3L, 5.0)),
+      Seq(("g", 4L, 15.0), ("h", 5L, 5.0), ("h", 6L, 5.0)),
+      // a late heavyweight must evict one of g's incumbents
+      Seq(("g", 99L, 1e9), ("h", 7L, 5.0)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDF().toDF("grp", "id", "w").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+          val appended =
+            if (maintained == null) localized.toDF("grp", "id", "w")
+            else maintained.unionByName(localized.toDF("grp", "id", "w"))
+          maintained = Relational.weightedSample(appended, "grp", "id", "w", k)
+            .select("grp", "id", "w").localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state bounded: k rows per group, raw rows never kept
+        val groups = maintained.select("grp").distinct().count()
+        assert(maintained.count() <= k * groups,
+          s"state grew past k×groups: ${maintained.count()}")
+        // served sample == batch q37 over everything streamed — ids,
+        // weights, KEYS, and ranks, after every batch
+        val served = rows(Relational.weightedSample(maintained, "grp", "id", "w", k))
+        val batchRef = rows(Relational.weightedSample(
+          seen.toSeq.toDF("grp", "id", "w"), "grp", "id", "w", k))
+        assert(served === batchRef)
+      }
+      // the eviction actually happened: the heavyweight is in, and g
+      // still carries exactly k winners
+      val fin = maintained.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(fin.contains(("g", 99L)), s"late heavyweight missing: $fin")
+      assert(fin.count(_._1 == "g") === k)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs across micro-batch boundaries, equal to the batch join") {
     implicit val ctx = spark.sqlContext
     // base offset keeps every event ABOVE the query's initial

@@ -696,6 +696,30 @@ class TextSpec extends SparkSpec {
     assert(native === fold)
   }
 
+  test("t19 gate binding: fixed-table encode matches the fold twin; signature is deterministic") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(60)
+    // the fixed table genuinely merges (the corpus is English-ish):
+    // every doc tokenizes to fewer symbols than its character count
+    val gate = Text.t19BpeEncode(spark, sf).limit(60).collect()
+    assert(gate.nonEmpty && gate.forall(_.getLong(1) > 0))
+    val fold = Text.bpeEncodeFold(docs, Text.t19Merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val native = Text.bpeEncode(docs, Text.t19Merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(native === fold)
+    assert(native.exists { case (_, toks) => toks.exists(t => t.length > 2 && t != "</w>") },
+      "multi-level merges (the/ing) must actually fire on corpus text")
+    // the binding's signature pins every token in order: recompute it
+    // from the fold tokens and compare
+    val sig = gate.map(r => r.getLong(0) -> r.getString(2)).toMap
+    fold.foreach { case (id, toks) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(sig(id) === md, s"doc $id signature")
+    }
+  }
+
   test("native bpeEncode survives a 1,200-merge table with a merge-count-independent plan") {
     import spark.implicits._
     // well-formed chain: rule i merges (prefix of i+1 chars, next char)
