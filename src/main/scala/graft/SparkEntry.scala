@@ -166,6 +166,8 @@ object SparkEntry {
     // single-SQL twin; TextSpec pins the native encode against the
     // independent nested-fold formulation + word reconstruction
     "t19_bpe_encode" -> (Text.t19BpeEncode _),
+    "t20_readability" -> (Text.t20Readability _),
+    "t21_code_detect" -> (Text.t21CodeDetect _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -1737,6 +1739,79 @@ object SparkEntry {
         |  round(SUM(pterm) OVER (PARTITION BY g), 6) AS psi,
         |  round(0.5 * SUM(dterm) OVER (PARTITION BY g), 6) AS tvd
         |FROM terms2 ORDER BY event_type, bin""".stripMargin,
+
+    // RE2-portable counts (sentence/word/vowel-group runs) and the
+    // Flesch linear form; the band cuts on the ROUNDED score
+    "t20_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |      AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n_sentences, n_words, n_syllables,
+        |    CASE WHEN n_words = 0 THEN NULL
+        |      ELSE round(206.835
+        |        - 1.015 * (CAST(n_words AS DOUBLE)
+        |          / CAST(n_sentences AS DOUBLE))
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |          / CAST(n_words AS DOUBLE)), 6)
+        |      END AS flesch
+        |  FROM c
+        |)
+        |SELECT doc_id, n_sentences, n_words, n_syllables, flesch,
+        |  CASE WHEN flesch IS NULL THEN 'empty'
+        |    WHEN flesch >= 60.0 THEN 'easy'
+        |    WHEN flesch >= 30.0 THEN 'standard'
+        |    ELSE 'difficult' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // replace-arithmetic line counts (regex \n so string-literal rules
+    // never matter), RE2-portable signal counts, fixed-weight score;
+    // the flag cuts on the ROUNDED score
+    "t21_code_detect" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(text) AS BIGINT) AS n_chars,
+        |    1 + CAST(len(text) AS BIGINT)
+        |      - CAST(len(regexp_replace(text, '\n', '', 'g')) AS BIGINT)
+        |      AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT)
+        |      AS punct_hits,
+        |    CAST(len(regexp_extract_all(text,
+        |      'def |function |return |import |class |void |#include |const '))
+        |      AS BIGINT) AS kw_hits,
+        |    (CAST(len(text) AS BIGINT)
+        |      - CAST(len(regexp_replace(text, '\n  ', '', 'g')) AS BIGINT)) // 3
+        |    + (CAST(len(text) AS BIGINT)
+        |      - CAST(len(regexp_replace(text, '\n\t', '', 'g')) AS BIGINT)) // 2
+        |      AS indent_lines,
+        |    CAST(len(text) AS BIGINT)
+        |      - CAST(len(regexp_replace(text, ';', '', 'g')) AS BIGINT)
+        |      AS semi_hits
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n_lines, punct_hits, kw_hits, indent_lines,
+        |    semi_hits,
+        |    CASE WHEN n_chars = 0 THEN NULL
+        |      ELSE round(
+        |        10.0 * (CAST(punct_hits AS DOUBLE) / CAST(n_chars AS DOUBLE))
+        |        + 10.0 * (CAST(kw_hits AS DOUBLE) / CAST(n_chars AS DOUBLE))
+        |        + 5.0 * (CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE))
+        |        + 5.0 * (CAST(semi_hits AS DOUBLE) / CAST(n_chars AS DOUBLE)),
+        |        6)
+        |      END AS code_score
+        |  FROM c
+        |)
+        |SELECT doc_id, n_lines, punct_hits, kw_hits, indent_lines,
+        |  semi_hits, code_score,
+        |  CASE WHEN code_score IS NULL THEN FALSE
+        |    ELSE code_score > 0.05 END AS is_code
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

@@ -729,6 +729,111 @@ object Text {
         md5(concat_ws(" ", col("tokens")).cast("binary")).as("tokens_sig"))
       .orderBy("doc_id")
 
+  /** Flesch reading-ease per document — the curriculum/difficulty
+    * signal next to t02's structural quality score: pretraining mixes
+    * are routinely staged easy→hard, and a floor on reading ease is a
+    * cheap boilerplate/gibberish filter of its own. Counts are the
+    * classic approximations, chosen RE2-portable so both engines count
+    * identically: sentences = runs of `[.!?]` (min 1 — a fragment is
+    * one sentence), words = alphabetic runs, syllables = vowel-group
+    * runs (`[aeiouyAEIOUY]+`, the standard heuristic); `flesch =
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)`, null
+    * on wordless docs. The `band` label (easy ≥60 > standard ≥30 >
+    * difficult) cuts on the ROUNDED score so engines agree at the
+    * boundary. Every count is one `regexp_extract_all` length in the
+    * scan projection — map-only, no shuffle but the presentation sort,
+    * and the divisions of exact BIGINT counts are bit-identical IEEE.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
+      .withColumn("n_sentences", greatest(
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"), lit(1L)))
+      .withColumn("n_words",
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long"))
+      .withColumn("n_syllables",
+        size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)")).cast("long"))
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")), 6)))
+      .withColumn("band",
+        when(col("flesch").isNull, lit("empty"))
+          .when(col("flesch") >= 60.0, lit("easy"))
+          .when(col("flesch") >= 30.0, lit("standard"))
+          .otherwise(lit("difficult")))
+      .select("doc_id", "n_sentences", "n_words", "n_syllables", "flesch", "band")
+
+  /** t20: gate binding of [[readability]] over documents. Fully
+    * SQL-oracled: the three RE2-portable counts and the Flesch linear
+    * form restate exactly in DuckDB; the band cuts on the rounded
+    * score on both engines.
+    */
+  def t20Readability(s: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** Code-vs-prose detection — the corpus-routing signal a mixed crawl
+    * needs before language-specific processing (code gets different
+    * dedup granularity, tokenization, and quality rules than prose;
+    * misrouted code also poisons t01's stopword language ID). Four
+    * cheap engine-portable signals per doc: code-punctuation density
+    * (`[{}();=<>]` runs of the characters prose barely uses),
+    * keyword-marker density (`def |function |return |import |class
+    * |void |#include |const `), indented-line ratio (lines opening
+    * with two spaces or a tab — substring-replace ARITHMETIC, not
+    * multiline regex, whose flag semantics differ across engines),
+    * and semicolon density. `code_score` is their fixed-weight sum;
+    * `is_code` cuts the ROUNDED score at the threshold. Every signal
+    * is substring/regexp counting fused into the scan projection —
+    * map-only, the corpus is touched once — and the densities are
+    * divisions of exact BIGINT counts (bit-identical IEEE).
+    */
+  def codeDetect(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.05): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    // non-overlapping occurrence count via replace-arithmetic; the
+    // pattern is a REGEX spelled `\n`-escaped so the engines' string
+    // literal rules never matter (Java and RE2 both read \n as newline)
+    def occurrences(pattern: String, width: Int) =
+      ((length(col("text")) - length(regexp_replace(col("text"), pattern, "")))
+        / width).cast("long")
+    normalized(docs, idCol, textCol)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_lines", lit(1L) + occurrences("\\n", 1))
+      .withColumn("punct_hits",
+        size(expr("regexp_extract_all(text, '[{}();=<>]', 0)")).cast("long"))
+      .withColumn("kw_hits", size(expr(
+        "regexp_extract_all(text, 'def |function |return |import |class |void |#include |const ', 0)"))
+        .cast("long"))
+      .withColumn("indent_lines",
+        occurrences("\\n  ", 3) + occurrences("\\n\\t", 2))
+      .withColumn("semi_hits", occurrences(";", 1))
+      .withColumn("code_score",
+        when(col("n_chars") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(10.0) * (col("punct_hits").cast("double") / col("n_chars").cast("double"))
+              + lit(10.0) * (col("kw_hits").cast("double") / col("n_chars").cast("double"))
+              + lit(5.0) * (col("indent_lines").cast("double") / col("n_lines").cast("double"))
+              + lit(5.0) * (col("semi_hits").cast("double") / col("n_chars").cast("double")),
+            6)))
+      .withColumn("is_code",
+        when(col("code_score").isNull, lit(false))
+          .otherwise(col("code_score") > threshold))
+      .select("doc_id", "n_lines", "punct_hits", "kw_hits", "indent_lines",
+        "semi_hits", "code_score", "is_code")
+  }
+
+  /** t21: gate binding of [[codeDetect]] over documents. Fully
+    * SQL-oracled: the replace-arithmetic line counts, the RE2-portable
+    * regexp counts, and the fixed-weight score restate exactly in
+    * DuckDB; the flag cuts on the rounded score on both engines.
+    */
+  def t21CodeDetect(s: SparkSession, dir: String): DataFrame =
+    codeDetect(Tables.documents(s, dir)).orderBy("doc_id")
+
   // -----------------------------------------------------------------
   // t13: model-based quality classifier — the learned (CCNet/GPT-3-
   // style) quality filter next to t02's hand-rolled score: logistic

@@ -720,6 +720,57 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("readability: hand Flesch counts, band cuts, wordless doc goes null/empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),            // 2 sentences, 5 words, 5 vowel groups
+      (2L, "hello world"),                     // no terminator → 1 sentence
+      (3L, "12345 !!!"),                       // wordless → null flesch
+      (4L, "totalitarianism bureaucratization") // 12 syllables over 2 words
+    ).toDF("doc_id", "text")
+    val out = Text.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flesch(s: Long, w: Long, y: Long): Double =
+      BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((out(1L).getLong(1), out(1L).getLong(2), out(1L).getLong(3)) === ((2L, 5L, 5L)))
+    assert(out(1L).getDouble(4) === flesch(2, 5, 5) && out(1L).getString(5) === "easy")
+    assert((out(2L).getLong(1), out(2L).getLong(2), out(2L).getLong(3)) === ((1L, 2L, 3L)))
+    assert(out(2L).getDouble(4) === flesch(1, 2, 3) && out(2L).getString(5) === "easy")
+    assert(out(3L).getLong(2) === 0L && out(3L).isNullAt(4)
+      && out(3L).getString(5) === "empty")
+    assert((out(4L).getLong(1), out(4L).getLong(2), out(4L).getLong(3)) === ((1L, 2L, 12L)))
+    assert(out(4L).getString(5) === "difficult")
+  }
+
+  test("codeDetect: replace-arithmetic signals match an independent driver count; code vs prose separates") {
+    import spark.implicits._
+    val code = "def f(x):\n  return x;\nclass A {\n\tint y = 0;\n}"
+    val prose = "The quick brown fox jumps over the lazy dog. " * 4
+    val docs = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val out = Text.codeDetect(docs).collect().map(r => r.getLong(0) -> r).toMap
+    // independent driver model over the same strings
+    def model(t: String) = {
+      val nLines = 1L + t.count(_ == '\n')
+      val punct = t.count(c => "{}();=<>".contains(c))
+      val kw = ("def |function |return |import |class |void |#include |const ".r
+        .findAllIn(t)).size
+      val ind = t.sliding(3).count(_ == "\n  ") // non-overlapping == sliding here (no "\n   " runs)
+      val indTab = t.sliding(2).count(_ == "\n\t")
+      val semi = t.count(_ == ';')
+      (nLines, punct.toLong, kw.toLong, (ind + indTab).toLong, semi.toLong)
+    }
+    for ((id, t) <- Seq(1L -> code, 2L -> prose)) {
+      val (l, p, k, i, s) = model(t)
+      val r = out(id)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        === ((l, p, k, i, s)), s"doc $id signals")
+    }
+    assert(out(1L).getBoolean(7), s"code doc must flag: score ${out(1L).getDouble(6)}")
+    assert(!out(2L).getBoolean(7), s"prose must not flag: score ${out(2L).getDouble(6)}")
+    assert(out(1L).getDouble(6) > out(2L).getDouble(6))
+  }
+
   test("native bpeEncode survives a 1,200-merge table with a merge-count-independent plan") {
     import spark.implicits._
     // well-formed chain: rule i merges (prefix of i+1 chars, next char)
