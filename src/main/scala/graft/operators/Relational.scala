@@ -2492,4 +2492,94 @@ object Relational {
   def q56PsiDrift(s: SparkSession, dir: String): DataFrame =
     psiDrift(Tables.events(s, dir), "event_type", "value", "ts")
       .orderBy("event_type", "bin")
+
+  // -----------------------------------------------------------------
+  // The factored PSI pieces a STREAMING drift monitor maintains: the
+  // batch q56 derives its reference window from the time span it can
+  // see; a deployed monitor instead FIXES the edges once (from the
+  // training snapshot) and folds arriving data into mergeable
+  // (group, bin) counts — the q33/q50/q52 state discipline. Serve at
+  // any point via psiFromCounts; StreamingSpec pins the per-batch
+  // fold bit-equal to one-shot counting and the factored serve equal
+  // to psiDrift itself when the side splits coincide.
+  // -----------------------------------------------------------------
+
+  /** Reference bin edges for [[binCounts]]: per-group type-7 quantile
+    * values at the interior cuts, pivoted wide (`group, __b0 ..
+    * __b{bins−2}`) so the frame broadcasts and bin assignment stays
+    * map-only (the q56 shape, exposed).
+    */
+  def referenceEdges(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val edgeCols = qs.zipWithIndex.map { case (qq, i) =>
+      max(when(col("quantile") === qq, col("value"))).as(s"__b$i")
+    }
+    exactQuantiles(df, groupCol, valueCol, qs)
+      .groupBy(col("group")).agg(edgeCols.head, edgeCols.tail: _*)
+  }
+
+  /** Mergeable per-(group, bin) counts of `df` against FIXED edges —
+    * the drift monitor's state: counts from separate batches union
+    * and [[binCountsCompact]] by plain addition (raw rows never
+    * kept; state bounded by groups×bins). Groups without an edge row
+    * are dropped (nothing to bin against — the q56 contract).
+    */
+  def binCounts(df: DataFrame, groupCol: String, valueCol: String,
+      edges: DataFrame): DataFrame = {
+    val nb = edges.columns.count(_.startsWith("__b"))
+    require(nb >= 1, "edges frame carries no __b columns — not a referenceEdges output")
+    df.select(q(groupCol).as("__g2"),
+        q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(broadcast(edges), col("__g2") === col("group"))
+      .withColumn("bin", (0 until nb)
+        .map(i => when(col("__v") >= col(s"__b$i"), 1).otherwise(0))
+        .reduce(_ + _))
+      .groupBy(col("__g2").as(groupCol), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** Merge same-key bin-count states after an append — counts ADD,
+    * exactly, at any re-compaction depth.
+    */
+  def binCountsCompact(states: DataFrame, groupCol: String): DataFrame =
+    states.groupBy(q(groupCol), col("bin"))
+      .agg(sum(col("n")).cast("long").as("n"))
+
+  /** Score a current count frame against a reference count frame —
+    * [[psiDrift]]'s serve with the counting factored out: bins
+    * observed on one side only zero-fill (the single-agg batch path
+    * produces exactly those rows), groups with an empty current side
+    * are excluded, and the eps-floored PSI / tvd arithmetic is
+    * IDENTICAL to the batch operator, so a maintained state serves
+    * the same numbers the gate query computes.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      groupCol: String, eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val joined = refCounts.select(q(groupCol), col("bin"), col("n").as("__rn"))
+      .join(curCounts.select(q(groupCol), col("bin"), col("n").as("__cn")),
+        Seq(groupCol, "bin"), "full_outer")
+      .withColumn("n_ref", coalesce(col("__rn"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("__cn"), lit(0L)))
+    val wg = Window.partitionBy(q(groupCol))
+    joined
+      .withColumn("__nr", sum(col("n_ref")).over(wg))
+      .withColumn("__nc", sum(col("n_cur")).over(wg))
+      .filter(col("__nc") > 0)
+      .withColumn("__pr", col("n_ref").cast("double") / col("__nr").cast("double"))
+      .withColumn("__pc", col("n_cur").cast("double") / col("__nc").cast("double"))
+      .withColumn("__pterm",
+        (greatest(col("__pc"), lit(eps)) - greatest(col("__pr"), lit(eps))) *
+          log(greatest(col("__pc"), lit(eps)) / greatest(col("__pr"), lit(eps))))
+      .withColumn("__dterm", abs(col("__pc") - col("__pr")))
+      .select(q(groupCol), col("bin"),
+        col("n_ref").cast("long").as("n_ref"), col("n_cur").cast("long").as("n_cur"),
+        round(col("__pr"), 6).as("p_ref"), round(col("__pc"), 6).as("p_cur"),
+        round(col("__pterm"), 6).as("psi_term"),
+        round(sum(col("__pterm")).over(wg), 6).as("psi"),
+        round(lit(0.5) * sum(col("__dterm")).over(wg), 6).as("tvd"))
+  }
 }

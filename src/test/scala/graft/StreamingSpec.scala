@@ -728,6 +728,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI drift monitor: fixed-edge bin-count state serves EXACTLY the batch q56 scores") {
+    // the q56 loop deployed: a monitor FIXES the reference edges once
+    // (training snapshot), folds arriving rows into mergeable
+    // (group, bin) counts per micro-batch — raw rows never kept,
+    // state bounded by groups×bins — and psiFromCounts serves the
+    // same numbers the batch operator computes
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    // reference snapshot: early timestamps, uniform 1..10 per group
+    val ref = (1 to 10).flatMap(i =>
+      Seq(("g", i.toLong, i.toDouble), ("h", i.toLong, i.toDouble)))
+    val refDf = ref.toDF("grp", "ts", "v")
+    val edges = Relational.referenceEdges(refDf, "grp", "v").localCheckpoint()
+    val refCounts = Relational.binCounts(refDf, "grp", "v", edges).localCheckpoint()
+    // current data drifts upward for g, stays put for h
+    val batches = Seq(
+      Seq(("g", 1001L, 8.0), ("g", 1002L, 9.0), ("h", 1001L, 3.0)),
+      Seq(("g", 1003L, 10.0), ("g", 1004L, 10.0), ("h", 1002L, 7.0)),
+      Seq(("g", 1005L, 9.0), ("h", 1003L, 5.0), ("h", 1004L, 2.0)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDF().toDF("grp", "ts", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+          val states = Relational.binCounts(
+            localized.toDF("grp", "ts", "v"), "grp", "v", edges)
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Relational.binCountsCompact(appended, "grp").localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3),
+          r.getDouble(7), r.getDouble(8)))).toMap
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state bounded by groups×bins, never raw rows
+        assert(maintained.count() <= 2L * 10L,
+          s"state grew past groups×bins: ${maintained.count()}")
+        // fold == one-shot counting of everything streamed
+        val oneShot = Relational.binCounts(
+          seen.toSeq.toDF("grp", "ts", "v"), "grp", "v", edges)
+          .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+        assert(maintained.collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap === oneShot)
+        // the factored serve == the batch q56 operator over
+        // ref ∪ streamed (the time split coincides with the sides)
+        val served = scores(Relational.psiFromCounts(refCounts, maintained, "grp"))
+        val batchRef = scores(Relational.psiDrift(
+          refDf.unionByName(seen.toSeq.toDF("grp", "ts", "v")), "grp", "v", "ts"))
+        assert(served === batchRef)
+      }
+      // the drift is visible where planted: g (shifted up) scores
+      // strictly above h (resampled in place)
+      val fin = Relational.psiFromCounts(refCounts, maintained, "grp").collect()
+        .map(r => r.getString(0) -> r.getDouble(7)).toMap
+      assert(fin("g") > fin("h"), s"planted drift must dominate: $fin")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs across micro-batch boundaries, equal to the batch join") {
     implicit val ctx = spark.sqlContext
     // base offset keeps every event ABOVE the query's initial
