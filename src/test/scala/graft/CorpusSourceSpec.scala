@@ -80,6 +80,43 @@ class CorpusSourceSpec extends SparkSpec {
     assert(docsKey(got) === docsKey(tricky))
   }
 
+  test("writeShards: deterministic balanced shards, exact round trip, manifest matches the files") {
+    import graft.sinks.CorpusShards
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val out = Files.createTempDirectory("graft_shards").toString + "/corpus"
+    val manifest = CorpusShards.writeShards(docs, out, shards = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every shard populated, and the md5 assignment balances a
+    // uniform id space (worst/best within 2x at 500 docs / 8 shards)
+    assert(manifest.keySet === (0 until 8).toSet)
+    assert(manifest.values.sum === docs.count())
+    assert(manifest.values.max < 2L * manifest.values.min,
+      s"shard skew: $manifest")
+    // exact round trip: the written corpus re-reads row-for-row
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    val a = docs.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    back.collect().foreach { r =>
+      assert(r.toSeq.take(5) === a(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // one file per shard directory — loaders stream sequentially
+    (0 until 8).foreach { s =>
+      val files = new java.io.File(s"$out/shard=$s")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"shard $s has $files files")
+    }
+    // assignment is a pure function of the id: a re-export from a
+    // differently-partitioned frame lands every doc identically
+    val out2 = Files.createTempDirectory("graft_shards2").toString + "/corpus"
+    CorpusShards.writeShards(docs.repartition(13), out2, shards = 8)
+    val s1 = spark.read.parquet(out).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s2 = spark.read.parquet(out2).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(s1 === s2)
+  }
+
   test("explicit schema means ingest runs zero inference jobs over the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val docs = Tables.documents(spark, sf)
