@@ -78,6 +78,7 @@ object SparkEntry {
     "q54_rater_agreement" -> (Relational.q54RaterAgreement _),
     "q55_mad_outliers" -> (Relational.q55MadOutliers _),
     "q56_psi_drift" -> (Relational.q56PsiDrift _),
+    "q57_corr_matrix" -> (Relational.q57CorrMatrix _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -1739,6 +1740,83 @@ object SparkEntry {
         |  round(SUM(pterm) OVER (PARTITION BY g), 6) AS psi,
         |  round(0.5 * SUM(dterm) OVER (PARTITION BY g), 6) AS tvd
         |FROM terms2 ORDER BY event_type, bin""".stripMargin,
+
+    // the q41 anchored-DECIMAL discipline over all N(N+1)/2 pairs:
+    // exact sums, DECIMAL-quantized mean anchors, exact deviation
+    // products; listwise null deletion so every pair shares one n
+    "q57_corr_matrix" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS v0,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS v1,
+        |    CAST(l_discount AS DECIMAL(12,2)) AS v2
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), a AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(v0) AS DOUBLE) AS s0,
+        |    CAST(SUM(v1) AS DOUBLE) AS s1,
+        |    CAST(SUM(v2) AS DOUBLE) AS s2
+        |  FROM v GROUP BY g
+        |), a2 AS (
+        |  SELECT g, n, s0, s1, s2,
+        |    CAST(s0 / n AS DECIMAL(12,2)) AS m0,
+        |    CAST(s1 / n AS DECIMAL(12,2)) AS m1,
+        |    CAST(s2 / n AS DECIMAL(12,2)) AS m2
+        |  FROM a
+        |), sp AS (
+        |  SELECT v.g,
+        |    CAST(SUM(CAST((v0 - m0) * 100 AS DECIMAL(19,0))
+        |           * CAST((v0 - m0) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sp00,
+        |    CAST(SUM(CAST((v0 - m0) * 100 AS DECIMAL(19,0))
+        |           * CAST((v1 - m1) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sp01,
+        |    CAST(SUM(CAST((v0 - m0) * 100 AS DECIMAL(19,0))
+        |           * CAST((v2 - m2) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sp02,
+        |    CAST(SUM(CAST((v1 - m1) * 100 AS DECIMAL(19,0))
+        |           * CAST((v1 - m1) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sp11,
+        |    CAST(SUM(CAST((v1 - m1) * 100 AS DECIMAL(19,0))
+        |           * CAST((v2 - m2) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sp12,
+        |    CAST(SUM(CAST((v2 - m2) * 100 AS DECIMAL(19,0))
+        |           * CAST((v2 - m2) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sp22
+        |  FROM v JOIN a2 ON v.g = a2.g
+        |  GROUP BY v.g
+        |), dd AS (
+        |  SELECT a2.g, n,
+        |    s0 / n - CAST(m0 AS DOUBLE) AS d0,
+        |    s1 / n - CAST(m1 AS DOUBLE) AS d1,
+        |    s2 / n - CAST(m2 AS DOUBLE) AS d2,
+        |    sp00, sp01, sp02, sp11, sp12, sp22
+        |  FROM a2 JOIN sp ON a2.g = sp.g
+        |), c AS (
+        |  SELECT g, n,
+        |    sp00 / 10000.0 / n - d0 * d0 AS c00,
+        |    sp01 / 10000.0 / n - d0 * d1 AS c01,
+        |    sp02 / 10000.0 / n - d0 * d2 AS c02,
+        |    sp11 / 10000.0 / n - d1 * d1 AS c11,
+        |    sp12 / 10000.0 / n - d1 * d2 AS c12,
+        |    sp22 / 10000.0 / n - d2 * d2 AS c22
+        |  FROM dd
+        |)
+        |SELECT g AS l_returnflag, col_x, col_y, n,
+        |  round(cv, 6) AS cov,
+        |  CASE WHEN cxx > 0 AND cyy > 0
+        |    THEN round(cv / sqrt(cxx * cyy), 6) END AS corr
+        |FROM (
+        |  SELECT g, 'l_quantity' AS col_x, 'l_quantity' AS col_y, n,
+        |    c00 AS cv, c00 AS cxx, c00 AS cyy FROM c
+        |  UNION ALL SELECT g, 'l_quantity', 'l_extendedprice', n,
+        |    c01, c00, c11 FROM c
+        |  UNION ALL SELECT g, 'l_quantity', 'l_discount', n,
+        |    c02, c00, c22 FROM c
+        |  UNION ALL SELECT g, 'l_extendedprice', 'l_extendedprice', n,
+        |    c11, c11, c11 FROM c
+        |  UNION ALL SELECT g, 'l_extendedprice', 'l_discount', n,
+        |    c12, c11, c22 FROM c
+        |  UNION ALL SELECT g, 'l_discount', 'l_discount', n,
+        |    c22, c22, c22 FROM c
+        |)
+        |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
 
     // RE2-portable counts (sentence/word/vowel-group runs) and the
     // Flesch linear form; the band cuts on the ROUNDED score

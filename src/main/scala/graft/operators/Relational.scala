@@ -2548,6 +2548,83 @@ object Relational {
     states.groupBy(q(groupCol), col("bin"))
       .agg(sum(col("n")).cast("long").as("n"))
 
+  /** Group-wise correlation matrix over N columns — the feature-
+    * analysis staple before a training run (which engineered features
+    * are redundant, which co-vary with the target per segment):
+    * every pair's covariance and Pearson correlation from ONE pass of
+    * anchored moments, generalizing q41's bivariate fold. Rows with
+    * ANY null among the requested columns are dropped (listwise
+    * deletion — the one convention where every pair shares the same
+    * n; per-pair deletion would need a count per pair and gives a
+    * non-PSD matrix). Diagonal rows carry variances (corr = 1 where
+    * variance is positive); a zero-variance column yields null corr
+    * against everything, flagged rather than NaN.
+    *
+    * The q41/q28 cancellation discipline, N-column form: a first
+    * mergeable agg takes exact DECIMAL sums, means re-quantize to
+    * DECIMAL anchors and broadcast back, and the second mergeable agg
+    * folds EXACT DECIMAL products of anchored deviations — the
+    * catastrophic cancellation of raw Σxy − nμxμy never happens, and
+    * every moment is engine-bit-identical. Both aggs are one shuffle
+    * of partials keyed by group; the N(N+1)/2 pair columns ride ONE
+    * aggregation (no per-pair pass), and the matrix assembles by a
+    * map-only explode of the single wide row per group.
+    */
+  def corrMatrix(df: DataFrame, groupCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.size >= 2, "corrMatrix needs at least two columns")
+    val idx = valueCols.indices
+    val vals = df.select(q(groupCol).as("group") +:
+        valueCols.zipWithIndex.map { case (c, i) => q(c).cast(D).as(s"__v$i") }: _*)
+      .filter(idx.map(i => col(s"__v$i").isNotNull).reduce(_ && _))
+    val anchorAggs = count(lit(1)).as("n") +:
+      idx.map(i => sum(col(s"__v$i")).cast("double").as(s"__s$i"))
+    val anchors = idx.foldLeft(
+      vals.groupBy("group").agg(anchorAggs.head, anchorAggs.tail: _*)) {
+      (a, i) => a.withColumn(s"__m$i", (col(s"__s$i") / col("n")).cast(D))
+    }
+    val pairs = for { i <- idx; j <- idx if i <= j } yield (i, j)
+    // deviation products fold in INTEGER units (scale-0 DECIMAL): a
+    // scale-4 decimal sum past 2^53 scaled units double-rounds through
+    // some engines' decimal→double cast (observed: DuckDB vs the JVM's
+    // correctly-rounded BigDecimal on the price variance at sf0.01);
+    // an integral decimal converts in ONE rounding everywhere, and the
+    // 10^4 de-scaling happens in IEEE doubles on both engines
+    val momentAggs = pairs.map { case (i, j) =>
+      sum(((col(s"__v$i") - col(s"__m$i")) * 100).cast("decimal(19,0)") *
+          ((col(s"__v$j") - col(s"__m$j")) * 100).cast("decimal(19,0)"))
+        .cast("double").as(s"__sp_${i}_$j")
+    }
+    val keys = col("group") +: col("n") +:
+      idx.flatMap(i => Seq(col(s"__s$i"), col(s"__m$i")))
+    val moments = vals.join(broadcast(anchors), "group")
+      .groupBy(keys: _*)
+      .agg(momentAggs.head, momentAggs.tail: _*)
+    def d(i: Int) = col(s"__s$i") / col("n") - col(s"__m$i").cast("double")
+    def cc(i: Int, j: Int) =
+      col(s"__sp_${i}_$j") / lit(10000.0) / col("n") - d(i) * d(j)
+    val cells = pairs.map { case (i, j) =>
+      struct(lit(valueCols(i)).as("col_x"), lit(valueCols(j)).as("col_y"),
+        round(cc(i, j), 6).as("cov"),
+        when(cc(i, i) > 0.0 && cc(j, j) > 0.0,
+          round(cc(i, j) / sqrt(cc(i, i) * cc(j, j)), 6)).as("corr"))
+    }
+    moments.select(col("group"), col("n"), explode(array(cells: _*)).as("m"))
+      .select(col("group"), col("m.col_x"), col("m.col_y"), col("n"),
+        col("m.cov"), col("m.corr"))
+  }
+
+  /** q57: gate binding of [[corrMatrix]] — quantity/extendedprice/
+    * discount per return flag on lineitem (18 matrix cells). Fully
+    * SQL-oracled: identical anchored DECIMAL folds and the same
+    * cov/corr arithmetic restate exactly in DuckDB.
+    */
+  def q57CorrMatrix(s: SparkSession, dir: String): DataFrame =
+    corrMatrix(Tables.lineitem(s, dir), "l_returnflag",
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .withColumnRenamed("group", "l_returnflag")
+      .orderBy("l_returnflag", "col_x", "col_y")
+
   /** Score a current count frame against a reference count frame —
     * [[psiDrift]]'s serve with the counting factored out: bins
     * observed on one side only zero-fill (the single-agg batch path

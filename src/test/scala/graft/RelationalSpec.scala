@@ -657,6 +657,54 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("corrMatrix: exact hand moments, perfect/anti correlation, zero-variance nulls, listwise deletion") {
+    import spark.implicits._
+    // group A: y = 2x exactly, z constant; one row with null z drops
+    val a = Seq(
+      ("A", 1.0, 2.0, Some(5.0)), ("A", 2.0, 4.0, Some(5.0)),
+      ("A", 3.0, 6.0, Some(5.0)), ("A", 4.0, 8.0, Some(5.0)),
+      ("A", 9.0, 9.0, None))
+    // group B: y = 10 − x → corr exactly −1
+    val b = Seq(
+      ("B", 1.0, 9.0, Some(1.0)), ("B", 2.0, 8.0, Some(2.0)),
+      ("B", 3.0, 7.0, Some(3.0)), ("B", 4.0, 6.0, Some(4.0)))
+    val df = (a ++ b).toDF("grp", "x", "y", "z")
+    val out = Relational.corrMatrix(df, "grp", Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out.size === 12) // 6 cells × 2 groups
+    // A: var x = 1.25, cov(x,y) = 2.5, var y = 5, z flat
+    assert(out(("A", "x", "x")) === ((4L, 1.25, Some(1.0))))
+    assert(out(("A", "x", "y")) === ((4L, 2.5, Some(1.0))))
+    assert(out(("A", "y", "y")) === ((4L, 5.0, Some(1.0))))
+    assert(out(("A", "x", "z")) === ((4L, 0.0, None)))
+    assert(out(("A", "z", "z")) === ((4L, 0.0, None)))
+    // B: anti-correlated pair, z = x re-correlates
+    assert(out(("B", "x", "y")) === ((4L, -1.25, Some(-1.0))))
+    assert(out(("B", "x", "z")) === ((4L, 1.25, Some(1.0))))
+    assert(out(("B", "y", "z")) === ((4L, -1.25, Some(-1.0))))
+    // partition independence (both folds are exact DECIMAL partials)
+    val re = Relational.corrMatrix(df.repartition(7), "grp", Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(re === out.view.mapValues(_._3).toMap)
+  }
+
+  test("corrMatrix plan: all pairs ride two aggs, anchors broadcast, no sort-merge join") {
+    val df = Relational.q57CorrMatrix(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // anchors agg + moments agg + presentation sort
+    assert(exchanges.size <= 3, s"${exchanges.size} exchanges")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") && !s.contains("SortMergeJoin"),
+      s.take(3000))
+  }
+
   test("profileColumns: counts, nullity, exact distincts, typed min/max") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](
