@@ -1945,9 +1945,12 @@ object SparkEntry {
         |  FROM a
         |), m AS (
         |  SELECT v.g, n, sx, sy, mx, my,
-        |    CAST(SUM((x - mx) * (x - mx)) AS DOUBLE) AS sxx,
-        |    CAST(SUM((y - my) * (y - my)) AS DOUBLE) AS syy,
-        |    CAST(SUM((x - mx) * (y - my)) AS DOUBLE) AS sxy
+        |    CAST(SUM(CAST((x - mx) * 100 AS DECIMAL(19,0))
+        |           * CAST((x - mx) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST((y - my) * 100 AS DECIMAL(19,0))
+        |           * CAST((y - my) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST((x - mx) * 100 AS DECIMAL(19,0))
+        |           * CAST((y - my) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS sxy
         |  FROM v JOIN a2 ON v.g = a2.g
         |  GROUP BY 1, 2, 3, 4, 5, 6
         |), f AS (
@@ -1956,8 +1959,9 @@ object SparkEntry {
         |    sy / n - CAST(my AS DOUBLE) AS dy
         |  FROM m
         |), f2 AS (
-        |  SELECT *, sxx / n - dx * dx AS cxx, syy / n - dy * dy AS cyy,
-        |    sxy / n - dx * dy AS cxy
+        |  SELECT *, sxx / 10000.0 / n - dx * dx AS cxx,
+        |    syy / 10000.0 / n - dy * dy AS cyy,
+        |    sxy / 10000.0 / n - dx * dy AS cxy
         |  FROM f
         |)
         |SELECT g AS l_returnflag, n, round(cxy, 6) AS cov,

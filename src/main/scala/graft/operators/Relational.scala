@@ -1651,21 +1651,27 @@ object Relational {
         sum(col("__y")).cast("double").as("sy"))
       .withColumn("mx", (col("sx") / col("n")).cast(D))
       .withColumn("my", (col("sy") / col("n")).cast(D))
+    // integer-unit folds (the q57 lesson): a scale-4 decimal sum past
+    // 2^53 scaled units double-rounds through DuckDB's decimal→double
+    // cast vs the JVM's one-rounding BigDecimal; integral decimals
+    // convert identically everywhere, and the 10^4 de-scaling happens
+    // in IEEE doubles on both engines
+    def u(c: org.apache.spark.sql.Column) = (c * 100).cast("decimal(19,0)")
     val moments = vals.join(broadcast(anchors), "group")
       .groupBy(col("group"), col("n"), col("sx"), col("sy"),
         col("mx"), col("my"))
       .agg(
-        sum((col("__x") - col("mx")) * (col("__x") - col("mx")))
+        sum(u(col("__x") - col("mx")) * u(col("__x") - col("mx")))
           .cast("double").as("sxx"),
-        sum((col("__y") - col("my")) * (col("__y") - col("my")))
+        sum(u(col("__y") - col("my")) * u(col("__y") - col("my")))
           .cast("double").as("syy"),
-        sum((col("__x") - col("mx")) * (col("__y") - col("my")))
+        sum(u(col("__x") - col("mx")) * u(col("__y") - col("my")))
           .cast("double").as("sxy"))
     val dx = col("sx") / col("n") - col("mx").cast("double")
     val dy = col("sy") / col("n") - col("my").cast("double")
-    val cxx = col("sxx") / col("n") - dx * dx
-    val cyy = col("syy") / col("n") - dy * dy
-    val cxy = col("sxy") / col("n") - dx * dy
+    val cxx = col("sxx") / lit(10000.0) / col("n") - dx * dx
+    val cyy = col("syy") / lit(10000.0) / col("n") - dy * dy
+    val cxy = col("sxy") / lit(10000.0) / col("n") - dx * dy
     val beta = cxy / cxx
     moments.select(col("group"), col("n"),
       round(cxy, 6).as("cov"),
