@@ -1097,7 +1097,9 @@ object SparkEntry {
         |    CAST(CAST(SUM(v) AS DOUBLE) / COUNT(*) AS DECIMAL(12,2)) AS m
         |  FROM q GROUP BY 1
         |), sd AS (
-        |  SELECT q.event_type, CAST(SUM((v - m) * (v - m)) AS DOUBLE) AS ssd
+        |  SELECT q.event_type,
+        |    CAST(SUM(CAST((v - m) * 100 AS DECIMAL(19,0))
+        |           * CAST((v - m) * 100 AS DECIMAL(19,0))) AS DOUBLE) AS ssd
         |  FROM q JOIN a USING (event_type) GROUP BY 1
         |), st AS (
         |  SELECT a.*, sd.ssd,
@@ -1105,8 +1107,9 @@ object SparkEntry {
         |  FROM a JOIN sd USING (event_type)
         |)
         |SELECT q.event_id, q.event_type,
-        |  CASE WHEN ssd / n - delta * delta > 0
-        |    THEN round((CAST(v AS DOUBLE) - s1 / n) / sqrt(ssd / n - delta * delta), 6)
+        |  CASE WHEN ssd / 10000.0 / n - delta * delta > 0
+        |    THEN round((CAST(v AS DOUBLE) - s1 / n)
+        |      / sqrt(ssd / 10000.0 / n - delta * delta), 6)
         |    ELSE 0.0 END AS value_z,
         |  CASE WHEN vmax > vmin
         |    THEN round((CAST(v AS DOUBLE) - vmin) / (vmax - vmin), 6)

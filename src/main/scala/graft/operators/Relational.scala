@@ -708,9 +708,16 @@ object Relational {
     // the anchor columns are constant per group, so carrying them as
     // grouping keys folds everything into the second agg — no extra
     // join (and no extra exchange) to reassemble the stats row
+    // integer-unit fold (the q57/q41 lesson): the scale-4 ssd sum
+    // passes 2^53 scaled units around sf10, where DuckDB's
+    // decimal→double cast double-rounds vs the JVM's one-rounding
+    // BigDecimal; integral decimals convert identically everywhere,
+    // and the 10^4 de-scaling happens in IEEE doubles on both engines
+    // (applyNormalization divides ssd by 10^4 before serving)
     vals.join(broadcast(anchors), "group")
       .groupBy("group", "n", "s1", "vmin", "vmax", "m").agg(
-        sum((col("__v") - col("m")) * (col("__v") - col("m")))
+        sum(((col("__v") - col("m")) * 100).cast("decimal(19,0)") *
+            ((col("__v") - col("m")) * 100).cast("decimal(19,0)"))
           .cast("double").as("ssd"))
   }
 
@@ -727,7 +734,7 @@ object Relational {
     // anchored variance (see normalizationStats): δ = mean − anchor is
     // tiny by construction, so neither term is a near-cancelling square
     val delta = mean - col("m").cast("double")
-    val variance = col("ssd") / col("n") - delta * delta
+    val variance = col("ssd") / lit(10000.0) / col("n") - delta * delta
     base.join(broadcast(stats), col("__g") === col("group"))
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         when(variance > 0.0, round((vd - mean) / sqrt(variance), 6))
