@@ -351,4 +351,70 @@ class PipelineSpec extends SparkSpec {
     val plan = Relational.q46CompactionBins(spark, sf)
     assert(plan.agg(sum("n_files")).head.getLong(0) === Tables.orders(spark, sf).count())
   }
+
+  test("consensus/kappa -> robust stats -> drift gate -> quality filters -> encode -> shard export composes (r11 surface)") {
+    import graft.operators.Text
+    import graft.sinks.CorpusShards
+
+    // 1. annotation QA: kappa scores exactly the items consensus
+    //    resolved with >=2 votes, and each item's plurality agreement
+    //    is >= its pairwise agreement (plurality counts self-pairs)
+    val events = Tables.events(spark, sf)
+    val cons = Relational.labelConsensus(events, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    val agree = Relational.raterAgreement(events, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(agree.keySet === cons.filter(_._2._1 >= 2).keySet)
+    agree.foreach { case (item, (n, pI)) =>
+      assert(cons(item)._1 === n)
+      assert(cons(item)._2 >= pI - 1e-6, s"item $item")
+    }
+
+    // 2. robust stats agree with the quantile family: q55's served
+    //    median IS q30's 0.5 quantile, per group
+    val med55 = Relational.q55MadOutliers(spark, sf)
+      .select("event_type", "med").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q30 = Relational.q30GroupQuantiles(spark, sf)
+      .filter(col("quantile") === 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(med55 === q30)
+
+    // 3. drift gate on a DETERMINISTIC iid split: train-vs-val halves
+    //    of the same table must NOT drift (the monitor's null case) —
+    //    events at sf0.01 for sampling mass (~15k+ rows per type and
+    //    side; a tiny group's deciles are degenerate and its PSI
+    //    legitimately noisy, which is why production monitors set a
+    //    min-population gate)
+    val ev01 = Relational.deterministicSplit(
+      Tables.events(spark, "/root/testdata/sf0.01"), "event_id")
+    val ref = ev01.filter(col("split") === "train")
+    val cur = ev01.filter(col("split") =!= "train")
+    val edges = Relational.referenceEdges(ref, "event_type", "value")
+    val scored = Relational.psiFromCounts(
+      Relational.binCounts(ref, "event_type", "value", edges),
+      Relational.binCounts(cur, "event_type", "value", edges), "event_type")
+    val nulls = scored.groupBy("event_type")
+      .agg(sum("n_ref").as("nr"), max("psi").as("psi")).collect()
+    assert(nulls.nonEmpty && nulls.forall(_.getLong(1) >= 1000L))
+    nulls.foreach { r =>
+      assert(r.getDouble(2) < 0.05, s"iid halves must not drift: $r")
+    }
+
+    // 4. quality routing: drop hard-to-read docs and code, tokenize
+    //    what remains with the fixed table, export as shards — the
+    //    manifest accounts for every kept doc exactly once
+    val docs = Tables.documents(spark, sf)
+    val keepIds = Text.readability(docs).filter(col("band") =!= "difficult")
+      .select("doc_id")
+      .join(Text.codeDetect(docs).filter(!col("is_code")).select("doc_id"), "doc_id")
+    val kept = docs.join(keepIds, "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= docs.count())
+    val toks = Text.bpeEncode(kept, Text.t19Merges)
+    assert(toks.count() === nKept && toks.agg(min("n_tokens")).head.getLong(0) > 0)
+    val out = java.nio.file.Files.createTempDirectory("graft_r11_shards").toString + "/c"
+    val manifest = CorpusShards.writeShards(kept, out, shards = 4)
+    assert(manifest.agg(sum("n_docs")).head.getLong(0) === nKept)
+  }
 }
