@@ -79,6 +79,10 @@ object SparkEntry {
     "q55_mad_outliers" -> (Relational.q55MadOutliers _),
     "q56_psi_drift" -> (Relational.q56PsiDrift _),
     "q57_corr_matrix" -> (Relational.q57CorrMatrix _),
+    "q58_skew_profile" -> (Relational.q58SkewProfile _),
+    "q59_chi2_drift" -> (Relational.q59Chi2Drift _),
+    "q60_ks_test" -> (Relational.q60KsTest _),
+    "q61_benford" -> (Relational.q61Benford _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -169,6 +173,7 @@ object SparkEntry {
     "t19_bpe_encode" -> (Text.t19BpeEncode _),
     "t20_readability" -> (Text.t20Readability _),
     "t21_code_detect" -> (Text.t21CodeDetect _),
+    "t22_collocations" -> (Text.t22Collocations _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -1821,6 +1826,153 @@ object SparkEntry {
         |)
         |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
 
+    // exact BIGINT counts; one-division share, spelled-order skew
+    // product, exact ceil-division salt; ties break on the key string
+    "q58_skew_profile" ->
+      """WITH c AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS key, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS nkeys
+        |  FROM c
+        |), top AS (
+        |  SELECT key, CAST(n AS BIGINT) AS n
+        |  FROM c ORDER BY n DESC, key ASC NULLS FIRST LIMIT 20
+        |)
+        |SELECT key, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key ASC NULLS FIRST)
+        |    AS INTEGER) AS rank,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * CAST(nkeys AS DOUBLE), 6) AS skew,
+        |  CAST((n * 32 + total - 1) // total AS BIGINT) AS min_salt
+        |FROM top, t ORDER BY rank""".stripMargin,
+
+    // integer cell counts off the span split; expected counts in the
+    // spelled IEEE order; the statistic folds ROUNDED contributions
+    // through an exact DECIMAL sum (the q54 discipline)
+    "q59_chi2_drift" ->
+      """WITH base AS (
+        |  SELECT event_type AS category, epoch_ns(ts) AS tsn
+        |  FROM events WHERE ts IS NOT NULL
+        |), span AS (
+        |  SELECT MIN(tsn) AS lo, MAX(tsn) AS hi FROM base
+        |), counts AS (
+        |  SELECT category,
+        |    CAST(SUM(CASE WHEN tsn <= lo + ((hi - lo) // 2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN tsn > lo + ((hi - lo) // 2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM base, span GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS nr,
+        |    CAST(SUM(n_cur) AS BIGINT) AS nc,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM counts
+        |), cells AS (
+        |  SELECT category, n_ref, n_cur, k,
+        |    CAST(n_ref + n_cur AS DOUBLE) * CAST(nr AS DOUBLE)
+        |      / CAST(nr + nc AS DOUBLE) AS e_ref,
+        |    CAST(n_ref + n_cur AS DOUBLE) * CAST(nc AS DOUBLE)
+        |      / CAST(nr + nc AS DOUBLE) AS e_cur
+        |  FROM counts, t WHERE nr > 0 AND nc > 0
+        |), cc AS (
+        |  SELECT category, n_ref, n_cur, e_ref, e_cur, k,
+        |    round((CAST(n_ref AS DOUBLE) - e_ref)
+        |        * (CAST(n_ref AS DOUBLE) - e_ref) / e_ref
+        |      + (CAST(n_cur AS DOUBLE) - e_cur)
+        |        * (CAST(n_cur AS DOUBLE) - e_cur) / e_cur, 6) AS contrib
+        |  FROM cells
+        |)
+        |SELECT category, n_ref, n_cur,
+        |  round(e_ref, 6) AS e_ref, round(e_cur, 6) AS e_cur, contrib,
+        |  round(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER ()
+        |    AS DOUBLE), 6) AS chi2,
+        |  CAST(k - 1 AS BIGINT) AS dof
+        |FROM cc ORDER BY category""".stripMargin,
+
+    // distinct-value histogram ECDFs as single divisions of exact
+    // BIGINT cumulative counts; argmax by (diff desc, value asc)
+    "q60_ks_test" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, epoch_ns(ts) AS tsn,
+        |    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), span AS (
+        |  SELECT MIN(tsn) AS lo, MAX(tsn) AS hi FROM base
+        |), h AS (
+        |  SELECT g, v,
+        |    CAST(SUM(CASE WHEN tsn <= lo + ((hi - lo) // 2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(SUM(CASE WHEN tsn > lo + ((hi - lo) // 2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cx
+        |  FROM base, span GROUP BY 1, 2
+        |), d AS (
+        |  SELECT g, v,
+        |    CAST(SUM(cr) OVER (PARTITION BY g) AS BIGINT) AS nr,
+        |    CAST(SUM(cx) OVER (PARTITION BY g) AS BIGINT) AS nc,
+        |    abs(CAST(SUM(cr) OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+        |          / CAST(SUM(cr) OVER (PARTITION BY g) AS DOUBLE)
+        |      - CAST(SUM(cx) OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+        |          / CAST(SUM(cx) OVER (PARTITION BY g) AS DOUBLE)) AS diff
+        |  FROM h
+        |), r AS (
+        |  SELECT g, v, nr, nc, diff,
+        |    row_number() OVER (PARTITION BY g ORDER BY diff DESC, v ASC)
+        |      AS rk
+        |  FROM d WHERE nr > 0 AND nc > 0
+        |)
+        |SELECT g AS event_type, nr AS n_ref, nc AS n_cur,
+        |  round(diff, 6) AS ks, v AS ks_at
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // first significant digit from the scale-2 decimal STRING (both
+    // engines render it identically); completed digit grid; ln-based
+    // expectations; MAD folds ROUNDED deviations through DECIMAL
+    "q61_benford" ->
+      """WITH digits AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(coalesce(regexp_extract(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(12,2)) AS VARCHAR), '[1-9]', 0), '') AS VARCHAR)
+        |      AS ds
+        |  FROM lineitem
+        |), dd AS (
+        |  SELECT g, CAST(ds AS INTEGER) AS digit FROM digits WHERE ds != ''
+        |), c AS (
+        |  SELECT g, digit, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dd GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT g, d AS digit
+        |  FROM (SELECT DISTINCT g FROM c),
+        |       (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d)
+        |), f AS (
+        |  SELECT grid.g, grid.digit, COALESCE(n, CAST(0 AS BIGINT)) AS n
+        |  FROM grid LEFT JOIN c ON grid.g = c.g AND grid.digit = c.digit
+        |), p AS (
+        |  SELECT g, digit, n,
+        |    CAST(n AS DOUBLE)
+        |      / CAST(SUM(n) OVER (PARTITION BY g) AS DOUBLE) AS pobs,
+        |    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS pexp
+        |  FROM f
+        |), pd AS (
+        |  SELECT g, digit, n, pobs, pexp,
+        |    round(abs(pobs - pexp), 6) AS dev
+        |  FROM p
+        |), m AS (
+        |  SELECT g, digit, n, pobs, pexp, dev,
+        |    round(CAST(SUM(CAST(dev AS DECIMAL(18,6)))
+        |      OVER (PARTITION BY g) AS DOUBLE) / 9.0, 6) AS mad
+        |  FROM pd
+        |)
+        |SELECT g AS l_returnflag, digit, n,
+        |  round(pobs, 6) AS p_obs, round(pexp, 6) AS p_exp, dev, mad,
+        |  CASE WHEN mad < 0.006 THEN 'close'
+        |       WHEN mad < 0.012 THEN 'acceptable'
+        |       WHEN mad < 0.015 THEN 'marginal'
+        |       ELSE 'nonconforming' END AS verdict
+        |FROM m ORDER BY l_returnflag, digit""".stripMargin,
+
     // RE2-portable counts (sentence/word/vowel-group runs) and the
     // Flesch linear form; the band cuts on the ROUNDED score
     "t20_readability" ->
@@ -1893,6 +2045,43 @@ object SparkEntry {
         |  CASE WHEN code_score IS NULL THEN FALSE
         |    ELSE code_score > 0.05 END AS is_code
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // one-pass token construction (unigrams + positional bigrams),
+    // integer counts, the fixed-order PMI ratio, rounded-then-ranked
+    "t22_collocations" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents
+        |), u0 AS (
+        |  SELECT unnest(ws) AS wd FROM w
+        |), uni AS (
+        |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS cw FROM u0 GROUP BY 1
+        |), nu AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM u0
+        |), b0 AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> [ws[i], ws[i+1]])) AS p
+        |  FROM w
+        |), nb AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM b0
+        |), bi AS (
+        |  SELECT p[1] AS l, p[2] AS r, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM b0 GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), scored AS (
+        |  SELECT bi.l, bi.r, n_pair, ul.cw AS n_left, ur.cw AS n_right,
+        |    round(ln((CAST(n_pair AS DOUBLE) / CAST(n_bi AS DOUBLE))
+        |      / ((CAST(ul.cw AS DOUBLE) / CAST(n_uni AS DOUBLE))
+        |        * (CAST(ur.cw AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6)
+        |      AS pmi
+        |  FROM bi JOIN uni ul ON bi.l = ul.wd
+        |    JOIN uni ur ON bi.r = ur.wd, nu, nb
+        |), top AS (
+        |  SELECT * FROM scored ORDER BY pmi DESC, l ASC, r ASC LIMIT 50
+        |)
+        |SELECT l || ' ' || r AS bigram, n_pair, n_left, n_right, pmi,
+        |  CAST(row_number() OVER (ORDER BY pmi DESC, l ASC, r ASC)
+        |    AS INTEGER) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
 
     // the media table's payload IS the document's UTF-8 bytes and the
     // type is a doc_id round-robin, so the byte-level dedup restates

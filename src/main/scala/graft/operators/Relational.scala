@@ -2672,4 +2672,275 @@ object Relational {
         round(sum(col("__pterm")).over(wg), 6).as("psi"),
         round(lit(0.5) * sum(col("__dterm")).over(wg), 6).as("tvd"))
   }
+
+  /** Join-key skew profile — the pre-flight diagnostic run BEFORE a
+    * big shuffle is trusted: the top-k heaviest values of a key column
+    * with, per key, its row count, corpus share, skew factor
+    * (count ÷ the mean count per distinct key — "how many times an
+    * average reducer's key-load this one key is"), and `min_salt`, the
+    * smallest replica count that would spread the key's rows down to
+    * one IDEAL reducer's share at `partitions` reducers — exactly the
+    * `salt` argument [[saltedJoin]] (q29) wants. NULL keys profile as
+    * a key like any other (they hash to ONE reducer — the classic
+    * silent skew cause this exists to surface).
+    *
+    * Determinism: counts are exact BIGINTs; `share` is one IEEE
+    * division, `skew` is spelled `n/total*keys` in that order (an
+    * exact-integer n·keys product could overflow at corpus scale);
+    * `min_salt` is exact ceil-division in integers
+    * (`(n·partitions + total − 1) div total` — n·partitions bounded by
+    * rows × a four-digit reducer count, far under 2^63). Ranking ties
+    * break on the key string.
+    *
+    * Scale shape: ONE mergeable (key, n) agg is the only pass over the
+    * corpus; the one-row totals frame broadcasts back (never a window
+    * over the key frame — that would serialize the distinct-key set
+    * into one task); top-k is a TakeOrdered (per-partition heaps), and
+    * only k rows cross the final rank window.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20,
+      partitions: Int = 200): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(partitions > 0 && partitions < 100000,
+      s"partitions must be in (0, 100000), got $partitions")
+    val counts = df.groupBy(q(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = counts.agg(sum(col("n")).cast("long").as("__total"),
+      count(lit(1)).cast("long").as("__keys"))
+    val top = counts.orderBy(col("n").desc, col("key").asc_nulls_first)
+      .limit(topK)
+      .crossJoin(broadcast(totals))
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("key").asc_nulls_first)))
+      .withColumn("__saltnum",
+        col("n") * lit(partitions.toLong) + col("__total") - lit(1L))
+      .select(col("key"), col("n"), col("rank"),
+        round(col("n").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(col("n").cast("double") / col("__total").cast("double")
+          * col("__keys").cast("double"), 6).as("skew"),
+        expr("__saltnum div __total").cast("long").as("min_salt"))
+  }
+
+  /** q58: gate binding of [[keySkewProfile]] — the 20 heaviest
+    * lineitem order keys (the key a lineitem⋈orders shuffle hashes
+    * on), profiled for a 32-reducer target. Fully SQL-oracled:
+    * integer counts, one-division share, the spelled-order skew
+    * product, and exact ceil-division salt restate in DuckDB.
+    */
+  def q58SkewProfile(s: SparkSession, dir: String): DataFrame =
+    keySkewProfile(Tables.lineitem(s, dir), "l_orderkey",
+        topK = 20, partitions = 32)
+      .orderBy("rank")
+
+  /** Two-sample chi-square homogeneity test over a CATEGORICAL column
+    * — the categorical complement of [[psiDrift]]'s numeric deciles
+    * (a drifted category mix never moves a numeric histogram): did the
+    * category distribution change between the reference and current
+    * time halves? Per category, observed ref/cur counts, expected
+    * counts under homogeneity (`rowtot·sidetot/N`), and the cell's
+    * chi-square contribution `(o−e)²/e` summed over both sides; the
+    * statistic is the contribution total with `dof = k − 1`. Rule of
+    * thumb at dof 4: chi2 > 9.49 rejects homogeneity at 5%.
+    *
+    * Determinism: all counts exact BIGINTs; each expected count is
+    * `CAST(rowtot)·CAST(sidetot)/CAST(N)` in that IEEE order; each
+    * cell contribution rounds to 6dp and the statistic folds the
+    * ROUNDED contributions through an exact DECIMAL sum (the q54
+    * discipline — a raw double sum over categories would be
+    * fold-order-dependent). Empty ref or cur side → empty result by
+    * contract (nothing to compare).
+    *
+    * Scale shape: the corpus collapses in ONE mergeable (category,
+    * side-counts) agg — category cardinality bounds everything after;
+    * the one-row side totals broadcast back, and the alphabet-bounded
+    * category frame takes a single-partition window for the statistic
+    * (bounded by construction, the q49 alphabet argument).
+    */
+  def chi2CategoricalDrift(df: DataFrame, catCol: String,
+      tsCol: String): DataFrame = {
+    val base = df.select(q(catCol).cast("string").as("category"),
+        q(tsCol).as("__ts"))
+      .filter(col("__ts").isNotNull)
+    val span = base.agg(min(col("__ts")).as("__lo"), max(col("__ts")).as("__hi"))
+      .select(expr("__lo + ((__hi - __lo) div 2)").as("__mid"))
+    val counts = base.crossJoin(broadcast(span))
+      .groupBy(col("category"))
+      .agg(sum(when(col("__ts") <= col("__mid"), 1L).otherwise(0L))
+            .cast("long").as("n_ref"),
+        sum(when(col("__ts") > col("__mid"), 1L).otherwise(0L))
+            .cast("long").as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).cast("long").as("__nr"),
+      sum(col("n_cur")).cast("long").as("__nc"),
+      count(lit(1)).cast("long").as("__k"))
+    val cells = counts.crossJoin(broadcast(totals))
+      .filter(col("__nr") > 0 && col("__nc") > 0)
+      .withColumn("__rowtot", (col("n_ref") + col("n_cur")).cast("double"))
+      .withColumn("__n", (col("__nr") + col("__nc")).cast("double"))
+      .withColumn("e_ref",
+        col("__rowtot") * col("__nr").cast("double") / col("__n"))
+      .withColumn("e_cur",
+        col("__rowtot") * col("__nc").cast("double") / col("__n"))
+      .withColumn("contrib", round(
+        (col("n_ref").cast("double") - col("e_ref"))
+          * (col("n_ref").cast("double") - col("e_ref")) / col("e_ref")
+        + (col("n_cur").cast("double") - col("e_cur"))
+          * (col("n_cur").cast("double") - col("e_cur")) / col("e_cur"), 6))
+    val w = Window.partitionBy(lit(1))
+    cells
+      .withColumn("chi2", round(
+        sum(col("contrib").cast("decimal(18,6)")).over(w).cast("double"), 6))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("e_ref"), 6).as("e_ref"), round(col("e_cur"), 6).as("e_cur"),
+        col("contrib"), col("chi2"), (col("__k") - 1).cast("long").as("dof"))
+  }
+
+  /** q59: gate binding of [[chi2CategoricalDrift]] — the events
+    * event-type mix, second time-half tested against the first. Fully
+    * SQL-oracled: the span split, integer cell counts, spelled-order
+    * expected counts, and the DECIMAL fold of rounded contributions
+    * restate exactly in DuckDB.
+    */
+  def q59Chi2Drift(s: SparkSession, dir: String): DataFrame =
+    chi2CategoricalDrift(Tables.events(s, dir), "event_type", "ts")
+      .orderBy("category")
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * distribution-SHAPE drift test completing the trio ([[psiDrift]]
+    * bins against fixed deciles, [[chi2CategoricalDrift]] tests the
+    * categorical mix, KS measures the maximum ECDF gap anywhere): per
+    * group, `D = max_v |F_ref(v) − F_cur(v)|` between the reference
+    * and current time halves, plus `ks_at`, the (smallest) value where
+    * the maximum is attained. Unlike PSI, KS is binning-free and
+    * bounded in [0,1]; rule of thumb `D > c(α)·sqrt((nr+nc)/(nr·nc))`,
+    * c(0.05) ≈ 1.358.
+    *
+    * Determinism: values quantize through the house DECIMAL(12,2)
+    * once; ECDFs are single divisions of exact BIGINT cumulative
+    * counts (bit-identical IEEE), the max and its argmin are taken by
+    * ordering on those exact doubles — both engines compute the same
+    * bits, so the same row wins.
+    *
+    * Scale shape: the corpus collapses in ONE mergeable
+    * (group, value, side-counts) agg — the q30/q45 distinct-value
+    * histogram discipline; ONE group-keyed exchange serves the
+    * ordered cumulative window, the unordered totals window, AND the
+    * final top-1 rank (WindowGroupLimit pushes the rank-1 filter into
+    * a partial top-1 before the shuffle); output is one row per group.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      tsCol: String): DataFrame = {
+    val base = df.select(q(groupCol).as("__g2"), q(tsCol).as("__ts"),
+        q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__ts").isNotNull)
+    val span = base.agg(min(col("__ts")).as("__lo"), max(col("__ts")).as("__hi"))
+      .select(expr("__lo + ((__hi - __lo) div 2)").as("__mid"))
+    val h = base.crossJoin(broadcast(span))
+      .groupBy(col("__g2"), col("__v"))
+      .agg(sum(when(col("__ts") <= col("__mid"), 1L).otherwise(0L))
+            .cast("long").as("__cr"),
+        sum(when(col("__ts") > col("__mid"), 1L).otherwise(0L))
+            .cast("long").as("__cc"))
+    val wg = Window.partitionBy(col("__g2"))
+    val wcum = wg.orderBy(col("__v"))
+    val diffs = h
+      .withColumn("__nr", sum(col("__cr")).over(wg))
+      .withColumn("__nc", sum(col("__cc")).over(wg))
+      .filter(col("__nr") > 0 && col("__nc") > 0)
+      .withColumn("__diff", abs(
+        sum(col("__cr")).over(wcum).cast("double") / col("__nr").cast("double")
+          - sum(col("__cc")).over(wcum).cast("double")
+            / col("__nc").cast("double")))
+      .withColumn("__rk", row_number().over(
+        wg.orderBy(col("__diff").desc, col("__v").asc)))
+      .filter(col("__rk") === 1)
+    diffs.select(col("__g2").as(groupCol),
+      col("__nr").cast("long").as("n_ref"), col("__nc").cast("long").as("n_cur"),
+      round(col("__diff"), 6).as("ks"), col("__v").as("ks_at"))
+  }
+
+  /** q60: gate binding of [[ksTest]] — events.value per event type,
+    * second time-half against the first. Fully SQL-oracled: the span
+    * split, the distinct-value histogram, exact-BIGINT cumulative
+    * ECDFs, and the (diff desc, value asc) argmax restate exactly in
+    * DuckDB.
+    */
+  def q60KsTest(s: SparkSession, dir: String): DataFrame =
+    ksTest(Tables.events(s, dir), "event_type", "value", "ts")
+      .orderBy("event_type")
+
+  /** Benford first-digit audit per group — the forensic-accounting
+    * screen for invented numbers (financial filings are this engine's
+    * home turf: FERC account values, like most naturally-occurring
+    * amounts spanning magnitudes, should first-digit-distribute as
+    * `log10(1 + 1/d)`; fabricated or clamped data does not). Per
+    * (group, digit 1..9): observed count and share, the Benford
+    * expectation, the absolute deviation — and per group the MAD
+    * (mean absolute deviation over the 9 digits) with Nigrini's
+    * conformity verdict cut on the ROUNDED MAD (< 0.006 close,
+    * < 0.012 acceptable, < 0.015 marginal, else nonconforming).
+    *
+    * Determinism: the first significant digit is extracted from the
+    * DECIMAL(12,2) STRING rendering via the RE2-portable `[1-9]`
+    * (both engines render scale-2 decimals identically; sign and
+    * leading zeros skip naturally — zero values carry no significant
+    * digit and drop); shares are single IEEE divisions of exact
+    * BIGINTs; the expectation is `ln(1 + 1/d)/ln(10)` (libm ≤1 ulp,
+    * invisible at 6dp); the MAD folds ROUNDED deviations through an
+    * exact DECIMAL sum (the q54/q59 discipline).
+    *
+    * Scale shape: digit extraction is map-only in the scan; the
+    * corpus collapses in ONE mergeable (group, digit) agg bounded by
+    * groups×9; the digit grid completes by exploding a 9-element
+    * literal against the distinct-group frame (missing digits count
+    * 0 — they still contribute deviation); per-group totals/MAD ride
+    * one group window over ≤9 rows.
+    */
+  def benfordAudit(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val digits = df.select(q(groupCol).as("__g2"),
+        regexp_extract(q(valueCol).cast(D).cast("string"), "[1-9]", 0)
+          .as("__ds"))
+      .filter(col("__ds") =!= "")
+      .select(col("__g2"), col("__ds").cast("int").as("digit"))
+    val counts = digits.groupBy(col("__g2"), col("digit"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val grid = counts.select(col("__g2")).distinct()
+      .select(col("__g2"), explode(lit((1 to 9).toArray)).as("digit"))
+    val filled = grid.join(counts, Seq("__g2", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wg = Window.partitionBy(col("__g2"))
+    filled
+      .withColumn("__tot", sum(col("n")).over(wg))
+      .withColumn("__pobs",
+        col("n").cast("double") / col("__tot").cast("double"))
+      .withColumn("__pexp",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)))
+      .withColumn("dev", round(abs(col("__pobs") - col("__pexp")), 6))
+      .withColumn("mad", round(
+        sum(col("dev").cast("decimal(18,6)")).over(wg).cast("double")
+          / lit(9.0), 6))
+      .select(col("__g2").as(groupCol), col("digit"), col("n"),
+        round(col("__pobs"), 6).as("p_obs"),
+        round(col("__pexp"), 6).as("p_exp"),
+        col("dev"), col("mad"),
+        when(col("mad") < 0.006, "close")
+          .when(col("mad") < 0.012, "acceptable")
+          .when(col("mad") < 0.015, "marginal")
+          .otherwise("nonconforming").as("verdict"))
+  }
+
+  /** q61: gate binding of [[benfordAudit]] — lineitem extended prices
+    * per return flag (the synthetic prices are uniform-ish, so the
+    * audit correctly reports nonconformity — the gate checks the
+    * NUMBERS, the spec plants a genuinely Benford set). Fully
+    * SQL-oracled: decimal-string digit extraction, integer counts over
+    * the completed digit grid, ln-based expectations, and the DECIMAL
+    * MAD fold restate exactly in DuckDB.
+    */
+  def q61Benford(s: SparkSession, dir: String): DataFrame =
+    benfordAudit(Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag", "digit")
 }

@@ -1327,4 +1327,110 @@ object Text {
     */
   def t18EntropyStats(s: SparkSession, dir: String): DataFrame =
     entropyStats(Tables.documents(s, dir))
+
+  /** PMI-ranked bigram collocations — the corpus's statistically-bound
+    * word pairs ("new york", "et al"): the phrase-mining step behind
+    * tokenizer vocabulary seeding, multi-word-expression protection in
+    * dedup shingles, and domain fingerprinting; t11 ranks single words
+    * by raw frequency, this ranks PAIRS by how far their co-occurrence
+    * exceeds independence, `pmi = ln((c_xy/N_bi) / ((c_x/N_uni)·
+    * (c_y/N_uni)))`. Pairs under `minCount` drop first (rare-pair PMI
+    * is noise — the classic corpus-linguistics floor), then the top-k
+    * by (rounded pmi desc, left, right).
+    *
+    * Determinism: all counts exact BIGINTs; the PMI ratio is spelled
+    * in one fixed IEEE order on both engines, ln ≤1 ulp, and ranking
+    * uses the ROUNDED score so rank order agrees cross-engine.
+    *
+    * Scale shape: the corpus tokenizes ONCE — one explode emits both
+    * granularities (unigram tokens and `zip_with`-paired bigrams ride
+    * the same scan; the alternative — two passes — doubles the scan
+    * cost at 100 TB), feeding ONE mergeable (kind, l, r) count agg;
+    * everything after is vocabulary-sized: the min-count filter prunes
+    * the pair table before its two unigram equi-joins (AQE broadcasts
+    * the unigram side when it fits), totals are a one-row broadcast,
+    * and top-k plans as TakeOrdered (per-partition heaps — only k rows
+    * ever reach the driver-side sort).
+    */
+  /** The one-corpus-pass count store [[collocationsFromCounts]] serves
+    * from: unigram rows (kind 'u', word, '') and positional-bigram rows
+    * (kind 'b', left, right) with exact BIGINT counts, both
+    * granularities riding ONE explode of ONE token construction into
+    * ONE mergeable agg. Vocabulary-sized — the artifact to persist
+    * (the gate session-caches it via SharedIndex, the d02/d03 index
+    * discipline) because the serve consumes it from four branches, and
+    * an unmaterialized lineage would re-tokenize the corpus per branch
+    * (Catalyst pushes the kind filter below the agg, so exchange reuse
+    * alone cannot dedup the scans).
+    */
+  def pairTokenCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
+      .withColumn("__w", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(explode(concat(
+        expr("transform(__w, x -> struct('u' AS kind, x AS l, '' AS r))"),
+        expr("""zip_with(
+            slice(__w, 1, greatest(size(__w) - 1, 0)),
+            slice(__w, 2, greatest(size(__w) - 1, 0)),
+            (a, b) -> struct('b' AS kind, a AS l, b AS r))"""))).as("t"))
+      .select(col("t.kind").as("kind"), col("t.l").as("l"), col("t.r").as("r"))
+      .groupBy("kind", "l", "r")
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Serve PMI collocations from a [[pairTokenCounts]] store — every
+    * step vocabulary-sized: the min-count floor prunes the pair table
+    * before its two unigram equi-joins (AQE broadcasts the unigram
+    * side when it fits), totals broadcast as one row, top-k plans as
+    * TakeOrdered (per-partition heaps), and only k rows cross the
+    * final rank window.
+    */
+  def collocationsFromCounts(counts: DataFrame, minCount: Int = 5,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val uni = counts.filter(col("kind") === "u")
+      .select(col("l").as("__w1"), col("n"))
+    val bi = counts.filter(col("kind") === "b")
+      .select(col("l"), col("r"), col("n").as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val tots = counts.agg(
+      sum(when(col("kind") === "u", col("n")).otherwise(0L))
+        .cast("long").as("__nu"),
+      sum(when(col("kind") === "b", col("n")).otherwise(0L))
+        .cast("long").as("__nb"))
+    val scored = bi
+      .join(uni.select(col("__w1").as("l"), col("n").as("n_left")), "l")
+      .join(uni.select(col("__w1").as("r"), col("n").as("n_right")), "r")
+      .crossJoin(broadcast(tots))
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") / col("__nb").cast("double"))
+          / ((col("n_left").cast("double") / col("__nu").cast("double"))
+            * (col("n_right").cast("double") / col("__nu").cast("double")))), 6))
+      .orderBy(col("pmi").desc, col("l").asc, col("r").asc)
+      .limit(topK)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("l").asc, col("r").asc)))
+      .select(concat(col("l"), lit(" "), col("r")).as("bigram"),
+        col("n_pair"), col("n_left"), col("n_right"), col("pmi"), col("rank"))
+  }
+
+  /** Convenience composition for one-off use; production pipelines
+    * (and the gate) persist the [[pairTokenCounts]] store first so the
+    * serve's four branches read it instead of re-tokenizing the corpus.
+    */
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Int = 5, topK: Int = 50): DataFrame =
+    collocationsFromCounts(pairTokenCounts(docs, idCol, textCol), minCount, topK)
+
+  /** t22: gate binding — [[collocationsFromCounts]] over the
+    * session-cached [[pairTokenCounts]] store (min pair count 5,
+    * top 50). Fully SQL-oracled: the shared single-pass token
+    * construction, integer counts, the fixed-order PMI ratio, and the
+    * rounded-score ranking restate exactly in DuckDB.
+    */
+  def t22Collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsFromCounts(SharedIndex(s, dir, "colloc_token_counts") {
+      pairTokenCounts(Tables.documents(s, dir))
+    }).orderBy("rank")
 }

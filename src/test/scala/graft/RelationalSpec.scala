@@ -730,4 +730,140 @@ class RelationalSpec extends SparkSpec {
     assert(exactPlan.contains("Expand"), exactPlan.take(2000))
     assert(!approxPlan.contains("Expand"), approxPlan.take(2000))
   }
+
+  test("keySkewProfile: hand counts, null keys profile, ceil-division salt, string tie-break") {
+    import spark.implicits._
+    val rows = Seq.fill(10)(Option("hot")) ++ Seq.fill(3)(Option.empty[String]) ++
+      Seq.fill(2)(Option("a")) ++ Seq.fill(2)(Option("b")) ++ Seq(Option("c"))
+    val df = rows.map(k => (k.orNull, 1)).toDF("k", "pad")
+    val out = Relational.keySkewProfile(df, "k", topK = 3, partitions = 6)
+      .collect()
+    assert(out.length === 3)
+    val hot = out(0)
+    assert(hot.getString(0) === "hot" && hot.getLong(1) === 10L
+      && hot.getInt(2) === 1)
+    assert(hot.getDouble(3) === 0.555556) // 10/18
+    assert(hot.getDouble(4) === 2.777778) // 10/18*5 distinct keys
+    assert(hot.getLong(5) === 4L)         // ceil(10*6/18)
+    // the NULL key is a profiled key like any other — rank 2 at n=3
+    assert(out(1).isNullAt(0) && out(1).getLong(1) === 3L
+      && out(1).getLong(5) === 1L)
+    // n=2 tie between "a" and "b" breaks on the key string
+    assert(out(2).getString(0) === "a" && out(2).getLong(1) === 2L)
+    // partition independence (one mergeable agg + exact integer math)
+    val re = Relational.keySkewProfile(df.repartition(7), "k", 3, 6).collect()
+    assert(re.map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+      === out.map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq)
+  }
+
+  test("keySkewProfile plan: one corpus agg then TakeOrdered; totals broadcast, no sort-merge") {
+    val df = Relational.q58SkewProfile(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("chi2CategoricalDrift: hand 2x2 homogeneity test, exact counts, dof") {
+    import spark.implicits._
+    // ref half (ts 0..9): X x8, Y x2; cur half (ts 11..20): X x2, Y x8
+    val ref = (Seq.fill(8)("X") ++ Seq.fill(2)("Y")).zipWithIndex
+      .map { case (c, i) => (c, i.toLong) }
+    val cur = (Seq.fill(2)("X") ++ Seq.fill(8)("Y")).zipWithIndex
+      .map { case (c, i) => (c, 11L + i) }
+    val df = (ref ++ cur).toDF("cat", "ts")
+    val out = Relational.chi2CategoricalDrift(df, "cat", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("X")
+    assert(x.getLong(1) === 8L && x.getLong(2) === 2L)
+    assert(x.getDouble(3) === 5.0 && x.getDouble(4) === 5.0) // e = 10*10/20
+    assert(x.getDouble(5) === 3.6)  // (8-5)^2/5 + (2-5)^2/5
+    assert(x.getDouble(6) === 7.2 && x.getLong(7) === 1L)
+    val y = out("Y")
+    assert(y.getDouble(5) === 3.6 && y.getDouble(6) === 7.2)
+    // identical mixes in both halves → chi2 exactly zero
+    val same = (0 until 10).map(i => ("X", i.toLong)) ++
+      (0 until 10).map(i => ("Y", i.toLong)) ++
+      (11 to 20).map(i => ("X", i.toLong)) ++
+      (11 to 20).map(i => ("Y", i.toLong))
+    val zero = Relational.chi2CategoricalDrift(same.toDF("cat", "ts"), "cat", "ts")
+      .collect()
+    assert(zero.forall(r => r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0))
+    // partition independence (integer cells + DECIMAL contribution fold)
+    val re = Relational.chi2CategoricalDrift(df.repartition(7), "cat", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    assert(re === out.view.mapValues(r =>
+      (r.getDouble(5), r.getDouble(6))).toMap)
+  }
+
+  test("ksTest: hand ECDF gap, argmin location, zero on identical halves") {
+    import spark.implicits._
+    // ref {1,2,3,4}, cur {3,4,5,6} → max |F_ref − F_cur| = 0.5, first at v=2
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).zipWithIndex
+      .map { case (v, i) => ("A", 11L + i, v) }
+    val df = (ref ++ cur).toDF("grp", "ts", "v")
+    val out = Relational.ksTest(df, "grp", "v", "ts").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 4L)
+    assert(out(0).getDouble(3) === 0.5 && out(0).getDouble(4) === 2.0)
+    // identical halves → D = 0, located at the smallest value
+    val same = Seq(("B", 0L, 1.0), ("B", 1L, 2.0), ("B", 2L, 3.0),
+      ("B", 11L, 1.0), ("B", 12L, 2.0), ("B", 13L, 3.0)).toDF("grp", "ts", "v")
+    val z = Relational.ksTest(same, "grp", "v", "ts").collect()
+    assert(z(0).getDouble(3) === 0.0 && z(0).getDouble(4) === 1.0)
+    // partition independence (exact BIGINT cumulative counts)
+    val re = Relational.ksTest(df.repartition(7), "grp", "v", "ts").collect()
+    assert(re(0).getDouble(3) === 0.5 && re(0).getDouble(4) === 2.0)
+  }
+
+  test("ksTest plan: one histogram agg, one group exchange for all windows, no sort-merge") {
+    val df = Relational.q60KsTest(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // (g, v) histogram agg + g window exchange + presentation sort
+    assert(exchanges.size <= 4, s"${exchanges.size} exchanges")
+    assert(!plan.toString.contains("SortMergeJoin"), plan.toString.take(3000))
+  }
+
+  test("benfordAudit: planted Benford set conforms, clamped group flags, signs and zeros") {
+    import spark.implicits._
+    // counts proportional to log10(1+1/d) out of 1000 → MAD ~4e-4 → close
+    val benfordCounts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val benford = benfordCounts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(("B", (i + 1) * 111.0)) // digit i+1
+    }
+    // clamped/fabricated group: every value starts with 5
+    val clamped = Seq.fill(20)(("C", 5.0))
+    // zero drops (no significant digit); negatives audit their |v| digit
+    val edges = Seq(("B", 0.0), ("B", -23.4))
+    val df = (benford ++ clamped ++ edges).toDF("grp", "v")
+    val out = Relational.benfordAudit(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out.size === 18) // completed 9-digit grid x 2 groups
+    val b1 = out(("B", 1L.toInt))
+    assert(b1.getLong(2) === 301L && b1.getDouble(4) === 0.30103)
+    val b2 = out(("B", 2))
+    assert(b2.getLong(2) === 177L, "the -23.4 row audits digit 2") // 176 + 1
+    assert(b1.getString(7) === "close", s"mad = ${b1.getDouble(6)}")
+    val c5 = out(("C", 5))
+    assert(c5.getLong(2) === 20L && c5.getDouble(3) === 1.0)
+    assert(c5.getString(7) === "nonconforming")
+    assert(out(("C", 1)).getLong(2) === 0L, "missing digits complete with n=0")
+    // partition independence (one mergeable agg + DECIMAL MAD fold)
+    val re = Relational.benfordAudit(df.repartition(7), "grp", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(6), r.getString(7))).toMap
+    assert(re === out.view.mapValues(r =>
+      (r.getLong(2), r.getDouble(6), r.getString(7))).toMap)
+  }
 }

@@ -1069,4 +1069,46 @@ class TextSpec extends SparkSpec {
       .collect().flatMap(_.getString(4).split(" "))
     assert(disjoint.toSeq === (1 to 80).map(i => s"w$i"))
   }
+
+  test("collocations: hand PMI model, min-count floor, short/empty docs, determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york is big"), (2L, "new york is big"), (3L, "new york is big"),
+      (4L, "a new day"), (5L, "a new day"),
+      (6L, "york city"), (7L, "solo"), (8L, ""), (9L, "  "))
+      .toDF("doc_id", "text")
+    // unigrams: new 5, york 4, is 3, big 3, a 2, day 2, city 1, solo 1
+    // → N_uni = 21; bigrams total N_bi = 14
+    val out = Text.collocations(docs, minCount = 2, topK = 10).collect()
+    val byBigram = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toMap
+    // "york city" (n=1) drops at the floor; no pair from 1-word/empty docs
+    assert(byBigram.keySet === Set("new york", "york is", "is big", "a new", "new day"))
+    val ny = byBigram("new york")
+    assert(ny._1 === 3L && ny._2 === 5L && ny._3 === 4L)
+    val exp = BigDecimal(math.log((3.0 / 14.0) / ((5.0 / 21.0) * (4.0 / 21.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ny._4 === exp, s"pmi ${ny._4} vs hand $exp")
+    // ranks are dense over the rounded score with the (l, r) tie-break
+    assert(out.map(_.getInt(5)).sorted.toSeq === (1 to 5))
+    // partition independence (one mergeable count agg, exact integers)
+    val re = Text.collocations(docs.repartition(7), minCount = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4), r.getInt(5))).toMap
+    assert(re === byBigram.view.mapValues(v => (v._1, v._4, v._5)).toMap)
+  }
+
+  test("collocations plan: serve reads the cached count store, TakeOrdered top-k, no sort-merge") {
+    val df = Text.t22Collocations(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // every serve branch (pairs, left unigrams, right unigrams, totals)
+    // reads the session-cached vocabulary-sized count store — the
+    // corpus tokenizes once, at store build. (The relation PRINTS its
+    // build plan under each scan, so the parquet node appears in the
+    // string; physically the blocks are read from cache.)
+    val imts = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(imts >= 4, s"$imts InMemoryTableScans:\n${plan.take(3000)}")
+  }
 }
