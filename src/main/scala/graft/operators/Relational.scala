@@ -2771,6 +2771,15 @@ object Relational {
             .cast("long").as("n_ref"),
         sum(when(col("__ts") > col("__mid"), 1L).otherwise(0L))
             .cast("long").as("n_cur"))
+    chi2Cells(counts)
+  }
+
+  /** The chi-square arithmetic over a resolved (category, n_ref,
+    * n_cur) frame — shared verbatim by the batch span-split path and
+    * the factored state serve [[chi2FromCounts]], so a maintained
+    * monitor serves the same bits the gate query computes.
+    */
+  private def chi2Cells(counts: DataFrame): DataFrame = {
     val totals = counts.agg(sum(col("n_ref")).cast("long").as("__nr"),
       sum(col("n_cur")).cast("long").as("__nc"),
       count(lit(1)).cast("long").as("__k"))
@@ -2805,6 +2814,52 @@ object Relational {
   def q59Chi2Drift(s: SparkSession, dir: String): DataFrame =
     chi2CategoricalDrift(Tables.events(s, dir), "event_type", "ts")
       .orderBy("category")
+
+  // -----------------------------------------------------------------
+  // The factored chi-square pieces a STREAMING categorical-drift
+  // monitor maintains (the q56→streaming_psi shape for categories):
+  // the batch q59 derives its sides from the time span it can see; a
+  // deployed monitor FIXES the reference counts once and folds
+  // arriving rows into mergeable per-category counts — the
+  // q33/q50/q52 state discipline. Serve at any point via
+  // chi2FromCounts; arithmetic is IDENTICAL to the batch operator
+  // (both run chi2Cells), so the served statistic is bit-equal.
+  // -----------------------------------------------------------------
+
+  /** Mergeable per-category counts — the categorical monitor's state:
+    * counts from separate batches union and [[categoryCountsCompact]]
+    * by plain addition (raw rows never kept; state bounded by the
+    * category alphabet).
+    */
+  def categoryCounts(df: DataFrame, catCol: String): DataFrame =
+    df.select(q(catCol).cast("string").as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Merge same-category count states after an append — counts ADD,
+    * exactly, at any re-compaction depth.
+    */
+  def categoryCountsCompact(states: DataFrame): DataFrame =
+    states.groupBy(col("category"))
+      .agg(sum(col("n")).cast("long").as("n"))
+
+  /** Score a current category-count frame against a reference one —
+    * [[chi2CategoricalDrift]]'s serve with the counting factored out:
+    * categories observed on one side only zero-fill (the single-agg
+    * batch path produces exactly those rows), and the cell arithmetic
+    * IS [[chi2Cells]], so a maintained state serves the same numbers
+    * the gate query computes.
+    */
+  def chi2FromCounts(refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val joined = refCounts.select(col("category"), col("n").as("__rn"))
+      .join(curCounts.select(col("category"), col("n").as("__cn")),
+        Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("__rn"), lit(0L)).as("n_ref"),
+        coalesce(col("__cn"), lit(0L)).as("n_cur"))
+    chi2Cells(joined)
+  }
 
   /** Two-sample Kolmogorov–Smirnov statistic per group — the
     * distribution-SHAPE drift test completing the trio ([[psiDrift]]

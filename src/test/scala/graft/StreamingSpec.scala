@@ -795,6 +795,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chi-square drift monitor: category-count state serves EXACTLY the batch q59 test") {
+    // the q59 loop deployed (the categorical twin of the PSI monitor):
+    // the reference category mix is counted once, arriving rows fold
+    // into mergeable per-category counts per micro-batch — raw rows
+    // never kept, state bounded by the category alphabet — and
+    // chi2FromCounts serves the same statistic the batch operator
+    // computes (both run the shared cell arithmetic)
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    // reference snapshot: early timestamps, A-heavy mix
+    val ref = (Seq.fill(8)("A") ++ Seq.fill(2)("B")).zipWithIndex
+      .map { case (c, i) => (c, (i + 1).toLong) }
+    val refDf = ref.toDF("cat", "ts")
+    val refCounts = Relational.categoryCounts(refDf, "cat").localCheckpoint()
+    // streamed data shifts toward B and introduces a new category C
+    val batches = Seq(
+      Seq(("B", 1001L), ("B", 1002L), ("A", 1003L)),
+      Seq(("B", 1004L), ("C", 1005L)),
+      Seq(("B", 1006L), ("B", 1007L), ("C", 1008L)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("cat", "ts").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val states = Relational.categoryCounts(
+            localized.toDF("cat", "ts"), "cat")
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Relational.categoryCountsCompact(appended).localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state bounded by the category alphabet, never raw rows
+        assert(maintained.count() <= 3L,
+          s"state grew past the alphabet: ${maintained.count()}")
+        // fold == one-shot counting of everything streamed
+        val oneShot = Relational.categoryCounts(
+          seen.toSeq.toDF("cat", "ts"), "cat")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(maintained.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap === oneShot)
+        // the factored serve == the batch q59 operator over
+        // ref ∪ streamed (the time split coincides with the sides)
+        val served = scores(Relational.chi2FromCounts(refCounts, maintained))
+        val batchRef = scores(Relational.chi2CategoricalDrift(
+          refDf.unionByName(seen.toSeq.toDF("cat", "ts")), "cat", "ts"))
+        assert(served === batchRef)
+      }
+      // the planted mix shift is visible: a significant statistic at
+      // dof = 2 (5% critical value 5.99) with the never-seen category
+      // zero-filled on the reference side
+      val fin = Relational.chi2FromCounts(refCounts, maintained).collect()
+      assert(fin.length === 3)
+      assert(fin.head.getDouble(6) > 5.99, s"chi2 = ${fin.head.getDouble(6)}")
+      val c = fin.find(_.getString(0) == "C").get
+      assert(c.getLong(1) === 0L && c.getLong(2) === 2L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs across micro-batch boundaries, equal to the batch join") {
     implicit val ctx = spark.sqlContext
     // base offset keeps every event ABOVE the query's initial
