@@ -83,6 +83,8 @@ object SparkEntry {
     "q59_chi2_drift" -> (Relational.q59Chi2Drift _),
     "q60_ks_test" -> (Relational.q60KsTest _),
     "q61_benford" -> (Relational.q61Benford _),
+    "q62_top_paths" -> (Relational.q62TopPaths _),
+    "q63_expectations" -> (Relational.q63Expectations _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -2045,6 +2047,81 @@ object SparkEntry {
         |  CASE WHEN code_score IS NULL THEN FALSE
         |    ELSE code_score > 0.05 END AS is_code
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the q13 session CTE + an ORDER BY string_agg twin of the in-row
+    // struct sort; integer counts, (n desc, path) rounded ranking
+    "q62_top_paths" ->
+      """WITH gapped AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CAST(SUM(CASE WHEN gap_ns IS NULL
+        |      OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM gapped
+        |), p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |    CAST(COUNT(*) AS BIGINT) AS n_steps
+        |  FROM flagged GROUP BY 1, 2
+        |), c AS (
+        |  SELECT path, n_steps, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY 1, 2
+        |), top AS (
+        |  SELECT * FROM c ORDER BY n_sessions DESC, path ASC LIMIT 20
+        |)
+        |SELECT path, n_steps, n_sessions,
+        |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+        |    AS INTEGER) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // every expectation is one conditional count off ONE scan; the
+    // concat-canon distinct restates multi-column uniqueness; a NULL
+    // predicate row counts as a violation on both engines
+    "q63_expectations" ->
+      """WITH w AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_oknn,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v_dom,
+        |    CAST(SUM(CASE WHEN o_totalprice >= 0.0
+        |      AND o_totalprice <= 300000.0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS v_rng,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ok,
+        |    CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+        |      THEN CAST(o_orderkey AS VARCHAR) END) AS BIGINT) AS d_ok,
+        |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+        |      AND o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cd,
+        |    CAST(COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL
+        |      AND o_orderdate IS NOT NULL THEN CAST(o_custkey AS VARCHAR)
+        |        || chr(1) || CAST(o_orderdate AS VARCHAR) END) AS BIGINT)
+        |      AS d_cd
+        |  FROM orders
+        |)
+        |SELECT "check", kind, n_rows, n_violations,
+        |  n_violations = 0 AS pass,
+        |  CASE WHEN n_rows = 0 THEN 0.0 ELSE
+        |    round(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |  END AS violation_rate
+        |FROM (
+        |  SELECT 'orderkey_non_null' AS "check", 'predicate' AS kind,
+        |    total AS n_rows, v_oknn AS n_violations FROM w
+        |  UNION ALL SELECT 'status_in_domain', 'predicate', total, v_dom
+        |    FROM w
+        |  UNION ALL SELECT 'price_in_range', 'predicate', total, v_rng
+        |    FROM w
+        |  UNION ALL SELECT 'orderkey_unique', 'unique', n_ok, n_ok - d_ok
+        |    FROM w
+        |  UNION ALL SELECT 'cust_date_unique', 'unique', n_cd, n_cd - d_cd
+        |    FROM w
+        |) ORDER BY "check"""".stripMargin,
 
     // one-pass token construction (unigrams + positional bigrams),
     // integer counts, the fixed-order PMI ratio, rounded-then-ranked

@@ -2987,6 +2987,151 @@ object Relational {
           .otherwise("nonconforming").as("verdict"))
   }
 
+  /** Top-k session paths — the pathing question the funnel family
+    * circles but doesn't answer: q39 measures ONE prescribed stage
+    * chain, q49 measures single transitions; this surfaces the
+    * complete journeys users actually take (the "what are the top
+    * flows" product question; for a corpus pipeline, the dominant
+    * crawl→dedup→filter routes through a lineage log). Sessions are
+    * q13's gap rule verbatim; each session's path is its event types
+    * joined in (ts, id) total order; paths rank by (session count
+    * desc, path asc).
+    *
+    * Determinism: the per-session event list aggregates unordered
+    * (mergeable collect) and sorts IN-ROW by the (ts, id, type)
+    * struct order — a total order, so the path string is independent
+    * of partitioning and engine; counts are exact BIGINTs.
+    *
+    * Scale shape: ONE per-user window exchange derives sessions (the
+    * q13 shape), the session collapse is a mergeable agg whose rows
+    * bound by session length (the q13 contract — sessions are
+    * human-scale; a runaway key needs the gap rule, not this
+    * operator, fixed), path counting is a second mergeable agg, and
+    * top-k plans as TakeOrdered — only k rows cross the rank window.
+    */
+  def topSessionPaths(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, gapNs: Long = 1800L * 1000000000L,
+      topK: Int = 20): DataFrame = {
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val byUser = Window.partitionBy(q(userCol)).orderBy(q(tsCol), q(idCol))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paths = df
+      .withColumn("__gap", q(tsCol) - lag(q(tsCol), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapNs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .groupBy(q(userCol).as("__u"), col("__sid"))
+      .agg(collect_list(struct(q(tsCol).as("ts"), q(idCol).as("id"),
+        q(typeCol).cast("string").as("t"))).as("__evs"))
+      .select(
+        concat_ws(">", expr("transform(array_sort(__evs), e -> e.t)"))
+          .as("path"),
+        size(col("__evs")).cast("long").as("n_steps"))
+    val top = paths.groupBy(col("path"), col("n_steps"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)))
+      .select(col("path"), col("n_steps"), col("n_sessions"), col("rank"))
+  }
+
+  /** q62: gate binding of [[topSessionPaths]] — the 20 most common
+    * event-type journeys over q13's 30-minute sessions. Fully
+    * SQL-oracled: the q13 session CTE, an ORDER BY string_agg twin of
+    * the in-row struct sort, integer counts, and the (n desc, path)
+    * ranking restate exactly in DuckDB.
+    */
+  def q62TopPaths(s: SparkSession, dir: String): DataFrame =
+    topSessionPaths(Tables.events(s, dir), "user_id", "ts", "event_type",
+      "event_id").orderBy("rank")
+
+  /** Declarative data-quality expectation suite (the Deequ/Great-
+    * Expectations shape) — the contract gate a pipeline runs before
+    * trusting a new data drop, one summary row per expectation:
+    * named boolean PREDICATES (non-null, range, domain membership,
+    * regex — any Column) counted as violations where the predicate is
+    * FALSE OR NULL (an unevaluable row is a violation, not a pass),
+    * and KEY-UNIQUENESS checks counted as duplicate rows among
+    * fully-non-null key rows (`n − distinct`; null-key rows are the
+    * non-null predicate's job — the q27 split of concerns). Completes
+    * the audit family: q27 checks cross-table edges, q53 profiles
+    * shape, this asserts CONTRACTS.
+    *
+    * Multi-column keys canonicalize as `concat_ws()` — exact for
+    * integer/clean-string keys (the normal case; a key containing the
+    * separator could collide, documented) and identical in both
+    * engines, sidestepping engine-specific multi-column DISTINCT null
+    * semantics.
+    *
+    * Scale shape: every predicate is a mergeable conditional-sum and
+    * ALL of them ride ONE aggregation over one scan; each uniqueness
+    * check adds a count-distinct partial to the same agg (Catalyst's
+    * Expand — input×checks before the partial combine, the q53
+    * shape); the single wide result row explodes map-only to the
+    * long-form report. N checks cost one corpus pass.
+    */
+  def checkExpectations(df: DataFrame,
+      predicates: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(predicates.nonEmpty || uniqueKeys.nonEmpty,
+      "checkExpectations needs at least one expectation")
+    require((predicates.map(_._1) ++ uniqueKeys.map(_._1)).distinct.size
+      == predicates.size + uniqueKeys.size, "expectation names must be unique")
+    uniqueKeys.foreach { case (n, cols) =>
+      require(cols.nonEmpty, s"uniqueness check '$n' names no key columns") }
+    val sep = "\u0001"
+    val predAggs = predicates.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .cast("long").as(s"__v_$name")
+    }
+    val keyAggs = uniqueKeys.flatMap { case (name, cols) =>
+      val nonNull = cols.map(c => q(c).isNotNull).reduce(_ && _)
+      val canon = concat_ws(sep, cols.map(c => q(c).cast("string")): _*)
+      Seq(
+        sum(when(nonNull, 1L).otherwise(0L)).cast("long").as(s"__n_$name"),
+        count_distinct(when(nonNull, canon)).cast("long").as(s"__d_$name"))
+    }
+    val aggs = (count(lit(1)).cast("long").as("__total") +: predAggs) ++ keyAggs
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val cells = predicates.map { case (name, _) =>
+      struct(lit(name).as("check"), lit("predicate").as("kind"),
+        col("__total").as("n_rows"), col(s"__v_$name").as("n_violations"))
+    } ++ uniqueKeys.map { case (name, _) =>
+      struct(lit(name).as("check"), lit("unique").as("kind"),
+        col(s"__n_$name").as("n_rows"),
+        (col(s"__n_$name") - col(s"__d_$name")).as("n_violations"))
+    }
+    wide.select(explode(array(cells: _*)).as("e"))
+      .select(col("e.check"), col("e.kind"), col("e.n_rows"),
+        col("e.n_violations"),
+        (col("e.n_violations") === 0L).as("pass"),
+        when(col("e.n_rows") === 0L, lit(0.0)).otherwise(
+          round(col("e.n_violations").cast("double")
+            / col("e.n_rows").cast("double"), 6)).as("violation_rate"))
+  }
+
+  /** q63: gate binding of [[checkExpectations]] — a five-expectation
+    * contract on orders: key non-null and unique, status in its
+    * domain, a price range that genuinely FAILS (the oracle pins the
+    * exact violation count, not just zeros), and a composite
+    * (custkey, orderdate) uniqueness with real duplicates. Fully
+    * SQL-oracled: each conditional count and the concat-canon
+    * distinct restate exactly in DuckDB.
+    */
+  def q63Expectations(s: SparkSession, dir: String): DataFrame =
+    checkExpectations(Tables.orders(s, dir),
+      predicates = Seq(
+        "orderkey_non_null" -> col("o_orderkey").isNotNull,
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "price_in_range" ->
+          (col("o_totalprice") >= 0.0 && col("o_totalprice") <= 300000.0)),
+      uniqueKeys = Seq(
+        "orderkey_unique" -> Seq("o_orderkey"),
+        "cust_date_unique" -> Seq("o_custkey", "o_orderdate")))
+      .orderBy("check")
+
   /** q61: gate binding of [[benfordAudit]] — lineitem extended prices
     * per return flag (the synthetic prices are uniform-ish, so the
     * audit correctly reports nonconformity — the gate checks the

@@ -731,6 +731,78 @@ class RelationalSpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"), approxPlan.take(2000))
   }
 
+  test("topSessionPaths: q13 gap sessions, (ts, id) total order, count-then-path tie-break") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: one 2-step session then a gap opens a second
+      (1L, 0L, 101L, "A"), (1L, 500L, 102L, "B"), (1L, 10000L, 103L, "C"),
+      // u2: same 2-step journey
+      (2L, 0L, 201L, "A"), (2L, 500L, 202L, "B"),
+      // u3: a single-step session tying "C" at n=1 — "B" sorts first
+      (3L, 0L, 301L, "B"),
+      // u4: same-timestamp pair resolves by id: Y (id 401) before X (402)
+      (4L, 0L, 402L, "X"), (4L, 0L, 401L, "Y"))
+      .toDF("user", "ts", "id", "typ")
+    val out = Relational.topSessionPaths(rows, "user", "ts", "typ", "id",
+        gapNs = 1000L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("A>B", 2L, 2L, 1), ("B", 1L, 1L, 2), ("C", 1L, 1L, 3), ("Y>X", 2L, 1L, 4)))
+    // partition independence (the in-row struct sort is a total order)
+    val re = Relational.topSessionPaths(rows.repartition(7), "user", "ts",
+      "typ", "id", gapNs = 1000L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(re.toSeq === out.toSeq)
+  }
+
+  test("checkExpectations: null predicates count as violations; uniqueness over non-null canon keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "a"), (2L, -1.0, "b"), (2L, null, "a"), (null, 3.0, "zz"))
+      .toDF("k", "v", "s")
+    val out = Relational.checkExpectations(df,
+      predicates = Seq(
+        "v_nonneg" -> (col("v") >= 0.0),
+        "s_in_domain" -> col("s").isin("a", "b")),
+      uniqueKeys = Seq(
+        "k_unique" -> Seq("k"),
+        "ks_unique" -> Seq("k", "s")))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getDouble(5))).toMap
+    // -1 fails, the NULL value row is unevaluable → ALSO a violation
+    assert(out("v_nonneg") === (("predicate", 4L, 2L, false, 0.5)))
+    assert(out("s_in_domain") === (("predicate", 4L, 1L, false, 0.25)))
+    // k: 3 non-null rows over 2 distinct values → 1 duplicate
+    assert(out("k_unique") === (("unique", 3L, 1L, false, 0.333333)))
+    // (k, s): all 3 fully-non-null pairs distinct → passes
+    assert(out("ks_unique") === (("unique", 3L, 0L, true, 0.0)))
+    // the canon separator keeps adjacent-concatenation keys apart
+    val tricky = Seq(("ab", "c"), ("a", "bc")).toDF("x", "y")
+    val t = Relational.checkExpectations(tricky,
+      predicates = Nil, uniqueKeys = Seq("xy" -> Seq("x", "y"))).collect()
+    assert(t(0).getLong(3) === 0L, "concat must not collide 'ab'+'c' with 'a'+'bc'")
+    // partition independence (all partials mergeable)
+    val re = Relational.checkExpectations(df.repartition(5),
+      predicates = Seq("v_nonneg" -> (col("v") >= 0.0)),
+      uniqueKeys = Seq("k_unique" -> Seq("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(re === Map("v_nonneg" -> 2L, "k_unique" -> 1L))
+  }
+
+  test("checkExpectations plan: all expectations ride one aggregation over one scan") {
+    val df = Relational.q63Expectations(spark, sf)
+    df.collect()
+    // the AQE string prints Final AND Initial plans — count the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one scan, no joins of any kind — the report assembles map-only
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"$scans scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("keySkewProfile: hand counts, null keys profile, ceil-division salt, string tie-break") {
     import spark.implicits._
     val rows = Seq.fill(10)(Option("hot")) ++ Seq.fill(3)(Option.empty[String]) ++
