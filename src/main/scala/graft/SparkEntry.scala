@@ -85,6 +85,7 @@ object SparkEntry {
     "q61_benford" -> (Relational.q61Benford _),
     "q62_top_paths" -> (Relational.q62TopPaths _),
     "q63_expectations" -> (Relational.q63Expectations _),
+    "q64_decay_agg" -> (Relational.q64DecayAgg _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -2047,6 +2048,34 @@ object SparkEntry {
         |  CASE WHEN code_score IS NULL THEN FALSE
         |    ELSE code_score > 0.05 END AS is_code
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // exact ns ages off the broadcast max ts; the weight quantizes to
+    // DECIMAL(8,6) after one spelled exp(), then every fold is exact
+    "q64_decay_agg" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, epoch_ns(ts) AS tsn,
+        |    CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), now_ts AS (
+        |  SELECT MAX(tsn) AS now_ns FROM base
+        |), weighted AS (
+        |  SELECT k, v,
+        |    CAST(round(exp(ln(0.5) * (CAST(now_ns - tsn AS DOUBLE)
+        |      / 604800000000000.0)), 6) AS DECIMAL(8,6)) AS w
+        |  FROM base, now_ts
+        |), agg AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(w * 1000000 AS DECIMAL(19,0))) AS wsum_u,
+        |    SUM(CAST(v * 100 AS DECIMAL(19,0))
+        |      * CAST(w * 1000000 AS DECIMAL(19,0))) AS dsum_u
+        |  FROM weighted GROUP BY k
+        |)
+        |SELECT k AS event_type, n,
+        |  round(CAST(wsum_u AS DOUBLE) / 1e6, 6) AS w_mass,
+        |  round(CAST(dsum_u AS DOUBLE) / 1e8, 6) AS decayed_sum,
+        |  round((CAST(dsum_u AS DOUBLE) / 1e8)
+        |    / (CAST(wsum_u AS DOUBLE) / 1e6), 6) AS decayed_avg
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     // the q13 session CTE + an ORDER BY string_agg twin of the in-row
     // struct sort; integer counts, (n desc, path) rounded ranking

@@ -3132,6 +3132,77 @@ object Relational {
         "cust_date_unique" -> Seq("o_custkey", "o_orderdate")))
       .orderBy("check")
 
+  /** Exponential time-decay (recency-weighted) aggregates per key —
+    * the freshness-aware feature the plain q01/q47 sums cannot
+    * express: each event contributes `v · 2^(−age/halfLife)` as of the
+    * corpus's latest timestamp, so a user's "recent value" halves
+    * every `halfLifeNs` of inactivity (recommender/risk features,
+    * recency-weighted source quality for mixing). Emits per key the
+    * event count, decayed weight mass, decayed sum, and the decayed
+    * average (sum/mass — the recency-weighted mean value).
+    *
+    * Determinism: ages are exact ns longs against the broadcast max
+    * timestamp; the weight computes as `exp(ln(0.5)·age/halfLife)` in
+    * one spelled IEEE order and then QUANTIZES to DECIMAL(8,6) —
+    * after that single rounding every term is an EXACT decimal
+    * product of the quantized value and weight, and the sums fold
+    * exactly, order-independent (a raw double fold of per-row exp()
+    * would stack libm ulps; quantizing the bounded-in-[0,1] weight at
+    * 1e-6 makes a cross-engine flip need an exp() disagreement within
+    * 1e-17 of a grid boundary — ~1e-11 per row). Decay resolution
+    * 1e-6 is the documented contract.
+    *
+    * Scale shape: one tiny max-ts agg broadcast back, then ONE
+    * mergeable per-key agg over the corpus — map-only weighting in
+    * the scan, no window, no join. The streaming deployment folds
+    * UNNORMALIZED (sum, mass) state per batch and rescales by the
+    * serve-time age factor — decay commutes with addition, so the
+    * state discipline is q33's.
+    */
+  def timeDecayAgg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeNs: Long): DataFrame = {
+    require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
+    val base = df.select(q(keyCol).as("__k"), q(tsCol).as("__ts"),
+        q(valueCol).cast(D).as("__v"))
+      .filter(col("__v").isNotNull && col("__ts").isNotNull)
+    val now = base.agg(max(col("__ts")).as("__now"))
+    base.crossJoin(broadcast(now))
+      .withColumn("__w",
+        round(exp(lit(math.log(0.5))
+          * ((col("__now") - col("__ts")).cast("double")
+            / lit(halfLifeNs.toDouble))), 6).cast("decimal(8,6)"))
+      // the q57 audit rule: fold INTEGER units (scale-0 DECIMAL) — a
+      // scale-8 sum passes 2^53 scaled units already at gate size, and
+      // a fractional decimal→double cast double-rounds in some engines;
+      // integral decimals convert in ONE rounding everywhere, and the
+      // de-scaling happens in IEEE doubles on both engines
+      // each factor scales to integer units BEFORE the product (value
+      // cents × weight millionths = exact scale-0 product, ≤1e12/row —
+      // inside every engine's decimal width, unlike scaling after)
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum((col("__w") * lit(1000000L)).cast("decimal(19,0)"))
+          .as("__wsum_u"),
+        sum((col("__v") * lit(100L)).cast("decimal(19,0)")
+          * (col("__w") * lit(1000000L)).cast("decimal(19,0)"))
+          .as("__dsum_u"))
+      .select(q(keyCol), col("n"),
+        round(col("__wsum_u").cast("double") / lit(1e6), 6).as("w_mass"),
+        round(col("__dsum_u").cast("double") / lit(1e8), 6).as("decayed_sum"),
+        round((col("__dsum_u").cast("double") / lit(1e8))
+          / (col("__wsum_u").cast("double") / lit(1e6)), 6).as("decayed_avg"))
+  }
+
+  /** q64: gate binding of [[timeDecayAgg]] — events.value per event
+    * type with a 7-day half-life. Fully SQL-oracled: the broadcast
+    * max-ts age, the spelled exp order, the DECIMAL(8,6) weight
+    * quantization, and the exact decimal folds restate in DuckDB.
+    */
+  def q64DecayAgg(s: SparkSession, dir: String): DataFrame =
+    timeDecayAgg(Tables.events(s, dir), "event_type", "ts", "value",
+      7L * 24 * 3600 * 1000000000L)
+      .orderBy("event_type")
+
   /** q61: gate binding of [[benfordAudit]] — lineitem extended prices
     * per return flag (the synthetic prices are uniform-ish, so the
     * audit correctly reports nonconformity — the gate checks the

@@ -803,6 +803,24 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("timeDecayAgg: half-life weights off the corpus max ts, exact integer-unit folds") {
+    import spark.implicits._
+    // ages 0 / 1 / 2 half-lives → quantized weights 1.0 / 0.5 / 0.25
+    val rows = Seq(("A", 2000L, 10.0), ("A", 1000L, 20.0), ("A", 0L, 40.0),
+      ("B", 2000L, 7.0))
+    val df = rows.toDF("k", "ts", "v")
+    val out = Relational.timeDecayAgg(df, "k", "ts", "v", halfLifeNs = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("A") === ((3L, 1.75, 30.0, 17.142857)))
+    // the newest event anchors at age 0 — weight exactly 1
+    assert(out("B") === ((1L, 1.0, 7.0, 7.0)))
+    // partition independence (integer-unit DECIMAL folds)
+    val re = Relational.timeDecayAgg(df.repartition(5), "k", "ts", "v", 1000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(re === out.view.mapValues(_._3).toMap)
+  }
+
   test("keySkewProfile: hand counts, null keys profile, ceil-division salt, string tie-break") {
     import spark.implicits._
     val rows = Seq.fill(10)(Option("hot")) ++ Seq.fill(3)(Option.empty[String]) ++
