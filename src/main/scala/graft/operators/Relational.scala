@@ -3162,36 +3162,80 @@ object Relational {
   def timeDecayAgg(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, halfLifeNs: Long): DataFrame = {
     require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
-    val base = df.select(q(keyCol).as("__k"), q(tsCol).as("__ts"),
+    val base = decayBase(df, keyCol, tsCol, valueCol)
+    val now = base.agg(max(col("__ts")).as("__now"))
+    decayServe(decayStateAgainst(
+      base.crossJoin(broadcast(now)).withColumn("__anchor", col("__now")),
+      keyCol, halfLifeNs), keyCol)
+  }
+
+  private def decayBase(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    df.select(q(keyCol).as("__k"), q(tsCol).as("__ts"),
         q(valueCol).cast(D).as("__v"))
       .filter(col("__v").isNotNull && col("__ts").isNotNull)
-    val now = base.agg(max(col("__ts")).as("__now"))
-    base.crossJoin(broadcast(now))
+
+  private def decayStateAgainst(withAnchor: DataFrame, keyCol: String,
+      halfLifeNs: Long): DataFrame =
+    withAnchor
       .withColumn("__w",
         round(exp(lit(math.log(0.5))
-          * ((col("__now") - col("__ts")).cast("double")
+          * ((col("__anchor") - col("__ts")).cast("double")
             / lit(halfLifeNs.toDouble))), 6).cast("decimal(8,6)"))
       // the q57 audit rule: fold INTEGER units (scale-0 DECIMAL) — a
       // scale-8 sum passes 2^53 scaled units already at gate size, and
       // a fractional decimal→double cast double-rounds in some engines;
       // integral decimals convert in ONE rounding everywhere, and the
-      // de-scaling happens in IEEE doubles on both engines
-      // each factor scales to integer units BEFORE the product (value
-      // cents × weight millionths = exact scale-0 product, ≤1e12/row —
-      // inside every engine's decimal width, unlike scaling after)
+      // de-scaling happens in IEEE doubles on both engines. Each factor
+      // scales to integer units BEFORE the product (value cents ×
+      // weight millionths, ≤1e12/row — inside every engine's width)
       .groupBy(col("__k").as(keyCol))
       .agg(count(lit(1)).cast("long").as("n"),
         sum((col("__w") * lit(1000000L)).cast("decimal(19,0)"))
-          .as("__wsum_u"),
+          .cast("decimal(38,0)").as("wsum_u"),
         sum((col("__v") * lit(100L)).cast("decimal(19,0)")
           * (col("__w") * lit(1000000L)).cast("decimal(19,0)"))
-          .as("__dsum_u"))
-      .select(q(keyCol), col("n"),
-        round(col("__wsum_u").cast("double") / lit(1e6), 6).as("w_mass"),
-        round(col("__dsum_u").cast("double") / lit(1e8), 6).as("decayed_sum"),
-        round((col("__dsum_u").cast("double") / lit(1e8))
-          / (col("__wsum_u").cast("double") / lit(1e6)), 6).as("decayed_avg"))
+          .cast("decimal(38,0)").as("dsum_u"))
+
+  /** Mergeable decay state against a FIXED anchor timestamp — the
+    * streaming deployment's state: the batch operator anchors at the
+    * corpus max it can see, a monitor fixes the horizon up front, and
+    * because every weight is a pure function of (event ts, anchor),
+    * decayed sums from separate batches ADD exactly (integer-unit
+    * decimals — the q33/q50 state discipline; raw events never kept,
+    * state is one row per key). Events past the anchor are excluded
+    * (a weight above 1 would mean "the future counts extra").
+    */
+  def decayState(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeNs: Long, anchorNs: Long): DataFrame = {
+    require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
+    decayStateAgainst(
+      decayBase(df, keyCol, tsCol, valueCol)
+        .filter(col("__ts") <= anchorNs)
+        .withColumn("__anchor", lit(anchorNs)),
+      keyCol, halfLifeNs)
   }
+
+  /** Merge same-key decay states after an append — counts and
+    * integer-unit sums ADD, exactly, at any re-compaction depth.
+    */
+  def decayStateCompact(states: DataFrame, keyCol: String): DataFrame =
+    states.groupBy(q(keyCol))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("wsum_u")).cast("decimal(38,0)").as("wsum_u"),
+        sum(col("dsum_u")).cast("decimal(38,0)").as("dsum_u"))
+
+  /** Serve the decayed report from a [[decayState]] frame — the exact
+    * arithmetic of the batch operator's final step, so a maintained
+    * state serves the same bits batch [[timeDecayAgg]] computes when
+    * the anchors coincide.
+    */
+  def decayServe(state: DataFrame, keyCol: String): DataFrame =
+    state.select(q(keyCol), col("n"),
+      round(col("wsum_u").cast("double") / lit(1e6), 6).as("w_mass"),
+      round(col("dsum_u").cast("double") / lit(1e8), 6).as("decayed_sum"),
+      round((col("dsum_u").cast("double") / lit(1e8))
+        / (col("wsum_u").cast("double") / lit(1e6)), 6).as("decayed_avg"))
 
   /** q64: gate binding of [[timeDecayAgg]] — events.value per event
     * type with a 7-day half-life. Fully SQL-oracled: the broadcast

@@ -795,6 +795,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decay monitor: fixed-anchor integer-unit state serves EXACTLY batch q64") {
+    // the q64 loop deployed: a monitor FIXES the decay anchor up front;
+    // each batch folds into one (n, wsum_u, dsum_u) row per key —
+    // integer-unit decimals ADD exactly (decay against a fixed anchor
+    // commutes with addition), raw events never kept
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    val anchor = 10000L
+    val hl = 1000L
+    val batches = Seq(
+      Seq(("A", 8000L, 10.0), ("B", 9000L, 4.0)),
+      Seq(("A", 9000L, 20.0), ("B", 9500L, 6.0)),
+      // the final event lands ON the anchor, so batch q64 over
+      // everything streamed anchors at the same horizon
+      Seq(("A", 10000L, 5.0)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDF().toDF("k", "ts", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+          val states = Relational.decayState(
+            localized.toDF("k", "ts", "v"), "k", "ts", "v", hl, anchor)
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Relational.decayStateCompact(appended, "k").localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state is one row per key, never raw events
+        assert(maintained.count() <= 2L)
+        // fold == one-shot state over everything streamed, bit-equal
+        // (integer units compare as exact decimals)
+        val oneShot = Relational.decayState(
+          seen.toSeq.toDF("k", "ts", "v"), "k", "ts", "v", hl, anchor)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getDecimal(2), r.getDecimal(3))).toMap
+        assert(maintained.collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2), r.getDecimal(3))).toMap === oneShot)
+      }
+      // the served report == batch q64 over everything streamed (the
+      // corpus max IS the fixed anchor, so the arithmetic coincides)
+      val served = Relational.decayServe(maintained, "k").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val batchRef = Relational.timeDecayAgg(
+        seen.toSeq.toDF("k", "ts", "v"), "k", "ts", "v", hl).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(served === batchRef)
+      // hand numbers: A ages 2/1/0 half-lives → weights .25/.5/1
+      assert(served("A") === ((3L, 1.75, 17.5, 10.0)))
+    } finally q.stop()
+  }
+
   test("streaming chi-square drift monitor: category-count state serves EXACTLY the batch q59 test") {
     // the q59 loop deployed (the categorical twin of the PSI monitor):
     // the reference category mix is counted once, arriving rows fold
