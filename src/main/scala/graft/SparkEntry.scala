@@ -2073,8 +2073,9 @@ object SparkEntry {
         |SELECT k AS event_type, n,
         |  round(CAST(wsum_u AS DOUBLE) / 1e6, 6) AS w_mass,
         |  round(CAST(dsum_u AS DOUBLE) / 1e8, 6) AS decayed_sum,
-        |  round((CAST(dsum_u AS DOUBLE) / 1e8)
-        |    / (CAST(wsum_u AS DOUBLE) / 1e6), 6) AS decayed_avg
+        |  CASE WHEN wsum_u = 0 THEN NULL ELSE
+        |    round((CAST(dsum_u AS DOUBLE) / 1e8)
+        |      / (CAST(wsum_u AS DOUBLE) / 1e6), 6) END AS decayed_avg
         |FROM agg ORDER BY event_type""".stripMargin,
 
     // the q13 session CTE + an ORDER BY string_agg twin of the in-row

@@ -3234,8 +3234,11 @@ object Relational {
     state.select(q(keyCol), col("n"),
       round(col("wsum_u").cast("double") / lit(1e6), 6).as("w_mass"),
       round(col("dsum_u").cast("double") / lit(1e8), 6).as("decayed_sum"),
-      round((col("dsum_u").cast("double") / lit(1e8))
-        / (col("wsum_u").cast("double") / lit(1e6)), 6).as("decayed_avg"))
+      // a fully-stale key (every weight quantized to 0) has no decayed
+      // mass to average over — null, never 0/0 NaN
+      when(col("wsum_u") === lit(BigDecimal(0)), lit(null).cast("double"))
+        .otherwise(round((col("dsum_u").cast("double") / lit(1e8))
+          / (col("wsum_u").cast("double") / lit(1e6)), 6)).as("decayed_avg"))
 
   /** q64: gate binding of [[timeDecayAgg]] — events.value per event
     * type with a 7-day half-life. Fully SQL-oracled: the broadcast

@@ -417,4 +417,97 @@ class PipelineSpec extends SparkSpec {
     val manifest = CorpusShards.writeShards(kept, out, shards = 4)
     assert(manifest.agg(sum("n_docs")).head.getLong(0) === nKept)
   }
+
+  test("expectation gate -> skew-profiled salted join -> drift null case -> decay/paths/collocations compose (late-r11 surface)") {
+    import graft.operators.Text
+
+    // 1. contract gate: the audited expectations must pass before the
+    //    pipeline proceeds; the uniqueness count cross-checks an
+    //    independent groupBy formulation
+    val orders = Tables.orders(spark, sf)
+    val gate = Relational.checkExpectations(orders,
+      predicates = Seq("key_non_null" -> col("o_orderkey").isNotNull),
+      uniqueKeys = Seq("key_unique" -> Seq("o_orderkey")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gate.values.forall(_.getBoolean(4)), "contract must pass")
+    val dupRows = orders.groupBy("o_orderkey").count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum(col("count") - 1), lit(0L))).head.getLong(0)
+    assert(gate("key_unique").getLong(3) === dupRows)
+
+    // 2. the skew profile's min_salt feeds q29's salted join, which
+    //    stays row-identical to the plain join (the q29 guarantee)
+    val li = Tables.lineitem(spark, sf)
+    val profile = Relational.keySkewProfile(li, "l_orderkey",
+      topK = 5, partitions = 32).collect()
+    assert(profile.forall(_.getLong(5) >= 1L))
+    val salt = profile.map(_.getLong(5)).max.toInt
+    val plain = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .count()
+    val salted = Relational.saltedJoin(
+      li.select(col("l_orderkey").as("key"), col("l_quantity")),
+      orders.select(col("o_orderkey").as("key"), col("o_totalprice")),
+      "key", salt = salt).count()
+    assert(salted === plain)
+
+    // 3. drift null case on an iid split: the categorical mix of
+    //    train-vs-val halves must not trip the chi-square monitor,
+    //    and the numeric KS gap stays under the 5% critical value
+    val ev01 = Relational.deterministicSplit(
+      Tables.events(spark, "/root/testdata/sf0.01"), "event_id")
+    val chi2 = Relational.chi2FromCounts(
+      Relational.categoryCounts(ev01.filter(col("split") === "train"), "event_type"),
+      Relational.categoryCounts(ev01.filter(col("split") =!= "train"), "event_type"))
+      .collect()
+    assert(chi2.nonEmpty)
+    val dof = chi2.head.getLong(7)
+    // 5% critical values by dof are ~dof + 2*sqrt(2*dof) + 2; iid
+    // halves should sit far below — use a generous 4x dof + 10 bound
+    assert(chi2.head.getDouble(6) < 4.0 * dof + 10.0,
+      s"iid halves must not drift: chi2 = ${chi2.head.getDouble(6)} at dof $dof")
+    // KS needs a time axis: score the two halves by relabeling split
+    // membership as early/late timestamps (the operator's side rule)
+    val ks = Relational.ksTest(
+      ev01.withColumn("side_ts",
+        when(col("split") === "train", lit(0L)).otherwise(lit(100L))),
+      "event_type", "value", "side_ts").collect()
+    assert(ks.nonEmpty)
+    ks.foreach { r =>
+      val bound = 1.358 * math.sqrt(
+        (r.getLong(1) + r.getLong(2)).toDouble / (r.getLong(1) * r.getLong(2)))
+      assert(r.getDouble(3) < bound,
+        s"iid halves exceed the KS 5% bound: $r (bound $bound)")
+    }
+
+    // 4. recency features are convex: the decayed average lies inside
+    //    each group's value hull and the weight mass never exceeds n
+    val decayed = Relational.q64DecayAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val hull = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(min(expr("CAST(value AS decimal(12,2))")).cast("double").as("lo"),
+        max(expr("CAST(value AS decimal(12,2))")).cast("double").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    decayed.foreach { case (k, (n, mass, avg)) =>
+      assert(mass > 0.0 && mass <= n.toDouble + 1e-6)
+      assert(avg >= hull(k)._1 - 1e-6 && avg <= hull(k)._2 + 1e-6, s"$k: $avg")
+    }
+
+    // 5. path mining is consistent with sessionization: no path count
+    //    exceeds the session total, and every step count is positive
+    val totalSessions = Relational.q13Sessionize(spark, sf).count()
+    val paths = Relational.q62TopPaths(spark, sf).collect()
+    assert(paths.nonEmpty)
+    assert(paths.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= totalSessions))
+    assert(paths.forall(_.getLong(1) >= 1L))
+
+    // 6. collocations are internally consistent: a pair never
+    //    outnumbers either of its words and the floor holds
+    val coll = Text.t22Collocations(spark, sf).collect()
+    assert(coll.nonEmpty)
+    coll.foreach { r =>
+      assert(r.getLong(1) >= 5L)
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(3) >= r.getLong(1), r.toString)
+    }
+  }
 }
