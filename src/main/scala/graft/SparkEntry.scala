@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_zscore_normalize" -> (Relational.q28ZscoreNormalize _),
     "q29_salted_skew_join" -> (Relational.q29SaltedSkewJoin _),
     "q30_group_quantiles" -> (Relational.q30GroupQuantiles _),
+    "q65_quantile_state" -> (Relational.q65QuantileState _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
     "q33_agg_state" -> (Relational.q33AggState _),
@@ -2373,6 +2374,40 @@ object SparkEntry {
         |)
         |SELECT event_type, quantile, round(vlo + frac * (vhi - vlo), 6) AS value
         |FROM p ORDER BY event_type, quantile""".stripMargin,
+    // the q33 losslessness trick for quantile state: the oracle
+    // aggregates the RAW rows directly (the q30 SQL verbatim), so the
+    // hash match pins that the batched-histogram state detour is
+    // invisible
+    "q65_quantile_state" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), t AS (
+        |  SELECT event_type, n, q AS quantile, (n - 1) * q AS h
+        |  FROM (SELECT DISTINCT event_type, n FROM r),
+        |       (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
+        |), t2 AS (
+        |  SELECT event_type, quantile,
+        |    CAST(floor(h) AS BIGINT) + 1 AS lo_r,
+        |    least(CAST(floor(h) AS BIGINT) + 2, n) AS hi_r,
+        |    h - floor(h) AS frac
+        |  FROM t
+        |), p AS (
+        |  SELECT t2.event_type, quantile, frac,
+        |    MAX(CASE WHEN r.r = lo_r THEN v END) AS vlo,
+        |    MAX(CASE WHEN r.r = hi_r THEN v END) AS vhi
+        |  FROM t2 JOIN r ON r.event_type = t2.event_type
+        |    AND (r.r = lo_r OR r.r = hi_r)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, quantile, round(vlo + frac * (vhi - vlo), 6) AS value
+        |FROM p ORDER BY event_type, quantile""".stripMargin,
+
 
     // the salting is a partitioning trick and must be invisible in the
     // result: the oracle IS the plain inner join, raw columns untouched

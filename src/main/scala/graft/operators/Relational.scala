@@ -1041,15 +1041,42 @@ object Relational {
     * mergeable sketch, or pre-thin with q19/q20.
     */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    quantilesFromHistogram(histogramStates(df, groupCol, valueCol), qs)
+
+  /** The mergeable per-(group, value) count histogram [[exactQuantiles]]
+    * ranks — exposed as a STATE table (the third leg of the sketch-state
+    * family: q32 HLL distincts, q50 count-min frequencies, this serves
+    * EXACT quantiles): histograms from separate batches union and
+    * [[histogramCompact]] by plain addition, raw rows are never kept,
+    * and state is bounded by each group's DISTINCT quantized-value
+    * cardinality (the house DECIMAL(12,2) quantization — for genuinely
+    * continuous extreme-scale values use q18's fixed-size sketch
+    * instead; that trade IS the exact-vs-approximate line). NULL values
+    * carry no rank (the SQL aggregate convention — a null would
+    * otherwise sort below every value and shift every quantile).
+    */
+  def histogramStates(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(q(groupCol).as("group"),
+        q(valueCol).cast(D).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("group", "__v").agg(count(lit(1)).as("__c"))
+
+  /** Merge same-(group, value) histogram states after an append —
+    * counts ADD, exactly, at any re-compaction depth.
+    */
+  def histogramCompact(states: DataFrame): DataFrame =
+    states.groupBy("group", "__v").agg(sum(col("__c")).as("__c"))
+
+  /** Serve exact type-7 quantiles from a [[histogramStates]] frame —
+    * the full q30 rank/interpolation arithmetic, so a maintained state
+    * serves the same bits batch [[exactQuantiles]] computes.
+    */
+  def quantilesFromHistogram(counts: DataFrame,
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
     require(qs.nonEmpty && qs.forall(x => x >= 0.0 && x <= 1.0),
       s"quantiles must be in [0,1], got $qs")
-    // SQL aggregate convention: NULL values carry no rank (a null
-    // would otherwise sort below every value and shift every quantile)
-    val v = df.select(q(groupCol).as("group"),
-      q(valueCol).cast(D).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-    val counts = v.groupBy("group", "__v").agg(count(lit(1)).as("__c"))
     // both windows share the (group) hash partitioning — one exchange;
     // the ordering column is distinct per row, so RANGE/ROWS coincide
     val wp = Window.partitionBy("group")
@@ -1085,6 +1112,26 @@ object Relational {
     exactQuantiles(Tables.events(s, dir), "event_type", "value")
       .withColumnRenamed("group", "event_type")
       .orderBy("event_type", "quantile")
+
+  /** q65: the quantile STATE detour made visible to the gate — events
+    * split three ways (event_id mod 3, a deterministic stand-in for
+    * daily ingest batches), each batch folded to its own
+    * [[histogramStates]], the union [[histogramCompact]]ed, and
+    * quantiles served from the maintained state. The oracle computes
+    * the SAME quantiles from the raw rows directly (the q30 SQL), so
+    * the hash match itself pins that the state detour is invisible —
+    * the q33 losslessness trick applied to quantile state.
+    */
+  def q65QuantileState(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val parts = (0 until 3).map(i =>
+      histogramStates(ev.filter(pmod(col("event_id"), lit(3)) === i),
+        "event_type", "value"))
+    val state = histogramCompact(parts.reduce(_ unionByName _))
+    quantilesFromHistogram(state)
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type", "quantile")
+  }
 
   /** Sketch-based approximate aggregates per event type: HyperLogLog++
     * distinct users (`approx_count_distinct`) and approximate value

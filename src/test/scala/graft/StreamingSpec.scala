@@ -795,6 +795,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile state: maintained value histogram serves EXACTLY batch exactQuantiles") {
+    // the q30/q65 loop deployed: each batch folds into the mergeable
+    // (group, value) count histogram — counts ADD exactly, raw rows
+    // never kept, state bounded by distinct quantized values — and
+    // quantilesFromHistogram serves the full type-7 arithmetic
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    val batches = Seq(
+      Seq(("g", 1.0), ("g", 2.0), ("h", 10.0)),
+      Seq(("g", 2.0), ("g", 3.0), ("h", 20.0)),
+      Seq(("g", 4.0), ("h", 20.0), ("h", 30.0)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("grp", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getDouble(1))).toSeq
+          val states = Relational.histogramStates(
+            localized.toDF("grp", "v"), "grp", "v")
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Relational.histogramCompact(appended).localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state bounded by distinct (group, value) pairs, never raw rows
+        val distinctPairs = seen.map(x => (x._1, x._2)).distinct.size
+        assert(maintained.count() === distinctPairs.toLong)
+        // the served quantiles == batch exactQuantiles over everything
+        // streamed, row for row
+        val served = Relational.quantilesFromHistogram(maintained).collect()
+          .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+        val batchRef = Relational.exactQuantiles(
+          seen.toSeq.toDF("grp", "v"), "grp", "v").collect()
+          .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+        assert(served === batchRef)
+      }
+      // hand pin: g = {1,2,2,3,4} → median 2.0; h = {10,20,20,30} → 20.0
+      val fin = Relational.quantilesFromHistogram(maintained, Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(fin === Map("g" -> 2.0, "h" -> 20.0))
+    } finally q.stop()
+  }
+
   test("streaming decay monitor: fixed-anchor integer-unit state serves EXACTLY batch q64") {
     // the q64 loop deployed: a monitor FIXES the decay anchor up front;
     // each batch folds into one (n, wsum_u, dsum_u) row per key —
