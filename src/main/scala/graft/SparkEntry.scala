@@ -87,6 +87,7 @@ object SparkEntry {
     "q62_top_paths" -> (Relational.q62TopPaths _),
     "q63_expectations" -> (Relational.q63Expectations _),
     "q64_decay_agg" -> (Relational.q64DecayAgg _),
+    "q66_ab_test" -> (Relational.q66AbTest _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -2049,6 +2050,40 @@ object SparkEntry {
         |  CASE WHEN code_score IS NULL THEN FALSE
         |    ELSE code_score > 0.05 END AS is_code
         |FROM f ORDER BY doc_id""".stripMargin,
+
+
+    // per-unit conversion collapse + integer arm counts; z from four
+    // BIGINTs through one spelled IEEE expression (sqrt is correctly
+    // rounded by IEEE 754); the verdict cuts on the ROUNDED z
+    "q66_ab_test" ->
+      """WITH units AS (
+        |  SELECT 'arm' || CAST(user_id % 3 AS VARCHAR) AS v, user_id AS u,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2
+        |), arms AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS k
+        |  FROM units GROUP BY 1
+        |), paired AS (
+        |  SELECT a.v AS variant_a, b.v AS variant_b,
+        |    a.n AS n_a, b.n AS n_b, a.k AS conv_a, b.k AS conv_b,
+        |    CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE) AS ra,
+        |    CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS rb,
+        |    CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS p
+        |  FROM arms a JOIN arms b ON a.v < b.v
+        |), zed AS (
+        |  SELECT variant_a, variant_b, n_a, n_b, conv_a, conv_b, ra, rb,
+        |    CASE WHEN p = 0.0 OR p = 1.0 THEN NULL ELSE
+        |      round((ra - rb) / sqrt(p * (1.0 - p)
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |    END AS z
+        |  FROM paired
+        |)
+        |SELECT variant_a, variant_b, n_a, n_b, conv_a, conv_b,
+        |  round(ra, 6) AS rate_a, round(rb, 6) AS rate_b, z,
+        |  CASE WHEN z IS NULL THEN FALSE ELSE abs(z) > 1.959964 END
+        |    AS significant
+        |FROM zed ORDER BY variant_a, variant_b""".stripMargin,
 
     // exact ns ages off the broadcast max ts; the weight quantizes to
     // DECIMAL(8,6) after one spelled exp(), then every fold is exact

@@ -3297,6 +3297,74 @@ object Relational {
       7L * 24 * 3600 * 1000000000L)
       .orderBy("event_type")
 
+  /** Two-proportion z-test over experiment variants — the A/B-test
+    * readout completing the inference family (q59 tests a categorical
+    * MIX, this tests a binary RATE between arms): units (users)
+    * collapse to converted-or-not, each unordered variant pair gets
+    * both arms' unit/conversion counts, rates, the pooled-proportion
+    * z statistic `(r_a − r_b)/sqrt(p̂(1−p̂)(1/n_a+1/n_b))`, and the
+    * two-sided 5% verdict (|z| > 1.959964). Degenerate pooled rates
+    * (0 or 1 — zero variance) yield null z, not-significant by
+    * contract.
+    *
+    * Determinism: unit conversion is an exact MAX over exact flags;
+    * every downstream number derives from four BIGINTs through one
+    * spelled IEEE expression (sqrt is correctly rounded by IEEE 754 —
+    * bit-identical across engines, unlike libm exp/ln); the verdict
+    * cuts on the ROUNDED z.
+    *
+    * Scale shape: the corpus collapses in ONE mergeable (variant,
+    * unit) agg, then one variant-level agg — everything after is
+    * alphabet-bounded (the variant frame pairs with itself under
+    * a < b; arms are few by construction).
+    */
+  def abTest(df: DataFrame, variantCol: String, unitCol: String,
+      convertedCol: Column): DataFrame = {
+    val units = df.select(q(variantCol).cast("string").as("__var"),
+        q(unitCol).as("__u"),
+        when(coalesce(convertedCol, lit(false)), 1L).otherwise(0L).as("__c"))
+      .groupBy(col("__var"), col("__u"))
+      .agg(max(col("__c")).as("__conv"))
+    val arms = units.groupBy(col("__var"))
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(col("__conv")).cast("long").as("__k"))
+    val a = arms.select(col("__var").as("variant_a"), col("__n").as("n_a"),
+      col("__k").as("conv_a"))
+    val b = arms.select(col("__var").as("variant_b"), col("__n").as("n_b"),
+      col("__k").as("conv_b"))
+    val paired = a.join(b, col("variant_a") < col("variant_b"))
+      .withColumn("__ra", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("__rb", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("__p", (col("conv_a") + col("conv_b")).cast("double")
+        / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z",
+        when(col("__p") === 0.0 || col("__p") === 1.0,
+          lit(null).cast("double"))
+        .otherwise(round((col("__ra") - col("__rb"))
+          / sqrt(col("__p") * (lit(1.0) - col("__p"))
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))), 6)))
+    paired.select(col("variant_a"), col("variant_b"),
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(col("__ra"), 6).as("rate_a"), round(col("__rb"), 6).as("rate_b"),
+      col("z"),
+      when(col("z").isNull, lit(false))
+        .otherwise(abs(col("z")) > 1.959964).as("significant"))
+  }
+
+  /** q66: gate binding of [[abTest]] — users assigned to three arms by
+    * `user_id mod 3` (the deterministic stand-in for an assignment
+    * table), conversion = any purchase event. Fully SQL-oracled: the
+    * per-unit collapse, integer arm counts, and the spelled z
+    * arithmetic (IEEE sqrt is correctly rounded, bit-identical)
+    * restate exactly in DuckDB.
+    */
+  def q66AbTest(s: SparkSession, dir: String): DataFrame =
+    abTest(Tables.events(s, dir)
+        .withColumn("__arm", concat(lit("arm"), pmod(col("user_id"), lit(3)))),
+      "__arm", "user_id", col("event_type") === "purchase")
+      .orderBy("variant_a", "variant_b")
+
   /** q61: gate binding of [[benfordAudit]] — lineitem extended prices
     * per return flag (the synthetic prices are uniform-ish, so the
     * audit correctly reports nonconformity — the gate checks the

@@ -821,6 +821,36 @@ class RelationalSpec extends SparkSpec {
     assert(re === out.view.mapValues(_._3).toMap)
   }
 
+  test("abTest: hand two-proportion z, repeat events count once, degenerate pooled rate nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm A: 10 units, 8 convert; arm B: 10 units, 2 convert
+    // pooled p = 0.5 → z = 0.6/sqrt(0.25*0.2) = 2.683282
+    val rows =
+      (1 to 10).map(u => ("A", u.toLong, u <= 8)) ++
+      (1 to 10).map(u => ("B", 100L + u, u <= 2)) ++
+      // a unit firing twice (once converting) still counts once
+      Seq(("A", 1L, false), ("B", 101L, true))
+    val out = Relational.abTest(rows.toDF("arm", "unit", "conv"),
+      "arm", "unit", col("conv")).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert(r.getLong(2) === 10L && r.getLong(3) === 10L)
+    assert(r.getLong(4) === 8L && r.getLong(5) === 2L)
+    assert(r.getDouble(6) === 0.8 && r.getDouble(7) === 0.2)
+    assert(r.getDouble(8) === 2.683282 && r.getBoolean(9))
+    // both arms at zero conversions → pooled 0 → null z by contract
+    val dead = Seq(("A", 1L, false), ("B", 2L, false))
+      .toDF("arm", "unit", "conv")
+    val d = Relational.abTest(dead, "arm", "unit", col("conv")).collect()(0)
+    assert(d.isNullAt(8) && !d.getBoolean(9))
+    // partition independence (exact per-unit max + integer counts)
+    val re = Relational.abTest(rows.toDF("arm", "unit", "conv")
+      .repartition(7), "arm", "unit", col("conv")).collect()(0)
+    assert(re.getDouble(8) === 2.683282)
+  }
+
   test("keySkewProfile: hand counts, null keys profile, ceil-division salt, string tie-break") {
     import spark.implicits._
     val rows = Seq.fill(10)(Option("hot")) ++ Seq.fill(3)(Option.empty[String]) ++
