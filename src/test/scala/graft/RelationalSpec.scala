@@ -955,6 +955,38 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.toString.contains("SortMergeJoin"), plan.toString.take(3000))
   }
 
+  test("new-operator plan shapes: q59/q61/q62/q64 stay on their documented exchange budgets") {
+    def exchanges(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    }
+    // q59: one (category, sides) agg + single-partition folds + sort;
+    // the one-row span/totals frames broadcast, never sort-merge
+    val chi = Relational.q59Chi2Drift(spark, sf)
+    assert(exchanges(chi) <= 5, s"q59: ${exchanges(chi)}")
+    assert(!chi.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // q61: corpus collapses at the (group, digit) agg; everything
+    // after is groups x 9
+    val ben = Relational.q61Benford(spark, sf)
+    assert(exchanges(ben) <= 5, s"q61: ${exchanges(ben)}")
+    assert(!ben.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // q62: the q13 user-window exchange serves the session collapse;
+    // one path agg; top-k plans as TakeOrdered
+    val paths = Relational.q62TopPaths(spark, sf)
+    assert(exchanges(paths) <= 5, s"q62: ${exchanges(paths)}")
+    assert(paths.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    // q64: map-only weighting + ONE mergeable corpus agg — no window
+    // anywhere, the max-ts frame broadcasts
+    val decay = Relational.q64DecayAgg(spark, sf)
+    assert(exchanges(decay) <= 3, s"q64: ${exchanges(decay)}")
+    val dplan = decay.queryExecution.executedPlan.toString
+    assert(!dplan.contains("SortMergeJoin") && !dplan.contains("Window "),
+      dplan.take(2000))
+  }
+
   test("benfordAudit: planted Benford set conforms, clamped group flags, signs and zeros") {
     import spark.implicits._
     // counts proportional to log10(1+1/d) out of 1000 → MAD ~4e-4 → close
