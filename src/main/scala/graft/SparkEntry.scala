@@ -1938,8 +1938,8 @@ object SparkEntry {
     "q61_benford" ->
       """WITH digits AS (
         |  SELECT l_returnflag AS g,
-        |    CAST(coalesce(regexp_extract(CAST(CAST(l_extendedprice
-        |      AS DECIMAL(12,2)) AS VARCHAR), '[1-9]', 0), '') AS VARCHAR)
+        |    CAST(coalesce(regexp_extract(CAST(TRY_CAST(l_extendedprice
+        |      AS DECIMAL(24,2)) AS VARCHAR), '[1-9]', 0), '') AS VARCHAR)
         |      AS ds
         |  FROM lineitem
         |), dd AS (

@@ -2984,7 +2984,10 @@ object Relational {
     * < 0.012 acceptable, < 0.015 marginal, else nonconforming).
     *
     * Determinism: the first significant digit is extracted from the
-    * DECIMAL(12,2) STRING rendering via the RE2-portable `[1-9]`
+    * DECIMAL(24,2) STRING rendering via the RE2-portable `[1-9]`
+    * (try_cast — wide enough for real account values: FERC 2021
+    * carries 12-billion-dollar facts that overflow the house (12,2);
+    * values past ±1e22 drop rather than killing the audit)
     * (both engines render scale-2 decimals identically; sign and
     * leading zeros skip naturally — zero values carry no significant
     * digit and drop); shares are single IEEE divisions of exact
@@ -3001,9 +3004,17 @@ object Relational {
     */
   def benfordAudit(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val digits = df.select(q(groupCol).as("__g2"),
-        regexp_extract(q(valueCol).cast(D).cast("string"), "[1-9]", 0)
-          .as("__ds"))
+    // DECIMAL(24,2), not the house (12,2): real account values exceed
+    // ±1e10 (FERC 2021 carries 12-billion-dollar facts — the (12,2)
+    // ANSI cast crashed on real data), and the digit only needs A
+    // deterministic scale-2 rendering, which any precision provides
+    // identically on both engines. try_cast: a value past ±1e22 drops
+    // (no representable rendering) rather than killing the audit.
+    val digits = df.select(q(groupCol).as("__g2"), q(valueCol).as("__bv"))
+      .select(col("__g2"),
+        regexp_extract(
+          expr("try_cast(__bv AS DECIMAL(24,2))").cast("string"),
+          "[1-9]", 0).as("__ds"))
       .filter(col("__ds") =!= "")
       .select(col("__g2"), col("__ds").cast("int").as("digit"))
     val counts = digits.groupBy(col("__g2"), col("digit"))

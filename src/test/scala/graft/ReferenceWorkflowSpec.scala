@@ -68,6 +68,38 @@ class ReferenceWorkflowSpec extends SparkSpec {
     } finally out.release()
   }
 
+  test("forensic audit on real filings: Benford screen + expectation contract over the 2021 facts") {
+    // the r11 audit family pointed at the engine's home-turf data:
+    // FERC account values are exactly the naturally-occurring,
+    // magnitude-spanning amounts Benford's law describes
+    val fs = sources.FilingSource.fromZip(spark, archive("ferc1-xbrl-2021.zip"))
+    val numeric = fs.facts.toDF()
+      .select(lit("ferc1_2021").as("form"),
+        expr("try_cast(value AS DOUBLE)").as("v"))
+      .filter(col("v").isNotNull && col("v") =!= 0.0)
+    assert(numeric.count() > 10000, "the 2021 archive carries real numeric mass")
+    val audit = Relational.benfordAudit(numeric, "form", "v")
+      .collect().map(r => r.getInt(1) -> r).toMap
+    // completed 9-digit grid with the Benford expectations in place
+    assert(audit.keySet === (1 to 9).toSet)
+    assert(audit(1).getDouble(4) === 0.30103 && audit(9).getDouble(4) === 0.045757)
+    // the qualitative Benford property on REAL accounting data: low
+    // digits dominate high digits, monotone at the extremes
+    assert(audit(1).getDouble(3) > audit(9).getDouble(3),
+      s"p(1)=${audit(1).getDouble(3)} vs p(9)=${audit(9).getDouble(3)}")
+    assert(audit(1).getDouble(3) > 0.2,
+      "real account values lead with 1 far more than uniform would")
+    // and the expectation contract on the raw fact store itself:
+    // every fact carries a name and belongs to a parsed context
+    val contract = Relational.checkExpectations(fs.facts.toDF(),
+      predicates = Seq(
+        "name_non_null" -> col("name").isNotNull,
+        "context_non_null" -> col("c_id").isNotNull))
+      .collect()
+    assert(contract.forall(_.getBoolean(4)),
+      contract.map(_.toString).mkString("; "))
+  }
+
   test("vintage diff: snapshotDiff classifies a new data release against the prior one") {
     import graft.plans.{FactTableBuilder, FactTableSchema}
     import graft.sources.{FilingSource, TaxonomyParser}
