@@ -2944,9 +2944,17 @@ object Relational {
             .cast("long").as("__cr"),
         sum(when(col("__ts") > col("__mid"), 1L).otherwise(0L))
             .cast("long").as("__cc"))
+    ksServe(h).withColumnRenamed("group", groupCol)
+  }
+
+  /** The KS arithmetic over a resolved (__g2, __v, __cr, __cc)
+    * side-count histogram — shared verbatim by the batch span-split
+    * path and the factored state serve [[ksFromHistograms]].
+    */
+  private def ksServe(h: DataFrame): DataFrame = {
     val wg = Window.partitionBy(col("__g2"))
     val wcum = wg.orderBy(col("__v"))
-    val diffs = h
+    h
       .withColumn("__nr", sum(col("__cr")).over(wg))
       .withColumn("__nc", sum(col("__cc")).over(wg))
       .filter(col("__nr") > 0 && col("__nc") > 0)
@@ -2957,9 +2965,29 @@ object Relational {
       .withColumn("__rk", row_number().over(
         wg.orderBy(col("__diff").desc, col("__v").asc)))
       .filter(col("__rk") === 1)
-    diffs.select(col("__g2").as(groupCol),
-      col("__nr").cast("long").as("n_ref"), col("__nc").cast("long").as("n_cur"),
-      round(col("__diff"), 6).as("ks"), col("__v").as("ks_at"))
+      .select(col("__g2").as("group"),
+        col("__nr").cast("long").as("n_ref"), col("__nc").cast("long").as("n_cur"),
+        round(col("__diff"), 6).as("ks"), col("__v").as("ks_at"))
+  }
+
+  /** KS served from two [[histogramStates]] frames — the drift trio's
+    * third monitor riding the SAME maintained state as the quantile
+    * monitor (one histogram per side, no extra state primitive):
+    * values observed on one side only zero-fill via the full outer
+    * join, and the arithmetic IS the batch operator's, so a monitor
+    * folding per-batch histograms serves the same bits batch
+    * [[ksTest]] computes when the sides coincide with the time split.
+    */
+  def ksFromHistograms(refHist: DataFrame, curHist: DataFrame): DataFrame = {
+    val joined = refHist.select(col("group").as("__g2"), col("__v"),
+        col("__c").cast("long").as("__rn"))
+      .join(curHist.select(col("group").as("__g2"), col("__v"),
+          col("__c").cast("long").as("__cn")),
+        Seq("__g2", "__v"), "full_outer")
+      .select(col("__g2"), col("__v"),
+        coalesce(col("__rn"), lit(0L)).as("__cr"),
+        coalesce(col("__cn"), lit(0L)).as("__cc"))
+    ksServe(joined)
   }
 
   /** q60: gate binding of [[ksTest]] — events.value per event type,

@@ -846,6 +846,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KS drift: two maintained histograms serve EXACTLY the batch q60 test") {
+    // the drift trio's third monitor rides the SAME state as the
+    // quantile monitor: one reference histogram counted once, the
+    // current histogram folded per micro-batch, ksFromHistograms
+    // serving the identical batch arithmetic
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Relational
+    // reference: early timestamps, uniform 1..8 per group
+    val ref = (1 to 8).flatMap(i =>
+      Seq(("g", i.toLong, i.toDouble), ("h", i.toLong, i.toDouble)))
+    val refDf = ref.toDF("grp", "ts", "v")
+    val refHist = Relational.histogramStates(refDf, "grp", "v").localCheckpoint()
+    // current drifts upward for g, resamples in place for h
+    val batches = Seq(
+      Seq(("g", 1001L, 7.0), ("g", 1002L, 8.0), ("h", 1001L, 3.0)),
+      Seq(("g", 1003L, 9.0), ("h", 1002L, 5.0)),
+      Seq(("g", 1004L, 9.0), ("h", 1003L, 2.0), ("h", 1004L, 7.0)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDF().toDF("grp", "ts", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+          val states = Relational.histogramStates(
+            localized.toDF("grp", "ts", "v").drop("ts")
+              .withColumnRenamed("grp", "grp"), "grp", "v")
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Relational.histogramCompact(appended).localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // the factored serve == batch q60 over ref ∪ streamed (the
+        // time split coincides with the sides)
+        val served = scores(Relational.ksFromHistograms(refHist, maintained)
+          .withColumnRenamed("group", "grp"))
+        val batchRef = scores(Relational.ksTest(
+          refDf.unionByName(seen.toSeq.toDF("grp", "ts", "v")),
+          "grp", "v", "ts"))
+        assert(served === batchRef)
+      }
+      // planted drift separates: g (shifted up) gaps wider than h
+      val fin = Relational.ksFromHistograms(refHist, maintained).collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(fin("g") > fin("h"), s"planted drift must dominate: $fin")
+    } finally q.stop()
+  }
+
   test("streaming decay monitor: fixed-anchor integer-unit state serves EXACTLY batch q64") {
     // the q64 loop deployed: a monitor FIXES the decay anchor up front;
     // each batch folds into one (n, wsum_u, dsum_u) row per key —
