@@ -88,6 +88,7 @@ object SparkEntry {
     "q63_expectations" -> (Relational.q63Expectations _),
     "q64_decay_agg" -> (Relational.q64DecayAgg _),
     "q66_ab_test" -> (Relational.q66AbTest _),
+    "q67_auc" -> (Relational.q67Auc _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -2051,6 +2052,36 @@ object SparkEntry {
         |    ELSE code_score > 0.05 END AS is_code
         |FROM f ORDER BY doc_id""".stripMargin,
 
+
+
+    // the score histogram + exact integer double-midranks; the rank
+    // mass folds in DECIMAL(38,0); one spelled IEEE AUC expression
+    "q67_auc" ->
+      """WITH h AS (
+        |  SELECT source AS g,
+        |    CAST(CAST(n_chars AS DECIMAL(12,2)) AS DOUBLE) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT g, s, c, pos,
+        |    CAST(2 * SUM(c) OVER (PARTITION BY g ORDER BY s) - c + 1
+        |      AS BIGINT) AS mr2
+        |  FROM h
+        |), a AS (
+        |  SELECT g, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c) - SUM(pos) AS BIGINT) AS n_neg,
+        |    SUM(CAST(mr2 * pos AS DECIMAL(38,0))) AS s2
+        |  FROM r GROUP BY g
+        |)
+        |SELECT g AS source, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+        |    round((CAST(s2 AS DOUBLE) / 2.0
+        |      - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM a ORDER BY source""".stripMargin,
 
     // per-unit conversion collapse + integer arm counts; z from four
     // BIGINTs through one spelled IEEE expression (sqrt is correctly

@@ -3404,6 +3404,72 @@ object Relational {
       "__arm", "user_id", col("event_type") === "purchase")
       .orderBy("variant_a", "variant_b")
 
+  /** Distributed AUC (area under the ROC curve) per group — the
+    * model-evaluation staple for corpus-scale classifiers (t13's
+    * quality filter, t14's fluency gate, any learned router): computed
+    * in the Mann–Whitney rank form with MIDRANK tie handling — the
+    * probability a random positive outscores a random negative, ties
+    * counting half. A sort-free formulation: scores collapse to the
+    * (group, score) histogram with per-score positive counts, one
+    * ordered window derives cumulative ranks, and
+    * `U = Σ_pos midrank − n_pos(n_pos+1)/2`, `AUC = U/(n_pos·n_neg)`.
+    * Groups with no positives or no negatives yield null by contract.
+    *
+    * Determinism: `2·midrank = 2·cum − c + 1` is an exact integer, so
+    * the positive-rank mass folds as an exact DECIMAL(38,0) of
+    * integer products (safe past 10^12 rows — n² leaves BIGINT at
+    * corpus scale, the q49/q57 audit rule); the final AUC is one
+    * spelled IEEE expression over exact operands.
+    *
+    * Scale shape: ONE mergeable (group, score) histogram agg over the
+    * corpus (the q30/q65 discipline — never a global rank window over
+    * raw rows), ONE group-keyed exchange for the cumulative window,
+    * one per-group agg riding the same partitioning; output is one
+    * row per group.
+    */
+  def aucScore(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val h = df.select(q(groupCol).as("__g2"),
+        q(scoreCol).cast(D).cast("double").as("__s"),
+        when(coalesce(labelCol, lit(false)), 1L).otherwise(0L).as("__y"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__g2"), col("__s"))
+      .agg(count(lit(1)).cast("long").as("__c"),
+        sum(col("__y")).cast("long").as("__pos"))
+    val wg = Window.partitionBy(col("__g2"))
+    val ranked = h
+      .withColumn("__cum", sum(col("__c")).over(wg.orderBy(col("__s"))))
+      // 2·midrank of every row tied at this score, exact integer
+      .withColumn("__mr2", lit(2L) * col("__cum") - col("__c") + lit(1L))
+    ranked.groupBy(col("__g2").as(groupCol))
+      .agg(sum(col("__pos")).cast("long").as("n_pos"),
+        (sum(col("__c")) - sum(col("__pos"))).cast("long").as("n_neg"),
+        sum((col("__mr2") * col("__pos")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("__s2"))
+      .select(q(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+        .otherwise(round(
+          (col("__s2").cast("double") / lit(2.0)
+            - col("n_pos").cast("double")
+              * (col("n_pos").cast("double") + lit(1.0)) / lit(2.0))
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+        .as("auc"))
+  }
+
+  /** q67: gate binding of [[aucScore]] — per source, how well document
+    * LENGTH separates English from non-English docs (a deliberately
+    * simple, fully-engine-portable score column; the operator is the
+    * same one that evaluates t13's learned scores). Fully SQL-oracled:
+    * the score histogram, exact integer double-midranks, the
+    * DECIMAL(38,0) rank-mass fold, and the spelled AUC expression
+    * restate exactly in DuckDB.
+    */
+  def q67Auc(s: SparkSession, dir: String): DataFrame =
+    aucScore(Tables.documents(s, dir), "source", "n_chars",
+      col("lang") === "en")
+      .orderBy("source")
+
   /** q61: gate binding of [[benfordAudit]] — lineitem extended prices
     * per return flag (the synthetic prices are uniform-ish, so the
     * audit correctly reports nonconformity — the gate checks the

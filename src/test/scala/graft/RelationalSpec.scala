@@ -851,6 +851,38 @@ class RelationalSpec extends SparkSpec {
     assert(re.getDouble(8) === 2.683282)
   }
 
+  test("aucScore: perfect/reversed/tied/constant hand models, degenerate groups null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // A: both positives above the one negative → AUC 1.0
+      ("A", 1.0, false), ("A", 2.0, true), ("A", 3.0, true),
+      // B: a tie at the bottom score (neg + pos share midrank 1.5),
+      // one positive on top → AUC 0.75
+      ("B", 1.0, false), ("B", 1.0, true), ("B", 2.0, true),
+      // C: the positive UNDER the negative → AUC 0.0
+      ("C", 1.0, true), ("C", 2.0, false),
+      // D: constant score, half positive → chance, AUC 0.5
+      ("D", 5.0, true), ("D", 5.0, true), ("D", 5.0, false), ("D", 5.0, false),
+      // E: no negatives → null by contract
+      ("E", 1.0, true), ("E", 2.0, true))
+      .toDF("grp", "score", "y")
+    val out = Relational.aucScore(rows, "grp", "score", col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("A") === ((2L, 1L, Some(1.0))))
+    assert(out("B") === ((2L, 1L, Some(0.75))))
+    assert(out("C") === ((1L, 1L, Some(0.0))))
+    assert(out("D") === ((2L, 2L, Some(0.5))))
+    assert(out("E") === ((2L, 0L, None)))
+    // partition independence (histogram + exact integer midranks)
+    val re = Relational.aucScore(rows.repartition(7), "grp", "score", col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(re === out.view.mapValues(_._3).toMap)
+  }
+
   test("keySkewProfile: hand counts, null keys profile, ceil-division salt, string tie-break") {
     import spark.implicits._
     val rows = Seq.fill(10)(Option("hot")) ++ Seq.fill(3)(Option.empty[String]) ++
