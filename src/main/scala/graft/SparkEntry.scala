@@ -89,6 +89,8 @@ object SparkEntry {
     "q64_decay_agg" -> (Relational.q64DecayAgg _),
     "q66_ab_test" -> (Relational.q66AbTest _),
     "q67_auc" -> (Relational.q67Auc _),
+    "q68_calibration" -> (Relational.q68Calibration _),
+    "q69_confusion" -> (Relational.q69Confusion _),
     "d01_dedup_exact" -> (Dedup.d01ExactHash _),
     "d02_dedup_ngram_jaccard" -> (Dedup.d02NgramJaccard _),
     "d03_dedup_minhash_lsh" -> (Dedup.d03MinhashLsh _),
@@ -2053,6 +2055,81 @@ object SparkEntry {
         |FROM f ORDER BY doc_id""".stripMargin,
 
 
+
+
+    // quantized pseudo-probability, exact integer bins, decimal conf
+    // fold, DECIMAL ECE fold of rounded per-bin terms
+    "q68_calibration" ->
+      """WITH base AS (
+        |  SELECT source AS g,
+        |    CAST(CAST(CAST(doc_id % 100 AS DOUBLE) / 100.0
+        |      AS DECIMAL(12,2)) AS DOUBLE) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), binned AS (
+        |  SELECT g, s, y,
+        |    least(CAST(floor(s * 10.0) AS INTEGER), 9) AS bin
+        |  FROM base WHERE s >= 0.0 AND s <= 1.0
+        |), cells AS (
+        |  SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    SUM(CAST(s AS DECIMAL(12,2))) AS ssum
+        |  FROM binned GROUP BY 1, 2
+        |), w AS (
+        |  SELECT g, bin, n, n_pos,
+        |    CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS tot,
+        |    round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+        |    round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc
+        |  FROM cells
+        |), t AS (
+        |  SELECT g, bin, n, n_pos, conf, acc,
+        |    round(abs(acc - conf), 6) AS gap,
+        |    round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |      * abs(acc - conf), 6) AS term
+        |  FROM w
+        |)
+        |SELECT g AS source, bin, n, n_pos, conf, acc, gap,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY g) AS DOUBLE), 6) AS ece
+        |FROM t ORDER BY source, bin""".stripMargin,
+
+    // quantized-score threshold, four exact cells from one agg,
+    // spelled metric expressions with null-not-NaN denominators
+    "q69_confusion" ->
+      """WITH base AS (
+        |  SELECT source AS g,
+        |    CAST(CAST(n_chars AS DECIMAL(12,2)) AS DOUBLE) >= 300.0 AS p,
+        |    lang = 'en' AS y
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), cells AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN p AND coalesce(y, FALSE) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN p AND NOT coalesce(y, FALSE) THEN 1 ELSE 0
+        |      END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT p AND coalesce(y, FALSE) THEN 1 ELSE 0
+        |      END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT p AND NOT coalesce(y, FALSE) THEN 1
+        |      ELSE 0 END) AS BIGINT) AS tn
+        |  FROM base GROUP BY g
+        |), m AS (
+        |  SELECT g, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp = 0 THEN NULL ELSE
+        |      round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+        |    END AS "precision",
+        |    CASE WHEN tp + fn = 0 THEN NULL ELSE
+        |      round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+        |    END AS recall
+        |  FROM cells
+        |)
+        |SELECT g AS source, tp, fp, fn, tn, "precision", recall,
+        |  CASE WHEN "precision" IS NULL OR recall IS NULL
+        |    OR "precision" + recall = 0.0 THEN NULL ELSE
+        |    round(2.0 * "precision" * recall / ("precision" + recall), 6)
+        |  END AS f1,
+        |  round(CAST(tp + tn AS DOUBLE)
+        |    / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+        |FROM m ORDER BY source""".stripMargin,
 
     // the score histogram + exact integer double-midranks; the rank
     // mass folds in DECIMAL(38,0); one spelled IEEE AUC expression

@@ -3470,6 +3470,137 @@ object Relational {
       col("lang") === "en")
       .orderBy("source")
 
+  /** Calibration report per group — the evaluation AUC cannot give
+    * (q67 measures DISCRIMINATION — ranking; this measures whether the
+    * scores MEAN what they say): probability-like scores bin into
+    * `bins` equal-width cells of [0,1], each cell carries its mean
+    * predicted score (`conf`), observed positive rate (`acc`), the
+    * gap, and every row repeats the group's Expected Calibration
+    * Error `ECE = Σ (n_b/n)·|acc_b − conf_b|` — the standard
+    * reliability-diagram summary for deciding whether a learned
+    * filter's scores can be thresholded at face value.
+    *
+    * Determinism: scores quantize through the house DECIMAL(12,2)
+    * once; the bin is exact integer `min(floor(s·bins), bins−1)`
+    * (floor of a product of exact-valued doubles — engine-identical
+    * at 2dp granularity); `conf` folds the quantized scores as exact
+    * decimals; `acc` and the weights are single divisions of exact
+    * BIGINTs; the ECE folds ROUNDED per-bin terms through an exact
+    * DECIMAL sum (the q54/q59 discipline).
+    *
+    * Scale shape: binning is map-only in the scan; the corpus
+    * collapses in ONE mergeable (group, bin) agg bounded by
+    * groups×bins; the per-group rollups ride one group window over
+    * ≤bins rows.
+    */
+  def calibrationReport(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val base = df.select(q(groupCol).as("__g2"),
+        q(scoreCol).cast(D).cast("double").as("__s"),
+        when(coalesce(labelCol, lit(false)), 1L).otherwise(0L).as("__y"))
+      .filter(col("__s").isNotNull && col("__s") >= 0.0 && col("__s") <= 1.0)
+      .withColumn("bin", least(floor(col("__s") * lit(bins.toDouble))
+        .cast("int"), lit(bins - 1)))
+    val cells = base.groupBy(col("__g2"), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__y")).cast("long").as("__pos"),
+        sum(col("__s").cast(D)).as("__ssum"))
+    val wg = Window.partitionBy(col("__g2"))
+    cells
+      .withColumn("__tot", sum(col("n")).over(wg))
+      .withColumn("conf",
+        round(col("__ssum").cast("double") / col("n").cast("double"), 6))
+      .withColumn("acc",
+        round(col("__pos").cast("double") / col("n").cast("double"), 6))
+      .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+      .withColumn("__term", round(
+        col("n").cast("double") / col("__tot").cast("double")
+          * abs(col("acc") - col("conf")), 6))
+      .withColumn("ece", round(
+        sum(col("__term").cast("decimal(18,6)")).over(wg)
+          .cast("double"), 6))
+      .select(col("__g2").as(groupCol), col("bin"), col("n"),
+        col("__pos").as("n_pos"), col("conf"), col("acc"), col("gap"),
+        col("ece"))
+  }
+
+  /** q68: gate binding of [[calibrationReport]] — a deterministic
+    * pseudo-probability (`(doc_id mod 100)/100`, the engine-portable
+    * stand-in for a model score) calibrated against English-ness per
+    * source. Fully SQL-oracled: the quantized score, integer bin,
+    * decimal conf fold, and the DECIMAL ECE fold restate in DuckDB.
+    */
+  def q68Calibration(s: SparkSession, dir: String): DataFrame =
+    calibrationReport(Tables.documents(s, dir)
+        .withColumn("__score",
+          pmod(col("doc_id"), lit(100L)).cast("double") / lit(100.0)),
+      "source", "__score", col("lang") === "en")
+      .orderBy("source", "bin")
+
+  /** Thresholded classification metrics per group — the confusion-
+    * matrix readout completing the evaluation family (q67 ranks, q68
+    * calibrates, this scores the DEPLOYED cutoff): tp/fp/fn/tn at
+    * `predicted = score ≥ threshold`, with precision, recall, F1 and
+    * accuracy; empty denominators yield null (no predicted positives
+    * → null precision; no actual positives → null recall; both → null
+    * F1), never 0/0.
+    *
+    * Determinism: the threshold compares the DECIMAL(12,2)-quantized
+    * score (boundary rows land identically on both engines); all four
+    * cells are exact BIGINTs from ONE mergeable agg; each metric is a
+    * single spelled IEEE expression.
+    *
+    * Scale shape: one map-only comparison in the scan + ONE mergeable
+    * per-group agg; output is one row per group.
+    */
+  def confusionMetrics(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column, threshold: Double): DataFrame = {
+    val base = df.select(q(groupCol).as("__g2"),
+        (q(scoreCol).cast(D).cast("double") >= threshold).as("__p"),
+        coalesce(labelCol, lit(false)).as("__y"))
+      .filter(col("__p").isNotNull)
+    base.groupBy(col("__g2").as(groupCol))
+      .agg(
+        sum(when(col("__p") && col("__y"), 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("__p") && !col("__y"), 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(!col("__p") && col("__y"), 1L).otherwise(0L))
+          .cast("long").as("fn"),
+        sum(when(!col("__p") && !col("__y"), 1L).otherwise(0L))
+          .cast("long").as("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") === 0L,
+          lit(null).cast("double"))
+        .otherwise(round(col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double"), 6)))
+      .withColumn("recall", when(col("tp") + col("fn") === 0L,
+          lit(null).cast("double"))
+        .otherwise(round(col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double"), 6)))
+      .withColumn("f1", when(col("precision").isNull
+          || col("recall").isNull
+          || col("precision") + col("recall") === 0.0,
+          lit(null).cast("double"))
+        .otherwise(round(lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall")), 6)))
+      .withColumn("accuracy", round(
+        (col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"),
+        6))
+  }
+
+  /** q69: gate binding of [[confusionMetrics]] — "long docs are English"
+    * at a 300-char cutoff per source (the same deliberately-portable
+    * score family as q67/q68; the operator is what scores t13's
+    * deployed threshold). Fully SQL-oracled: quantized-score
+    * comparison, four integer cells, spelled metric expressions.
+    */
+  def q69Confusion(s: SparkSession, dir: String): DataFrame =
+    confusionMetrics(Tables.documents(s, dir), "source", "n_chars",
+      col("lang") === "en", threshold = 300.0)
+      .orderBy("source")
+
   /** q61: gate binding of [[benfordAudit]] — lineitem extended prices
     * per return flag (the synthetic prices are uniform-ish, so the
     * audit correctly reports nonconformity — the gate checks the

@@ -883,6 +883,55 @@ class RelationalSpec extends SparkSpec {
     assert(re === out.view.mapValues(_._3).toMap)
   }
 
+  test("calibrationReport: hand bins, conf/acc/ECE, range filter, perfect calibration zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("A", 0.0, false), ("A", 0.4, true), ("A", 0.6, true), ("A", 1.0, true),
+      // out-of-range scores are not probabilities — dropped
+      ("A", 1.5, true), ("A", -0.1, false),
+      // B: conf == acc in its one populated bin → ECE exactly 0
+      ("B", 0.25, true), ("B", 0.25, false), ("B", 0.25, false), ("B", 0.25, false))
+      .toDF("grp", "s", "y")
+    val out = Relational.calibrationReport(rows, "grp", "s", col("y"), bins = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(out(("A", 0)) === ((2L, 1L, 0.2, 0.5, 0.3, 0.25)))
+    assert(out(("A", 1)) === ((2L, 2L, 0.8, 1.0, 0.2, 0.25)))
+    assert(out(("B", 0)) === ((4L, 1L, 0.25, 0.25, 0.0, 0.0)))
+    assert(!out.contains(("B", 1)), "empty bins emit nothing")
+    // partition independence (decimal conf fold + DECIMAL ECE fold)
+    val re = Relational.calibrationReport(rows.repartition(7), "grp", "s",
+      col("y"), bins = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(7)).toMap
+    assert(re === out.view.mapValues(_._6).toMap)
+  }
+
+  test("confusionMetrics: four cells, null-not-NaN denominators, boundary on the quantized score") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("A", 0.6, true), ("A", 0.7, false), ("A", 0.3, true), ("A", 0.2, false),
+      // the threshold row itself predicts positive (>=)
+      ("A", 0.5, true),
+      ("B", 0.1, true), ("B", 0.2, false),   // no predicted positives
+      ("C", 0.9, false))                     // no actual positives
+      .toDF("grp", "s", "y")
+    val out = Relational.confusionMetrics(rows, "grp", "s", col("y"), 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4))
+      === ((2L, 1L, 1L, 1L)))
+    assert(a.getDouble(5) === 0.666667 && a.getDouble(6) === 0.666667)
+    assert(a.getDouble(7) === 0.666667 && a.getDouble(8) === 0.6)
+    val b = out("B")
+    assert(b.isNullAt(5) && b.getDouble(6) === 0.0 && b.isNullAt(7))
+    val c = out("C")
+    assert(c.getDouble(5) === 0.0 && c.isNullAt(6) && c.isNullAt(7)
+      && c.getDouble(8) === 0.0)
+  }
+
   test("keySkewProfile: hand counts, null keys profile, ceil-division salt, string tie-break") {
     import spark.implicits._
     val rows = Seq.fill(10)(Option("hot")) ++ Seq.fill(3)(Option.empty[String]) ++
