@@ -418,6 +418,47 @@ class PipelineSpec extends SparkSpec {
     assert(manifest.agg(sum("n_docs")).head.getLong(0) === nKept)
   }
 
+  test("learned filter -> AUC/calibration/threshold evaluation composes (eval family)") {
+    import graft.operators.Text
+    // train the t13 classifier exactly as its gate does, then put its
+    // REAL scores through the evaluation family — the deployment loop:
+    // does the learned filter rank (AUC), mean what it says (ECE), and
+    // hold up at the deployed cutoff (confusion)?
+    val docs = Tables.documents(spark, sf)
+    val feats = Text.qualityFeatures(docs, extraCols = Seq("n_chars"))
+      .withColumn("label", (col("n_chars") > 306L).cast("int"))
+    val w = Text.trainQualityClassifier(feats)
+    val scored = Text.scoreQuality(feats, w.toSeq)
+      .withColumn("grp", lit("all"))
+    // discrimination: a separable-by-construction label must rank
+    // far above chance
+    val auc = Relational.aucScore(scored, "grp", "score", col("label") === 1)
+      .collect()(0)
+    assert(auc.getLong(1) > 0 && auc.getLong(2) > 0)
+    assert(auc.getDouble(3) > 0.9, s"AUC = ${auc.getDouble(3)}")
+    // calibration: sigmoid outputs are probabilities — ECE is defined
+    // and bounded, mass conserves across bins
+    val cal = Relational.calibrationReport(scored, "grp", "score",
+      col("label") === 1).collect()
+    assert(cal.nonEmpty)
+    val ece = cal.head.getDouble(7)
+    assert(ece >= 0.0 && ece <= 1.0)
+    assert(cal.map(_.getLong(2)).sum === scored.count())
+    // the deployed 0.5 cutoff: the confusion metrics agree with t13's
+    // own pred column, cell for cell
+    val conf = Relational.confusionMetrics(scored, "grp", "score",
+      col("label") === 1, 0.5).collect()(0)
+    val t13 = Text.t13QualityClassifier(spark, sf)
+    val tp = t13.filter(col("pred") === 1L && col("label") === 1L).count()
+    val nPos = t13.filter(col("label") === 1L).count()
+    // q69 predicts at score >= 0.5 on the QUANTIZED score; t13's pred
+    // is score > 0.5 raw — they agree except for scores landing
+    // exactly on 0.50 at 2dp, which only ADD to q69's positives
+    assert(conf.getLong(1) >= tp && conf.getLong(1) <= nPos)
+    assert(conf.getLong(1) + conf.getLong(3) === nPos)
+    assert(conf.getDouble(8) > 0.8, s"accuracy = ${conf.getDouble(8)}")
+  }
+
   test("expectation gate -> skew-profiled salted join -> drift null case -> decay/paths/collocations compose (late-r11 surface)") {
     import graft.operators.Text
 
