@@ -31,11 +31,11 @@ import graft.sinks.XbrlSinks
 object Main {
 
   private val Usage =
-    """usage: runMain graft.Main <filings.zip|dir|file.xbrl>... --taxonomy <tax.zip> --output-dir <dir>
-      |         [--form-number N] [--requested-tables t1,t2,...]
+    """usage: runMain graft.Main <filings.zip|dir|file.xbrl>... -t|--taxonomy <tax.zip> --output-dir <dir>
+      |         [-f|--form-number N] [--requested-tables t1,t2,...]
       |         [--instance-pattern REGEX] [--jdbc-url URL] [--sqlite-path P]
-      |         [--duckdb-path P] [--cpus N]
-      |         [--loglevel LEVEL] [--logfile PATH] [--batch-size N]""".stripMargin
+      |         [--duckdb-path P] [-w|--workers|--cpus N]
+      |         [--loglevel LEVEL] [--logfile PATH] [-b|--batch-size N]""".stripMargin
 
   private[graft] case class Args(
       filings: Seq[String] = Nil,
@@ -53,9 +53,14 @@ object Main {
 
   private[graft] def parse(argv: List[String], acc: Args): Args = argv match {
     case Nil => acc
-    case "--taxonomy" :: v :: rest => parse(rest, acc.copy(taxonomy = v))
+    // short/long spellings mirror the reference exactly (cli.py:49-70:
+    // -b/--batch-size, -w/--workers, -t/--taxonomy, -f/--form-number);
+    // --workers is the reference's parallelism knob and lands on the
+    // same field --cpus does (GraftSession sizes shuffle partitions
+    // from it), so `-w 8` and `--cpus 8` are the same invocation.
+    case ("--taxonomy" | "-t") :: v :: rest => parse(rest, acc.copy(taxonomy = v))
     case "--output-dir" :: v :: rest => parse(rest, acc.copy(outputDir = v))
-    case "--form-number" :: v :: rest => parse(rest, acc.copy(formNumber = v.toInt))
+    case ("--form-number" | "-f") :: v :: rest => parse(rest, acc.copy(formNumber = v.toInt))
     case "--requested-tables" :: v :: rest =>
       parse(rest, acc.copy(requestedTables = Some(v.split(",").map(_.trim).filter(_.nonEmpty).toSet)))
     case "--instance-pattern" :: v :: rest => parse(rest, acc.copy(instancePattern = Some(v)))
@@ -66,11 +71,14 @@ object Main {
     // classpath (absent driver → clear failure at connect, not at parse)
     case "--sqlite-path" :: v :: rest => parse(rest, acc.copy(jdbcUrl = Some(s"jdbc:sqlite:$v")))
     case "--duckdb-path" :: v :: rest => parse(rest, acc.copy(jdbcUrl = Some(s"jdbc:duckdb:$v")))
-    case "--cpus" :: v :: rest => parse(rest, acc.copy(cpus = v))
+    case ("--cpus" | "--workers" | "-w") :: v :: rest => parse(rest, acc.copy(cpus = v))
     case "--loglevel" :: v :: rest => parse(rest, acc.copy(logLevel = Some(v)))
     case "--logfile" :: v :: rest => parse(rest, acc.copy(logFile = Some(v)))
-    case "--batch-size" :: v :: rest => parse(rest, acc.copy(batchSize = Some(v.toInt)))
-    case flag :: _ if flag.startsWith("--") =>
+    case ("--batch-size" | "-b") :: v :: rest => parse(rest, acc.copy(batchSize = Some(v.toInt)))
+    // any other dash-leading token is an error, not a filing: without
+    // this, a typo'd or unrecognized short flag would silently be read
+    // as a filing path and fail far from the cause (r11 VERDICT item)
+    case flag :: _ if flag.startsWith("-") =>
       throw new IllegalArgumentException(s"unknown flag $flag\n$Usage")
     case filing :: rest => parse(rest, acc.copy(filings = acc.filings :+ filing))
   }

@@ -2149,7 +2149,7 @@ object SparkEntry {
         |), a AS (
         |  SELECT g, CAST(SUM(pos) AS BIGINT) AS n_pos,
         |    CAST(SUM(c) - SUM(pos) AS BIGINT) AS n_neg,
-        |    SUM(CAST(mr2 * pos AS DECIMAL(38,0))) AS s2
+        |    SUM(CAST(mr2 AS DECIMAL(38,0)) * pos) AS s2
         |  FROM r GROUP BY g
         |)
         |SELECT g AS source, n_pos, n_neg,
@@ -2229,7 +2229,7 @@ object SparkEntry {
         |  SELECT user_id, event_id, ts, event_type,
         |    epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), flagged AS (
         |  SELECT *, CAST(SUM(CASE WHEN gap_ns IS NULL
         |      OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) OVER (

@@ -1240,8 +1240,20 @@ object Dedup {
     * RE2-portable extract/replace steps (no replacement backreferences
     * — each engine's `$1` vs `\1` divergence never arises), so the
     * same canon restates in any engine.
+    *
+    * `trackingParams` is the drop-list POLICY (default: `utm_` prefix,
+    * `gclid`, `fbclid`, `ref`). False-positive risk, by design: a site
+    * that uses `ref=` SEMANTICALLY (e.g. a code-hosting site's branch
+    * ref) would over-collapse distinct pages under the default list —
+    * pass a corpus-appropriate list (e.g. drop `"ref"`) when that
+    * matters. Entries ending in `_` match as prefixes; others match
+    * the exact parameter name.
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column,
+      trackingParams: Seq[String] = Seq("utm_", "gclid", "fbclid", "ref"))
+      : Column = {
+    require(trackingParams.forall(_.matches("[A-Za-z0-9_.-]+")),
+      s"tracking params must be plain token names, got $trackingParams")
     val sh = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     val shl = lower(sh)
     val shp = when(shl.startsWith("http://"), regexp_replace(shl, ":80$", ""))
@@ -1252,8 +1264,14 @@ object Dedup {
     val path = regexp_replace(nofrag, "\\?.*$", "")
     val qs = regexp_extract(nofrag, "\\?(.*)$", 1)
     val pathc = regexp_replace(path, "/+$", "")
+    // prefix entries (trailing _) drop every param they prefix; exact
+    // entries drop only `name=`-form params — still one RE2 alternation
+    val dropRe = "^(" + trackingParams.map { p =>
+      if (p.endsWith("_")) java.util.regex.Pattern.quote(p)
+      else java.util.regex.Pattern.quote(p) + "="
+    }.mkString("|") + ")"
     val kept = array_sort(filter(split(qs, "&"), x =>
-      x =!= lit("") && not(x.rlike("^(utm_|gclid=|fbclid=|ref=)"))))
+      x =!= lit("") && not(x.rlike(dropRe))))
     val qsc = array_join(kept, "&")
     concat(shp, pathc,
       when(qsc =!= lit(""), concat(lit("?"), qsc)).otherwise(lit("")))

@@ -3102,7 +3102,12 @@ object Relational {
     require(topK > 0, s"topK must be positive, got $topK")
     val byUser = Window.partitionBy(q(userCol)).orderBy(q(tsCol), q(idCol))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null timestamps cannot sessionize (Spark windows order nulls
+    // first, DuckDB's ORDER BY defaults nulls last — the path strings
+    // would silently diverge cross-engine); drop them like the sibling
+    // event operators (q59/q60/q64) and the q62 oracle's WHERE
     val paths = df
+      .filter(q(tsCol).isNotNull)
       .withColumn("__gap", q(tsCol) - lag(q(tsCol), 1).over(byUser))
       .withColumn("__new",
         when(col("__gap").isNull || col("__gap") > gapNs, 1L).otherwise(0L))
@@ -3151,6 +3156,12 @@ object Relational {
     * engines, sidestepping engine-specific multi-column DISTINCT null
     * semantics.
     *
+    * Empty-frame contract: an EMPTY input yields one row per
+    * expectation with n_rows = 0, n_violations = 0, pass = true,
+    * violation_rate = 0.0 — a legitimately empty drop is a clean
+    * verdict, never a null `pass` (the conditional sums coalesce to 0
+    * so the gate pattern `forall(_.getBoolean(4))` is total).
+    *
     * Scale shape: every predicate is a mergeable conditional-sum and
     * ALL of them ride ONE aggregation over one scan; each uniqueness
     * check adds a count-distinct partial to the same agg (Catalyst's
@@ -3168,15 +3179,20 @@ object Relational {
     uniqueKeys.foreach { case (n, cols) =>
       require(cols.nonEmpty, s"uniqueness check '$n' names no key columns") }
     val sep = "\u0001"
+    // coalesce(sum, 0): over an EMPTY frame sum is NULL, which would
+    // make n_violations and pass NULL — an empty drop must be a clean
+    // zero-violation verdict (the documented contract-gate pattern
+    // `forall(_.getBoolean(4))` relies on pass never being null)
     val predAggs = predicates.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
         .cast("long").as(s"__v_$name")
     }
     val keyAggs = uniqueKeys.flatMap { case (name, cols) =>
       val nonNull = cols.map(c => q(c).isNotNull).reduce(_ && _)
       val canon = concat_ws(sep, cols.map(c => q(c).cast("string")): _*)
       Seq(
-        sum(when(nonNull, 1L).otherwise(0L)).cast("long").as(s"__n_$name"),
+        coalesce(sum(when(nonNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as(s"__n_$name"),
         count_distinct(when(nonNull, canon)).cast("long").as(s"__d_$name"))
     }
     val aggs = (count(lit(1)).cast("long").as("__total") +: predAggs) ++ keyAggs
@@ -3444,7 +3460,10 @@ object Relational {
     ranked.groupBy(col("__g2").as(groupCol))
       .agg(sum(col("__pos")).cast("long").as("n_pos"),
         (sum(col("__c")) - sum(col("__pos"))).cast("long").as("n_neg"),
-        sum((col("__mr2") * col("__pos")).cast("decimal(38,0)"))
+        // cast BEFORE the multiply: __mr2 ~ 2N, so the BIGINT product
+        // would overflow near ~2e9 heavily-tied rows per group under
+        // ANSI mode; DECIMAL(38,0)×BIGINT widens exactly instead
+        sum(col("__mr2").cast("decimal(38,0)") * col("__pos"))
           .cast("decimal(38,0)").as("__s2"))
       .select(q(groupCol), col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0L || col("n_neg") === 0L,

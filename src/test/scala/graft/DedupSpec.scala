@@ -673,6 +673,23 @@ class DedupSpec extends SparkSpec {
     val got = cases.map(_._1).toDF("url")
       .select(Dedup.canonicalizeUrl($"url")).collect().map(_.getString(0))
     got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, s"input $in") }
+    // the drop-list is a POLICY: a corpus where ref= is semantic keeps
+    // it by passing a list without "ref"; prefix vs exact matching —
+    // exact "utm" must NOT drop utm_source, prefix "utm_" must
+    val noRef = Seq("http://ex.com/p?ref=main&utm_source=x&refresh=1").toDF("url")
+      .select(Dedup.canonicalizeUrl($"url",
+        trackingParams = Seq("utm_", "gclid", "fbclid")))
+      .head.getString(0)
+    assert(noRef === "http://ex.com/p?ref=main&refresh=1")
+    val exact = Seq("http://ex.com/p?utm=1&utm_source=x&a=2").toDF("url")
+      .select(Dedup.canonicalizeUrl($"url", trackingParams = Seq("utm")))
+      .head.getString(0)
+    assert(exact === "http://ex.com/p?a=2&utm_source=x",
+      "exact entry must drop only utm=, never the utm_ prefix family")
+    // default list: ref= goes but refresh= stays (exact-name match)
+    val refDefault = Seq("http://ex.com/p?ref=tw&refresh=1").toDF("url")
+      .select(Dedup.canonicalizeUrl($"url")).head.getString(0)
+    assert(refDefault === "http://ex.com/p?refresh=1")
   }
 
   test("urlDedup collapses crawl variants of one page and keeps the first id") {

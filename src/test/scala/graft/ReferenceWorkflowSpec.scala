@@ -261,4 +261,36 @@ class ReferenceWorkflowSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("no suitable driver"))
   }
+
+  test("CLI parses the reference's short flags (-t -f -b -w, --workers) verbatim") {
+    // the reference README's own invocation shape (cli.py:49-70):
+    // short spellings must land on the same fields as the long ones,
+    // and any unrecognized dash token must ERROR, not be silently
+    // treated as a filing path (r11 VERDICT item 1)
+    val a = Main.parse(
+      List("filings.zip", "-t", "tax.zip", "--output-dir", "/tmp/o",
+        "-f", "2", "-b", "16", "-w", "8"),
+      Main.Args())
+    assert(a.filings === Seq("filings.zip"))
+    assert(a.taxonomy === "tax.zip")
+    assert(a.formNumber === 2)
+    assert(a.batchSize === Some(16))
+    assert(a.cpus === "8")
+    // --workers is the reference's long spelling of -w
+    val b = Main.parse(
+      List("filings.zip", "--taxonomy", "tax.zip", "--output-dir", "/tmp/o",
+        "--workers", "8"),
+      Main.Args())
+    assert(b.cpus === "8")
+    // unknown short flag: hard error naming the flag, never a filing
+    val err = intercept[IllegalArgumentException] {
+      Main.parse(List("filings.zip", "-x", "v"), Main.Args())
+    }
+    assert(err.getMessage.contains("unknown flag -x"))
+    // unknown long flag keeps erroring too
+    val err2 = intercept[IllegalArgumentException] {
+      Main.parse(List("--not-a-flag"), Main.Args())
+    }
+    assert(err2.getMessage.contains("unknown flag --not-a-flag"))
+  }
 }

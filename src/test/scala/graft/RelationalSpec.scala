@@ -753,6 +753,17 @@ class RelationalSpec extends SparkSpec {
       "typ", "id", gapNs = 1000L, topK = 10)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(re.toSeq === out.toSeq)
+    // null timestamps cannot sessionize and are dropped (Spark orders
+    // nulls first, DuckDB's ORDER BY nulls last — keeping them would
+    // silently diverge cross-engine); results identical to the clean set
+    val withNulls = rows.union(Seq(
+        (1L, null.asInstanceOf[java.lang.Long], 109L, "Z"),
+        (9L, null.asInstanceOf[java.lang.Long], 901L, "Z"))
+      .toDF("user", "ts", "id", "typ"))
+    val nz = Relational.topSessionPaths(withNulls, "user", "ts", "typ", "id",
+        gapNs = 1000L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(nz.toSeq === out.toSeq, "null-ts rows must not create or join sessions")
   }
 
   test("checkExpectations: null predicates count as violations; uniqueness over non-null canon keys") {
@@ -789,6 +800,20 @@ class RelationalSpec extends SparkSpec {
       uniqueKeys = Seq("k_unique" -> Seq("k")))
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(re === Map("v_nonneg" -> 2L, "k_unique" -> 1L))
+    // EMPTY frame: a legitimately empty drop is a clean verdict —
+    // pass = true (never null), zero counts, zero rate; the documented
+    // gate pattern forall(_.getBoolean(4)) must be total
+    val empty = Relational.checkExpectations(df.limit(0),
+      predicates = Seq("v_nonneg" -> (col("v") >= 0.0)),
+      uniqueKeys = Seq("k_unique" -> Seq("k"))).collect()
+    assert(empty.length === 2)
+    empty.foreach { r =>
+      assert(!r.isNullAt(2) && r.getLong(2) === 0L, r.toString)
+      assert(!r.isNullAt(3) && r.getLong(3) === 0L, r.toString)
+      assert(!r.isNullAt(4) && r.getBoolean(4), r.toString)
+      assert(r.getDouble(5) === 0.0, r.toString)
+    }
+    assert(empty.forall(_.getBoolean(4)))
   }
 
   test("checkExpectations plan: all expectations ride one aggregation over one scan") {
