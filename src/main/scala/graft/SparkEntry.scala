@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, ProductQuantization, Relational, Similarity, Text, XbrlQueries}
+import graft.operators.{Dedup, Multimodal, ProductQuantization, QuantileSketch, Relational, Similarity, Text, XbrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -53,6 +53,12 @@ object SparkEntry {
     "q29_salted_skew_join" -> (Relational.q29SaltedSkewJoin _),
     "q30_group_quantiles" -> (Relational.q30GroupQuantiles _),
     "q65_quantile_state" -> (Relational.q65QuantileState _),
+    // rows-only: the GK sketch's sampled tuples (and therefore which
+    // in-bound value each quantile serves) are engine-local;
+    // QuantileSketchSpec pins the DETERMINISTIC ε rank bound vs exact
+    // ranks, state-size bounds, compaction, and parquet round-trip,
+    // and StreamingSpec deploys the same states per micro-batch
+    "q70_quantile_sketch" -> (QuantileSketch.q70QuantileSketch _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
     "q33_agg_state" -> (Relational.q33AggState _),

@@ -846,6 +846,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming GK sketch state: per-batch append+compact serves inside the deterministic ε bound") {
+    // the q70 loop deployed — the CONTINUOUS-value twin of the exact
+    // histogram monitor above: each batch folds to per-key GK states
+    // (fixed-size, never raw rows), appends, compacts to one row per
+    // key, and every serve is bound by the worst-case GK rank
+    // guarantee over everything streamed so far
+    implicit val ctx = spark.sqlContext
+    import graft.operators.QuantileSketch
+    val eps = 0.01
+    val batches = Seq(
+      (1 to 400).map(i => ("g", i * 1.0)) ++ (1 to 100).map(i => ("h", i * 3.0)),
+      (401 to 700).map(i => ("g", i * 1.0)) ++ (101 to 300).map(i => ("h", i * 3.0)),
+      (701 to 1000).map(i => ("g", i * 1.0)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("grp", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getDouble(1))).toSeq
+          val states = QuantileSketch.quantileSketchStates(
+            localized.toDF("grp", "v"), Seq("grp"), "v")
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = QuantileSketch.quantileSketchCompact(appended, Seq("grp"))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state: ONE row per key and a bounded sketch, never raw rows
+        val st = maintained.select(col("grp"), length(col("sketch")), col("n_rows"))
+          .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+        assert(st.size === seen.map(_._1).distinct.size)
+        st.foreach { case (g, (bytes, n)) =>
+          assert(bytes < 64 * 1024, s"$g sketch grew to $bytes bytes")
+          assert(n === seen.count(_._1 == g).toLong, "n_rows must stay exact")
+        }
+        // every served quantile inside the ε rank bound of the exact
+        // sorted values streamed so far — the deterministic guarantee
+        val served = QuantileSketch.quantileSketchRollup(
+            maintained, Seq("grp"), Seq(0.25, 0.5, 0.75, 0.95))
+          .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        val exact = seen.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+        served.foreach { case ((g, phi), v) =>
+          val sorted = exact(g); val n = sorted.length.toLong
+          val target = math.ceil(phi * n).toLong.max(1L)
+          val lo = sorted.count(_ < v).toLong + 1
+          val hi = sorted.count(_ <= v).toLong
+          val slack = math.ceil(eps * n).toLong
+          assert(lo <= target + slack && hi >= target - slack,
+            s"$g phi $phi served $v rank [$lo,$hi] target $target ± $slack n=$n")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming KS drift: two maintained histograms serve EXACTLY the batch q60 test") {
     // the drift trio's third monitor rides the SAME state as the
     // quantile monitor: one reference histogram counted once, the
