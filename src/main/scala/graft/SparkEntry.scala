@@ -124,6 +124,7 @@ object SparkEntry {
     "d15_template_dedup" -> (Dedup.d15TemplateDedup _),
     "d16_url_dedup" -> (Dedup.d16UrlDedup _),
     "d17_ngram_novelty" -> (Dedup.d17NgramNovelty _),
+    "d18_substring_dedup" -> (Dedup.d18SubstringDedup _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -880,6 +881,54 @@ object SparkEntry {
         |  round(CAST(z.n - COALESCE(seen.s, 0) AS DOUBLE) / z.n, 6) AS novelty
         |FROM sizes z LEFT JOIN seen ON seen.doc_id = z.doc_id
         |ORDER BY z.doc_id""".stripMargin,
+
+    // Lee-et-al span removal: md5 8-token gram keys, keep-first by
+    // (doc_id, pos), covered positions expand and union per doc, and
+    // the surviving TEXT re-joins ordered — pinned byte-for-byte
+    "d18_substring_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(text) AS t FROM documents
+        |  WHERE text IS NOT NULL
+        |), tokd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN t = '' THEN [] ELSE string_split_regex(t, '\s+') END
+        |      AS toks
+        |  FROM base
+        |), lens AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tokd
+        |), grams AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[u.i:u.i+7], ' ')) AS gh
+        |  FROM lens, UNNEST(generate_series(1, n - 7)) AS u(i)
+        |  WHERE n >= 8
+        |), ranked AS (
+        |  SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+        |  FROM grams
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS p
+        |  FROM ranked, UNNEST(generate_series(pos, pos + 7)) AS u(p)
+        |  WHERE rn > 1
+        |), toks AS (
+        |  SELECT doc_id, toks[u.i] AS tok, CAST(u.i AS BIGINT) AS p
+        |  FROM lens, UNNEST(generate_series(1, n)) AS u(i)
+        |), kept AS (
+        |  SELECT t.doc_id, t.tok, t.p
+        |  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+        |  WHERE c.doc_id IS NULL
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_dedup
+        |  FROM kept GROUP BY doc_id
+        |), rem AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM covered GROUP BY doc_id
+        |)
+        |SELECT l.doc_id, COALESCE(a.text_dedup, '') AS text_dedup,
+        |  l.n AS n_tokens, COALESCE(r.n_removed, 0) AS n_removed
+        |FROM lens l
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN rem r USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
 
     // connected components over the d02 pairs via transitive closure;
     // the recursive CTE's UNION dedups, so it reaches the fixpoint

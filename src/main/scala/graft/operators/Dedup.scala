@@ -1347,6 +1347,97 @@ object Dedup {
           .cast("double") / col("n_shingles"), 6).as("novelty"))
   }
 
+  /** Exact-substring span-REMOVAL dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operation, arXiv:2107.06499): where d09/d14 FIND duplicate
+    * candidates, this produces the DEDUPLICATED CORPUS — every
+    * duplicated token run of at least `minTokens` whitespace tokens
+    * keeps its first occurrence (global (doc_id, pos) order, the
+    * d14 keep-first discipline at span granularity) and is REMOVED
+    * everywhere else, including later repeats inside the same doc.
+    * Output: one row per input doc with the surviving text (kept
+    * tokens re-joined single-spaced — whitespace canonicalization is
+    * part of the contract), the original token count, and the number
+    * of removed token positions.
+    *
+    * Mechanism: every `minTokens`-token window hashes to a portable
+    * md5 gram key; the first occurrence of each distinct key is the
+    * min (doc_id, pos) — a MERGEABLE min-struct aggregate, so the
+    * hottest boilerplate gram (shared by millions of docs at 100 TB)
+    * folds map-side and never builds a giant group; all other
+    * occurrences mark their `minTokens` positions covered, covered
+    * positions union per doc, and uncovered tokens re-join in
+    * position order. A run of L ≥ minTokens shared tokens is covered
+    * completely by its L − minTokens + 1 duplicated windows, so
+    * whole duplicated paragraphs vanish, not just one window.
+    *
+    * Scale shape: gram hashing is in-scan (slice + md5 inside one
+    * codegen'd transform — grams never materialize as strings past
+    * the md5); keep-first is ONE mergeable agg; the occurrence⋈first
+    * equi-join on the gram hash is AQE-skew-handled; covered-position
+    * expansion is bounded by minTokens × duplicated windows; the
+    * final assembly is doc-keyed joins. Never doc × doc anywhere.
+    *
+    * Reference analog: none (the extractor's fuzzy_dedup
+    * (datapackage.py:524-533) drops whole duplicate ROWS); this is
+    * beyond-reference training-data-pipeline surface.
+    */
+  def substringDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val T = minTokens
+    val base = docs.select(Cols.q(idCol).as("doc_id"), Cols.q(textCol).as("text"))
+      .filter(col("text").isNotNull)
+    val tokd = base
+      .withColumn("toks",
+        when(trim(col("text")) === "", array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+")))
+      .withColumn("n", size(col("toks")).cast("long"))
+    // (doc, pos, gramhash) for every T-token window; 1-based pos
+    val grams = tokd.filter(col("n") >= T)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${T - 1}), i -> " +
+          s"struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(toks, i, $T))) AS gh))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val firsts = grams.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val covered = grams.join(firsts, Seq("gh"))
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("pos") =!= col("first.pos"))
+      .select(col("doc_id"), explode(sequence(col("pos"),
+        col("pos") + lit(T - 1).cast("long"))).as("p"))
+      .distinct()
+    val toksEx = tokd
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val kept = toksEx.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"))
+        .as("text_dedup"))
+    val removed = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"))
+    tokd.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** d18: gate binding of [[substringDedup]] at the 8-token threshold
+    * (the sf0.01 corpus carries ~1.1k genuinely duplicated 8-token
+    * windows, so the gate exercises real span removal, not a no-op).
+    * Fully SQL-oracled: tokenization, the md5 gram key, keep-first
+    * by (doc_id, pos), covered-position expansion, and the ordered
+    * re-join restate exactly in DuckDB — surviving TEXT is pinned
+    * byte-for-byte cross-engine.
+    */
+  def d18SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedup(Tables.documents(s, dir)).orderBy("doc_id")
+
   /** d17: gate binding of [[ngramNovelty]] — the q19 deterministic
     * val/test docs scored against the train split (the
     * "is the held-out set actually held out, and is new data actually

@@ -692,6 +692,67 @@ class DedupSpec extends SparkSpec {
     assert(refDefault === "http://ex.com/p?refresh=1")
   }
 
+  test("substringDedup removes every duplicated run but its first occurrence, at span granularity") {
+    import spark.implicits._
+    // a 10-token run planted in three places: doc 1 (the original),
+    // doc 2 (embedded mid-text), and AGAIN later in doc 1 itself
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta $run"),
+      (2L, s"unique opening words here $run and a unique tail"),
+      (3L, "totally unrelated text with no shared runs at all"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, minTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: first occurrence survives; the self-repeat is removed
+    assert(out(1L) === ((s"alpha beta $run gamma delta", 24L, 10L)))
+    // doc 2: the copied run vanishes, its own words survive
+    assert(out(2L) === (("unique opening words here and a unique tail", 18L, 10L)))
+    // doc 3/4: untouched (doc 4 is below the window size entirely)
+    assert(out(3L) === (("totally unrelated text with no shared runs at all", 9L, 0L)))
+    assert(out(4L) === (("short doc", 2L, 0L)))
+  }
+
+  test("substringDedup: runs longer than the window vanish completely; overlap unions; whitespace canonicalizes") {
+    import spark.implicits._
+    // 12-token shared run with an 8-token window: all 5 duplicated
+    // windows overlap and their union covers the entire run
+    val long = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"first $long"),
+      (2L, s"second\t$long\n trailing  words"), // messy whitespace
+      (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, minTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((s"first $long", 13L, 0L)))
+    assert(out(2L) === (("second trailing words", 15L, 12L)))
+    // empty doc survives as the empty row, never dropped
+    assert(out(3L) === (("", 0L, 0L)))
+    // partition independence: keep-first is a global (doc_id, pos) min
+    val re = Dedup.substringDedup(docs.repartition(7), minTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(re === out)
+  }
+
+  test("d18 gate removes real spans from the corpus and never doc x doc") {
+    val out = Dedup.d18SubstringDedup(spark, sf)
+    val stats = out.agg(
+      sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
+      sum(col("n_removed")), count(lit(1))).head
+    assert(stats.getLong(2) > 0)
+    assert(stats.getLong(0) > 0, "gate corpus must exercise real span removal")
+    // token conservation: kept + removed = original, per doc
+    val bad = out.filter(
+      size(split(col("text_dedup"), " ")) =!= col("n_tokens") - col("n_removed") &&
+        !(col("text_dedup") === "" && col("n_tokens") === col("n_removed")))
+      .count()
+    assert(bad === 0L, "kept tokens + removed positions must equal the original count")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+  }
+
   test("urlDedup collapses crawl variants of one page and keeps the first id") {
     import spark.implicits._
     val urls = Seq(
