@@ -189,6 +189,7 @@ object SparkEntry {
     "t20_readability" -> (Text.t20Readability _),
     "t21_code_detect" -> (Text.t21CodeDetect _),
     "t22_collocations" -> (Text.t22Collocations _),
+    "t23_bm25" -> (Text.t23Bm25 _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -2715,6 +2716,56 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, ctf, tfidf FROM ranked WHERE rk <= 5
         |ORDER BY doc_id, term""".stripMargin,
+
+    // BM25: exact integer tf/df/dl/N, one spelled idf·tf expression
+    // rounded at 6 dp, decimal fold of rounded terms, (score desc,
+    // doc_id) ranking — the t16 determinism discipline for retrieval
+    "t23_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl
+        |), q AS (
+        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(query_text, ' '), x -> x != '')) AS term
+        |  FROM (VALUES (CAST(1 AS BIGINT), 'hash join'),
+        |               (CAST(2 AS BIGINT), 'fast scan filter'),
+        |               (CAST(3 AS BIGINT), 'customer order data'))
+        |    AS queries(query_id, query_text)
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |        * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf.tf AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)),
+        |      6) AS DECIMAL(28,6)) AS c
+        |  FROM tf
+        |  JOIN q USING (term)
+        |  JOIN dl USING (doc_id)
+        |  JOIN df USING (term)
+        |  CROSS JOIN stats
+        |), scored AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(c) AS DECIMAL(28,6)) AS DOUBLE) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_matched
+        |  FROM contrib GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, doc_id, score, n_matched
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // same rounded-quality histogram + pure-integer DIV bucket rule
     // (equal-quality docs share a bucket; no float boundary math)

@@ -1248,6 +1248,97 @@ object Text {
   def t16TfidfKeywords(s: SparkSession, dir: String): DataFrame =
     tfIdfKeywords(Tables.documents(s, dir))
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones / Okapi BM25, the
+    * Lucene-default scorer) — the standard query-based ranking a
+    * corpus pipeline runs for decontamination probes ("which training
+    * docs answer this eval question?"), eval-set mining, and targeted
+    * curation; t16 scores a doc's OWN terms, this scores docs AGAINST
+    * QUERIES. For query q and document d:
+    * `score = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with the Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))` (always
+    * positive — no negative-idf cliff for >half-corpus terms).
+    * Repeated query terms count once (set semantics, the standard
+    * retrieval contract). Top-k docs per query by (score desc, doc_id).
+    *
+    * Determinism policy (the t16 discipline): tf/df/dl/N are exact
+    * longs; avgdl is ONE double divide of two exact longs; each
+    * per-term contribution is ONE spelled IEEE expression rounded to
+    * 6 dp; the per-doc score then folds the ROUNDED terms through
+    * exact DECIMAL(28,6) (order-independent — the q54/q59 rule), so
+    * rank order agrees cross-engine and the gate is fully
+    * hash-oracled despite ln and division in the hot expression.
+    *
+    * Scale shape: tf is the SAME one-tokenize mergeable (doc, term)
+    * agg t16 proved (df/dl derive from it); queries are a small frame
+    * — their term list BROADCASTS into a term equi-join against tf
+    * (never corpus × queries); the (query, doc) score is one
+    * mergeable decimal agg; the per-query top-k plans as a rank
+    * window with group-limit pushdown. N and avgdl are one broadcast
+    * scalar row.
+    */
+  def bm25Rank(docs: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1 && topK >= 1,
+      s"bm25Rank needs k1 > 0, b in [0,1], topK >= 1: k1=$k1 b=$b topK=$topK")
+    val base = normalized(docs, idCol, textCol)
+    val tf = base
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__toks"))
+      .select(col("__n"),
+        (col("__toks").cast("double") / col("__n").cast("double")).as("__avgdl"))
+    // distinct query terms: repeated terms in one query score once
+    val qterms = queries
+      .select(Cols.q(queryIdCol).as("query_id"),
+        explode(expr(s"filter(split(`$queryTextCol`, ' '), x -> x != '')")).as("term"))
+      .distinct()
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", round(
+        log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl"))),
+        6).cast("decimal(28,6)"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).cast("decimal(28,6)").cast("double").as("score"),
+        count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("n_matched"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The t23 gate's fixed probe queries — three retrieval intents over
+    * the synthetic engine-vocabulary corpus, shared verbatim with the
+    * oracle's VALUES list.
+    */
+  private[graft] val Bm25GateQueries = Seq(
+    (1L, "hash join"),
+    (2L, "fast scan filter"),
+    (3L, "customer order data"))
+
+  /** t23: gate binding of [[bm25Rank]] — the three fixed queries, top
+    * 10 docs each. Fully SQL-oracled: exact integer tf/df/dl/N, the
+    * spelled idf/tf expression rounded at 6 dp, the decimal fold, and
+    * (score desc, doc_id) ranking restate exactly in DuckDB.
+    */
+  def t23Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Rank(Tables.documents(s, dir),
+      Bm25GateQueries.toDF("query_id", "query_text"))
+  }
+
   /** Hashing-trick featurization (Weinberger et al.) — the fixed-width
     * vectorizer that turns text into model input WITHOUT a vocabulary
     * pass (the step feeding t13's classifier at corpus scale, where a

@@ -446,6 +446,72 @@ class TextSpec extends SparkSpec {
     assert(top1.toSeq === Seq("x"))
   }
 
+  test("bm25Rank matches the hand model; repeated query terms score once; ties break on doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple date date cherry cherry")).toDF("id", "body")
+    val queries = Seq(
+      (1L, "apple"),
+      (2L, "banana banana cherry"), // repeated term must count once
+      (3L, "missing")).toDF("qid", "qtext")
+    val out = Text.bm25Rank(docs, queries, "id", "body", "qid", "qtext")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // driver-reference model: N=3, avgdl=10/3; df apple=2 banana=2
+    // cherry=2 date=1; k1=1.2 b=0.75; Lucene idf; per-term round(.,6)
+    // then exact decimal fold of rounded terms
+    val dl = Map(1L -> 3L, 2L -> 2L, 3L -> 5L)
+    val df = Map("apple" -> 2L, "banana" -> 2L, "cherry" -> 2L, "date" -> 1L)
+    val tf = Map(
+      (1L, "apple") -> 2L, (1L, "banana") -> 1L,
+      (2L, "banana") -> 1L, (2L, "cherry") -> 1L,
+      (3L, "apple") -> 1L, (3L, "date") -> 2L, (3L, "cherry") -> 2L)
+    val avgdl = 10.0 / 3.0
+    def contrib(d: Long, t: String): Option[BigDecimal] =
+      tf.get((d, t)).map { f =>
+        val idf = math.log(1.0 + (3L - df(t) + 0.5) / (df(t) + 0.5))
+        val raw = idf * (f.toDouble * 2.2) /
+          (f.toDouble + 1.2 * (0.25 + 0.75 * dl(d) / avgdl))
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    def score(d: Long, terms: Seq[String]): Option[Double] = {
+      val cs = terms.distinct.flatMap(t => contrib(d, t))
+      if (cs.isEmpty) None else Some(cs.sum.toDouble)
+    }
+    val expected = Seq(
+      1L -> Seq("apple"), 2L -> Seq("banana", "cherry")).flatMap { case (q, ts) =>
+      Seq(1L, 2L, 3L).flatMap(d => score(d, ts).map(s => (q, d, s)))
+        .sortBy { case (_, d, s) => (-s, d) }
+        .zipWithIndex.map { case ((qq, d, s), i) => (qq, i + 1, d, s) }
+    }
+    assert(out.map(x => (x._1, x._2, x._3, x._4)).toSeq === expected)
+    // query 3 matches nothing: absent from the output, not zero-scored
+    assert(!out.exists(_._1 == 3L))
+    // n_matched counts distinct matched terms
+    assert(out.filter(x => x._1 == 2L && x._3 == 2L).head._5 === 2L)
+    // set semantics: "banana banana cherry" == "banana cherry"
+    val dedupQ = Text.bm25Rank(docs, Seq((9L, "banana cherry")).toDF("qid", "qtext"),
+      "id", "body", "qid", "qtext").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(dedupQ.toSeq === out.filter(_._1 == 2L).map(x => (x._2, x._3, x._4)).toSeq)
+    // partition independence (decimal fold of rounded terms)
+    val re = Text.bm25Rank(docs.repartition(7), queries, "id", "body", "qid", "qtext")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(re.toSeq === out.toSeq)
+  }
+
+  test("t23 plan: queries broadcast into the term join; never corpus x queries") {
+    val out = Text.t23Bm25(spark, sf)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"query joins must broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("hashedFeatures is partition-independent, conserves token mass, signs stay bounded") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
