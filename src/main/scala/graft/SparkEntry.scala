@@ -190,6 +190,7 @@ object SparkEntry {
     "t21_code_detect" -> (Text.t21CodeDetect _),
     "t22_collocations" -> (Text.t22Collocations _),
     "t23_bm25" -> (Text.t23Bm25 _),
+    "t24_ranking_eval" -> (Text.t24RankingEval _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -228,6 +229,53 @@ object SparkEntry {
       |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)""".stripMargin
+
+  private val T23OracleSql: String =
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl
+        |), q AS (
+        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(query_text, ' '), x -> x != '')) AS term
+        |  FROM (VALUES (CAST(1 AS BIGINT), 'hash join'),
+        |               (CAST(2 AS BIGINT), 'fast scan filter'),
+        |               (CAST(3 AS BIGINT), 'customer order data'))
+        |    AS queries(query_id, query_text)
+        |), contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |        * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf.tf AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)),
+        |      6) AS DECIMAL(28,6)) AS c
+        |  FROM tf
+        |  JOIN q USING (term)
+        |  JOIN dl USING (doc_id)
+        |  JOIN df USING (term)
+        |  CROSS JOIN stats
+        |), scored AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(c) AS DECIMAL(28,6)) AS DOUBLE) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_matched
+        |  FROM contrib GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, doc_id, score, n_matched
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
 
   private val D02OracleSql: String = ShingleCte + "\n" +
     """SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
@@ -2720,52 +2768,65 @@ object SparkEntry {
     // BM25: exact integer tf/df/dl/N, one spelled idf·tf expression
     // rounded at 6 dp, decimal fold of rounded terms, (score desc,
     // doc_id) ranking — the t16 determinism discipline for retrieval
-    "t23_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
-        |), df AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        |), stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-        |  FROM dl
-        |), q AS (
-        |  SELECT DISTINCT query_id, unnest(list_filter(string_split(query_text, ' '), x -> x != '')) AS term
-        |  FROM (VALUES (CAST(1 AS BIGINT), 'hash join'),
-        |               (CAST(2 AS BIGINT), 'fast scan filter'),
-        |               (CAST(3 AS BIGINT), 'customer order data'))
-        |    AS queries(query_id, query_text)
-        |), contrib AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    CAST(round(
-        |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-        |        * (CAST(tf.tf AS DOUBLE) * 2.2)
-        |        / (CAST(tf.tf AS DOUBLE)
-        |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)),
-        |      6) AS DECIMAL(28,6)) AS c
-        |  FROM tf
-        |  JOIN q USING (term)
-        |  JOIN dl USING (doc_id)
-        |  JOIN df USING (term)
-        |  CROSS JOIN stats
-        |), scored AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(CAST(sum(c) AS DECIMAL(28,6)) AS DOUBLE) AS score,
-        |    CAST(count(*) AS BIGINT) AS n_matched
-        |  FROM contrib GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT *, CAST(row_number() OVER (
-        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, rank, doc_id, score, n_matched
-        |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "t23_bm25" -> T23OracleSql,
+
+    // retrieval-quality metrics over the t23 run (embedded verbatim):
+    // pseudo-qrels grade docs by distinct matched query terms; DCG
+    // terms spell log2 as ln(i+1)/ln(2) in BOTH engines and fold as
+    // DECIMAL(28,6) of 6-dp-rounded terms; each metric is one IEEE
+    // divide of exact operands
+    "t24_ranking_eval" ->
+      s"""WITH run AS (SELECT * FROM ($T23OracleSql)
+         |), tok2 AS (
+         |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+         |  FROM documents
+         |), q2 AS (
+         |  SELECT DISTINCT query_id, unnest(list_filter(string_split(query_text, ' '), x -> x != '')) AS term
+         |  FROM (VALUES (CAST(1 AS BIGINT), 'hash join'),
+         |               (CAST(2 AS BIGINT), 'fast scan filter'),
+         |               (CAST(3 AS BIGINT), 'customer order data'))
+         |    AS queries(query_id, query_text)
+         |), qrels AS (
+         |  SELECT q2.query_id, tok2.doc_id, CAST(count(*) AS BIGINT) AS rel
+         |  FROM tok2 JOIN q2 USING (term) GROUP BY 1, 2
+         |), joined AS (
+         |  SELECT r.query_id, r.rank, COALESCE(g.rel, 0) AS rel
+         |  FROM run r LEFT JOIN qrels g
+         |    ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+         |), runagg AS (
+         |  SELECT query_id,
+         |    CAST(SUM(CAST(round((pow(2.0, rel) - 1.0)
+         |      / (ln(rank + 1.0) / ln(2.0)), 6) AS DECIMAL(28,6)))
+         |      AS DECIMAL(28,6)) AS dcg,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nret,
+         |    MIN(CASE WHEN rel > 0 THEN rank END) AS minrank
+         |  FROM joined GROUP BY 1
+         |), ideal AS (
+         |  SELECT query_id, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+         |  FROM qrels
+         |), idealagg AS (
+         |  SELECT query_id,
+         |    CAST(SUM(CASE WHEN rn <= 10 THEN
+         |      CAST(round((pow(2.0, rel) - 1.0)
+         |        / (ln(rn + 1.0) / ln(2.0)), 6) AS DECIMAL(28,6)) END)
+         |      AS DECIMAL(28,6)) AS idcg,
+         |    CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM ideal GROUP BY 1
+         |)
+         |SELECT query_id,
+         |  CASE WHEN i.idcg IS NULL THEN NULL
+         |    ELSE round(CAST(COALESCE(r.dcg, 0) AS DOUBLE)
+         |      / CAST(i.idcg AS DOUBLE), 6) END AS ndcg,
+         |  COALESCE(round(1.0 / r.minrank, 6), 0.0) AS mrr,
+         |  round(CAST(COALESCE(r.nret, 0) AS DOUBLE) / 10.0, 6) AS precision_k,
+         |  CASE WHEN i.n_rel IS NULL THEN NULL
+         |    ELSE round(CAST(COALESCE(r.nret, 0) AS DOUBLE)
+         |      / CAST(i.n_rel AS DOUBLE), 6) END AS recall_k,
+         |  COALESCE(i.n_rel, 0) AS n_rel
+         |FROM runagg r FULL JOIN idealagg i USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
 
     // same rounded-quality histogram + pure-integer DIV bucket rule
     // (equal-quality docs share a bucket; no float boundary math)

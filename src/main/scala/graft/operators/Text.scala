@@ -1339,6 +1339,104 @@ object Text {
       Bm25GateQueries.toDF("query_id", "query_text"))
   }
 
+  /** Ranked-retrieval quality metrics (nDCG@k / MRR / precision@k /
+    * recall@k) — the evaluation half of the t23 retrieval story, and
+    * the retrieval twin of the q67/q68 model-eval family: given a RUN
+    * (query, doc, rank — any ranker's output) and QRELS (query, doc,
+    * graded relevance), one row per query with the standard TREC
+    * metrics. A pipeline uses this to regression-test its
+    * decontamination ranker and to compare retrieval variants on a
+    * labeled eval slice.
+    *
+    * Definitions: `DCG@k = Σ_{i≤k} (2^rel_i − 1)/log2(i+1)` over run
+    * order, `IDCG@k` the same sum over the top-k qrels by rel (ideal
+    * order — ties within a grade don't change the sum), `nDCG =
+    * DCG/IDCG`; `MRR = 1/first-relevant-rank` (0 when nothing
+    * relevant retrieved); `precision@k = n_rel_ret/k`; `recall@k =
+    * n_rel_ret/n_rel`. A query with NO qrels serves null nDCG/recall
+    * by contract (undefined, not zero); a qrels query the run never
+    * retrieved scores zeros (full-outer semantics).
+    *
+    * Determinism: rel and ranks are exact longs, 2^rel − 1 is exact in
+    * double, log2 spells as `ln(i+1)/ln(2)` (ONE composition both
+    * engines share — never a native log2 whose rounding could differ),
+    * each gain term rounds at 6 dp and folds through exact
+    * DECIMAL(28,6) (the t23/q54 rule), and every final metric is one
+    * IEEE divide of exact operands rounded at 6 dp.
+    *
+    * Scale shape: run is already ≤ k rows per query; qrels join is a
+    * (query, doc) equi-join; the ideal ordering is a per-query window
+    * over qrels with group-limit pushdown; everything downstream is
+    * per-query aggregation — the corpus itself is never touched.
+    */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int = 10,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"rankingMetrics needs k >= 1, got $k")
+    def gainTerm(rel: Column, rank: Column): Column =
+      round((pow(lit(2.0), rel.cast("double")) - lit(1.0))
+        / (log(rank.cast("double") + lit(1.0)) / log(lit(2.0))), 6)
+        .cast("decimal(28,6)")
+    val r = run.select(Cols.q(queryCol).as("query_id"),
+        Cols.q(docCol).as("doc_id"), Cols.q(rankCol).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val g = qrels.select(Cols.q(queryCol).as("query_id"),
+        Cols.q(docCol).as("doc_id"), Cols.q(relCol).cast("long").as("rel"))
+      .filter(col("rel") > 0)
+    val runAgg = r.join(g, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy("query_id")
+      .agg(sum(gainTerm(col("rel"), col("rank"))).cast("decimal(28,6)").as("__dcg"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__nret"),
+        min(when(col("rel") > 0, col("rank"))).as("__minrank"))
+    val w = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id").asc)
+    val idealAgg = g.withColumn("__rn", row_number().over(w))
+      .groupBy("query_id")
+      .agg(sum(when(col("__rn") <= k, gainTerm(col("rel"), col("__rn"))))
+          .cast("decimal(28,6)").as("__idcg"),
+        count(lit(1)).as("n_rel"))
+    runAgg.join(idealAgg, Seq("query_id"), "full")
+      .select(col("query_id"),
+        when(col("__idcg").isNull, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("__dcg"), lit(0).cast("decimal(28,6)"))
+            .cast("double") / col("__idcg").cast("double"), 6)).as("ndcg"),
+        coalesce(round(lit(1.0) / col("__minrank").cast("double"), 6), lit(0.0))
+          .as("mrr"),
+        round(coalesce(col("__nret"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("precision_k"),
+        when(col("n_rel").isNull, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("__nret"), lit(0L)).cast("double")
+            / col("n_rel").cast("double"), 6)).as("recall_k"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+  }
+
+  /** t24: gate binding of [[rankingMetrics]] over the t23 BM25 run —
+    * qrels grade each doc by how many DISTINCT query terms it
+    * contains (rel 1–3, the standard pseudo-relevance construction
+    * when no human labels exist), so the gate pins the full
+    * run-vs-ideal arithmetic on real rankings. Fully SQL-oracled: the
+    * t23 CTE verbatim as the run, the same qrels construction, the
+    * shared `ln(i+1)/ln(2)` spelling, and the decimal folds restate
+    * exactly in DuckDB.
+    */
+  def t24RankingEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = Bm25GateQueries.toDF("query_id", "query_text")
+    val run = bm25Rank(docs, queries)
+    val qterms = queries
+      .select(col("query_id"),
+        explode(expr("filter(split(query_text, ' '), x -> x != '')")).as("term"))
+      .distinct()
+    val docTerms = normalized(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+      .distinct()
+    val qrels = docTerms.join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+    rankingMetrics(run, qrels).orderBy("query_id")
+  }
+
   /** Hashing-trick featurization (Weinberger et al.) — the fixed-width
     * vectorizer that turns text into model input WITHOUT a vocabulary
     * pass (the step feeding t13's classifier at corpus scale, where a

@@ -502,6 +502,46 @@ class TextSpec extends SparkSpec {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("rankingMetrics matches the hand TREC model across full-outer, graded, and degenerate cases") {
+    import spark.implicits._
+    // run: q1 ranks docs 1,2,3; q2 ranks 4,5; q3 ranks 6 (no qrels);
+    // q4 exists only in qrels (never retrieved)
+    val run = Seq(
+      (1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+      (2L, 4L, 1), (2L, 5L, 2),
+      (3L, 6L, 1)).toDF("query_id", "doc_id", "rank")
+    // qrels: q1 — doc2 rel 2, doc3 rel 1, doc9 rel 3 (missed);
+    // q2 — doc5 rel 1; q4 — doc7 rel 1
+    val qrels = Seq(
+      (1L, 2L, 2L), (1L, 3L, 1L), (1L, 9L, 3L),
+      (2L, 5L, 1L), (4L, 7L, 1L)).toDF("query_id", "doc_id", "rel")
+    val out = Text.rankingMetrics(run, qrels, k = 3).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5)))).toMap
+    def term(rel: Long, pos: Long): BigDecimal =
+      BigDecimal(((math.pow(2.0, rel.toDouble) - 1.0)
+        / (math.log(pos + 1.0) / math.log(2.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: DCG = 0 (rank1, rel0) + term(2,2) + term(1,3);
+    // ideal order rel desc = (3,1),(2,2),(1,3)
+    val dcg1 = term(2L, 2L) + term(1L, 3L)
+    val idcg1 = term(3L, 1L) + term(2L, 2L) + term(1L, 3L)
+    assert(out(1L) === ((Some(r6(dcg1.toDouble / idcg1.toDouble)),
+      0.5, r6(2.0 / 3.0), Some(r6(2.0 / 3.0)), 3L)))
+    // q2: relevant doc5 at rank 2 -> DCG = term(1,2), IDCG = term(1,1)
+    assert(out(2L) === ((Some(r6(term(1L, 2L).toDouble / term(1L, 1L).toDouble)),
+      0.5, r6(1.0 / 3.0), Some(1.0), 1L)))
+    // q3: no qrels -> ndcg/recall NULL (undefined), zeros elsewhere
+    assert(out(3L) === ((None, 0.0, 0.0, None, 0L)))
+    // q4: qrels but never retrieved -> all-zero metrics, n_rel kept
+    assert(out(4L) === ((Some(0.0), 0.0, 0.0, Some(0.0), 1L)))
+  }
+
   test("t23 plan: queries broadcast into the term join; never corpus x queries") {
     val out = Text.t23Bm25(spark, sf)
     out.collect()
