@@ -191,6 +191,7 @@ object SparkEntry {
     "t22_collocations" -> (Text.t22Collocations _),
     "t23_bm25" -> (Text.t23Bm25 _),
     "t24_ranking_eval" -> (Text.t24RankingEval _),
+    "t25_rrf_fusion" -> (Text.t25RrfFusion _),
     "m01_multimodal_stub" -> (Multimodal.m01MultimodalStub _),
     "m02_frame_sample" -> (Multimodal.m02FrameSample _),
     "m03_audio_windows" -> (Multimodal.m03AudioWindows _),
@@ -230,8 +231,13 @@ object SparkEntry {
       |  GROUP BY 1, 2
       |)""".stripMargin
 
-  private val T23OracleSql: String =
-      """WITH tok AS (
+  /** BM25 oracle parameterized on (k1, b): the numeric literals are
+    * interpolated from the SAME Scala doubles [[graft.operators.Text.bm25Rank]]
+    * folds into its plan, so both engines evaluate bit-identical
+    * constants by construction (k1+1, 1−b, b), not by transcription.
+    */
+  private def bm25OracleSql(k1: Double, b: Double): String =
+      s"""WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
         |  FROM documents
         |), tf AS (
@@ -254,9 +260,9 @@ object SparkEntry {
         |  SELECT q.query_id, tf.doc_id,
         |    CAST(round(
         |      ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-        |        * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |        * (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0})
         |        / (CAST(tf.tf AS DOUBLE)
-        |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)),
+        |           + $k1 * (${1.0 - b} + $b * CAST(dl.dl AS DOUBLE) / stats.avgdl)),
         |      6) AS DECIMAL(28,6)) AS c
         |  FROM tf
         |  JOIN q USING (term)
@@ -276,6 +282,8 @@ object SparkEntry {
         |SELECT query_id, rank, doc_id, score, n_matched
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
+
+  private val T23OracleSql: String = bm25OracleSql(1.2, 0.75)
 
   private val D02OracleSql: String = ShingleCte + "\n" +
     """SELECT d1, d2, round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
@@ -2769,6 +2777,31 @@ object SparkEntry {
     // rounded at 6 dp, decimal fold of rounded terms, (score desc,
     // doc_id) ranking — the t16 determinism discipline for retrieval
     "t23_bm25" -> T23OracleSql,
+
+    // reciprocal-rank fusion of two BM25 parameterizations — both runs
+    // restate from the same parameterized oracle generator; reciprocal
+    // terms round at 6 dp and fold through DECIMAL(28,6)
+    "t25_rrf_fusion" ->
+      s"""WITH runa AS (SELECT * FROM (${bm25OracleSql(1.2, 0.75)})
+         |), runb AS (SELECT * FROM (${bm25OracleSql(2.0, 0.0)})
+         |), u AS (
+         |  SELECT query_id, doc_id, rank FROM runa
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rank FROM runb
+         |), scored AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(CAST(SUM(CAST(round(1.0 / (60.0 + rank), 6)
+         |      AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS rrf_score,
+         |    CAST(count(*) AS BIGINT) AS n_runs
+         |  FROM u GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, doc_id, rrf_score, n_runs
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // retrieval-quality metrics over the t23 run (embedded verbatim):
     // pseudo-qrels grade docs by distinct matched query terms; DCG

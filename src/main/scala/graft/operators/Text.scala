@@ -1339,6 +1339,63 @@ object Text {
       Bm25GateQueries.toDF("query_id", "query_text"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * ensemble step over multiple rankers: each run contributes
+    * `1/(k0 + rank)` per (query, doc) and the fused ranking orders by
+    * the summed score. RRF is rank-only (score-scale-free), so it
+    * fuses heterogeneous rankers — BM25 variants, embedding ANN runs,
+    * recency rankers — without calibration; the hybrid-retrieval
+    * default in every modern search stack.
+    *
+    * Determinism: ranks are exact longs, each reciprocal is ONE IEEE
+    * divide rounded at 6 dp, and the fused score folds the rounded
+    * terms through exact DECIMAL(28,6) (order-independent across runs
+    * and partitions); ties break on doc_id.
+    *
+    * Scale shape: runs are already ≤ per-query-k rows; one map-only
+    * union, ONE mergeable (query, doc) agg, a per-query rank window
+    * with group-limit pushdown. Nothing here touches a corpus.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k0: Int = 60, topK: Int = 10,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(k0 >= 0 && topK >= 1, s"rrfFuse needs k0 >= 0, topK >= 1: k0=$k0 topK=$topK")
+    val all = runs.map(_.select(Cols.q(queryCol).as("query_id"),
+        Cols.q(docCol).as("doc_id"), Cols.q(rankCol).cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    val scored = all.groupBy("query_id", "doc_id")
+      .agg(sum(round(lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double")), 6)
+          .cast("decimal(28,6)"))
+        .cast("decimal(28,6)").cast("double").as("rrf_score"),
+        count(lit(1)).as("n_runs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("n_runs"))
+  }
+
+  /** t25: gate binding of [[rrfFuse]] — a parameter-ensemble fusion of
+    * two t23 BM25 runs (the length-normalized default k1=1.2/b=0.75
+    * and a pure-tf-saturation variant k1=2.0/b=0.0), the standard
+    * robustness trick when one parameterization over- or under-rewards
+    * long documents. Fully SQL-oracled: both runs restate from the
+    * SAME parameterized oracle generator (constants interpolated from
+    * the identical Scala doubles), the reciprocal terms round at 6 dp,
+    * and the decimal fold + (score desc, doc_id) ranking are exact.
+    */
+  def t25RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = Bm25GateQueries.toDF("query_id", "query_text")
+    rrfFuse(Seq(
+      bm25Rank(docs, queries),
+      bm25Rank(docs, queries, k1 = 2.0, b = 0.0)))
+      .orderBy("query_id", "rank")
+  }
+
   /** Ranked-retrieval quality metrics (nDCG@k / MRR / precision@k /
     * recall@k) — the evaluation half of the t23 retrieval story, and
     * the retrieval twin of the q67/q68 model-eval family: given a RUN

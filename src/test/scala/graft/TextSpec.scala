@@ -542,6 +542,34 @@ class TextSpec extends SparkSpec {
     assert(out(4L) === ((Some(0.0), 0.0, 0.0, Some(0.0), 1L)))
   }
 
+  test("rrfFuse matches the hand model: rank-only fusion, consensus beats a single high rank") {
+    import spark.implicits._
+    // run A ranks docs 1,2,3; run B ranks 2,1,4 — doc in both runs
+    // accumulates two reciprocal terms; doc 3/4 appear once each
+    val runA = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("query_id", "doc_id", "rank")
+    val runB = Seq((1L, 2L, 1), (1L, 1L, 2), (1L, 4L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = Text.rrfFuse(Seq(runA, runB), k0 = 60, topK = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    def t(r: Int): BigDecimal =
+      BigDecimal(1.0 / (60.0 + r)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // docs 1 and 2 tie exactly (symmetric ranks 1+2) -> doc_id breaks it
+    val both = (t(1) + t(2)).toDouble
+    assert(out.toSeq === Seq(
+      (1, 1L, both, 2L), (2, 2L, both, 2L),
+      (3, 3L, t(3).toDouble, 1L), (4, 4L, t(3).toDouble, 1L)))
+    // consensus beats a single top rank: doc in both runs at mid ranks
+    // outranks a doc that one run put first
+    val c = Text.rrfFuse(Seq(
+      Seq((1L, 7L, 1), (1L, 8L, 2)).toDF("query_id", "doc_id", "rank"),
+      Seq((1L, 8L, 3)).toDF("query_id", "doc_id", "rank"))).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(c(1) === 8L, "two mid ranks must outscore one first place")
+    // partition independence (decimal fold)
+    val re = Text.rrfFuse(Seq(runA.repartition(5), runB.repartition(3))).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("t23 plan: queries broadcast into the term join; never corpus x queries") {
     val out = Text.t23Bm25(spark, sf)
     out.collect()
