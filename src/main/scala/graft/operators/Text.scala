@@ -1279,14 +1279,42 @@ object Text {
   def bm25Rank(docs: DataFrame, queries: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
-    require(k1 > 0 && b >= 0 && b <= 1 && topK >= 1,
-      s"bm25Rank needs k1 > 0, b in [0,1], topK >= 1: k1=$k1 b=$b topK=$topK")
-    val base = normalized(docs, idCol, textCol)
-    val tf = base
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame =
+    bm25FromTf(bm25TfStates(docs, idCol, textCol), queries,
+      queryIdCol, queryTextCol, k1, b, topK)
+
+  /** The (doc, term, tf) index STATE behind [[bm25Rank]] — one
+    * mergeable count agg, and the incremental-retrieval unit: each
+    * ingest batch builds its own tf states map-only, appends, and
+    * [[bm25TfCompact]] re-sums same-key rows (exact BIGINT adds, the
+    * q65 histogram discipline applied to a postings list), so the
+    * served ranking is BIT-equal to a from-scratch batch build at any
+    * compaction depth — StreamingSpec deploys the loop per micro-batch.
+    */
+  def bm25TfStates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Merge appended tf states back to one row per (doc, term) —
+    * counts ADD exactly (a re-ingested doc's tokens accumulate; feed
+    * whole documents exactly once for standard semantics).
+    */
+  def bm25TfCompact(states: DataFrame): DataFrame =
+    states.groupBy("doc_id", "term").agg(sum(col("tf")).as("tf"))
+
+  /** Serve the BM25 ranking from a (doc, term, tf) state table —
+    * dl/df/N all DERIVE from tf, so maintained state is the only
+    * input: the q32/q65/q70 state-in-answer-out contract for the
+    * retrieval index.
+    */
+  def bm25FromTf(tf: DataFrame, queries: DataFrame,
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1 && topK >= 1,
+      s"bm25 needs k1 > 0, b in [0,1], topK >= 1: k1=$k1 b=$b topK=$topK")
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__toks"))

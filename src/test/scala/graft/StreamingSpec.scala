@@ -846,6 +846,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25: maintained tf state serves EXACTLY the batch ranking after every ingest batch") {
+    // the retrieval index deployed incrementally: each batch of NEW
+    // docs folds to (doc, term, tf) states map-only, appends, compacts
+    // by exact BIGINT adds — and because dl/df/N all DERIVE from tf,
+    // the served ranking is BIT-equal to a from-scratch batch build
+    // over everything ingested so far
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Text
+    val queries = Seq((1L, "spark shuffle"), (2L, "scan filter"))
+      .toDF("query_id", "query_text")
+    val batches = Seq(
+      Seq((1L, "spark shuffle join spark"), (2L, "scan filter scan")),
+      Seq((3L, "spark scan"), (4L, "filter filter shuffle spark spark")),
+      Seq((5L, "unrelated words only"), (6L, "shuffle scan filter spark")))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          val states = Text.bm25TfStates(localized.toDF("doc_id", "text"))
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Text.bm25TfCompact(appended).localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state bounded by distinct (doc, term) pairs — an inverted
+        // index, never raw text
+        assert(maintained.count() ===
+          seen.flatMap { case (d, t) => t.split(" ").distinct.map((d, _)) }.size.toLong)
+        val served = rows(Text.bm25FromTf(maintained, queries)
+          .orderBy("query_id", "rank"))
+        val batchRef = rows(Text.bm25Rank(seen.toSeq.toDF("doc_id", "text"), queries))
+        assert(served === batchRef, s"after ${seen.size} docs")
+      }
+      // the final ranking is sane: doc 4 (spark x2, shuffle) tops q1
+      val fin = rows(Text.bm25FromTf(maintained, queries)
+        .orderBy("query_id", "rank"))
+      assert(fin.head._1 === 1L && fin.head._2 === 1)
+    } finally q.stop()
+  }
+
   test("streaming GK sketch state: per-batch append+compact serves inside the deterministic ε bound") {
     // the q70 loop deployed — the CONTINUOUS-value twin of the exact
     // histogram monitor above: each batch folds to per-key GK states
