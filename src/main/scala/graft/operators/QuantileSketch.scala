@@ -84,6 +84,31 @@ object QuantileSketch {
         col("n_rows"), col("n_states"))): _*)
   }
 
+  /** [[Relational.referenceEdges]]'s wide (group, __b0..__b{n-2})
+    * shape served from GK sketch STATE — the drift-monitor
+    * composition the family exists for: q56's PSI and q59/q60's
+    * homogeneity monitors bin against FIXED reference edges, and on a
+    * genuinely continuous 100 TB reference window those edges cannot
+    * come from the exact value histogram (unbounded distinct values)
+    * — they come from here. Downstream is unchanged:
+    * [[Relational.binCounts]] / [[Relational.psiFromCounts]] consume
+    * this frame exactly as they consume the exact-edge one; each edge
+    * is within the GK ε rank bound of the true quantile, so every bin
+    * boundary is off by at most ε·n ranks (QuantileSketchSpec
+    * measures the induced PSI perturbation).
+    */
+  def sketchEdges(states: DataFrame, groupCol: String = "group",
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val edgeCols = qs.zipWithIndex.map { case (p, i) =>
+      max(when(col("quantile") === p, col("value"))).as(s"__b$i")
+    }
+    quantileSketchRollup(states, Seq(groupCol), qs)
+      .groupBy(Cols.q(groupCol).as("group"))
+      .agg(edgeCols.head, edgeCols.tail: _*)
+  }
+
   /** q70: gate binding — events split into deterministic "daily
     * ingest" units (event_id mod 5 standing in for days, the q65
     * convention), each unit folded to its own per-type GK state, the

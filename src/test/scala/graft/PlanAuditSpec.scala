@@ -787,6 +787,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(df) === 0)
   }
 
+  test("t23 BM25: bounded corpus scans, tf exchange reused, every join broadcast") {
+    val df = graft.operators.Text.t23Bm25(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the one-shot batch form re-derives dl/df/contrib from the tf
+    // aggregate: Catalyst shares the tf exchange where subtrees match
+    // (ReusedExchange) and the corpus scan count stays bounded at 3 —
+    // the 100 TB form is bm25TfStates -> parquet -> bm25FromTf (ONE
+    // corpus scan ever, then index-sized scans), proven equivalent in
+    // StreamingSpec's bit-equality pin
+    assert("Scan parquet".r.findAllIn(plan).size <= 3, plan.take(3000))
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
+  test("d18 substring dedup: keep-first is a mergeable agg, no cartesian, bounded shuffle budget") {
+    val df = graft.operators.Dedup.d18SubstringDedup(spark, sf)
+    assert(shuffles(df) <= 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+    // the gram hash is computed in-scan (transform over slices inside
+    // the scan projection), never a per-row UDF stage
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("MapPartitions"),
+      plan.take(2000))
+  }
+
   test("LSH geometry sizing: building the s08 + d08 plans costs at most one counting job") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

@@ -170,6 +170,48 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("sketchEdges drives the PSI drift monitor: same verdicts as exact edges, bins off by at most eps*n") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // reference: g and h both uniform on 1..2000 (all-distinct — the
+    // exact histogram would hold 2000 state rows per group; the sketch
+    // holds KBs); current: g shifted up by 50% (drift), h resampled
+    val ref = (1 to 2000).flatMap(i =>
+      Seq(("g", i.toDouble), ("h", i.toDouble))).toDF("grp", "v")
+    val cur = ((1 to 1000).map(i => ("g", 1000.0 + i * 1.5)) ++
+      (1 to 1000).map(i => ("h", i * 2.0))).toDF("grp", "v")
+    val exactEdges = Relational.referenceEdges(ref, "grp", "v")
+    val gkEdges = QuantileSketch.sketchEdges(
+      QuantileSketch.quantileSketchStates(ref, Seq("grp"), "v"), "grp")
+    // every sketch edge is within the deterministic rank bound of the
+    // exact decile edge: at n=2000, eps=0.01 -> <= 20 ranks = 20 units
+    val ex = exactEdges.collect().map(r => r.getString(0) ->
+      (1 to 9).map(i => r.getDouble(i))).toMap
+    val gk = gkEdges.collect().map(r => r.getString(0) ->
+      (1 to 9).map(i => r.getDouble(i))).toMap
+    ex.keys.foreach { g =>
+      ex(g).zip(gk(g)).zipWithIndex.foreach { case ((e, s), i) =>
+        assert(math.abs(e - s) <= 21.0,
+          s"group $g edge $i: exact $e vs sketch $s — outside the rank bound")
+      }
+    }
+    // the composed monitor: same binCounts/psiFromCounts machinery,
+    // just different edge provenance — verdicts must agree
+    def psi(edges: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      Relational.psiFromCounts(
+        Relational.binCounts(ref, "grp", "v", edges),
+        Relational.binCounts(cur, "grp", "v", edges), "grp")
+        .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+    val pe = psi(exactEdges); val pg = psi(gkEdges)
+    assert(pe("g") > pe("h"), s"exact path must flag the planted drift: $pe")
+    assert(pg("g") > pg("h"), s"sketch path must flag the planted drift: $pg")
+    // edge perturbation <= eps*n ranks keeps PSI close on 10% bins
+    pe.keys.foreach { g =>
+      assert(math.abs(pe(g) - pg(g)) < 0.05,
+        s"group $g: exact PSI ${pe(g)} vs sketch PSI ${pg(g)}")
+    }
+  }
+
   test("plan shape: the state build is ONE mergeable aggregation — partials fold map-side, no raw-value shuffle") {
     val ev = Tables.events(spark, sf)
     val st = QuantileSketch.quantileSketchStates(ev, Seq("event_type"), "value")
