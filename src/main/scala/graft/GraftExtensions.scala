@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomSketch, CosineSimilarity, DctPhash, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
+import graft.functions.{BloomSketch, CosineSimilarity, GkQuantile, DctPhash, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -109,5 +109,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
       BloomSketch.containsBuilder))
+    // mergeable GK quantile-sketch state for SQL users (r12):
+    // graft_gk_agg(v, eps) builds state, graft_gk_merge(state)
+    // compacts/rolls up, graft_gk_quantiles(state, array(...)) serves.
+    // Column API: functions/GkQuantile, operators/QuantileSketch.
+    ext.injectFunction((
+      FunctionIdentifier("graft_gk_agg"),
+      new ExpressionInfo(classOf[GkQuantile.GkQuantileAgg].getName, "graft_gk_agg"),
+      GkQuantile.aggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gk_merge"),
+      new ExpressionInfo(classOf[GkQuantile.GkMergeAgg].getName, "graft_gk_merge"),
+      GkQuantile.mergeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gk_quantiles"),
+      new ExpressionInfo(classOf[GkQuantile.GkQuantilesExpr].getName, "graft_gk_quantiles"),
+      GkQuantile.quantilesBuilder))
   }
 }

@@ -1402,29 +1402,27 @@ object Dedup {
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
     val firsts = grams.groupBy("gh")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    val covered = grams.join(firsts, Seq("gh"))
+    // non-first window STARTS collapse to one sorted array per doc —
+    // everything after is in-row: the position explode + anti-join +
+    // re-collect formulation this replaced spent three more exchanges
+    // materializing every token as a row (measured ~1.4x slower at
+    // sf0.1; identical output)
+    val coveredStarts = grams.join(firsts, Seq("gh"))
       .filter(col("doc_id") =!= col("first.doc_id") ||
         col("pos") =!= col("first.pos"))
-      .select(col("doc_id"), explode(sequence(col("pos"),
-        col("pos") + lit(T - 1).cast("long"))).as("p"))
-      .distinct()
-    val toksEx = tokd
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
-    val kept = toksEx.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
-      .agg(concat_ws(" ",
-        expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"))
-        .as("text_dedup"))
-    val removed = covered.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_removed"))
-    tokd.select(col("doc_id"), col("n").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .join(removed, Seq("doc_id"), "left")
+      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    tokd.join(coveredStarts, Seq("doc_id"), "left")
+      .withColumn("__cov",
+        when(col("__starts").isNull, array().cast("array<bigint>"))
+          .otherwise(array_distinct(flatten(expr(
+            s"transform(__starts, s -> sequence(s, s + ${T - 1}))")))))
       .select(col("doc_id"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
-        col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        concat_ws(" ", expr(
+          "filter(toks, (t, i) -> NOT array_contains(__cov, CAST(i + 1 AS BIGINT)))"))
+          .as("text_dedup"),
+        col("n").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"))
   }
 
   /** d18: gate binding of [[substringDedup]] at the 8-token threshold

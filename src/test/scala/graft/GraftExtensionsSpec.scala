@@ -121,6 +121,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(falseHits <= 20L, s"false hits: $falseHits of 1000")
   }
 
+  test("GK quantile sketch family works end-to-end through pure SQL in a derived session") {
+    val derived = spark.newSession()
+    derived.sql("SELECT explode(sequence(1, 1000)) AS v")
+      .createOrReplaceTempView("gk_vals")
+    // build per-half states, merge them, serve the median — all SQL
+    val served = derived.sql(
+      """WITH halves AS (
+        |  SELECT v % 2 AS half, graft_gk_agg(CAST(v AS DOUBLE), 0.01) AS st
+        |  FROM gk_vals GROUP BY 1
+        |), merged AS (
+        |  SELECT graft_gk_merge(st) AS st FROM halves
+        |)
+        |SELECT graft_gk_quantiles(st, array(0.5))[0] FROM merged""".stripMargin)
+      .collect().head.getDouble(0)
+    // deterministic GK bound: rank within 1000*0.01 = 10 of 500
+    assert(math.abs(served - 500.0) <= 11.0, s"median served $served")
+    // a non-foldable relativeError is a clear error, not a misparse
+    val err = intercept[Exception] {
+      derived.sql("SELECT graft_gk_agg(CAST(v AS DOUBLE), CAST(v AS DOUBLE)) FROM gk_vals")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable")
+      || err.getMessage.toLowerCase.contains("literal"), err.getMessage.take(300))
+  }
+
   test("graft_l2sq returns NULL on a dimension mismatch, never a prefix distance") {
     val derived = spark.newSession()
     val row = derived.sql(
