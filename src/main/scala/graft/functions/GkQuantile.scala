@@ -221,11 +221,17 @@ object GkQuantile {
   private[graft] val aggBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
       s"graft_gk_agg expects (value, relativeError): got ${children.size}")
+    require(children(1).foldable,
+      "graft_gk_agg relativeError must be a foldable numeric literal")
+    // SQL numeric literals arrive as DECIMAL (0.01 -> Decimal(3,2)),
+    // the Column API passes a Double — accept any numeric
     val relErr = children(1).eval() match {
       case d: Double => d
       case f: Float => f.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
       case other => throw new IllegalArgumentException(
-        s"graft_gk_agg relativeError must be a foldable double literal, got $other")
+        s"graft_gk_agg relativeError must be a foldable numeric literal, got $other")
     }
     GkQuantileAgg(children(0), relErr).toAggregateExpression()
   }
