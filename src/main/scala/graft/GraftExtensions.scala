@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomSketch, CosineSimilarity, GkQuantile, DctPhash, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
+import graft.functions.{BloomSketch, CosineSimilarity, GkQuantile, MisraGries, DctPhash, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -125,5 +125,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_gk_quantiles"),
       new ExpressionInfo(classOf[GkQuantile.GkQuantilesExpr].getName, "graft_gk_quantiles"),
       GkQuantile.quantilesBuilder))
+    // Misra-Gries heavy-hitters state for SQL users (r12):
+    // graft_mg_agg(item, k) builds state, graft_mg_merge(state)
+    // compacts/rolls up, graft_mg_topk(state, topK) serves items with
+    // deterministic [count_lo, count_hi] bounds. Column API:
+    // functions/MisraGries, operators/HeavyHitters.
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg_agg"),
+      new ExpressionInfo(classOf[MisraGries.MgAgg].getName, "graft_mg_agg"),
+      MisraGries.aggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg_merge"),
+      new ExpressionInfo(classOf[MisraGries.MgMergeAgg].getName, "graft_mg_merge"),
+      MisraGries.mergeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg_topk"),
+      new ExpressionInfo(classOf[MisraGries.MgTopK].getName, "graft_mg_topk"),
+      MisraGries.topkBuilder))
   }
 }

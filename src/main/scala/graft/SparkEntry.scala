@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, ProductQuantization, QuantileSketch, Relational, Similarity, Text, XbrlQueries}
+import graft.operators.{Dedup, HeavyHitters, Multimodal, ProductQuantization, QuantileSketch, Relational, Similarity, Text, XbrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -59,6 +59,12 @@ object SparkEntry {
     // ranks, state-size bounds, compaction, and parquet round-trip,
     // and StreamingSpec deploys the same states per micro-batch
     "q70_quantile_sketch" -> (QuantileSketch.q70QuantileSketch _),
+    // rows-only: stored MG counters (and hot-vs-hot rank order) are
+    // insertion-order-dependent within the deterministic bound; the
+    // served top-5 SET and row count are deterministic (five planted
+    // hots whose guaranteed floor clears every cold ceiling), and
+    // HeavyHittersSpec pins presence/bounds/exactness/compaction
+    "q71_heavy_hitters" -> (HeavyHitters.q71HeavyHitters _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
     "q33_agg_state" -> (Relational.q33AggState _),

@@ -846,6 +846,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: per-batch append+compact keeps the deterministic MG guarantee") {
+    // the q71 loop deployed — the WHICH-items-are-frequent monitor
+    // (hot keys, dominant domains) maintained incrementally: each
+    // batch folds to per-key MG states (<= k counters, never raw
+    // rows), appends, compacts by the Agarwal et al. merge, and after
+    // every batch the guaranteed-frequent planted item is present with
+    // bounds containing its exact count over everything streamed
+    implicit val ctx = spark.sqlContext
+    import graft.operators.HeavyHitters
+    val k = 16
+    val batches = Seq(
+      Seq.fill(150)("hot") ++ (1 to 100).map(i => s"a$i"),
+      Seq.fill(200)("hot") ++ (1 to 120).map(i => s"b$i"),
+      Seq.fill(100)("hot") ++ (1 to 80).map(i => s"c$i"))
+      .map(_.map(("g", _)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("grp", "item").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getString(1))).toSeq
+          val states = HeavyHitters.heavyHitterStates(
+            localized.toDF("grp", "item"), Seq("grp"), "item", k = k)
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = HeavyHitters.heavyHitterCompact(appended, Seq("grp"))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // one state row per key, exact n_rows, bounded counters
+        val st = maintained.collect()
+        assert(st.length === 1)
+        assert(st.head.getLong(st.head.fieldIndex("n_rows")) === seen.size.toLong)
+        val served = HeavyHitters.heavyHitterTopK(maintained, Seq("grp"), k)
+          .collect().map(r => r.getString(2) -> ((r.getLong(3), r.getLong(4)))).toMap
+        assert(served.size <= k)
+        // the hot item dominates (true share ~60% >> 1/(k+1)): present
+        // with containing bounds after EVERY batch
+        val trueHot = seen.count(_._2 == "hot").toLong
+        assert(served.contains("hot"), s"hot missing after ${seen.size} rows")
+        val (lo, hi) = served("hot")
+        assert(lo <= trueHot && trueHot <= hi,
+          s"hot true $trueHot outside [$lo, $hi] after ${seen.size} rows")
+        assert(hi - lo <= seen.size.toLong / (k + 1))
+      }
+    } finally q.stop()
+  }
+
   test("streaming BM25: maintained tf state serves EXACTLY the batch ranking after every ingest batch") {
     // the retrieval index deployed incrementally: each batch of NEW
     // docs folds to (doc, term, tf) states map-only, appends, compacts
