@@ -77,13 +77,26 @@ object GkQuantile {
   /** Merge that tolerates the empty summary on either side —
     * `QuantileSummaries.merge` requires compressed operands, and an
     * all-null partition legitimately contributes a zero-count state.
+    *
+    * Two NON-empty states must agree on relativeError: merging an
+    * ε₁-summary into an ε₂-summary yields a state that reports ε₁
+    * while honoring neither bound, so mismatches hard-fail (the same
+    * contract as MisraGries.merge's equal-k require). An empty state
+    * carries no samples, so its ε is immaterial and it merges freely
+    * — that is what lets an all-null partition's buffer vanish.
     */
   private[graft] def mergeSummaries(a: QuantileSummaries,
       b: QuantileSummaries): QuantileSummaries = {
     val ac = a.compress(); val bc = b.compress()
     if (bc.count == 0) ac
     else if (ac.count == 0) bc
-    else ac.merge(bc)
+    else {
+      require(ac.relativeError == bc.relativeError,
+        s"cannot merge GK states with different relativeError: " +
+          s"${ac.relativeError} vs ${bc.relativeError} — rebuild one side " +
+          "at the other's eps (the merged guarantee would be neither)")
+      ac.merge(bc)
+    }
   }
 
   /** `graft_gk_agg(value double, relErr)` → binary GK state. Null
@@ -203,9 +216,14 @@ object GkQuantile {
 
     override def nullSafeEval(state: Any, probs: Any): Any = {
       val qs = deserializeSummary(state.asInstanceOf[Array[Byte]])
+      // SQL callers bypass gkQuantiles' require — enforce it here too
+      val psCheck = probs.asInstanceOf[ArrayData].toDoubleArray()
+      require(psCheck.nonEmpty && psCheck.forall(p => p >= 0.0 && p <= 1.0),
+        s"graft_gk_quantiles probabilities must be in [0,1], got " +
+          psCheck.mkString("[", ", ", "]"))
       if (qs.count == 0) null
       else {
-        val ps = probs.asInstanceOf[ArrayData].toDoubleArray()
+        val ps = psCheck
         qs.query(ps.toIndexedSeq) match {
           case Some(vals) => new GenericArrayData(vals.toArray)
           case None => null

@@ -271,6 +271,17 @@ object MisraGries {
   private[graft] val topkBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
       s"graft_mg_topk expects (state, topK): got ${children.size}")
+    // SQL callers bypass mgTopK's require — enforce the same contract
+    // here when the literal is foldable (the only supported form)
+    if (children(1).foldable) {
+      val k = children(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_mg_topk topK must be an integer literal, got $other")
+      }
+      require(k >= 1, s"graft_mg_topk topK must be >= 1: $k")
+    }
     MgTopK(children(0), children(1))
   }
 

@@ -1412,17 +1412,39 @@ object Dedup {
         col("pos") =!= col("first.pos"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    // in-row assembly is O(|starts| + |tokens|): the sorted window
+    // starts merge into disjoint covered intervals via shifted-zip
+    // boundary detection (a start opens an interval iff the previous
+    // start's window cannot reach it; closes one iff the next start's
+    // window does not overlap), the kept text is the gap slices
+    // re-joined, and removed mass is the interval lengths summed.
+    // The per-token array_contains(__cov) formulation this replaced
+    // was O(tokens × covered) — quadratic on the adversarial megadoc
+    // that is thousands of copies of one sentence (covered ≈ n), which
+    // here merges to ONE interval (AdversarialShapeSpec pins it).
+    val T1 = T - 1
     tokd.join(coveredStarts, Seq("doc_id"), "left")
-      .withColumn("__cov",
-        when(col("__starts").isNull, array().cast("array<bigint>"))
-          .otherwise(array_distinct(flatten(expr(
-            s"transform(__starts, s -> sequence(s, s + ${T - 1}))")))))
+      .withColumn("__st", coalesce(col("__starts"), expr("array()").cast("array<bigint>")))
+      .withColumn("__prevs", expr(
+        "concat(array(CAST(NULL AS BIGINT)), slice(__st, 1, greatest(size(__st) - 1, 0)))"))
+      .withColumn("__nexts", expr(
+        "concat(slice(__st, 2, greatest(size(__st) - 1, 0)), array(CAST(NULL AS BIGINT)))"))
+      .withColumn("__los", expr(
+        s"filter(zip_with(__st, __prevs, (s, p) -> " +
+          s"CASE WHEN p IS NULL OR s > p + $T1 THEN s END), x -> x IS NOT NULL)"))
+      .withColumn("__his", expr(
+        s"filter(zip_with(__st, __nexts, (s, nx) -> " +
+          s"CASE WHEN nx IS NULL OR nx > s + $T1 THEN s + $T1 END), x -> x IS NOT NULL)"))
+      .withColumn("__gaplos", expr("concat(array(CAST(1 AS BIGINT)), transform(__his, h -> h + 1))"))
+      .withColumn("__gaphis", expr("concat(transform(__los, l -> l - 1), array(n))"))
       .select(col("doc_id"),
         concat_ws(" ", expr(
-          "filter(toks, (t, i) -> NOT array_contains(__cov, CAST(i + 1 AS BIGINT)))"))
+          "flatten(zip_with(__gaplos, __gaphis, (a, b) -> " +
+            "slice(toks, CAST(a AS INT), CAST(greatest(b - a + 1, CAST(0 AS BIGINT)) AS INT))))"))
           .as("text_dedup"),
         col("n").as("n_tokens"),
-        size(col("__cov")).cast("long").as("n_removed"))
+        expr("aggregate(zip_with(__los, __his, (l, h) -> h - l + 1), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("n_removed"))
   }
 
   /** d18: gate binding of [[substringDedup]] at the 8-token threshold

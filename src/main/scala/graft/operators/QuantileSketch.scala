@@ -32,13 +32,23 @@ object QuantileSketch {
     * mergeable agg over the unit's partition — partials fold map-side,
     * the shuffle carries O((1/ε)·log(ε·n)) tuples per group, never
     * raw values.
+    *
+    * Values sketch at FULL double resolution by default — loss values
+    * near 0 and nanosecond latencies both keep their precision. When a
+    * cross-engine pin needs reproducible quantization (the q70 gate's
+    * money-like column), pass it EXPLICITLY via `quantizeTo` (a SQL
+    * cast type, e.g. "decimal(12,2)"); values outside the quantized
+    * type's range become null and are skipped by the sketch, so only
+    * opt in for columns whose domain fits the type.
     */
   def quantileSketchStates(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, relativeError: Double = 0.01): DataFrame = {
+      valueCol: String, relativeError: Double = 0.01,
+      quantizeTo: Option[String] = None): DataFrame = {
     require(groupCols.nonEmpty, "quantileSketchStates needs group columns")
     val s = df.sparkSession
-    df.select((groupCols.map(Cols.q) :+
-        Cols.q(valueCol).cast("decimal(12,2)").cast("double").as("__v")): _*)
+    val v = quantizeTo.foldLeft(Cols.q(valueCol))((c, t) => c.cast(t))
+      .cast("double").as("__v")
+    df.select((groupCols.map(Cols.q) :+ v): _*)
       .groupBy(groupCols.map(Cols.q): _*)
       .agg(GkQuantile.gkAgg(s, col("__v"), relativeError).as("sketch"),
         count(col("__v")).as("n_rows"))
@@ -121,9 +131,11 @@ object QuantileSketch {
     */
   def q70QuantileSketch(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // the gate pins cross-engine at cent resolution on a money-like
+    // column, so quantization is explicit HERE, not in the generic API
     val units = (0 until 5).map(i =>
       quantileSketchStates(ev.filter(pmod(col("event_id"), lit(5)) === i),
-        Seq("event_type"), "value"))
+        Seq("event_type"), "value", quantizeTo = Some("decimal(12,2)")))
     val state = quantileSketchCompact(units.reduce(_ unionByName _),
       Seq("event_type"))
     quantileSketchRollup(state, Seq("event_type"))

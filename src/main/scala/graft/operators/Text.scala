@@ -1308,13 +1308,18 @@ object Text {
   /** Serve the BM25 ranking from a (doc, term, tf) state table —
     * dl/df/N all DERIVE from tf, so maintained state is the only
     * input: the q32/q65/q70 state-in-answer-out contract for the
-    * retrieval index.
+    * retrieval index. Accepts appended, un-compacted states: df is a
+    * per-term ROW count, so duplicate (doc, term) rows would silently
+    * inflate it — serving therefore compacts internally (one mergeable
+    * agg; a no-op exchange-wise when the input is already grouped on
+    * (doc_id, term), since the partitioning is reused).
     */
-  def bm25FromTf(tf: DataFrame, queries: DataFrame,
+  def bm25FromTf(tfRaw: DataFrame, queries: DataFrame,
       queryIdCol: String = "query_id", queryTextCol: String = "query_text",
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1 && topK >= 1,
       s"bm25 needs k1 > 0, b in [0,1], topK >= 1: k1=$k1 b=$b topK=$topK")
+    val tf = bm25TfCompact(tfRaw)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__toks"))

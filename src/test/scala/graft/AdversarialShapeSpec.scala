@@ -192,4 +192,35 @@ class AdversarialShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
       plan.take(2000))
   }
+
+  test("d18 substring dedup: a megadoc of thousands of repeated sentences stays linear in-row") {
+    // the adversarial shape for span-removal assembly: ONE doc whose
+    // text is 4000 copies of an 8-token sentence — nearly every window
+    // is a duplicate, so covered mass ≈ n. The per-token
+    // array_contains formulation was O(n^2) ≈ 10^9 ops here; the
+    // interval-merge assembly collapses the covered starts to ONE
+    // interval and finishes in seconds
+    val sentence = "the quick brown fox jumps over lazy dogs"
+    val mega = (sentence + " ") * 4000
+    val docs = Seq(
+      (1L, sentence),             // the keep-first original
+      (2L, mega.trim),            // the 32k-token adversarial megadoc
+      (3L, "completely unrelated filler text with no duplicate runs"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Dedup.substringDedup(docs, minTokens = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // doc 1 is the global first occurrence and survives whole
+    assert(out(1L) === ((sentence, 8L, 0L)))
+    // the megadoc is ONE duplicated run of 32000 tokens: every
+    // position is covered (its first window repeats doc 1's tokens,
+    // all later windows repeat earlier positions), so it vanishes
+    assert(out(2L)._1 === "")
+    assert(out(2L)._2 === 32000L)
+    assert(out(2L)._3 === 32000L)
+    assert(out(3L)._3 === 0L)
+    // the linearity pin: quadratic in-row work would take minutes
+    assert(secs < 60.0, s"megadoc assembly took ${secs}s — quadratic regression?")
+  }
 }

@@ -212,6 +212,50 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("merging GK states built at different eps hard-fails; empty states merge freely") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val s1 = QuantileSketch.quantileSketchStates(df, Seq("g"), "v", relativeError = 0.01)
+    val s5 = QuantileSketch.quantileSketchStates(df, Seq("g"), "v", relativeError = 0.05)
+    // mixed-eps compaction must fail loudly — the merged state would
+    // report one side's eps while honoring neither bound
+    val ex = intercept[Exception] {
+      QuantileSketch.quantileSketchCompact(s1.unionByName(s5), Seq("g")).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).map(_.toString).mkString("\n")
+    assert(msgs.contains("relativeError"),
+      s"expected the eps-mismatch contract message, got:\n$msgs")
+    // an all-null unit contributes the EMPTY state, which merges into
+    // any eps without tripping the contract (its eps is immaterial)
+    val empty = QuantileSketch.quantileSketchStates(
+      Seq(("a", null: java.lang.Double)).toDF("g", "v"), Seq("g"), "v",
+      relativeError = 0.05)
+    val merged = QuantileSketch.quantileSketchCompact(
+      s1.unionByName(empty), Seq("g"))
+    assert(merged.count() === 1L)
+    val out = QuantileSketch.quantileSketchRollup(merged, Seq("g"), Seq(0.5))
+      .select("value").head.getDouble(0)
+    assert(out >= 480.0 && out <= 520.0, s"median drifted to $out")
+  }
+
+  test("generic states sketch at full double resolution; quantization is opt-in") {
+    import spark.implicits._
+    // small-magnitude loss values: decimal(12,2) quantization would
+    // collapse them all to 0.00/0.01 — the default must preserve them
+    val losses = (1 to 1000).map(i => ("m", i / 100000.0)).toDF("g", "v")
+    val served = QuantileSketch.quantileSketchRollup(
+      QuantileSketch.quantileSketchStates(losses, Seq("g"), "v"), Seq("g"), Seq(0.5))
+      .select("value").head.getDouble(0)
+    assert(served > 0.004 && served < 0.006, s"median of 1e-5..1e-2 served as $served")
+    // and the explicit opt-in reproduces the quantized behavior
+    val q = QuantileSketch.quantileSketchRollup(
+      QuantileSketch.quantileSketchStates(losses, Seq("g"), "v",
+        quantizeTo = Some("decimal(12,2)")), Seq("g"), Seq(0.5))
+      .select("value").head.getDouble(0)
+    assert(q === 0.0 || q === 0.01, s"quantized median should hit the cent grid, got $q")
+  }
+
   test("plan shape: the state build is ONE mergeable aggregation — partials fold map-side, no raw-value shuffle") {
     val ev = Tables.events(spark, sf)
     val st = QuantileSketch.quantileSketchStates(ev, Seq("event_type"), "value")
