@@ -131,6 +131,7 @@ object SparkEntry {
     "d16_url_dedup" -> (Dedup.d16UrlDedup _),
     "d17_ngram_novelty" -> (Dedup.d17NgramNovelty _),
     "d18_substring_dedup" -> (Dedup.d18SubstringDedup _),
+    "d19_neardup_corpus" -> (Dedup.d19NearDupCorpus _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
@@ -1005,6 +1006,44 @@ object SparkEntry {
          |)
          |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
          |ORDER BY doc_id""".stripMargin,
+
+    // the d07 closure extended to the EMITTED corpus: longest-text
+    // survivor per cluster (ties to the smallest id, the rank window),
+    // every other member dropped, untouched docs passed through with
+    // (own id, 1)
+    "d19_neardup_corpus" ->
+      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($D02OracleSql)),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b
+         |),
+         |clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |clustered AS (
+         |  SELECT c.doc_id, c.cluster_id, len(d.text) AS pref
+         |  FROM clusters c JOIN documents d USING (doc_id)
+         |),
+         |surv AS (
+         |  SELECT cluster_id, doc_id AS surv_id, cluster_size FROM (
+         |    SELECT cluster_id, doc_id,
+         |      CAST(row_number() OVER (
+         |        PARTITION BY cluster_id ORDER BY pref DESC, doc_id ASC) AS BIGINT) AS rn,
+         |      CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |    FROM clustered)
+         |  WHERE rn = 1
+         |),
+         |removed AS (
+         |  SELECT c.doc_id FROM clusters c JOIN surv s USING (cluster_id)
+         |  WHERE c.doc_id != s.surv_id
+         |)
+         |SELECT d.doc_id, d.text,
+         |  COALESCE(s.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size
+         |FROM documents d
+         |LEFT JOIN surv s ON s.surv_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d06_contamination" ->
       """WITH toks AS (

@@ -1458,6 +1458,86 @@ object Dedup {
   def d18SubstringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedup(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** Near-duplicate corpus EMITTER — the NearDup half of Lee et al.
+    * 2022 (arXiv:2107.06499) that [[substringDedup]] completed for
+    * exact substrings: where the pair generators (d02/d03/d04/d05)
+    * FIND near-duplicates and [[dupClusters]] RESOLVES them into
+    * components, this composes both and EMITS the deduplicated corpus
+    * — one deterministic canonical survivor per duplicate cluster,
+    * every other cluster member dropped, untouched docs passed
+    * through. This is the end-to-end operation a production
+    * training-data pipeline actually runs; everything upstream of it
+    * was the machinery.
+    *
+    * Survivor rule: the cluster member with the greatest `prefer`
+    * value (e.g. a quality score, or text length to keep the fullest
+    * variant), ties broken by SMALLEST doc id; with no preference the
+    * survivor is the smallest id in the cluster — which is exactly
+    * the cluster label [[dupClusters]] assigns, so the rule is
+    * deterministic and repartition-proof in both modes.
+    *
+    * Output: one row per surviving doc — (doc_id, text, cluster_id,
+    * cluster_size), cluster_id/size = (own id, 1) for docs in no
+    * cluster, so `sum(cluster_size) == |input corpus|` always holds
+    * (the conservation invariant the spec pins).
+    *
+    * Scale shape: the cluster frame is bounded by the docs named in
+    * `pairs` (at 100 TB: the near-dup fraction, orders of magnitude
+    * smaller than the corpus), so survivor election runs entirely on
+    * the SMALL side — one inner join to fetch preferences, ONE
+    * mergeable max-struct agg (the d18 keep-first discipline: the
+    * hottest cluster folds map-side). The full corpus is touched by
+    * exactly two doc-id joins against that small side (drop-removed
+    * anti-join + survivor-metadata left join), both
+    * broadcast-eligible; the corpus itself never shuffles and never
+    * pairs doc × doc.
+    *
+    * Reference analog: none — the extractor's fuzzy dedup
+    * (datapackage.py:524-533) drops whole duplicate ROWS by exact
+    * key; near-dup graph dedup is beyond-reference
+    * training-data-pipeline surface.
+    */
+  def nearDupCorpus(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      prefer: Option[Column] = None,
+      aCol: String = "d1", bCol: String = "d2"): DataFrame = {
+    val base = docs.select(Cols.q(idCol).cast("long").as("doc_id"),
+      Cols.q(textCol).as("text"),
+      prefer.getOrElse(lit(0.0)).cast("double").as("__pref"))
+    val clusters = dupClusters(pairs, aCol, bCol)
+    // survivor election on the SMALL side only: docs named in pairs
+    val clustered = clusters
+      .join(base.select(col("doc_id"), col("__pref")), Seq("doc_id"))
+    val surv = clustered.groupBy("cluster_id")
+      .agg(max(struct(col("__pref").as("p"), (-col("doc_id")).as("negid"))).as("__w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("__w.negid")).as("doc_id"),
+        col("cluster_size"))
+    val removed = clusters.join(
+        surv.select(col("cluster_id"), col("doc_id").as("__surv")), Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("__surv"))
+      .select("doc_id")
+    base.join(removed, Seq("doc_id"), "left_anti")
+      .join(surv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+  }
+
+  /** d19: gate binding of [[nearDupCorpus]] over the session-cached
+    * exact-Jaccard top pairs (the SAME pair set d07 clusters, so the
+    * three gates d02/d07/d19 share one pair computation), electing the
+    * LONGEST text per cluster (ties to the smallest id) — the
+    * keep-the-fullest-variant rule production corpus dedup uses.
+    * Fully SQL-oracled: the d07 recursive-closure twin plus a
+    * rank-window survivor and the pass-through left joins restate
+    * exactly in DuckDB; the surviving corpus is pinned row-for-row.
+    */
+  def d19NearDupCorpus(s: SparkSession, dir: String): DataFrame =
+    nearDupCorpus(Tables.documents(s, dir), d02NgramJaccard(s, dir),
+      prefer = Some(length(col("text"))))
+      .orderBy("doc_id")
+
   /** d17: gate binding of [[ngramNovelty]] — the q19 deterministic
     * val/test docs scored against the train split (the
     * "is the held-out set actually held out, and is new data actually

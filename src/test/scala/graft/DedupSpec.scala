@@ -139,6 +139,65 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 60L)
   }
 
+  test("nearDupCorpus: planted clusters elect the preferred survivor; conservation and pass-through hold under repartitioning") {
+    import spark.implicits._
+    // three planted clusters + two untouched docs. Cluster A {1,2,3}:
+    // doc 3 is longest -> survives despite the largest id. Cluster B
+    // {10,11}: tie on length -> smallest id 10 survives. Cluster C
+    // {20,21,22} is a PATH (20-21, 21-22): transitive closure must
+    // cluster all three even though 20 and 22 never pair directly;
+    // doc 21 longest -> survives.
+    val docs = Seq(
+      (1L, "short a"), (2L, "short b"), (3L, "the much longer surviving variant"),
+      (10L, "same len"), (11L, "also len"),
+      (20L, "mid text here"), (21L, "the longest text of cluster c"), (22L, "tiny"),
+      (30L, "untouched doc one"), (31L, "untouched doc two"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("d1", "d2")
+    def run(d: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupCorpus(d, p, prefer = Some(length(col("text"))))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val out = run(docs, pairs)
+    assert(out.map(_._1).toSeq === Seq(3L, 10L, 21L, 30L, 31L))
+    // survivors carry their cluster's min-id label and full size
+    val meta = out.map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(meta(3L) === ((1L, 3L)))
+    assert(meta(10L) === ((10L, 2L)))
+    assert(meta(21L) === ((20L, 3L)))
+    // untouched docs pass through as their own singleton cluster
+    assert(meta(30L) === ((30L, 1L)))
+    assert(meta(31L) === ((31L, 1L)))
+    // conservation: every input doc is accounted for exactly once
+    assert(out.map(_._4).sum === 10L)
+    // the survivor choice is a global rule, not a partition accident
+    assert(run(docs.repartition(7), pairs.repartition(3)).toSeq === out.toSeq)
+    // no preference -> the min-id member survives (== cluster label)
+    val minId = Dedup.nearDupCorpus(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(minId.map(_._1).toSeq === Seq(1L, 10L, 20L, 30L, 31L))
+    assert(minId.forall { case (id, cl) => id == cl })
+  }
+
+  test("d19 gate emits the deduplicated corpus: survivors + pass-through, conservation vs the input count") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.d19NearDupCorpus(spark, sf)
+    val nDocs = docs.count()
+    val stats = out.agg(
+      count(lit(1)), sum(col("cluster_size")),
+      sum(when(col("cluster_size") > 1, 1L).otherwise(0L))).head
+    // real clusters exist in the gate corpus (d07 finds 160 clustered
+    // docs at sf0.001+) and every input doc lands in exactly one
+    // survivor's cluster_size
+    assert(stats.getLong(2) > 0L, "gate corpus must exercise real cluster collapse")
+    assert(stats.getLong(1) === nDocs, "sum(cluster_size) must equal the input corpus")
+    assert(stats.getLong(0) < nDocs, "some duplicates must actually drop")
+    // emitted text is the ORIGINAL doc text, untouched
+    val joined = out.join(docs.withColumnRenamed("text", "orig"), Seq("doc_id"))
+    assert(joined.filter(col("text") =!= col("orig")).count() === 0L)
+  }
+
   test("trainIvfCodebook releases superseded checkpoint storage (flat footprint)") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -804,6 +804,27 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("d19 near-dup corpus emitter: corpus-side joins broadcast, survivor election on the small side, no cartesian") {
+    val df = graft.operators.Dedup.d19NearDupCorpus(spark, sf)
+    // the composition's own cost beyond the shared d02 pair build +
+    // d07 cluster loop: ONE survivor-election agg on the cluster-sized
+    // frame plus the presentation sort — the corpus-side anti/left
+    // joins broadcast (the cluster frame is pair-bounded), so the
+    // corpus itself never shuffles. The budget covers the cached pair
+    // build's exchanges; the emitter must not add corpus shuffles on
+    // top (a sort-merge formulation here would roughly double it)
+    val n = shuffles(df)
+    assert(n <= 12, s"d19 executed $n shuffles")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+    // both corpus-side joins (drop-removed, survivor metadata) run as
+    // broadcast joins against the pair-bounded small side
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("d18 substring dedup: keep-first is a mergeable agg, no cartesian, bounded shuffle budget") {
     val df = graft.operators.Dedup.d18SubstringDedup(spark, sf)
     assert(shuffles(df) <= 10)
