@@ -18,6 +18,12 @@ package graft
   * timed reps; `min` is the per-query best rep (the least-contaminated
   * observation); any query whose median exceeds 3x its min is listed in
   * `suspect` — treat its median as box noise, not plan cost.
+  * `outlier_reps` (r13) flags individual reps > 2x their own query's
+  * median (with a 0.25 s absolute floor so sub-second jitter doesn't
+  * spam it) even when the pass-level load evidence below is clean —
+  * the r12 artifact carried a 29 s rep in an otherwise tight 8.5-9.3 s
+  * x05 series that loadavg and the CPU probe both missed; the median
+  * was unaffected, but the flag makes that PROVABLE from the artifact.
   *
   * The JSON line is also written to a file (`SPARK_GRAFT_BENCH_OUT`,
   * default ./bench_last.json): terminal tail-capture truncated the r5
@@ -125,6 +131,20 @@ object Bench {
     val suspect = suite.collect {
       case (name, _) if medians(name) > 3.0 * mins(name) => name
     }
+    // Per-rep outlier rule (r13): flag any rep > 2x its own query's
+    // median EVEN when loadavg and the CPU probe stayed clean — the
+    // r12 artifact carried a 29 s rep inside x05's otherwise 8.5-9.3 s
+    // series that both pass-level detectors missed (GC or page-cache,
+    // not box contention). The median is robust to one such rep, but
+    // the flag makes a committed median PROVABLY clean instead of
+    // incidentally clean: values are 1-based rep indices per query.
+    val outlierReps = suite.flatMap { case (name, _) =>
+      val m = medians(name)
+      val idx = timed(name).zipWithIndex.collect {
+        case (t, i) if t > 2.0 * m && t - m > 0.25 => i + 1
+      }
+      if (idx.isEmpty) None else Some(name -> idx.mkString("[", ",", "]"))
+    }
     val total = medians.values.sum
     val line = obj(Seq(
       "metric" -> "\"total\"",
@@ -135,6 +155,7 @@ object Bench {
       "min" -> obj(suite.map { case (k, _) => k -> r3(mins(k)) }),
       "cold" -> obj(cold.map { case (k, v) => k -> r3(v) }),
       "suspect" -> suspect.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "outlier_reps" -> obj(outlierReps),
       "reps" -> obj(suite.map { case (k, _) => k -> timed(k).map(r3).mkString("[", ",", "]") }),
       // load evidence: index 0 = warmup pass, 1..reps = timed passes
       "probe_sec" -> probes.map(r3).mkString("[", ",", "]"),

@@ -795,6 +795,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI monitor on sketch-served edges: the continuous-value deployment agrees with the exact-edge monitor") {
+    // the q70 sketchEdges composition DEPLOYED, not just composable:
+    // on a genuinely continuous 100 TB reference the monitor's fixed
+    // edges cannot come from the exact value histogram (unbounded
+    // distinct values) — they come from GK sketch state. Everything
+    // downstream is IDENTICAL machinery (binCounts/binCountsCompact/
+    // psiFromCounts); this pins the end-to-end loop: per-batch fold ==
+    // one-shot on the sketch edges, and every served verdict equal to
+    // the exact-edge monitor's within the measured ε-rank perturbation
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{QuantileSketch, Relational}
+    // reference: all-distinct uniform 1..2000 per group (the exact
+    // histogram state would hold 2000 rows/group; the sketch holds KBs)
+    val ref = (1 to 2000).flatMap(i =>
+      Seq(("g", i.toLong, i.toDouble), ("h", i.toLong, i.toDouble)))
+    val refDf = ref.toDF("grp", "ts", "v")
+    val gkEdges = QuantileSketch.sketchEdges(
+      QuantileSketch.quantileSketchStates(refDf, Seq("grp"), "v"), "grp")
+      .localCheckpoint()
+    val exEdges = Relational.referenceEdges(refDf, "grp", "v").localCheckpoint()
+    val refGk = Relational.binCounts(refDf, "grp", "v", gkEdges).localCheckpoint()
+    val refEx = Relational.binCounts(refDf, "grp", "v", exEdges).localCheckpoint()
+    // current: g drifts upward by 50%, h resamples in place; batches
+    // stride-interleave the index so every PREFIX of the stream is
+    // representative of its distribution (an ascending split would
+    // make each early prefix a spurious drift of its own)
+    val batches = (0 until 3).map(b =>
+      (1 to 1000).filter(_ % 3 == b).flatMap(i => Seq(
+        ("g", 3000L + i, 1000.0 + i * 1.5),
+        ("h", 3000L + i, i * 2.0))))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDF().toDF("grp", "ts", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+          val states = Relational.binCounts(
+            localized.toDF("grp", "ts", "v"), "grp", "v", gkEdges)
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = Relational.binCountsCompact(appended, "grp").localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        // state stays groups×bins whatever the value cardinality —
+        // THE reason the sketch-edge form is the 100 TB monitor
+        assert(maintained.count() <= 2L * 10L)
+        // fold == one-shot on the same sketch edges
+        val oneShot = Relational.binCounts(
+          seen.toSeq.toDF("grp", "ts", "v"), "grp", "v", gkEdges)
+          .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+        assert(maintained.collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap === oneShot)
+        // served PSI within the measured edge-perturbation envelope of
+        // the exact-edge monitor over the same streamed rows
+        val servedGk = Relational.psiFromCounts(refGk, maintained, "grp")
+          .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+        val servedEx = Relational.psiFromCounts(refEx,
+            Relational.binCounts(seen.toSeq.toDF("grp", "ts", "v"), "grp", "v", exEdges),
+            "grp")
+          .collect().map(r => r.getString(0) -> r.getDouble(7)).toMap
+        // envelope: 0.05 absolute (the QuantileSketchSpec-measured
+        // perturbation at these bin widths) or 2% relative for the
+        // planted-drift group whose PSI is far off the decision line
+        servedEx.keys.foreach { g =>
+          assert(math.abs(servedGk(g) - servedEx(g)) <
+            math.max(0.05, 0.02 * servedEx(g)),
+            s"$g: sketch-edge PSI ${servedGk(g)} vs exact-edge ${servedEx(g)}")
+        }
+      }
+      // verdicts agree at the end: the planted g drift dominates on
+      // BOTH edge provenances
+      val fin = Relational.psiFromCounts(refGk, maintained, "grp").collect()
+        .map(r => r.getString(0) -> r.getDouble(7)).toMap
+      assert(fin("g") > fin("h"), s"planted drift must dominate: $fin")
+      assert(fin("g") > 0.2, s"g drifted by half a range — PSI must be material: $fin")
+      assert(fin("h") < 0.1, s"h resampled in place — PSI must stay small: $fin")
+    } finally q.stop()
+  }
+
   test("streaming quantile state: maintained value histogram serves EXACTLY batch exactQuantiles") {
     // the q30/q65 loop deployed: each batch folds into the mergeable
     // (group, value) count histogram — counts ADD exactly, raw rows
