@@ -180,6 +180,38 @@ class DedupSpec extends SparkSpec {
     assert(minId.forall { case (id, cl) => id == cl })
   }
 
+  test("nearDupCorpus composes with the MinHash-LSH generator: planted paraphrase groups collapse through d03 pairs") {
+    import spark.implicits._
+    // the generator-agnostic claim, end-to-end on a REAL pair frame
+    // (d03's (d1, d2, jaccard) schema, not a synthetic two-column
+    // edge list): three verbatim-plus-prefix variants of one passage
+    // share nearly all shingles, so LSH banding must pair them; the
+    // emitter then keeps exactly one
+    val passage = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage"),
+      (2L, s"$passage extra tail"),
+      (3L, s"prefix words $passage"),
+      (7L, (101 to 140).map(i => s"unrelated$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, topK = 100)
+    assert(pairs.count() >= 2L, "LSH must pair the planted variants")
+    val out = Dedup.nearDupCorpus(docs, pairs,
+      prefer = Some(length(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // one survivor for the planted group (the longest variant, doc 3:
+    // 40 + 2 prefix tokens beats 40 + 2 tail on char length parity —
+    // compute expected from the data itself to avoid off-by-one)
+    val lens = Map(1L -> passage.length,
+      2L -> s"$passage extra tail".length, 3L -> s"prefix words $passage".length)
+    val expectedSurvivor = lens.toSeq.sortBy { case (id, n) => (-n, id) }.head._1
+    val survivors = out.map(_._1).toSet
+    assert(survivors.contains(7L) && survivors.contains(expectedSurvivor))
+    assert(out.length === 2, s"planted group must collapse to one: ${out.mkString(",")}")
+    assert(out.find(_._1 == expectedSurvivor).get._2 === 1L) // min-id cluster label
+    assert(out.find(_._1 == expectedSurvivor).get._3 === 3L)
+  }
+
   test("d19 gate emits the deduplicated corpus: survivors + pass-through, conservation vs the input count") {
     val docs = Tables.documents(spark, sf)
     val out = Dedup.d19NearDupCorpus(spark, sf)
