@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomSketch, CosineSimilarity, GkQuantile, MisraGries, DctPhash, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
+import graft.functions.{BloomSketch, BottomKSketch, CosineSimilarity, GkQuantile, MisraGries, DctPhash, FastRound, Fingerprint, HyperplaneBuckets, L2Squared, MinHash64, NfcNormalize, PqAdc, PqEncode, ShannonEntropy, SimHash, Sq8Dot, Sq8Encode, UnitVector, WinnowPrints, WordShingles}
 
 /** Spark extensions entry point: lets any session pick up graft's native
   * expressions at build time via
@@ -142,5 +142,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_mg_topk"),
       new ExpressionInfo(classOf[MisraGries.MgTopK].getName, "graft_mg_topk"),
       MisraGries.topkBuilder))
+    // Bottom-k (KMV) distinct sketch for SQL users (r13):
+    // graft_bk_agg(key, k) builds state, graft_bk_merge(state)
+    // compacts/rolls up, graft_bk_distinct(state) serves the count
+    // estimate, graft_bk_sample(state, m) the m hash-smallest distinct
+    // keys. Column API: functions/BottomKSketch, operators/BottomKSample.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bk_agg"),
+      new ExpressionInfo(classOf[BottomKSketch.BkAgg].getName, "graft_bk_agg"),
+      BottomKSketch.aggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bk_merge"),
+      new ExpressionInfo(classOf[BottomKSketch.BkMergeAgg].getName, "graft_bk_merge"),
+      BottomKSketch.mergeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bk_distinct"),
+      new ExpressionInfo(classOf[BottomKSketch.BkDistinct].getName, "graft_bk_distinct"),
+      BottomKSketch.distinctBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bk_sample"),
+      new ExpressionInfo(classOf[BottomKSketch.BkSample].getName, "graft_bk_sample"),
+      BottomKSketch.sampleBuilder))
   }
 }

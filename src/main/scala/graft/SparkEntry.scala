@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, HeavyHitters, Multimodal, ProductQuantization, QuantileSketch, Relational, Similarity, Text, XbrlQueries}
+import graft.operators.{BottomKSample, Dedup, HeavyHitters, Multimodal, ProductQuantization, QuantileSketch, Relational, Similarity, Text, XbrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -65,6 +65,10 @@ object SparkEntry {
     // hots whose guaranteed floor clears every cold ceiling), and
     // HeavyHittersSpec pins presence/bounds/exactness/compaction
     "q71_heavy_hitters" -> (HeavyHitters.q71HeavyHitters _),
+    // FULLY oracled sketch gate: the bottom-k (KMV) state serves a
+    // distinct sample + estimate that an independent engine reproduces
+    // value-for-value from the pinned md5-prefix hash
+    "q72_bottomk_sample" -> (BottomKSample.q72BottomkSample _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
     "q33_agg_state" -> (Relational.q33AggState _),
@@ -995,9 +999,13 @@ object SparkEntry {
         |ORDER BY l.doc_id""".stripMargin,
 
     // connected components over the d02 pairs via transitive closure;
-    // the recursive CTE's UNION dedups, so it reaches the fixpoint
+    // the recursive CTE's UNION dedups, so it reaches the fixpoint.
+    // `p` is MATERIALIZED (same semantics, DuckDB planner hint):
+    // `edges` references it twice, and inlining recomputes the corpus-
+    // wide shingle join — at sf1's duplication density that doubled
+    // spill past the oracle engine's temp disk
     "d07_dup_clusters" ->
-      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($D02OracleSql)),
+      s"""WITH RECURSIVE p AS MATERIALIZED (SELECT d1, d2 FROM ($D02OracleSql)),
          |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
          |reach(a, b) AS (
          |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -1012,7 +1020,7 @@ object SparkEntry {
     // every other member dropped, untouched docs passed through with
     // (own id, 1)
     "d19_neardup_corpus" ->
-      s"""WITH RECURSIVE p AS (SELECT d1, d2 FROM ($D02OracleSql)),
+      s"""WITH RECURSIVE p AS MATERIALIZED (SELECT d1, d2 FROM ($D02OracleSql)),
          |edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
          |reach(a, b) AS (
          |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -1594,6 +1602,37 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM e GROUP BY 1, 2, 3
         |ORDER BY event_type, d, bucket""".stripMargin,
+
+    // the KMV bottom-k restated set-theoretically: distinct keys ranked
+    // by the pinned 60-bit md5-prefix hash; the estimate is exact
+    // integer floor((k-1)*2^60/h_k) via HUGEINT division — sample
+    // membership, hashes, ranks AND the estimate all engine-independent
+    "q72_bottomk_sample" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), ranked AS (
+        |  SELECT event_type, key, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, key) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM hashed
+        |), kth AS (
+        |  SELECT event_type, max(h) AS hk, max(nd) AS nd
+        |  FROM ranked WHERE rn <= 128 GROUP BY event_type
+        |), nr AS (
+        |  SELECT event_type, COUNT(user_id) AS n_rows FROM events GROUP BY event_type
+        |)
+        |SELECT r.event_type, CAST(r.rn AS INT) AS rank, r.key, r.h,
+        |  CASE WHEN k.nd < 128 THEN k.nd
+        |       ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // k.hk AS BIGINT)
+        |  END AS distinct_est,
+        |  nr.n_rows
+        |FROM ranked r
+        |JOIN kth k USING (event_type)
+        |JOIN nr USING (event_type)
+        |WHERE r.rn <= 16
+        |ORDER BY event_type, rank""".stripMargin,
 
     // the q30/q38 interpolation CTE at (0.05, 0.95), then a map-only
     // least/greatest clamp on the bit-identical rounded fences

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.BottomKSketch
+
+/** Mergeable bottom-k (KMV) distinct-sketch STATE tables (SURVEY.md
+  * §2.1, the q72 family) — the fifth mergeable summary, adding the one
+  * capability the HLL/count-min/GK/MG quartet lacks: a uniform SAMPLE
+  * of the distinct domain served from bounded state, plus a
+  * distinct-count estimate whose served value is engine-independent
+  * (exact integer arithmetic over a pinned public md5-prefix hash).
+  * The 100 TB questions it answers from ≤ k pairs per (group,
+  * ingest-unit): "show me 20 example user_ids / domains / templates
+  * per segment" (HLL counts but cannot exhibit members) and "how many
+  * distinct" with a cross-engine-reproducible number — q32's HLL gate
+  * is rows-only by design; this one is fully DuckDB-oracled.
+  *
+  * Reference analog: none — beyond-reference training-data surface.
+  */
+object BottomKSample {
+
+  /** One bottom-k state per (groupCols) key: ONE mergeable agg; the
+    * shuffle carries ≤ k (hash, key) pairs per group whatever the key
+    * cardinality. Any partitioning/merge tree yields the bit-identical
+    * state (set-union semantics).
+    */
+  def bottomKStates(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, k: Int = 256): DataFrame = {
+    require(groupCols.nonEmpty, "bottomKStates needs group columns")
+    val s = df.sparkSession
+    df.select((groupCols.map(Cols.q) :+
+        Cols.q(keyCol).cast("string").as("__key")): _*)
+      .groupBy(groupCols.map(Cols.q): _*)
+      .agg(BottomKSketch.bkAgg(s, col("__key"), k).as("sketch"),
+        count(col("__key")).as("n_rows"))
+  }
+
+  /** Compact appended same-key states to one row per key — the
+    * q32/q70/q71 maintenance shape. Idempotent (set union): re-merging
+    * already-merged state changes nothing.
+    */
+  def bottomKCompact(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.groupBy(keyCols.map(Cols.q): _*)
+      .agg(BottomKSketch.bkMerge(states.sparkSession, col("sketch")).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** Roll states up to `keepCols` and SERVE long-form: one row per
+    * sampled key `(group..., rank, key, h, distinct_est, n_rows)` —
+    * `rank` the 1-based position in (h, key) order, `distinct_est`
+    * exact below k / KMV integer floor at k. State-in, answer-out.
+    */
+  def bottomKServe(states: DataFrame, keepCols: Seq[String],
+      sampleSize: Int = 16): DataFrame = {
+    require(sampleSize >= 1, s"sampleSize must be >= 1: $sampleSize")
+    val s = states.sparkSession
+    states.groupBy(keepCols.map(Cols.q): _*)
+      .agg(BottomKSketch.bkMerge(s, col("sketch")).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+      .select((keepCols.map(Cols.q) ++ Seq(
+        BottomKSketch.bkDistinct(s, col("sketch")).as("distinct_est"),
+        posexplode_outer(BottomKSketch.bkSample(s, col("sketch"), sampleSize))
+          .as(Seq("__i", "__e")),
+        col("n_rows"))): _*)
+      .select((keepCols.map(Cols.q) ++ Seq(
+        (col("__i") + 1).as("rank"),
+        col("__e.key").as("key"),
+        col("__e.h").as("h"),
+        col("distinct_est"),
+        col("n_rows"))): _*)
+  }
+
+  /** q72: gate binding — distinct user_ids per event type over events,
+    * sketched per "daily" ingest unit (event_id mod 5, the q71 shape),
+    * compacted, then the bottom-16 sample + the distinct estimate
+    * served purely from state. FULLY DuckDB-oracled — sample keys,
+    * hash values, rank order, AND the estimate reproduce value-for-
+    * value from `CAST('0x' || substr(md5(key),1,15) AS BIGINT)` +
+    * HUGEINT floor division — the engine-independence claim of the
+    * pinned hash, checked by an independent engine at every sf.
+    */
+  def q72BottomkSample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val units = (0 until 5).map(i =>
+      bottomKStates(ev.filter(pmod(col("event_id"), lit(5)) === i),
+        Seq("event_type"), "user_id", k = 128))
+    val state = bottomKCompact(units.reduce(_ unionByName _), Seq("event_type"))
+    bottomKServe(state, Seq("event_type"), sampleSize = 16)
+      .orderBy("event_type", "rank")
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BottomKSketch
+import graft.operators.BottomKSample
+
+/** The q72 family's contract is STRONGER than the other sketches': the
+  * bottom-k of a fixed hash is a pure SET property, so the state is
+  * BIT-IDENTICAL for any insertion order, partitioning, or merge tree
+  * — the specs pin state equality, not just bounds — and everything
+  * served (sample membership, hashes, ranks, the integer KMV estimate)
+  * is engine-independent given the pinned md5-prefix hash.
+  */
+class BottomKSpec extends SparkSpec {
+
+  private def keys(n: Int) = (1 to n).map(i => s"key$i")
+
+  test("hash60 IS Spark SQL's conv(substr(md5(key),1,15),16,10) — the pinned cross-engine spelling") {
+    import spark.implicits._
+    val df = (keys(500) :+ "" :+ "héllo wörld" :+ "a\tb")
+      .toDF("key")
+      .withColumn("sql_h",
+        expr("CAST(conv(substr(md5(key), 1, 15), 16, 10) AS BIGINT)"))
+    df.collect().foreach { r =>
+      val key = r.getString(0)
+      assert(BottomKSketch.hash60(key) === r.getLong(1),
+        s"hash60 disagrees with the SQL spelling for '$key'")
+    }
+  }
+
+  test("exact below k: fewer than k distinct keys => estimate IS the distinct count, sample IS the full domain") {
+    import spark.implicits._
+    // 100 distinct keys, each repeated 7 times, k = 128
+    val df = keys(100).flatMap(k => Seq.fill(7)(k))
+      .toDF("key").withColumn("g", lit("a"))
+    val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = 128)
+    val served = BottomKSample.bottomKServe(st, Seq("g"), sampleSize = 128)
+      .collect()
+    assert(served.length === 100)
+    assert(served.map(_.getLong(4)).toSet === Set(100L)) // distinct_est exact
+    assert(served.map(_.getString(2)).toSet === keys(100).toSet) // full domain
+    assert(served.map(_.getLong(5)).toSet === Set(700L)) // n_rows
+  }
+
+  test("KMV estimate: planted 10k distinct at k=256 lands within the ~1/sqrt(k-2) envelope") {
+    import spark.implicits._
+    val df = keys(10000).toDF("key").withColumn("g", lit("a"))
+    val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = 256)
+    val est = BottomKSample.bottomKServe(st, Seq("g"), sampleSize = 1)
+      .collect().head.getLong(4)
+    // stderr ~ 1/sqrt(254) ~ 6.3%; 4 sigma = 25%
+    assert(math.abs(est / 10000.0 - 1.0) < 0.25,
+      s"KMV estimate $est too far from 10000")
+  }
+
+  test("state is BIT-IDENTICAL under any partitioning and any merge tree (set-union semantics)") {
+    import spark.implicits._
+    val df = keys(5000).flatMap(k => Seq.fill(3)(k))
+      .toDF("key").withColumn("g", lit("a"))
+    def stateBytes(parts: Int, units: Int): Array[Byte] = {
+      val d = df.repartition(parts)
+        .withColumn("u", pmod(crc32(col("key")), lit(units)))
+      val states = BottomKSample.bottomKStates(d, Seq("g", "u"), "key", k = 64)
+      BottomKSample.bottomKCompact(states, Seq("g"))
+        .collect().head.getAs[Array[Byte]]("sketch")
+    }
+    val base = stateBytes(1, 1)
+    Seq((7, 3), (32, 5), (3, 11)).foreach { case (p, u) =>
+      assert(java.util.Arrays.equals(base, stateBytes(p, u)),
+        s"state differs at parts=$p units=$u — merge tree leaked into the state")
+    }
+    // idempotence: re-compacting already-merged state changes nothing
+    val s1 = BottomKSketch.deserializeSummary(base)
+    val s2 = BottomKSketch.deserializeSummary(base)
+    assert(java.util.Arrays.equals(
+      BottomKSketch.serializeSummary(s1.merge(s2)), base),
+      "self-merge must be a no-op")
+  }
+
+  test("states survive a parquet round-trip and serve identically") {
+    import spark.implicits._
+    val df = keys(1000).toDF("key").withColumn("g",
+      when(length(col("key")) > 5, lit("long")).otherwise(lit("short")))
+    val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bk_state").toString
+    st.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val a = BottomKSample.bottomKServe(st, Seq("g"), 32)
+      .collect().map(_.toSeq).toSet
+    val b = BottomKSample.bottomKServe(back, Seq("g"), 32)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("SQL surface end-to-end: graft_bk_agg / merge / distinct / sample") {
+    import spark.implicits._
+    BottomKSketch.register(spark)
+    keys(300).toDF("key").createOrReplaceTempView("bk_keys")
+    val row = spark.sql(
+      """SELECT graft_bk_distinct(graft_bk_merge(st)) AS est,
+        |       size(graft_bk_sample(graft_bk_merge(st), 10)) AS m
+        |FROM (SELECT graft_bk_agg(key, 64) AS st FROM bk_keys
+        |      GROUP BY length(key))""".stripMargin).collect().head
+    // 300 distinct at k=64: the KMV path; generous envelope
+    assert(math.abs(row.getLong(0) / 300.0 - 1.0) < 0.5)
+    assert(row.getInt(1) === 10)
+  }
+
+  test("contract holes refused: mixed-k merge, k < 2, m < 1, non-foldable k") {
+    import spark.implicits._
+    val a = new BottomKSketch.BkSummary(8)
+    val b = new BottomKSketch.BkSummary(16)
+    keys(10).foreach(a.insert); keys(10).foreach(b.insert)
+    val e = intercept[IllegalArgumentException](a.merge(b))
+    assert(e.getMessage.contains("different k"))
+    intercept[IllegalArgumentException](
+      BottomKSketch.bkAgg(spark, col("key"), k = 1))
+    intercept[IllegalArgumentException](
+      BottomKSketch.bkSample(spark, col("st"), m = 0))
+    BottomKSketch.register(spark)
+    keys(5).toDF("key").createOrReplaceTempView("bk_badk")
+    val sqlErr = intercept[Exception](
+      spark.sql("SELECT graft_bk_agg(key, 1) FROM bk_badk").collect())
+    assert(sqlErr.getMessage.contains(">= 2"))
+  }
+
+  test("null keys are skipped, not sampled") {
+    import spark.implicits._
+    val df = (keys(20).map(Option(_)) ++ Seq.fill(30)(Option.empty[String]))
+      .toDF("key").withColumn("g", lit("a"))
+    val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = 64)
+    val served = BottomKSample.bottomKServe(st, Seq("g"), 64).collect()
+    assert(served.length === 20)
+    assert(served.map(_.getLong(4)).toSet === Set(20L))
+    // n_rows counts non-null keys only
+    assert(served.map(_.getLong(5)).toSet === Set(20L))
+  }
+
+  test("q72 gate: deterministic row count and the sample is the hash-bottom of the true distinct domain") {
+    val out = operators.BottomKSample
+      .q72BottomkSample(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // exact path at sf0.001 (15 distinct user_ids < k): estimate exact
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(4)).toSet.size === 1)
+      val est = rows.head.getLong(4)
+      if (est < 128) assert(rows.length.toLong === math.min(est, 16L))
+    }
+    // ranks are 1..m dense per type, hashes ascend
+    byType.foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rows.length))
+      val hs = sorted.map(_.getLong(3)).toSeq
+      assert(hs === hs.sorted, s"$t: sample hashes not ascending")
+    }
+  }
+}

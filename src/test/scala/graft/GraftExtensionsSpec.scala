@@ -146,6 +146,32 @@ class GraftExtensionsSpec extends SparkSpec {
       || err.getMessage.toLowerCase.contains("literal"), err.getMessage.take(300))
   }
 
+  test("bottom-k KMV family works end-to-end through pure SQL in a derived session") {
+    val derived = spark.newSession()
+    derived.sql(
+      "SELECT concat('u', v) AS key FROM (SELECT explode(sequence(1, 500)) AS v)")
+      .createOrReplaceTempView("bk_vals")
+    // build per-shard states, merge, serve estimate + sample — all SQL
+    val row = derived.sql(
+      """WITH shards AS (
+        |  SELECT length(key) % 3 AS shard, graft_bk_agg(key, 64) AS st
+        |  FROM bk_vals GROUP BY 1
+        |), merged AS (
+        |  SELECT graft_bk_merge(st) AS st FROM shards
+        |)
+        |SELECT graft_bk_distinct(st) AS est,
+        |       size(graft_bk_sample(st, 16)) AS m FROM merged""".stripMargin)
+      .collect().head
+    // 500 distinct at k=64: KMV envelope (stderr ~13%; allow 4 sigma)
+    assert(math.abs(row.getLong(0) / 500.0 - 1.0) < 0.52, s"est ${row.getLong(0)}")
+    assert(row.getInt(1) === 16)
+    // contract surfaces through SQL too: k < 2 is a clear error
+    val err = intercept[Exception] {
+      derived.sql("SELECT graft_bk_agg(key, 1) FROM bk_vals").collect()
+    }
+    assert(err.getMessage.contains(">= 2"), err.getMessage.take(300))
+  }
+
   test("graft_l2sq returns NULL on a dimension mismatch, never a prefix distance") {
     val derived = spark.newSession()
     val row = derived.sql(

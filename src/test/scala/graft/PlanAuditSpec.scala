@@ -837,6 +837,19 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("q72 bottom-k: partial sketch aggs map-side, bounded shuffle budget, never a join") {
+    val df = graft.operators.BottomKSample.q72BottomkSample(spark, sf)
+    // 5 unit-state aggs + compact + serve + presentation sort — every
+    // shuffle carries <= k (hash, key) pairs per group, never raw keys
+    assert(shuffles(df) <= 9)
+    val plan = df.queryExecution.executedPlan.toString
+    // the mergeable claim made physical: the TypedImperativeAggregate
+    // runs a PARTIAL pass before its exchange (map-side combine), so
+    // the shuffle payload is bounded sketch state
+    assert(plan.contains("partial_graft_bk_agg"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("LSH geometry sizing: building the s08 + d08 plans costs at most one counting job") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

@@ -989,6 +989,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bottom-k sketch: maintained state is BIT-IDENTICAL to the one-shot sketch after every batch") {
+    // the q72 loop deployed — the distinct-sample + distinct-count
+    // monitor maintained incrementally: each batch folds to per-key
+    // bottom-k states (<= k pairs, never raw rows), appends, compacts
+    // by set-union. The claim is the family's strongest: because the
+    // bottom-k of a fixed hash is a pure set property, the MAINTAINED
+    // STATE (not just served numbers) equals the one-shot batch sketch
+    // byte-for-byte after every micro-batch, so sample, hashes, and
+    // the integer KMV estimate all match exactly
+    implicit val ctx = spark.sqlContext
+    import graft.operators.BottomKSample
+    import graft.functions.BottomKSketch
+    val k = 32
+    val batches = Seq(
+      (1 to 60).map(i => ("g", s"u$i")),
+      (30 to 90).map(i => ("g", s"u$i")), // overlaps batch 1
+      (1 to 200 by 3).map(i => ("g", s"u$i")))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("grp", "key").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getString(1))).toSeq
+          val states = BottomKSample.bottomKStates(
+            localized.toDF("grp", "key"), Seq("grp"), "key", k = k)
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = BottomKSample.bottomKCompact(appended, Seq("grp"))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        val st = maintained.collect()
+        assert(st.length === 1)
+        assert(st.head.getLong(st.head.fieldIndex("n_rows")) === seen.size.toLong)
+        // maintained state == one-shot sketch over everything streamed,
+        // BYTE for BYTE
+        val oneShot = BottomKSample.bottomKStates(
+            seen.toSeq.toDF("grp", "key"), Seq("grp"), "key", k = k)
+          .collect().head.getAs[Array[Byte]]("sketch")
+        assert(java.util.Arrays.equals(
+          st.head.getAs[Array[Byte]]("sketch"), oneShot),
+          s"maintained state diverged from one-shot after ${seen.size} rows")
+        // exact-below-k / KMV-at-k: either way the served estimate is
+        // the deterministic function of the distinct set streamed
+        val est = BottomKSample.bottomKServe(maintained, Seq("grp"), 1)
+          .collect().head.getLong(4)
+        val trueDistinct = seen.map(_._2).distinct.size
+        if (trueDistinct < k) assert(est === trueDistinct.toLong)
+        else {
+          val s = BottomKSketch.deserializeSummary(oneShot)
+          assert(est === s.distinctEstimate)
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming BM25: maintained tf state serves EXACTLY the batch ranking after every ingest batch") {
     // the retrieval index deployed incrementally: each batch of NEW
     // docs folds to (doc, term, tf) states map-only, appends, compacts
