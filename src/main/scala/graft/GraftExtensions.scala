@@ -163,5 +163,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bk_sample"),
       new ExpressionInfo(classOf[BottomKSketch.BkSample].getName, "graft_bk_sample"),
       BottomKSketch.sampleBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bk_overlap"),
+      new ExpressionInfo(classOf[BottomKSketch.BkOverlap].getName, "graft_bk_overlap"),
+      BottomKSketch.overlapBuilder))
   }
 }

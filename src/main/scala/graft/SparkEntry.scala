@@ -69,6 +69,9 @@ object SparkEntry {
     // distinct sample + estimate that an independent engine reproduces
     // value-for-value from the pinned md5-prefix hash
     "q72_bottomk_sample" -> (BottomKSample.q72BottomkSample _),
+    // FULLY oracled set-operation gate: pairwise corpus overlap from
+    // bottom-k states alone (the corpora are never joined)
+    "q73_corpus_overlap" -> (BottomKSample.q73CorpusOverlap _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
     "q33_agg_state" -> (Relational.q33AggState _),
@@ -1633,6 +1636,45 @@ object SparkEntry {
         |JOIN nr USING (event_type)
         |WHERE r.rn <= 16
         |ORDER BY event_type, rank""".stripMargin,
+
+    // the Beyer et al. set-operation estimator restated: each type's
+    // bottom-128 by the pinned hash, union synopsis re-ranked per pair
+    // with membership flags, overlap = both-flags inside the union's
+    // bottom-128 — k_used, overlap and the rounded ratio all
+    // engine-independent
+    "q73_corpus_overlap" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), bk AS (
+        |  SELECT event_type, key, h FROM (
+        |    SELECT event_type, key, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h, key) AS rn
+        |    FROM hashed)
+        |  WHERE rn <= 128
+        |), pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM bk) a
+        |  JOIN (SELECT DISTINCT event_type FROM bk) b ON a.event_type < b.event_type
+        |), mem AS (
+        |  SELECT p.ta, p.tb, bk.key, bk.h,
+        |    max(CASE WHEN bk.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN bk.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN bk ON bk.event_type IN (p.ta, p.tb)
+        |  GROUP BY 1, 2, 3, 4
+        |), ranked AS (
+        |  SELECT ta, tb, in_a, in_b,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY h, key) AS rn
+        |  FROM mem
+        |)
+        |SELECT ta AS group_a, tb AS group_b,
+        |  CAST(COUNT(*) AS INT) AS k_used,
+        |  CAST(SUM(in_a * in_b) AS INT) AS overlap,
+        |  round(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
+        |FROM ranked WHERE rn <= 128
+        |GROUP BY 1, 2
+        |ORDER BY group_a, group_b""".stripMargin,
 
     // the q30/q38 interpolation CTE at (0.05, 0.95), then a map-only
     // least/greatest clamp on the bit-identical rounded fences

@@ -297,6 +297,61 @@ object BottomKSketch {
       copy(left = newLeft, right = newRight)
   }
 
+  private val OverlapStruct = StructType(Seq(
+    StructField("k_used", IntegerType, nullable = false),
+    StructField("overlap", IntegerType, nullable = false),
+    StructField("jaccard_est", org.apache.spark.sql.types.DoubleType, nullable = true)))
+
+  /** `graft_bk_overlap(stateA, stateB)` → struct<k_used, overlap,
+    * jaccard_est>: the Beyer et al. 2007 set-operation estimator —
+    * Jaccard similarity of two distinct DOMAINS from their bottom-k
+    * synopses alone, no join of the underlying data. K-min synopses
+    * are closed under union: the bottom-k of A∪B is computable from
+    * the two states, and any pair in it that belongs to A is
+    * necessarily within A's stored bottom-k (the union's k-th smallest
+    * hash is ≤ each side's k-th smallest), so membership tests against
+    * the stored states are EXACT. `overlap` counts union-synopsis
+    * members present in both states, `k_used = |bottom-k(A∪B)|`,
+    * `jaccard_est = round(overlap / k_used, 6)` — every number a
+    * deterministic function of the pinned hashes, so an independent
+    * engine reproduces all three. Exact (not an estimate) whenever
+    * both domains fit below k. NULL jaccard on an empty union.
+    */
+  case class BkOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+    override def inputTypes = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = OverlapStruct
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_bk_overlap"
+
+    override def nullSafeEval(sa: Any, sb: Any): Any = {
+      val a = deserializeSummary(sa.asInstanceOf[Array[Byte]])
+      val b = deserializeSummary(sb.asInstanceOf[Array[Byte]])
+      require(a.k == b.k,
+        s"cannot compare bottom-k states of different k: ${a.k} vs ${b.k}")
+      val union = new BkSummary(a.k)
+      a.pairs.foreach { p =>
+        if (union.pairs.size < union.k) union.pairs += p
+        else if (PairOrdering.lt(p, union.pairs.last)) {
+          if (union.pairs.add(p)) union.pairs -= union.pairs.last
+        }
+      }
+      union.merge(b)
+      val kUsed = union.pairs.size
+      val overlap = union.pairs.count(p => a.pairs.contains(p) && b.pairs.contains(p))
+      val jac: Any =
+        if (kUsed == 0) null
+        else BigDecimal(overlap.toDouble / kUsed)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      InternalRow(kUsed, overlap, jac)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BkOverlap =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def foldableInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a foldable integer literal")
     e.eval() match {
@@ -327,6 +382,12 @@ object BottomKSketch {
     BkDistinct(children(0))
   }
 
+  private[graft] val overlapBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_bk_overlap expects (stateA, stateB): got ${children.size}")
+    BkOverlap(children(0), children(1))
+  }
+
   private[graft] val sampleBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
       s"graft_bk_sample expects (state, m): got ${children.size}")
@@ -354,6 +415,10 @@ object BottomKSketch {
       FunctionIdentifier("graft_bk_sample"),
       new ExpressionInfo(classOf[BkSample].getName, "graft_bk_sample"),
       sampleBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bk_overlap"),
+      new ExpressionInfo(classOf[BkOverlap].getName, "graft_bk_overlap"),
+      overlapBuilder)
   }
 
   import org.apache.spark.sql.functions.{call_function, lit}
@@ -385,5 +450,13 @@ object BottomKSketch {
     require(m >= 1, s"m must be >= 1: $m")
     register(spark)
     call_function("graft_bk_sample", state, lit(m))
+  }
+
+  /** Estimate the Jaccard overlap of two distinct domains from their
+    * states alone — struct<k_used, overlap, jaccard_est>.
+    */
+  def bkOverlap(spark: SparkSession, stateA: Column, stateB: Column): Column = {
+    register(spark)
+    call_function("graft_bk_overlap", stateA, stateB)
   }
 }

@@ -71,6 +71,44 @@ object BottomKSample {
         col("n_rows"))): _*)
   }
 
+  /** Pairwise distinct-domain overlap BETWEEN groups, from states alone
+    * (Beyer et al. 2007 set operations on k-min synopses): for every
+    * unordered group pair, `k_used` (union synopsis size), `overlap`
+    * (union-synopsis members present in BOTH states — membership
+    * against the stored bottom-k is exact, see BkOverlap), and
+    * `jaccard_est = round(overlap/k_used, 6)`. The 100 TB shape: the
+    * input is the STATE table (one row per group, ≤ k pairs each), so
+    * the pairwise comparison is a self-join of a tiny frame — the
+    * underlying corpora are never joined, never rescanned.
+    */
+  def bottomKOverlap(states: DataFrame, groupCol: String): DataFrame = {
+    val s = states.sparkSession
+    val compact = bottomKCompact(states, Seq(groupCol))
+    val a = compact.select(Cols.q(groupCol).as("group_a"), col("sketch").as("__sa"))
+    val b = compact.select(Cols.q(groupCol).as("group_b"), col("sketch").as("__sb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        BottomKSketch.bkOverlap(s, col("__sa"), col("__sb")).as("__o"))
+      .select(col("group_a"), col("group_b"),
+        col("__o.k_used").as("k_used"),
+        col("__o.overlap").as("overlap"),
+        col("__o.jaccard_est").as("jaccard_est"))
+  }
+
+  /** q73: gate binding — the corpus-overlap question asked of events:
+    * how much do any two event types share their user domain, computed
+    * purely from the q72-shaped per-type states (the corpora are never
+    * joined). FULLY DuckDB-oracled: k_used, overlap, and the rounded
+    * Jaccard reproduce value-for-value from the pinned hash (the union
+    * synopsis and both membership tests restate as rank windows).
+    */
+  def q73CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val states = bottomKStates(ev, Seq("event_type"), "user_id", k = 128)
+    bottomKOverlap(states, "event_type")
+      .orderBy("group_a", "group_b")
+  }
+
   /** q72: gate binding — distinct user_ids per event type over events,
     * sketched per "daily" ingest unit (event_id mod 5, the q71 shape),
     * compacted, then the bottom-16 sample + the distinct estimate

@@ -136,6 +136,70 @@ class BottomKSpec extends SparkSpec {
     assert(served.map(_.getLong(5)).toSet === Set(20L))
   }
 
+  test("overlap, exact regime: both domains below k => jaccard_est IS the true Jaccard") {
+    import spark.implicits._
+    // A = k1..k30, B = k21..k50: |A∩B| = 10, |A∪B| = 50, J = 0.2
+    val df = ((1 to 30).map(i => ("a", s"k$i")) ++
+        (21 to 50).map(i => ("b", s"k$i")))
+      .toDF("g", "key")
+    val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = 128)
+    val row = BottomKSample.bottomKOverlap(st, "g").collect().head
+    assert(row.getString(0) === "a" && row.getString(1) === "b")
+    assert(row.getInt(2) === 50)   // k_used = |union| (below k: exact)
+    assert(row.getInt(3) === 10)   // overlap = |A∩B|
+    assert(row.getDouble(4) === 0.2)
+  }
+
+  test("overlap, estimator regime: planted 1/3 Jaccard at 5k-doc domains lands in the sampling envelope") {
+    import spark.implicits._
+    // A = 1..5000, B = 2501..7500: true J = 2500/7500 = 1/3
+    val df = ((1 to 5000).map(i => ("a", s"k$i")) ++
+        (2501 to 7500).map(i => ("b", s"k$i")))
+      .toDF("g", "key")
+    val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = 256)
+    val row = BottomKSample.bottomKOverlap(st, "g").collect().head
+    assert(row.getInt(2) === 256)
+    // stderr ~ sqrt(J(1-J)/k) ~ 0.03; allow 5 sigma
+    assert(math.abs(row.getDouble(4) - 1.0 / 3) < 0.15,
+      s"overlap estimate ${row.getDouble(4)} too far from 1/3")
+  }
+
+  test("overlap: disjoint domains serve 0, identical domains serve 1, mixed-k refused") {
+    import spark.implicits._
+    val disjoint = ((1 to 500).map(i => ("a", s"x$i")) ++
+        (1 to 500).map(i => ("b", s"y$i"))).toDF("g", "key")
+    val dSt = BottomKSample.bottomKStates(disjoint, Seq("g"), "key", k = 64)
+    val d = BottomKSample.bottomKOverlap(dSt, "g").collect().head
+    assert(d.getInt(3) === 0 && d.getDouble(4) === 0.0)
+    val same = ((1 to 500) ++ (1 to 500)).zipWithIndex
+      .map { case (i, j) => (if (j < 500) "a" else "b", s"x$i") }.toDF("g", "key")
+    val sSt = BottomKSample.bottomKStates(same, Seq("g"), "key", k = 64)
+    val s = BottomKSample.bottomKOverlap(sSt, "g").collect().head
+    assert(s.getInt(3) === s.getInt(2) && s.getDouble(4) === 1.0)
+    // mixed k refused with a clear message
+    val a = new BottomKSketch.BkSummary(8); keys(10).foreach(a.insert)
+    val b = new BottomKSketch.BkSummary(16); keys(10).foreach(b.insert)
+    import org.apache.spark.sql.functions.lit
+    BottomKSketch.register(spark)
+    Seq((BottomKSketch.serializeSummary(a), BottomKSketch.serializeSummary(b)))
+      .toDF("sa", "sb").createOrReplaceTempView("bk_mixed")
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_bk_overlap(sa, sb) FROM bk_mixed").collect())
+    assert(err.getMessage.contains("different k"), err.getMessage.take(300))
+  }
+
+  test("q73 gate: 10 unordered type pairs, ratios well-formed, overlap symmetric in its inputs") {
+    val out = operators.BottomKSample
+      .q73CorpusOverlap(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 10) // C(5,2) event-type pairs
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getInt(3) <= r.getInt(2))
+      val j = r.getDouble(4)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("q72 gate: deterministic row count and the sample is the hash-bottom of the true distinct domain") {
     val out = operators.BottomKSample
       .q72BottomkSample(spark, "/root/testdata/sf0.001").collect()

@@ -165,6 +165,12 @@ class GraftExtensionsSpec extends SparkSpec {
     // 500 distinct at k=64: KMV envelope (stderr ~13%; allow 4 sigma)
     assert(math.abs(row.getLong(0) / 500.0 - 1.0) < 0.52, s"est ${row.getLong(0)}")
     assert(row.getInt(1) === 16)
+    // overlap of a domain with itself is exactly 1 through pure SQL
+    val self = derived.sql(
+      """SELECT graft_bk_overlap(st, st).jaccard_est
+        |FROM (SELECT graft_bk_agg(key, 64) AS st FROM bk_vals)""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(self === 1.0)
     // contract surfaces through SQL too: k < 2 is a clear error
     val err = intercept[Exception] {
       derived.sql("SELECT graft_bk_agg(key, 1) FROM bk_vals").collect()

@@ -850,6 +850,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("q73 corpus overlap: the corpora are never joined — one state agg, then a broadcast self-join of the tiny state frame") {
+    val df = graft.operators.BottomKSample.q73CorpusOverlap(spark, sf)
+    // state agg + compact + presentation sort; the pairwise comparison
+    // rides a broadcast of the per-group state rows
+    assert(shuffles(df) <= 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("LSH geometry sizing: building the s08 + d08 plans costs at most one counting job") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
