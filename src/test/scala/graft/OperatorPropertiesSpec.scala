@@ -650,4 +650,36 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("bottomK: state equals the driver model's k-smallest set on random multisets, any split") {
+    import graft.functions.BottomKSketch
+    import graft.operators.BottomKSample
+    for (seed <- Seq(3, 11, 29)) {
+      val r = rnd(seed)
+      val k = 1 + r.nextInt(48) + 1 // 2..49
+      // random multiset over a random-size alphabet: sometimes below k
+      // (exact regime), sometimes far above (estimator regime)
+      val alphabet = 1 + r.nextInt(200)
+      val rows = (0 until 600).map(_ => ("g", s"v${r.nextInt(alphabet)}"))
+      val df = rows.toDF("g", "key").repartition(1 + r.nextInt(7))
+      val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = k)
+        .collect().head.getAs[Array[Byte]]("sketch")
+      val s = BottomKSketch.deserializeSummary(st)
+      // driver model: the k smallest (hash60, key) pairs of the TRUE
+      // distinct set — must equal the state exactly, not approximately
+      val truth = rows.map(_._2).distinct
+        .map(key => (BottomKSketch.hash60(key), key))
+        .sorted.take(k)
+      assert(s.pairs.toSeq === truth, s"seed $seed k=$k alphabet=$alphabet")
+      // estimate: exact below k, the KMV integer formula at k
+      val distinct = rows.map(_._2).distinct.size
+      if (distinct < k) assert(s.distinctEstimate === distinct.toLong, s"seed $seed")
+      else {
+        val hk = truth.last._1
+        assert(s.distinctEstimate ===
+          (BigInt(k - 1) * BigInt(BottomKSketch.HashDomain) / BigInt(hk)).toLong,
+          s"seed $seed")
+      }
+    }
+  }
 }
