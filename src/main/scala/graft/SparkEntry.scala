@@ -1640,19 +1640,27 @@ object SparkEntry {
     // the Beyer et al. set-operation estimator restated: each type's
     // bottom-128 by the pinned hash, union synopsis re-ranked per pair
     // with membership flags, overlap = both-flags inside the union's
-    // bottom-128 — k_used, overlap and the rounded ratio all
-    // engine-independent
+    // bottom-128; the three KMV cardinalities use the same exact
+    // HUGEINT floor division as q72 — all six columns engine-
+    // independent
     "q73_corpus_overlap" ->
       """WITH hashed AS (
         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |  FROM events WHERE user_id IS NOT NULL
+        |), ranked0 AS (
+        |  SELECT event_type, key, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, key) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM hashed
         |), bk AS (
-        |  SELECT event_type, key, h FROM (
-        |    SELECT event_type, key, h,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY h, key) AS rn
-        |    FROM hashed)
-        |  WHERE rn <= 128
+        |  SELECT event_type, key, h FROM ranked0 WHERE rn <= 128
+        |), side AS (
+        |  SELECT event_type,
+        |    CASE WHEN max(nd) < 128 THEN max(nd)
+        |         ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // max(h) AS BIGINT)
+        |    END AS est
+        |  FROM ranked0 WHERE rn <= 128 GROUP BY event_type
         |), pairs AS (
         |  SELECT a.event_type AS ta, b.event_type AS tb
         |  FROM (SELECT DISTINCT event_type FROM bk) a
@@ -1664,16 +1672,25 @@ object SparkEntry {
         |  FROM pairs p JOIN bk ON bk.event_type IN (p.ta, p.tb)
         |  GROUP BY 1, 2, 3, 4
         |), ranked AS (
-        |  SELECT ta, tb, in_a, in_b,
+        |  SELECT ta, tb, in_a, in_b, h,
         |    row_number() OVER (PARTITION BY ta, tb ORDER BY h, key) AS rn
         |  FROM mem
+        |), uagg AS (
+        |  SELECT ta AS group_a, tb AS group_b,
+        |    CAST(COUNT(*) AS INT) AS k_used,
+        |    CAST(SUM(in_a * in_b) AS INT) AS overlap,
+        |    round(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS jaccard_est,
+        |    CASE WHEN COUNT(*) < 128 THEN COUNT(*)
+        |         ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) // max(h) AS BIGINT)
+        |    END AS union_est
+        |  FROM ranked WHERE rn <= 128
+        |  GROUP BY 1, 2
         |)
-        |SELECT ta AS group_a, tb AS group_b,
-        |  CAST(COUNT(*) AS INT) AS k_used,
-        |  CAST(SUM(in_a * in_b) AS INT) AS overlap,
-        |  round(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
-        |FROM ranked WHERE rn <= 128
-        |GROUP BY 1, 2
+        |SELECT u.group_a, u.group_b, u.k_used, u.overlap, u.jaccard_est,
+        |  sa.est AS distinct_a, sb.est AS distinct_b, u.union_est
+        |FROM uagg u
+        |JOIN side sa ON sa.event_type = u.group_a
+        |JOIN side sb ON sb.event_type = u.group_b
         |ORDER BY group_a, group_b""".stripMargin,
 
     // the q30/q38 interpolation CTE at (0.05, 0.95), then a map-only

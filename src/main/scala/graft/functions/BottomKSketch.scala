@@ -300,7 +300,10 @@ object BottomKSketch {
   private val OverlapStruct = StructType(Seq(
     StructField("k_used", IntegerType, nullable = false),
     StructField("overlap", IntegerType, nullable = false),
-    StructField("jaccard_est", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    StructField("jaccard_est", org.apache.spark.sql.types.DoubleType, nullable = true),
+    StructField("distinct_a", LongType, nullable = false),
+    StructField("distinct_b", LongType, nullable = false),
+    StructField("union_est", LongType, nullable = false)))
 
   /** `graft_bk_overlap(stateA, stateB)` → struct<k_used, overlap,
     * jaccard_est>: the Beyer et al. 2007 set-operation estimator —
@@ -312,10 +315,16 @@ object BottomKSketch {
     * hash is ≤ each side's k-th smallest), so membership tests against
     * the stored states are EXACT. `overlap` counts union-synopsis
     * members present in both states, `k_used = |bottom-k(A∪B)|`,
-    * `jaccard_est = round(overlap / k_used, 6)` — every number a
-    * deterministic function of the pinned hashes, so an independent
-    * engine reproduces all three. Exact (not an estimate) whenever
-    * both domains fit below k. NULL jaccard on an empty union.
+    * `jaccard_est = round(overlap / k_used, 6)`. Alongside them the
+    * three KMV cardinalities (`distinct_a`, `distinct_b`, `union_est`
+    * — each side's and the union synopsis's distinctEstimate): the
+    * integer primitives for CONTAINMENT both ways
+    * (|A∩B|/|A| ≈ (overlap/k_used)·union_est/distinct_a — the
+    * "is eval-set B's domain covered by train A" decontamination
+    * question). Every number a deterministic function of the pinned
+    * hashes, so an independent engine reproduces all six. Exact (not
+    * estimates) whenever the domains fit below k. NULL jaccard on an
+    * empty union.
     */
   case class BkOverlap(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
@@ -344,7 +353,8 @@ object BottomKSketch {
         if (kUsed == 0) null
         else BigDecimal(overlap.toDouble / kUsed)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      InternalRow(kUsed, overlap, jac)
+      InternalRow(kUsed, overlap, jac,
+        a.distinctEstimate, b.distinctEstimate, union.distinctEstimate)
     }
 
     override protected def withNewChildrenInternal(

@@ -75,8 +75,10 @@ object BottomKSample {
     * (Beyer et al. 2007 set operations on k-min synopses): for every
     * unordered group pair, `k_used` (union synopsis size), `overlap`
     * (union-synopsis members present in BOTH states — membership
-    * against the stored bottom-k is exact, see BkOverlap), and
-    * `jaccard_est = round(overlap/k_used, 6)`. The 100 TB shape: the
+    * against the stored bottom-k is exact, see BkOverlap),
+    * `jaccard_est = round(overlap/k_used, 6)`, and the three KMV
+    * cardinalities (`distinct_a`/`distinct_b`/`union_est`) from which
+    * containment both ways derives. The 100 TB shape: the
     * input is the STATE table (one row per group, ≤ k pairs each), so
     * the pairwise comparison is a self-join of a tiny frame — the
     * underlying corpora are never joined, never rescanned.
@@ -92,7 +94,10 @@ object BottomKSample {
       .select(col("group_a"), col("group_b"),
         col("__o.k_used").as("k_used"),
         col("__o.overlap").as("overlap"),
-        col("__o.jaccard_est").as("jaccard_est"))
+        col("__o.jaccard_est").as("jaccard_est"),
+        col("__o.distinct_a").as("distinct_a"),
+        col("__o.distinct_b").as("distinct_b"),
+        col("__o.union_est").as("union_est"))
   }
 
   /** q73: gate binding — the corpus-overlap question asked of events:

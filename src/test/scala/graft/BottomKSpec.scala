@@ -148,6 +148,10 @@ class BottomKSpec extends SparkSpec {
     assert(row.getInt(2) === 50)   // k_used = |union| (below k: exact)
     assert(row.getInt(3) === 10)   // overlap = |A∩B|
     assert(row.getDouble(4) === 0.2)
+    // the containment primitives are EXACT below k too
+    assert(row.getLong(5) === 30L) // distinct_a
+    assert(row.getLong(6) === 30L) // distinct_b
+    assert(row.getLong(7) === 50L) // union_est = |A∪B|
   }
 
   test("overlap, estimator regime: planted 1/3 Jaccard at 5k-doc domains lands in the sampling envelope") {
@@ -162,6 +166,12 @@ class BottomKSpec extends SparkSpec {
     // stderr ~ sqrt(J(1-J)/k) ~ 0.03; allow 5 sigma
     assert(math.abs(row.getDouble(4) - 1.0 / 3) < 0.15,
       s"overlap estimate ${row.getDouble(4)} too far from 1/3")
+    // the cardinality primitives land in their own KMV envelopes, and
+    // containment derives: |A∩B|/|A| ≈ J·union/|A| ≈ 2500/5000 = 0.5
+    assert(math.abs(row.getLong(5) / 5000.0 - 1.0) < 0.25, s"distinct_a ${row.getLong(5)}")
+    assert(math.abs(row.getLong(7) / 7500.0 - 1.0) < 0.25, s"union_est ${row.getLong(7)}")
+    val containmentA = row.getDouble(4) * row.getLong(7) / row.getLong(5)
+    assert(math.abs(containmentA - 0.5) < 0.2, s"containment_a $containmentA")
   }
 
   test("overlap: disjoint domains serve 0, identical domains serve 1, mixed-k refused") {
