@@ -1641,8 +1641,9 @@ object SparkEntry {
     // bottom-128 by the pinned hash, union synopsis re-ranked per pair
     // with membership flags, overlap = both-flags inside the union's
     // bottom-128; the three KMV cardinalities use the same exact
-    // HUGEINT floor division as q72 — all six columns engine-
-    // independent
+    // HUGEINT floor division as q72, and the containment ratios repeat
+    // the Spark side's pinned left-to-right double arithmetic — all
+    // eight columns engine-independent
     "q73_corpus_overlap" ->
       """WITH hashed AS (
         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key,
@@ -1687,7 +1688,13 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |)
         |SELECT u.group_a, u.group_b, u.k_used, u.overlap, u.jaccard_est,
-        |  sa.est AS distinct_a, sb.est AS distinct_b, u.union_est
+        |  sa.est AS distinct_a, sb.est AS distinct_b, u.union_est,
+        |  CASE WHEN sa.est = 0 THEN NULL
+        |       ELSE round(CAST(u.overlap AS DOUBLE) / u.k_used * u.union_est / sa.est, 6)
+        |  END AS containment_a_in_b,
+        |  CASE WHEN sb.est = 0 THEN NULL
+        |       ELSE round(CAST(u.overlap AS DOUBLE) / u.k_used * u.union_est / sb.est, 6)
+        |  END AS containment_b_in_a
         |FROM uagg u
         |JOIN side sa ON sa.event_type = u.group_a
         |JOIN side sb ON sb.event_type = u.group_b

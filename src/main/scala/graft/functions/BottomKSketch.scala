@@ -80,16 +80,36 @@ object BottomKSketch {
     (h << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /** Key ties (equal 60-bit hashes — a ~2^-60 event between DIFFERENT
+    * keys, but every re-arrival of the SAME key) order by UTF-8 bytes,
+    * unsigned lexicographic — the raw-byte order DuckDB and Spark's
+    * UTF8String both use, so the state order matches the oracle's for
+    * ALL inputs, supplementary-plane keys included. Equal strings
+    * short-circuit before any byte materialization.
+    */
+  private val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      if (a == b) 0
+      else {
+        val x = a.getBytes(StandardCharsets.UTF_8)
+        val y = b.getBytes(StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+  }
+
   private val PairOrdering: Ordering[(Long, String)] =
-    Ordering.Tuple2(Ordering.Long, Ordering.String)
+    Ordering.Tuple2(Ordering.Long, Utf8Ordering)
 
   /** Mutable aggregation buffer: the k smallest (hash, key) pairs over
     * distinct keys. A TreeSet gives O(log k) insert/evict and dedups
     * re-arrivals of the same key (same key → same pair) for free.
-    * Keys compare as Java Strings (UTF-16 code units) — identical to
-    * engine byte order for the ASCII keys the gates use; the hash
-    * dominates the order for anything else (a 60-bit tie between
-    * DIFFERENT keys is a ~2^-60 event).
     */
   final class BkSummary(val k: Int) {
     val pairs: mutable.TreeSet[(Long, String)] = mutable.TreeSet.empty(PairOrdering)
@@ -124,11 +144,16 @@ object BottomKSketch {
       * so an independent engine reproduces the number bit-for-bit.
       */
     def distinctEstimate: Long =
-      if (pairs.size < k) pairs.size.toLong
+      // `isEmpty` also covers the k=0 sentinel a merge over zero states
+      // leaves behind (size < k is FALSE there) — an empty state serves 0
+      if (pairs.isEmpty || pairs.size < k) pairs.size.toLong
       else {
         val hk = pairs.last._1
         if (hk <= 0L) pairs.size.toLong // 2^-60 corner: all-zero kth hash
-        else (BigInt(k - 1) * BigInt(HashDomain) / BigInt(hk)).toLong
+        else {
+          val e = BigInt(k - 1) * BigInt(HashDomain) / BigInt(hk)
+          if (e > Long.MaxValue) Long.MaxValue else e.toLong // hk ≤ (k-1)/8 corner
+        }
       }
   }
 
@@ -303,10 +328,14 @@ object BottomKSketch {
     StructField("jaccard_est", org.apache.spark.sql.types.DoubleType, nullable = true),
     StructField("distinct_a", LongType, nullable = false),
     StructField("distinct_b", LongType, nullable = false),
-    StructField("union_est", LongType, nullable = false)))
+    StructField("union_est", LongType, nullable = false),
+    StructField("containment_a_in_b", org.apache.spark.sql.types.DoubleType, nullable = true),
+    StructField("containment_b_in_a", org.apache.spark.sql.types.DoubleType, nullable = true)))
 
   /** `graft_bk_overlap(stateA, stateB)` → struct<k_used, overlap,
-    * jaccard_est>: the Beyer et al. 2007 set-operation estimator —
+    * jaccard_est, distinct_a, distinct_b, union_est,
+    * containment_a_in_b, containment_b_in_a>:
+    * the Beyer et al. 2007 set-operation estimator —
     * Jaccard similarity of two distinct DOMAINS from their bottom-k
     * synopses alone, no join of the underlying data. K-min synopses
     * are closed under union: the bottom-k of A∪B is computable from
@@ -317,14 +346,16 @@ object BottomKSketch {
     * members present in both states, `k_used = |bottom-k(A∪B)|`,
     * `jaccard_est = round(overlap / k_used, 6)`. Alongside them the
     * three KMV cardinalities (`distinct_a`, `distinct_b`, `union_est`
-    * — each side's and the union synopsis's distinctEstimate): the
-    * integer primitives for CONTAINMENT both ways
-    * (|A∩B|/|A| ≈ (overlap/k_used)·union_est/distinct_a — the
+    * — each side's and the union synopsis's distinctEstimate) and the
+    * CONTAINMENT ratios served explicitly both ways:
+    * `containment_a_in_b = round(overlap/k_used · union_est/distinct_a, 6)`
+    * (≈ |A∩B|/|A| — "how much of train A's domain does eval B touch")
+    * and its mirror over distinct_b — the one-call answer to the
     * "is eval-set B's domain covered by train A" decontamination
-    * question). Every number a deterministic function of the pinned
-    * hashes, so an independent engine reproduces all six. Exact (not
+    * question. Every number a deterministic function of the pinned
+    * hashes, so an independent engine reproduces all eight. Exact (not
     * estimates) whenever the domains fit below k. NULL jaccard on an
-    * empty union.
+    * empty union; NULL containment when the denominator side is empty.
     */
   case class BkOverlap(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
@@ -349,12 +380,21 @@ object BottomKSketch {
       union.merge(b)
       val kUsed = union.pairs.size
       val overlap = union.pairs.count(p => a.pairs.contains(p) && b.pairs.contains(p))
-      val jac: Any =
-        if (kUsed == 0) null
-        else BigDecimal(overlap.toDouble / kUsed)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      InternalRow(kUsed, overlap, jac,
-        a.distinctEstimate, b.distinctEstimate, union.distinctEstimate)
+      def round6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val jac: Any = if (kUsed == 0) null else round6(overlap.toDouble / kUsed)
+      val da = a.distinctEstimate
+      val db = b.distinctEstimate
+      val ue = union.distinctEstimate
+      // |A∩B| ≈ (overlap/k_used)·union_est; the division order is pinned
+      // left-to-right so the oracle's double arithmetic is identical
+      val cab: Any =
+        if (kUsed == 0 || da == 0L) null
+        else round6(overlap.toDouble / kUsed * ue / da)
+      val cba: Any =
+        if (kUsed == 0 || db == 0L) null
+        else round6(overlap.toDouble / kUsed * ue / db)
+      InternalRow(kUsed, overlap, jac, da, db, ue, cab, cba)
     }
 
     override protected def withNewChildrenInternal(
@@ -462,8 +502,10 @@ object BottomKSketch {
     call_function("graft_bk_sample", state, lit(m))
   }
 
-  /** Estimate the Jaccard overlap of two distinct domains from their
-    * states alone — struct<k_used, overlap, jaccard_est>.
+  /** Estimate the Jaccard overlap + containment of two distinct domains
+    * from their states alone — struct<k_used, overlap, jaccard_est,
+    * distinct_a, distinct_b, union_est, containment_a_in_b,
+    * containment_b_in_a>.
     */
   def bkOverlap(spark: SparkSession, stateA: Column, stateB: Column): Column = {
     register(spark)

@@ -76,9 +76,11 @@ object BottomKSample {
     * unordered group pair, `k_used` (union synopsis size), `overlap`
     * (union-synopsis members present in BOTH states — membership
     * against the stored bottom-k is exact, see BkOverlap),
-    * `jaccard_est = round(overlap/k_used, 6)`, and the three KMV
-    * cardinalities (`distinct_a`/`distinct_b`/`union_est`) from which
-    * containment both ways derives. The 100 TB shape: the
+    * `jaccard_est = round(overlap/k_used, 6)`, the three KMV
+    * cardinalities (`distinct_a`/`distinct_b`/`union_est`), and the
+    * containment ratios served explicitly both ways
+    * (`containment_a_in_b ≈ |A∩B|/|A|` and its mirror — the one-call
+    * "is eval-set B inside train A" answer). The 100 TB shape: the
     * input is the STATE table (one row per group, ≤ k pairs each), so
     * the pairwise comparison is a self-join of a tiny frame — the
     * underlying corpora are never joined, never rescanned.
@@ -97,7 +99,9 @@ object BottomKSample {
         col("__o.jaccard_est").as("jaccard_est"),
         col("__o.distinct_a").as("distinct_a"),
         col("__o.distinct_b").as("distinct_b"),
-        col("__o.union_est").as("union_est"))
+        col("__o.union_est").as("union_est"),
+        col("__o.containment_a_in_b").as("containment_a_in_b"),
+        col("__o.containment_b_in_a").as("containment_b_in_a"))
   }
 
   /** q73: gate binding — the corpus-overlap question asked of events:
@@ -125,10 +129,14 @@ object BottomKSample {
     */
   def q72BottomkSample(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val units = (0 until 5).map(i =>
-      bottomKStates(ev.filter(pmod(col("event_id"), lit(5)) === i),
-        Seq("event_type"), "user_id", k = 128))
-    val state = bottomKCompact(units.reduce(_ unionByName _), Seq("event_type"))
+      .withColumn("__unit", pmod(col("event_id"), lit(5)))
+    // ONE corpus scan sketches every (type, ingest-unit) cell; compact
+    // folds the units by set-union. BottomKSpec pins this one-pass
+    // grouped form row-identical to five per-unit filtered scans folded
+    // batch-by-batch (and StreamingSpec pins the fold BYTE-equal), so
+    // the gate charges the operator's true one-scan cost
+    val units = bottomKStates(ev, Seq("event_type", "__unit"), "user_id", k = 128)
+    val state = bottomKCompact(units, Seq("event_type"))
     bottomKServe(state, Seq("event_type"), sampleSize = 16)
       .orderBy("event_type", "rank")
   }

@@ -152,6 +152,9 @@ class BottomKSpec extends SparkSpec {
     assert(row.getLong(5) === 30L) // distinct_a
     assert(row.getLong(6) === 30L) // distinct_b
     assert(row.getLong(7) === 50L) // union_est = |A∪B|
+    // served containment ratios: |A∩B|/|A| = 10/30, exact both ways
+    assert(row.getDouble(8) === 0.333333) // containment_a_in_b
+    assert(row.getDouble(9) === 0.333333) // containment_b_in_a
   }
 
   test("overlap, estimator regime: planted 1/3 Jaccard at 5k-doc domains lands in the sampling envelope") {
@@ -167,11 +170,12 @@ class BottomKSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - 1.0 / 3) < 0.15,
       s"overlap estimate ${row.getDouble(4)} too far from 1/3")
     // the cardinality primitives land in their own KMV envelopes, and
-    // containment derives: |A∩B|/|A| ≈ J·union/|A| ≈ 2500/5000 = 0.5
+    // the SERVED containment ratio lands on the planted
+    // |A∩B|/|A| = 2500/5000 = 0.5
     assert(math.abs(row.getLong(5) / 5000.0 - 1.0) < 0.25, s"distinct_a ${row.getLong(5)}")
     assert(math.abs(row.getLong(7) / 7500.0 - 1.0) < 0.25, s"union_est ${row.getLong(7)}")
-    val containmentA = row.getDouble(4) * row.getLong(7) / row.getLong(5)
-    assert(math.abs(containmentA - 0.5) < 0.2, s"containment_a $containmentA")
+    assert(math.abs(row.getDouble(8) - 0.5) < 0.2, s"containment_a_in_b ${row.getDouble(8)}")
+    assert(math.abs(row.getDouble(9) - 0.5) < 0.2, s"containment_b_in_a ${row.getDouble(9)}")
   }
 
   test("overlap: disjoint domains serve 0, identical domains serve 1, mixed-k refused") {
@@ -196,6 +200,66 @@ class BottomKSpec extends SparkSpec {
     val err = intercept[Exception](
       spark.sql("SELECT graft_bk_overlap(sa, sb) FROM bk_mixed").collect())
     assert(err.getMessage.contains("different k"), err.getMessage.take(300))
+  }
+
+  test("empty merged state serves 0, never crashes: graft_bk_merge over zero states / all-NULL rows") {
+    import spark.implicits._
+    BottomKSketch.register(spark)
+    // merge over an all-NULL state column leaves the k=0 sentinel buffer
+    Seq.fill(3)(Option.empty[Array[Byte]]).toDF("st")
+      .createOrReplaceTempView("bk_null_states")
+    val row = spark.sql(
+      """SELECT graft_bk_distinct(graft_bk_merge(st)) AS est,
+        |       size(graft_bk_sample(graft_bk_merge(st), 5)) AS m
+        |FROM bk_null_states""".stripMargin).collect().head
+    assert(row.getLong(0) === 0L)
+    assert(row.getInt(1) === 0)
+    // overlap of an empty state with itself: NULL jaccard, zero counts
+    val ov = spark.sql(
+      """SELECT graft_bk_overlap(graft_bk_merge(st), graft_bk_merge(st)) AS o
+        |FROM bk_null_states""".stripMargin).collect().head.getStruct(0)
+    assert(ov.getInt(0) === 0 && ov.isNullAt(2) && ov.isNullAt(6) && ov.isNullAt(7))
+  }
+
+  test("estimate overflow corner clamps to Long.MaxValue instead of wrapping negative") {
+    // a synthetic full state whose k-th hash is tiny: (k-1)*2^60/hk >= 2^63
+    val s = new BottomKSketch.BkSummary(16)
+    (1 to 16).foreach { i => s.pairs += ((i.toLong, s"k$i")) } // hk = 16 <= (k-1)/8
+    assert(s.distinctEstimate === Long.MaxValue)
+  }
+
+  test("supplementary-plane keys: re-arrival dedup + round-trip hold under the UTF-8 tie order") {
+    import spark.implicits._
+    val exotic = Seq("𝒜", "z￿", "plain", "𝒜", "z￿")
+    val df = (exotic ++ keys(10)).toDF("key").withColumn("g", lit("a"))
+    val st = BottomKSample.bottomKStates(df, Seq("g"), "key", k = 64)
+    val served = BottomKSample.bottomKServe(st, Seq("g"), 64).collect()
+    assert(served.length === 13) // dedup held for the exotic keys
+    assert(served.map(_.getString(2)).toSet === (exotic.toSet ++ keys(10)))
+    val hs = served.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+    assert(hs === hs.sorted)
+  }
+
+  test("q72 one-pass grouped gate == five per-unit filtered scans folded batch-by-batch (named pin)") {
+    // the r13 gate's ingest realism (five unit batches) restated as an
+    // equality: the ONE-scan grouped form the gate now runs serves
+    // row-identical output to sketching each pmod-unit in its own scan
+    // and folding — the physical-independence claim behind switching
+    // the gate to the true one-scan cost
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = "/root/testdata/sf0.001"
+    val onePass = BottomKSample.q72BottomkSample(spark, dir)
+      .collect().map(_.toSeq)
+    val ev = Tables.events(spark, dir)
+    val unitStates = (0 until 5).map(i =>
+      BottomKSample.bottomKStates(ev.filter(pmod(col("event_id"), lit(5)) === i),
+        Seq("event_type"), "user_id", k = 128))
+    val folded = BottomKSample.bottomKServe(
+        BottomKSample.bottomKCompact(unitStates.reduce(_ unionByName _),
+          Seq("event_type")),
+        Seq("event_type"), sampleSize = 16)
+      .orderBy("event_type", "rank").collect().map(_.toSeq)
+    assert(onePass.toSeq === folded.toSeq)
   }
 
   test("q73 gate: 10 unordered type pairs, ratios well-formed, overlap symmetric in its inputs") {
