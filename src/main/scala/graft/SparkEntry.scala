@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BottomKSample, Dedup, HeavyHitters, Multimodal, ProductQuantization, QuantileSketch, Relational, Similarity, Text, XbrlQueries}
+import graft.operators.{BottomKSample, Dedup, HeavyHitters, Multimodal, ProductQuantization, QuantileSketch, Relational, ReservoirSample, Similarity, Text, XbrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7.
   *
@@ -72,6 +72,10 @@ object SparkEntry {
     // FULLY oracled set-operation gate: pairwise corpus overlap from
     // bottom-k states alone (the corpora are never joined)
     "q73_corpus_overlap" -> (BottomKSample.q73CorpusOverlap _),
+    // FULLY oracled sketch gate: q37's Efraimidis–Spirakis weighted
+    // row sample factored into mergeable bounded state — ids, weights,
+    // ranks and rounded keys all engine-independent (md5-derived u)
+    "q74_reservoir_sample" -> (ReservoirSample.q74ReservoirSample _),
     "q31_zorder_key" -> (Relational.q31ZorderKey _),
     "q32_sketch_state" -> (Relational.q32SketchState _),
     "q33_agg_state" -> (Relational.q33AggState _),
@@ -1699,6 +1703,34 @@ object SparkEntry {
         |JOIN side sa ON sa.event_type = u.group_a
         |JOIN side sb ON sb.event_type = u.group_b
         |ORDER BY group_a, group_b""".stripMargin,
+
+    // the q37 Efraimidis–Spirakis ranking restated: the top-16 by
+    // `greatest(w,1) / −ln(u)` with the pinned md5-derived u — the
+    // state path's per-unit top-64 fold serves exactly the global
+    // top-16 (top-k by a fixed key is closed under union), so the
+    // direct ranking IS the oracle; ids, weights, ranks and round-2
+    // keys engine-independent
+    "q74_reservoir_sample" ->
+      """WITH d AS (
+        |  SELECT source, CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(n_chars AS DOUBLE) AS w
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT source, id, w,
+        |    greatest(w, 1.0) /
+        |      (-ln(((('0x' || substr(md5(id), 1, 12))::BIGINT) + 0.5)
+        |        / 281474976710656.0)) AS wk
+        |  FROM d
+        |), ranked AS (
+        |  SELECT source, id, w, wk,
+        |    row_number() OVER (PARTITION BY source ORDER BY wk DESC, id) AS smp_rank,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_rows
+        |  FROM keyed
+        |)
+        |SELECT source, CAST(smp_rank AS INT) AS smp_rank, id AS doc_id,
+        |  w AS weight, round(wk, 2) AS wkey, n_rows
+        |FROM ranked WHERE smp_rank <= 16
+        |ORDER BY source, smp_rank""".stripMargin,
 
     // the q30/q38 interpolation CTE at (0.05, 0.95), then a map-only
     // least/greatest clamp on the bit-identical rounded fences

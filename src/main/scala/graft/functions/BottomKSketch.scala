@@ -87,7 +87,7 @@ object BottomKSketch {
     * ALL inputs, supplementary-plane keys included. Equal strings
     * short-circuit before any byte materialization.
     */
-  private val Utf8Ordering: Ordering[String] = new Ordering[String] {
+  private[functions] val Utf8Ordering: Ordering[String] = new Ordering[String] {
     def compare(a: String, b: String): Int =
       if (a == b) 0
       else {

@@ -222,9 +222,10 @@ class BottomKSpec extends SparkSpec {
   }
 
   test("estimate overflow corner clamps to Long.MaxValue instead of wrapping negative") {
-    // a synthetic full state whose k-th hash is tiny: (k-1)*2^60/hk >= 2^63
+    // a synthetic full state whose k-th hash is tiny: hk = 1 (16 keys
+    // colliding on hash 1, the ~2^-60 event) => (k-1)*2^60/1 >= 2^63
     val s = new BottomKSketch.BkSummary(16)
-    (1 to 16).foreach { i => s.pairs += ((i.toLong, s"k$i")) } // hk = 16 <= (k-1)/8
+    (1 to 16).foreach { i => s.pairs += ((1L, s"k$i")) }
     assert(s.distinctEstimate === Long.MaxValue)
   }
 

@@ -180,6 +180,53 @@ class DedupSpec extends SparkSpec {
     assert(minId.forall { case (id, cl) => id == cl })
   }
 
+  test("nearDupCorpus property: randomized graphs with COLLIDING preference values pin the smallest-id tiebreak against a driver model, under repartitioning") {
+    import spark.implicits._
+    // the max(struct(pref, -doc_id)) election's tie path exercised
+    // beyond planted cases: preferences drawn from a 3-value set so
+    // most clusters tie, random edges so cluster shapes vary; expected
+    // survivors computed by an independent driver-side union-find
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      val n = 50 + trial * 10
+      val docRows = (1 to n).map { i =>
+        (i.toLong, s"text of doc $i", (rnd.nextInt(3) + 1).toDouble)
+      }
+      val pairRows = (2 to n).flatMap { i =>
+        if (rnd.nextDouble() < 0.4) Some((rnd.nextInt(i - 1) + 1L, i.toLong))
+        else None
+      }
+      // driver model: union-find closure, then max-pref / min-id election
+      val parent = scala.collection.mutable.Map((1 to n).map(i => i.toLong -> i.toLong): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairRows.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val pref = docRows.map(d => d._1 -> d._3).toMap
+      val comps = (1 to n).map(i => i.toLong).groupBy(find)
+      val clusteredIds = pairRows.flatMap(p => Seq(p._1, p._2)).toSet
+      val expected = comps.values.flatMap { members0 =>
+        // only docs named in pairs cluster; union-find roots of
+        // singletons stay singleton pass-throughs
+        val members = members0.filter(clusteredIds.contains)
+        if (members.isEmpty) members0.map(id => (id, id, 1L))
+        else {
+          val surv = members.maxBy(m => (pref(m), -m))
+          val passthrough = members0.filterNot(members.contains)
+            .map(id => (id, id, 1L))
+          passthrough :+ ((surv, members.min, members.size.toLong))
+        }
+      }.toSeq.sortBy(_._1)
+      val out = Dedup.nearDupCorpus(
+          docRows.toDF("doc_id", "text", "pref").repartition(trial * 3),
+          pairRows.toDF("d1", "d2").repartition(trial + 1),
+          prefer = Some(col("pref")))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(out.toSeq === expected,
+        s"trial $trial: survivor election diverged from the driver model")
+    }
+  }
+
   test("nearDupCorpus composes with the MinHash-LSH generator: planted paraphrase groups collapse through d03 pairs") {
     import spark.implicits._
     // the generator-agnostic claim, end-to-end on a REAL pair frame

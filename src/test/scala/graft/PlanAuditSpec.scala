@@ -873,6 +873,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("q74 weighted reservoir: ONE corpus scan, partial sketch aggs map-side, bounded shuffle budget, never a join") {
+    val df = graft.operators.ReservoirSample.q74ReservoirSample(spark, sf)
+    // one grouped (source, unit) state agg + compact + serve +
+    // presentation sort — every shuffle carries <= k (wkey, id, weight)
+    // entries per group, never raw rows
+    assert(shuffles(df) <= 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(parquetScans(df) === 1, plan.take(3000))
+    assert(plan.contains("partial_graft_wr_agg"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("q73 corpus overlap: the corpora are never joined — one state agg, then a broadcast self-join of the tiny state frame") {
     val df = graft.operators.BottomKSample.q73CorpusOverlap(spark, sf)
     // state agg + compact + presentation sort; the pairwise comparison

@@ -1053,6 +1053,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir: maintained state is BIT-IDENTICAL to the one-shot sketch after every batch") {
+    // the q74 loop deployed — k representative rows per segment,
+    // weight-proportional, maintained incrementally: each batch folds
+    // to per-key reservoir states (<= k entries, never raw rows),
+    // appends, compacts by top-k set-union. Because the
+    // Efraimidis–Spirakis key derives from md5(id) (no PRNG), the
+    // MAINTAINED STATE equals the one-shot batch sketch byte-for-byte
+    // after every micro-batch — ids, weights, keys, rank order all
+    // match exactly
+    implicit val ctx = spark.sqlContext
+    import graft.operators.ReservoirSample
+    val k = 16
+    val batches = Seq(
+      (1 to 60).map(i => ("g", s"doc$i", (i % 37 + 5).toDouble)),
+      (30 to 90).map(i => ("g", s"doc$i", (i % 37 + 5).toDouble)), // re-arrivals dedup
+      (1 to 200 by 3).map(i => ("g", s"doc$i", (i % 37 + 5).toDouble)))
+    var maintained: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(String, String, Double)]
+    val q = input.toDF().toDF("grp", "id", "w").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val localized = batch.collect()
+            .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+          val states = ReservoirSample.reservoirStates(
+            localized.toDF("grp", "id", "w"), Seq("grp"), "id", "w", k = k)
+          val appended =
+            if (maintained == null) states
+            else maintained.unionByName(states)
+          maintained = ReservoirSample.reservoirCompact(appended, Seq("grp"))
+            .localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+      for (b <- batches) {
+        input.addData(b: _*); q.processAllAvailable()
+        seen ++= b
+        val st = maintained.collect()
+        assert(st.length === 1)
+        assert(st.head.getLong(st.head.fieldIndex("n_rows")) === seen.size.toLong)
+        val oneShot = ReservoirSample.reservoirStates(
+            seen.toSeq.toDF("grp", "id", "w"), Seq("grp"), "id", "w", k = k)
+          .collect().head.getAs[Array[Byte]]("sketch")
+        assert(java.util.Arrays.equals(
+          st.head.getAs[Array[Byte]]("sketch"), oneShot),
+          s"maintained state diverged from one-shot after ${seen.size} rows")
+        // the served sample is the top-k of everything streamed so far
+        val served = ReservoirSample.reservoirServe(maintained, Seq("grp"), k)
+          .collect().map(r => (r.getString(2), r.getDouble(3)))
+        val expected = seen.map(t => (t._2, t._3)).distinct
+          .sortBy { case (id, w) =>
+            -graft.functions.WeightedReservoir.wkey(id, w)
+          }.take(k)
+        assert(served.toSeq === expected.toSeq)
+      }
+    } finally q.stop()
+  }
+
   test("streaming BM25: maintained tf state serves EXACTLY the batch ranking after every ingest batch") {
     // the retrieval index deployed incrementally: each batch of NEW
     // docs folds to (doc, term, tf) states map-only, appends, compacts
