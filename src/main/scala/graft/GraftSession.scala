@@ -11,17 +11,6 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // fixed shuffle partitions are the classic scale trap: per-task
-      // shuffle volume grows linearly with data until the sort-agg
-      // spills (d18's gram window at 5M docs: 270M rows over 32 tasks
-      // = 8M+ rows/task, found by the r14 1000x profile). Start big
-      // shuffles at 16x the core count and let AQE coalesce down —
-      // parallelismFirst (default true) keeps small shuffles at ~core
-      // parallelism, so sf0.01 gate plans are unaffected while the
-      // 1000x runs split spills 16 ways. The cluster analog is sizing
-      // initialPartitionNum to data/target-partition-bytes.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 TIMESTAMP(NANOS); read as plain long
       // (see Tables.events).
