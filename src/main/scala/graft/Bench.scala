@@ -45,6 +45,16 @@ package graft
   * discount flagged reps from the artifact alone instead of guessing
   * whether a spread is plan cost or box noise.
   *
+  * r15 additions (VERDICT r14 #2): (c) `par_probe_sec` — the same
+  * fixed-work loop run on ALL cores at once (wall = slowest thread);
+  * co-tenant load on cores the serial probe never touches stretches
+  * it, making the r14 failure mode (uniform query inflation, serial
+  * probe flat) attributable from the artifact; its >1.3x rule feeds
+  * `contended_reps`. (d) `sentinel_sec` — a cached one-row frame
+  * through the same noop-write path, measuring the fixed per-query
+  * harness overhead directly (r14 inferred a ~+0.10 s component
+  * statistically; now it's a recorded number per pass).
+  *
   * s08 dual numbers (r11): s14 session-caches s08's knn graph as its
   * input index, and Spark's cache manager then serves the s08 gate
   * query's identical plan from that cache — so the `queries` row for
@@ -84,6 +94,28 @@ object Bench {
       probeSink ^= x
       (System.nanoTime() - t0) / 1e9
     }
+    // Fixed-work PARALLEL probe (r15 — VERDICT r14 #2): one thread per
+    // core each runs the SAME xorshift loop concurrently; wall = the
+    // slowest thread (one join barrier). On a quiet box this matches
+    // the serial probe; co-tenant load on OTHER cores stretches it
+    // while leaving the serial probe flat — exactly the r14 signature
+    // (uniform ~1.36x query inflation, serial probe identical) that the
+    // artifact could not attribute to environment vs session.
+    val parSink = new java.util.concurrent.atomic.AtomicLong(0L)
+    def parProbe(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { tid =>
+        val t = new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L ^ tid.toLong; var i = 0
+          while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          parSink.getAndAdd(x)
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "[]" }
@@ -99,14 +131,27 @@ object Bench {
 
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val parProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
     val load1s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Empty-query sentinel (r15): a cached one-row frame through the
+    // SAME noop-write path as every query — measures the per-query
+    // fixed harness/scheduling overhead directly (r14 showed a ~+0.10 s
+    // fixed component on all sub-0.3 s queries that the artifact could
+    // only infer statistically).
+    val sentinelDf = spark.range(1).toDF("one").cache()
+    sentinelDf.count() // materialize outside any timed window
     def samplePass(): Unit = {
       val l = loadavg()
       loads += l
       load1s += (try l.stripPrefix("[").split(",").head.toDouble
         catch { case _: Throwable => 0.0 })
       probes += probe()
+      parProbes += parProbe()
+      val t0 = System.nanoTime()
+      sentinelDf.write.format("noop").mode("overwrite").save()
+      sentinels += (System.nanoTime() - t0) / 1e9
     }
     samplePass()
     val cold = suite.map { case (name, fn) => name -> runOnce(name, fn) }
@@ -159,15 +204,24 @@ object Bench {
       "reps" -> obj(suite.map { case (k, _) => k -> timed(k).map(r3).mkString("[", ",", "]") }),
       // load evidence: index 0 = warmup pass, 1..reps = timed passes
       "probe_sec" -> probes.map(r3).mkString("[", ",", "]"),
+      // parallel (all-cores) fixed-work probe: stretches under
+      // co-tenant load the single-thread probe cannot see (r15)
+      "par_probe_sec" -> parProbes.map(r3).mkString("[", ",", "]"),
+      // cached 1-row noop write: the per-query fixed harness overhead
+      "sentinel_sec" -> sentinels.map(r3).mkString("[", ",", "]"),
       "loadavg" -> loads.mkString("[", ",", "]"),
       "contended_reps" -> {
-        // probe >1.2x the best timed-pass probe OR 1-min loadavg above
-        // cores/4 (the r10 loaded artifact tripped neither at 1.5x)
+        // probe >1.2x the best timed-pass probe OR par probe >1.3x its
+        // best (multi-core contention the serial probe misses) OR 1-min
+        // loadavg above cores/4 (the r10 loaded artifact tripped the
+        // old 1.5x serial rule on none of these signals)
         val minP = probes.drop(1).min
+        val minPP = parProbes.drop(1).min
         val loadLine = Runtime.getRuntime.availableProcessors() / 4.0
-        probes.drop(1).zip(load1s.drop(1)).zipWithIndex.collect {
-          case ((p, l1), i) if p > 1.2 * minP || l1 > loadLine => i + 1
-        }.mkString("[", ",", "]")
+        probes.drop(1).lazyZip(parProbes.drop(1)).lazyZip(load1s.drop(1))
+          .toSeq.zipWithIndex.collect {
+            case ((p, pp, l1), i) if p > 1.2 * minP || pp > 1.3 * minPP || l1 > loadLine => i + 1
+          }.mkString("[", ",", "]")
       },
       "s08_knn_build" -> s08BuildReps.map(r => obj(Seq(
         "median" -> r3(median(r)),

@@ -218,6 +218,10 @@ object SparkEntry {
     // the container); MultimodalSpec pins planted-twin recall, the
     // guaranteed-miss negative, and the bucket cap
     "m05_phash_neardups" -> (Multimodal.m05PhashNearDups _),
+    // codec-free header parse: format + dimensions from magic bytes
+    // over real PNG/JPEG/GIF header structure — fully oracled (the
+    // oracle rebuilds the identical blob and re-parses it byte-by-byte)
+    "m06_media_header" -> (Multimodal.m06MediaHeader _),
     // XBRL engine over the reference's own test archives (rows-only —
     // no synthetic-table twin exists; see XbrlQueries scaladoc)
     "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),
@@ -1710,11 +1714,15 @@ object SparkEntry {
     // top-16 (top-k by a fixed key is closed under union), so the
     // direct ranking IS the oracle; ids, weights, ranks and round-2
     // keys engine-independent
+    // the WHERE mirrors reservoirStates' n_rows definition exactly
+    // (rows with a null id or weight carry no identity/mass on the
+    // Spark side, so the oracle must not count them either — r14 ADVICE)
     "q74_reservoir_sample" ->
       """WITH d AS (
         |  SELECT source, CAST(doc_id AS VARCHAR) AS id,
         |    CAST(n_chars AS DOUBLE) AS w
         |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
         |), keyed AS (
         |  SELECT source, id, w,
         |    greatest(w, 1.0) /
@@ -2642,6 +2650,108 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1, 2, 3
         |ORDER BY media_type, payload_md5""".stripMargin,
+
+    // the m06 fixture payload is a deterministic hex construction over
+    // documents (real PNG/JPEG/GIF header structure around the doc
+    // text), so the oracle REBUILDS the identical blob hex and then
+    // RE-PARSES it with independent byte reads: fixed-offset substr +
+    // ('0x'||…)::INT for PNG/GIF, a recursive-CTE marker walk for the
+    // JPEG SOF scan — format, dims, bucket, and the malformed-row null
+    // contract all cross-engine checked value-for-value
+    "m06_media_header" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(160 + (doc_id * 7) % 1280 AS INT) AS w,
+        |    CAST(120 + (doc_id * 13) % 720 AS INT) AS h,
+        |    CAST((doc_id % 23) + 1 AS INT) AS cl,
+        |    hex(substr(text, 1, 32)) AS body
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || printf('%08X', w) || printf('%08X', h)
+        |        || '0806000000' || 'DEADBEEF' || body
+        |      WHEN 1 THEN 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00'
+        |        || '0001' || '0001' || '00' || '00'
+        |        || 'FFFE' || printf('%04X', cl + 2) || repeat('41', cl)
+        |        || 'FFC0' || '0011' || '08' || printf('%04X', h) || printf('%04X', w)
+        |        || '03' || '012200' || '021101' || '031101' || body
+        |      ELSE '474946383961'
+        |        || substr(printf('%04X', w), 3, 2) || substr(printf('%04X', w), 1, 2)
+        |        || substr(printf('%04X', h), 3, 2) || substr(printf('%04X', h), 1, 2)
+        |        || 'F70000' || body
+        |    END AS full_hex
+        |  FROM d
+        |), hx AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN substr(full_hex, 1, 10)
+        |         WHEN doc_id % 13 = 0 THEN '00' || substr(full_hex, 3)
+        |         ELSE full_hex END AS hx
+        |  FROM built
+        |), fmt AS (
+        |  SELECT doc_id, hx,
+        |    CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |         WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+        |         WHEN substr(hx, 1, 12) IN ('474946383761', '474946383961') THEN 'gif'
+        |    END AS format
+        |  FROM hx
+        |), jwalk AS (
+        |  WITH RECURSIVE seg AS (
+        |    SELECT doc_id, hx, 2 AS pos, 0 AS iter
+        |    FROM fmt WHERE format = 'jpeg'
+        |    UNION ALL
+        |    SELECT doc_id, hx,
+        |      pos + 2 + CAST(('0x' || substr(hx, (pos + 2) * 2 + 1, 4)) AS INT), iter + 1
+        |    FROM seg
+        |    WHERE iter < 64
+        |      AND len(hx) >= (pos + 4) * 2
+        |      AND substr(hx, pos * 2 + 1, 2) = 'FF'
+        |      AND substr(hx, pos * 2 + 3, 2) NOT IN
+        |        ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF','DA','D9')
+        |      AND CAST(('0x' || substr(hx, (pos + 2) * 2 + 1, 4)) AS INT) >= 2
+        |  )
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(hx, (pos + 7) * 2 + 1, 4)) AS INT) AS w,
+        |    CAST(('0x' || substr(hx, (pos + 5) * 2 + 1, 4)) AS INT) AS h
+        |  FROM seg
+        |  WHERE len(hx) >= (pos + 9) * 2
+        |    AND substr(hx, pos * 2 + 1, 2) = 'FF'
+        |    AND substr(hx, pos * 2 + 3, 2) IN
+        |      ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+        |), dims AS (
+        |  SELECT f.doc_id, f.format,
+        |    CASE f.format
+        |      WHEN 'png' THEN CASE WHEN len(f.hx) >= 48
+        |          AND substr(f.hx, 17, 8) = '0000000D' AND substr(f.hx, 25, 8) = '49484452'
+        |        THEN CAST(('0x' || substr(f.hx, 33, 8)) AS BIGINT) END
+        |      WHEN 'gif' THEN CASE WHEN len(f.hx) >= 20
+        |        THEN CAST(('0x' || substr(f.hx, 15, 2) || substr(f.hx, 13, 2)) AS BIGINT) END
+        |      WHEN 'jpeg' THEN CAST(j.w AS BIGINT)
+        |    END AS w,
+        |    CASE f.format
+        |      WHEN 'png' THEN CASE WHEN len(f.hx) >= 48
+        |          AND substr(f.hx, 17, 8) = '0000000D' AND substr(f.hx, 25, 8) = '49484452'
+        |        THEN CAST(('0x' || substr(f.hx, 41, 8)) AS BIGINT) END
+        |      WHEN 'gif' THEN CASE WHEN len(f.hx) >= 20
+        |        THEN CAST(('0x' || substr(f.hx, 19, 2) || substr(f.hx, 17, 2)) AS BIGINT) END
+        |      WHEN 'jpeg' THEN CAST(j.h AS BIGINT)
+        |    END AS h,
+        |    CAST(len(f.hx) / 2 AS BIGINT) AS n_bytes
+        |  FROM fmt f LEFT JOIN jwalk j USING (doc_id)
+        |)
+        |SELECT doc_id, format,
+        |  CAST(CASE WHEN w >= 1 AND h >= 1 AND w <= 2147483647 AND h <= 2147483647
+        |    THEN w END AS INT) AS width,
+        |  CAST(CASE WHEN w >= 1 AND h >= 1 AND w <= 2147483647 AND h <= 2147483647
+        |    THEN h END AS INT) AS height,
+        |  CASE WHEN w IS NULL OR h IS NULL OR w < 1 OR h < 1 THEN NULL
+        |       WHEN w * 3 > h * 4 THEN 'wide'
+        |       WHEN h * 3 > w * 4 THEN 'tall'
+        |       ELSE 'square' END AS aspect_bucket,
+        |  n_bytes
+        |FROM dims
+        |ORDER BY doc_id""".stripMargin,
 
     // the portable UNION ALL spelling of the same wide -> long
     // reshape; DECIMAL-quantized doubles on both sides

@@ -115,6 +115,10 @@ object BottomKSketch {
     val pairs: mutable.TreeSet[(Long, String)] = mutable.TreeSet.empty(PairOrdering)
 
     def insert(key: String): Unit = {
+      // k=0 is the BkMergeAgg capacity sentinel (holds no pairs); guard
+      // so the eviction branch can never hit pairs.last on an empty set
+      // (r14 ADVICE — same latent trap as WrSummary)
+      if (k <= 0) return
       val p = (hash60(key), key)
       if (pairs.size < k) pairs += p
       else if (PairOrdering.lt(p, pairs.last)) {
@@ -129,6 +133,7 @@ object BottomKSketch {
     def merge(other: BkSummary): BkSummary = {
       require(other.k == k,
         s"cannot merge bottom-k states of different k: $k vs ${other.k}")
+      if (k <= 0) return this // two k=0 sentinels: both empty, nothing to move
       other.pairs.foreach { p =>
         if (pairs.size < k) pairs += p
         else if (PairOrdering.lt(p, pairs.last)) {

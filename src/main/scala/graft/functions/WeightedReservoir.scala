@@ -86,6 +86,15 @@ object WeightedReservoir {
     * StrictMath (platform-independent), and the q37 oracle agreement
     * with DuckDB is proven against THAT spelling — Math.log differs by
     * 1 ulp on some inputs (WeightedReservoirSpec pins the equality).
+    * Caveat (r14 ADVICE): Spark's INTERPRETED eval of `ln` goes through
+    * java.lang.Math.log, which a JDK may intrinsify differently from
+    * StrictMath's fdlibm — a 1-ulp key difference near a .xx5 rounding
+    * boundary or the rank-k cutoff could flip a served row if an
+    * expression falls back to interpreted evaluation.
+    * WeightedReservoirSpec pins the SQL spelling with whole-stage
+    * codegen disabled AND factoryMode=NO_CODEGEN bit-equal to this
+    * method on the gate corpus, so both paths are proven on the
+    * platform the gates run on.
     */
   def wkey(id: String, weight: Double): Double = {
     val u = (hash48(id).toDouble + 0.5) / U48Domain
@@ -117,6 +126,12 @@ object WeightedReservoir {
       mutable.TreeSet.empty(EntryOrdering)
 
     def insert(id: String, weight: Double): Unit = {
+      // k=0 is the WrMergeAgg capacity sentinel, which holds no entries
+      // by definition; without this guard the eviction branch would call
+      // entries.last on an empty TreeSet (r14 ADVICE — latent, since
+      // mergeInto special-cases the sentinel, but no caller should be
+      // one refactor away from a NoSuchElementException)
+      if (k <= 0) return
       val e = (wkey(id, weight), id, weight)
       if (entries.size < k) entries += e
       else if (EntryOrdering.lt(e, entries.last)) {
@@ -130,6 +145,7 @@ object WeightedReservoir {
     def merge(other: WrSummary): WrSummary = {
       require(other.k == k,
         s"cannot merge weighted-reservoir states of different k: $k vs ${other.k}")
+      if (k <= 0) return this // two k=0 sentinels: both empty, nothing to move
       other.entries.foreach { e =>
         if (entries.size < k) entries += e
         else if (EntryOrdering.lt(e, entries.last)) {

@@ -228,6 +228,99 @@ object Multimodal {
     mediaDedup(mediaTable(s, dir))
       .orderBy("media_type", "payload_md5")
 
+  /** Media table with REAL container headers (m06 fixture): payloads
+    * synthesized from `documents` carrying byte-exact PNG / JPEG / GIF
+    * header structure (signature, IHDR chunk, marker-segment chain with
+    * a VARIABLE-length COM segment before the SOF0, logical screen
+    * descriptor) around the doc text as body — built as a hex string
+    * through codegen'd built-ins then `unhex`, so the DuckDB oracle can
+    * construct the IDENTICAL blob and parse it back with independent
+    * byte reads. Dimensions derive from doc_id (w = 160 + 7·id mod
+    * 1280, h = 120 + 13·id mod 720); format round-robins on id mod 3.
+    * Malformed rows are part of the fixture: id % 17 == 0 truncates the
+    * payload to its first 5 bytes (a JPEG keeps its detectable SOI —
+    * format without dims; PNG/GIF magics need 8/6 bytes — no format at
+    * all), else id % 13 == 0 zeroes the first byte (no magic matches).
+    */
+  private[operators] def mediaHeaderTable(s: SparkSession, dir: String): DataFrame = {
+    def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def hex8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def le4(c: org.apache.spark.sql.Column) = // u16 little-endian hex
+      concat(substring(hex4(c), 3, 2), substring(hex4(c), 1, 2))
+    val w = (lit(160) + pmod(col("doc_id") * 7, lit(1280))).cast("int")
+    val h = (lit(120) + pmod(col("doc_id") * 13, lit(720))).cast("int")
+    val comLen = (pmod(col("doc_id"), lit(23)) + 1).cast("int") // 1..23
+    val body = hex(substring(col("text"), 1, 32))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), lit("49484452"), // IHDR length 13 + type
+      hex8(w), hex8(h),
+      lit("0806000000"), // bit depth 8, RGBA, deflate, adaptive, no interlace
+      lit("DEADBEEF"), // CRC filler (parsers read dims, not the CRC)
+      body)
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE0"), lit("0010"), lit("4A46494600"), lit("0101"), lit("00"),
+      lit("0001"), lit("0001"), lit("00"), lit("00"), // APP0/JFIF, 16 bytes
+      lit("FFFE"), hex4(comLen + 2), repeat(lit("41"), comLen), // COM, variable
+      lit("FFC0"), lit("0011"), lit("08"), hex4(h), hex4(w), // SOF0: P, Y, X
+      lit("03"), lit("012200"), lit("021101"), lit("031101"), // 3 components
+      body)
+    val gifHex = concat(
+      lit("474946383961"), // GIF89a
+      le4(w), le4(h), // logical screen descriptor, u16 LITTLE-endian
+      lit("F70000"), // packed fields, bg color, aspect
+      body)
+    val full = when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+      .when(pmod(col("doc_id"), lit(3)) === 1, jpegHex)
+      .otherwise(gifHex)
+    val hx = when(pmod(col("doc_id"), lit(17)) === 0, substring(full, 1, 10))
+      .when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit("00"), substring(full, 3, Int.MaxValue)))
+      .otherwise(full)
+    Tables.documents(s, dir).select(col("doc_id"), unhex(hx).as("payload"))
+  }
+
+  /** Header-parse pass over any binary media frame — format, pixel
+    * dimensions, and the aspect-ratio bucket, all from header bytes via
+    * the codegen'd [[graft.functions.MediaHeader]] expressions; the
+    * payload never leaves the scan, only the few parsed fields travel.
+    * The bucket rule is exact integer arithmetic (no float ratio):
+    * wide if 3w > 4h, tall if 3h > 4w, square otherwise; null dims →
+    * null bucket. This is the pre-decode resolution/aspect filter a
+    * training pipeline runs over 100 TB of media BEFORE any codec.
+    */
+  def mediaHeaders(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val s = media.sparkSession
+    val p = Cols.q(payloadCol)
+    val w = col("width")
+    val h = col("height")
+    media.select(Cols.q(idCol).as("doc_id"),
+        graft.functions.MediaHeader.mediaFormat(s, p).as("format"),
+        graft.functions.MediaHeader.mediaWidth(s, p).as("width"),
+        graft.functions.MediaHeader.mediaHeight(s, p).as("height"),
+        length(p).cast("long").as("n_bytes"))
+      .withColumn("aspect_bucket",
+        when(w.isNull || h.isNull, lit(null).cast("string"))
+          .when(w * 3 > h * 4, lit("wide"))
+          .when(h * 3 > w * 4, lit("tall"))
+          .otherwise(lit("square")))
+  }
+
+  /** m06: gate binding of [[mediaHeaders]] over the real-header fixture
+    * table. Fully SQL-oracled — DuckDB rebuilds the identical payload
+    * hex and re-parses it with independent substr/cast byte reads (the
+    * JPEG marker walk as a recursive CTE), so format, width, height,
+    * bucket AND the malformed-row null contract are all cross-engine
+    * checked value-for-value.
+    */
+  def m06MediaHeader(s: SparkSession, dir: String): DataFrame =
+    mediaHeaders(mediaHeaderTable(s, dir))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("aspect_bucket"), col("n_bytes"))
+      .orderBy("doc_id")
+
   /** 64-bit perceptual fingerprint per media item: the REAL DCT pHash
     * ([[graft.functions.DctPhash]] — box-resample to 32x32, 2-D DCT-II,
     * top-left 8x8 median split), computed natively INSIDE the scan so

@@ -52,7 +52,10 @@ object ReservoirSample {
     * sampled row `(group..., smp_rank, id, weight, wkey, n_rows)` —
     * `smp_rank` the 1-based position in (wkey desc, id) order, `wkey`
     * rounded to 2 dp (the q37 serving contract; rank order uses the
-    * full double). State-in, answer-out.
+    * full double). State-in, answer-out. Contract: only SAMPLED rows
+    * are served — a group whose merged state is empty (every ingested
+    * id/weight was null) emits zero rows rather than one all-null row
+    * (r14 ADVICE; posexplode, not posexplode_outer, is the spelling).
     */
   def reservoirServe(states: DataFrame, keepCols: Seq[String],
       sampleSize: Int = 16): DataFrame = {
@@ -62,7 +65,7 @@ object ReservoirSample {
       .agg(WeightedReservoir.wrMerge(s, col("sketch")).as("sketch"),
         sum(col("n_rows")).as("n_rows"))
       .select((keepCols.map(Cols.q) ++ Seq(
-        posexplode_outer(WeightedReservoir.wrSample(s, col("sketch"), sampleSize))
+        posexplode(WeightedReservoir.wrSample(s, col("sketch"), sampleSize))
           .as(Seq("__i", "__e")),
         col("n_rows"))): _*)
       .select((keepCols.map(Cols.q) ++ Seq(

@@ -31,6 +31,34 @@ class WeightedReservoirSpec extends SparkSpec {
     }
   }
 
+  test("wkey == the SQL spelling with codegen OFF too (interpreted-eval path pinned, r14 ADVICE)") {
+    // Spark's interpreted eval of `ln` may route through Math.log where
+    // codegen calls StrictMath.log — a 1-ulp difference on some JDKs.
+    // Pin BOTH paths on the platform the gates run on: disable
+    // whole-stage codegen AND force the expression factory to the
+    // interpreted evaluator, then require bit-equality with wkey.
+    import spark.implicits._
+    val ws = "spark.sql.codegen.wholeStage"
+    val fm = "spark.sql.codegen.factoryMode"
+    val (ws0, fm0) = (spark.conf.get(ws), spark.conf.get(fm, "FALLBACK"))
+    try {
+      spark.conf.set(ws, "false")
+      spark.conf.set(fm, "NO_CODEGEN")
+      val df = (rows(300) :+ (("", 5.0)) :+ (("héllo", 0.2)) :+ (("a\tb", 1e9)))
+        .toDF("id", "w")
+        .withColumn("sql_wkey",
+          expr("greatest(w, 1.0D) / -ln((CAST(conv(substr(md5(id), 1, 12), 16, 10) AS BIGINT) + 0.5D) / 281474976710656.0D)"))
+      df.collect().foreach { r =>
+        val (id, w) = (r.getString(0), r.getDouble(1))
+        assert(WeightedReservoir.wkey(id, w) === r.getDouble(2),
+          s"wkey disagrees with the INTERPRETED SQL spelling for ('$id', $w)")
+      }
+    } finally {
+      spark.conf.set(ws, ws0)
+      spark.conf.set(fm, fm0)
+    }
+  }
+
   test("exact below k: fewer than k rows => the sample IS the full set, weight-rank ordered") {
     import spark.implicits._
     val df = rows(20).toDF("id", "w").withColumn("g", lit("a"))
