@@ -174,15 +174,13 @@ object Similarity {
     * both knobs.
     *
     * Scale shape, in order:
-    * 1. cell scoring is a broadcast nested-loop of the corpus against
-    *    the `numCells`-row seed table — map-only, no shuffle of the
-    *    big side;
-    * 2. assignment reduces the n x cells scores per vec_id with a
-    *    map-side-partial collect_list (each vec_id's rows sit in one
-    *    map partition, so the shuffle carries ONE row per vector
-    *    holding a cells-length score array — comparable in bytes to
-    *    the embedding itself, never n x cells rows), then keeps the
-    *    top `assignReplicas` cells;
+    * 1. cell scoring + assignment are ONE map-only pass: the packed
+    *    seed array is broadcast as a single row and each corpus row
+    *    scores every seed and keeps its top `assignReplicas` cells
+    *    inside the scan ([[assignCells]]) — ZERO exchanges however
+    *    large the codebook (the r15 fix: the previous per-vector
+    *    score-array shuffle was 32x the embedding bytes at a
+    *    sqrt(n)-sized codebook);
     * 3. the probe list is |queries| x numCells rows — broadcast;
     * 4. rescoring joins candidates cell-equi (skew-bounded: a cell
     *    holds ~n*replicas/cells vectors), dedups the (query,
@@ -276,6 +274,16 @@ object Similarity {
     * materializes ([[IterativeCheckpoint]] — flat storage however many
     * rounds run).
     */
+  /** Hash-sampled coarse quantizer as a caller-ownable (cell, centroid)
+    * codebook — [[ivfSeeds]] exposed for the [[ivfIndex]]/[[ivfSearch]]
+    * build/probe split: the untrained baseline every IVF deployment
+    * starts from (and what [[trainIvfCodebook]] initializes with).
+    */
+  def sampledCodebook(emb: DataFrame, numCells: Int = NumCells,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSeeds(normalized(emb, idCol, vecCol), numCells)
+      .select(col("cell"), col("seed_emb").as("centroid"))
+
   def trainIvfCodebook(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       numCells: Int = NumCells, iterations: Int = 2): DataFrame = {
     val e = normalized(emb, idCol, vecCol)
@@ -305,21 +313,69 @@ object Similarity {
   }
 
   /** (vec_id, embedding, cell) with each vector in its `replicas`
-    * top-scoring cells. See [[annIvf]] scale note 2 for why this
-    * shuffles one array-bearing row per vector, not n x cells rows.
+    * top-scoring cells — MAP-ONLY: the seed table is packed into ONE
+    * broadcast row holding all (cell, centroid) structs, each corpus
+    * row scores every seed inside a `transform` over that array (the
+    * same fused `graft_cosine`), and the top `replicas` cells come from
+    * an in-row array_sort — so cell assignment costs ZERO exchanges
+    * whatever the codebook size.
+    *
+    * This replaced the r8–r14 groupBy(vec_id)+collect_list shape (one
+    * shuffled row per vector holding a cells-length score array): fine
+    * at the gates' 32 cells (the array ≈ the embedding in bytes), but
+    * at a scale-proportioned codebook (numCells ~ sqrt(n): 2048 cells
+    * for 5M vectors) that row is 32x the embedding — a ~160 GB
+    * assignment shuffle at 5M vectors, pure waste for a per-row
+    * reduction no other row contributes to. The in-row ordering is
+    * bit-identical to the old shape: array_sort over (c, cell) structs
+    * ascending, reversed, sliced — ties on the score pick the higher
+    * cell id, exactly as before (SimilaritySpec's recall and
+    * determinism pins re-ran green across the swap).
     */
-  private[operators] def assignCells(e: DataFrame, seeds: DataFrame, replicas: Int): DataFrame =
-    cellScores(e, seeds)
-      .groupBy("vec_id")
-      .agg(
-        slice(reverse(array_sort(collect_list(struct(col("c"), col("cell"))))), 1, replicas)
-          .getField("cell").as("cells"),
-        any_value(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), explode(col("cells")).as("cell"))
+  private[operators] def assignCells(e: DataFrame, seeds: DataFrame, replicas: Int): DataFrame = {
+    val s = e.sparkSession
+    val packed = seeds.agg(collect_list(struct(col("cell"), col("seed_emb"))).as("__seeds"))
+    e.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(reverse(array_sort(transform(col("__seeds"), sd =>
+            struct(
+              CosineSimilarity.cosine(s, col("embedding"), sd.getField("seed_emb")).as("c"),
+              sd.getField("cell").as("cell"))))),
+          1, replicas)).as("__cs"))
+      .select(col("vec_id"), col("embedding"), col("__cs.cell").as("cell"))
+  }
 
   private def annIvfCore(e: DataFrame, q: DataFrame, seeds: DataFrame, k: Int,
       numProbes: Int, assignReplicas: Int): DataFrame =
     ivfTopK(assignCells(e, seeds, assignReplicas), probes(q, seeds, numProbes), k)
+
+  /** BUILD half of the deployment split: the IVF cell assignment
+    * `(vec_id, embedding, cell)` for a caller-supplied codebook —
+    * persist/cache this once, then serve many [[ivfSearch]] calls
+    * against it (what annIvf* fuse into one plan, factored for the
+    * build-once/probe-many shape every index deployment runs).
+    * Map-only (see [[assignCells]]).
+    */
+  def ivfIndex(emb: DataFrame, codebook: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", cellCol: String = "cell",
+      centroidCol: String = "centroid", assignReplicas: Int = AssignReplicas): DataFrame =
+    assignCells(normalized(emb, idCol, vecCol),
+      codebook.select(Cols.q(cellCol).as("cell"), Cols.q(centroidCol).as("seed_emb")),
+      assignReplicas)
+
+  /** PROBE half of the deployment split: top-k over a prebuilt
+    * [[ivfIndex]] frame — each query probes its `numProbes` nearest
+    * cells of the same codebook and rescores exactly inside them.
+    */
+  def ivfSearch(index: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "cell", centroidCol: String = "centroid",
+      k: Int = K, numProbes: Int = NumProbes): DataFrame =
+    ivfTopK(index,
+      probes(normalized(queries, idCol, vecCol),
+        codebook.select(Cols.q(cellCol).as("cell"), Cols.q(centroidCol).as("seed_emb")),
+        numProbes),
+      k)
 
   /** Each query's numProbes nearest cells (tiny: queries x cells). */
   private def probes(q: DataFrame, seeds: DataFrame, numProbes: Int): DataFrame = {
