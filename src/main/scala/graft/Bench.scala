@@ -148,10 +148,15 @@ object Bench {
       load1s += (try l.stripPrefix("[").split(",").head.toDouble
         catch { case _: Throwable => 0.0 })
       probes += probe()
-      parProbes += parProbe()
+      // sentinel BEFORE the all-cores probe (r16, ADVICE r15): measured
+      // right after parProbe saturates every core, residual scheduler /
+      // frequency settling inflated the very fixed-overhead number the
+      // sentinel exists to isolate; the serial probe that precedes it
+      // touches one core and doesn't perturb the box
       val t0 = System.nanoTime()
       sentinelDf.write.format("noop").mode("overwrite").save()
       sentinels += (System.nanoTime() - t0) / 1e9
+      parProbes += parProbe()
     }
     samplePass()
     val cold = suite.map { case (name, fn) => name -> runOnce(name, fn) }
@@ -191,11 +196,31 @@ object Bench {
       if (idx.isEmpty) None else Some(name -> idx.mkString("[", ",", "]"))
     }
     val total = medians.values.sum
+    // Contention-robust second headline (r16, VERDICT r15 #1): two
+    // consecutive round-close benches (r14, r15) were inflated ~1.3x by
+    // co-tenant load the probes recorded but the median headline still
+    // absorbed (with 5 reps, 2 contended passes drag half the medians).
+    // `clean_reps` = timed passes whose all-cores probe stayed within
+    // 1.3x of the best pass (same trip line as contended_reps' par
+    // rule); `total_uncontended` = sum of per-query medians over ONLY
+    // those passes — the number comparable across rounds regardless of
+    // what the box's co-tenants were doing. The round-close ritual
+    // re-runs the bench when fewer than 3 clean reps survive.
+    val cleanReps = parProbes.drop(1).zipWithIndex.collect {
+      case (pp, i) if pp <= 1.3 * parProbes.drop(1).min => i
+    }.toVector
+    val mediansClean = timed.map { case (k, v) =>
+      k -> median(cleanReps.map(v(_)))
+    }
+    val totalUncontended = mediansClean.values.sum
     val line = obj(Seq(
       "metric" -> "\"total\"",
       "value" -> r3(total),
       "unit" -> "\"sec\"",
       "headline" -> s""""median_of_${reps}_interleaved_reps_after_warmup"""",
+      "total_uncontended" -> r3(totalUncontended),
+      "clean_reps" -> cleanReps.map(i => (i + 1).toString).mkString("[", ",", "]"),
+      "queries_uncontended" -> obj(suite.map { case (k, _) => k -> r3(mediansClean(k)) }),
       "queries" -> obj(suite.map { case (k, _) => k -> r3(medians(k)) }),
       "min" -> obj(suite.map { case (k, _) => k -> r3(mins(k)) }),
       "cold" -> obj(cold.map { case (k, v) => k -> r3(v) }),

@@ -2745,7 +2745,8 @@ object SparkEntry {
         |    THEN w END AS INT) AS width,
         |  CAST(CASE WHEN w >= 1 AND h >= 1 AND w <= 2147483647 AND h <= 2147483647
         |    THEN h END AS INT) AS height,
-        |  CASE WHEN w IS NULL OR h IS NULL OR w < 1 OR h < 1 THEN NULL
+        |  CASE WHEN w IS NULL OR h IS NULL OR w < 1 OR h < 1
+        |         OR w > 2147483647 OR h > 2147483647 THEN NULL
         |       WHEN w * 3 > h * 4 THEN 'wide'
         |       WHEN h * 3 > w * 4 THEN 'tall'
         |       ELSE 'square' END AS aspect_bucket,

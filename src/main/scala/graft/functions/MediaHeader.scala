@@ -94,7 +94,10 @@ object MediaHeader {
 
   /** (width, height) packed as `w << 32 | h`, or -1 when unparseable —
     * one primitive through the static-call boundary keeps the codegen
-    * trivial and parses the header once per served field pair.
+    * trivial. Note [[MediaWidth]] and [[MediaHeight]] each call this
+    * independently, so serving both columns parses the bounded header
+    * prefix twice per row — a few dozen byte reads, cheaper than the
+    * plumbing a shared-subexpression struct would add.
     */
   def dims(b: Array[Byte]): Long = {
     if (b == null) return -1L
@@ -118,6 +121,13 @@ object MediaHeader {
         else {
           val m = b(pos + 1) & 0xff
           if (m == 0xff) pos += 1 // fill byte padding before a marker
+          // FF 00 is byte STUFFING (an escaped data 0xFF, not a marker —
+          // T.81 §B.1.1.2); legal only inside entropy data, which the
+          // header walk never enters, so seeing one means the stream is
+          // corrupt: stop (dims stay null) instead of consuming the next
+          // two bytes as a segment length and risking resync onto a
+          // pseudo-SOF that would serve WRONG dimensions
+          else if (m == 0x00) done = true
           else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) pos += 2 // standalone
           else if (m == 0xd9 || m == 0xda) done = true // EOI / SOS: no SOF seen
           else if (isSof(m)) {
@@ -221,9 +231,11 @@ object MediaHeader {
       copy(child = newChild)
   }
 
-  private def unary(name: String, mk: Expression => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  private def unary(name: String, cls: Class[_], mk: Expression => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[MediaFormat].getName, name),
+      // the CONCRETE expression class, so DESCRIBE FUNCTION reports the
+      // real implementing class for each of the three functions
+      new ExpressionInfo(cls.getName, name),
       { children =>
         require(children.size == 1, s"$name expects (payload): got ${children.size}")
         mk(children.head)
@@ -231,9 +243,9 @@ object MediaHeader {
 
   def register(spark: SparkSession): Unit = {
     Seq(
-      unary("graft_media_format", MediaFormat.apply),
-      unary("graft_media_width", MediaWidth.apply),
-      unary("graft_media_height", MediaHeight.apply)
+      unary("graft_media_format", classOf[MediaFormat], MediaFormat.apply),
+      unary("graft_media_width", classOf[MediaWidth], MediaWidth.apply),
+      unary("graft_media_height", classOf[MediaHeight], MediaHeight.apply)
     ).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -92,6 +92,15 @@ class MediaHeaderSpec extends SparkSpec {
     assert(MediaHeader.format("plain text".getBytes("UTF-8")) === null)
     // a length chain pointing past the buffer: bounded, no dims
     assert(MediaHeader.width(hexBytes("FFD8" + "FFE0FFFF" + "4141")) === -1)
+    // FF 00 is byte STUFFING (escaped data 0xFF, not a marker — T.81
+    // B.1.1.2), legal only inside entropy data the header walk never
+    // enters: treat as corrupt and stop. The payload after it here is
+    // crafted so the OLD behavior (consume 2 bytes as a length) would
+    // resync onto a pseudo-SOF and serve wrong dims — pin null instead.
+    assert(MediaHeader.width(hexBytes(
+      "FFD8" + "FF00" + "0002" + "FFC0001108" + "0010" + "0020" +
+        "03012200021101031101")) === -1)
+    assert(MediaHeader.format(hexBytes("FFD8" + "FF00" + "00040000")).toString === "jpeg")
   }
 
   test("segment-walk cap: a self-referencing length chain terminates at MaxSegments") {

@@ -69,7 +69,13 @@ def main():
         # fixed-shape float32 matrix of the source embeddings
         flat = np.asarray(src.column("embedding").combine_chunks().flatten(),
                           dtype=np.float32)
+        # the reshape below silently assumes a rectangular, null-free
+        # embedding column; a ragged or null row would shift every
+        # perturbed vector after it with no error — fail loudly instead
+        assert src.column("embedding").null_count == 0, "null embedding rows"
         dim = flat.size // n
+        assert flat.size == n * dim and dim > 0, \
+            f"ragged embedding column: {flat.size} floats over {n} rows"
         mat = flat.reshape(n, dim)
         replicas = []
         for i in range(REPLICAS):
