@@ -22,15 +22,36 @@ import graft.operators.{Dedup, Similarity}
   * count) while fitting the box. The cluster analog: size occupancy to
   * aggregate spill, not to a constant.
   *
-  * Args: sfDir outDir [nLimit=2000000] [k=10] [maxBucketSize=200]
+  * Args: sfDir outDir [nLimit=2000000] [k=10] [maxBucketSize=auto]
+  *
+  * When no explicit cap is passed, the rung sizes it with
+  * [[graft.operators.Similarity.suggestedLshCap]] from the scratch
+  * disk actually available — the r16 productization of the occupancy
+  * law this runner's r15 deaths established (cap=1000 at 5M needed
+  * ~274 GB of candidate spill on a ~70 GB box; the law, inverted,
+  * returns ~155 there — the recorded cap=200 regime).
   */
 object KnnScale {
+  /** Effective post-compression bytes per rescore candidate row (two
+    * ids + one carried embedding through lz4 shuffle) — implied by the
+    * recorded 5M runs in CHECK_sf100_ann.txt.
+    */
+  private val BytesPerCandidate = 180L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val nLimit = args.lift(2).map(_.toLong).getOrElse(2000000L)
     val k = args.lift(3).map(_.toInt).getOrElse(10)
-    val cap = args.lift(4).map(_.toInt).getOrElse(200)
+    // usable scratch, halved: the shuffle shares the disk with the
+    // run's own parquet output and whatever else the box holds
+    val spill = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace / 2
+    val suggested = Similarity.suggestedLshCap(
+      nLimit, graft.functions.HyperplaneBuckets.NumTables, BytesPerCandidate, spill)
+    val cap = args.lift(4).map(_.toInt).getOrElse(suggested)
+    println(s"[knn] spill_budget=$spill suggested_cap=$suggested cap=$cap" +
+      (if (cap == suggested) " (auto)" else " (explicit)"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(cpus)
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nLimit)

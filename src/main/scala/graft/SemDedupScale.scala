@@ -21,20 +21,41 @@ import graft.operators.Dedup
   * ~1G — the bounded quadratic the operator is designed around.
   *
   * Args: sfDir codebookDir outDir [nLimit=1000000] [minCosine=0.99]
-  *       [maxCellSize=4000]
+  *       [maxCellSize=auto]
+  *
+  * When no explicit cell cap is passed, the rung sizes it with
+  * [[graft.operators.Similarity.suggestedPairCap]] — the worst-case
+  * in-cell pair-volume bound from the r16 productized occupancy law —
+  * over the codebook's actual cell count and the scratch disk actually
+  * available (the r15 run hand-picked 4000 as 4x expected occupancy;
+  * the law's guarantee-grade answer on this box is ~1000, which still
+  * clears the ~977 expected members/cell of the recorded signal rung).
   */
 object SemDedupScale {
+  /** Effective post-compression bytes per in-cell candidate row (id
+    * pair + score; the embeddings join back by id AFTER the threshold)
+    * — implied by the recorded 1M-signal run in CHECK_sf100_ann.txt.
+    */
+  private val BytesPerCandidate = 64L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val codebookDir = args(1)
     val outDir = args(2)
     val nLimit = args.lift(3).map(_.toLong).getOrElse(1000000L)
     val minCosine = args.lift(4).map(_.toDouble).getOrElse(0.99)
-    val maxCellSize = args.lift(5).map(_.toInt).getOrElse(4000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(cpus)
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nLimit)
     val cb = spark.read.parquet(codebookDir)
+    val spill = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace / 2
+    val suggested = graft.operators.Similarity.suggestedPairCap(
+      nLimit, buckets = cb.count(), BytesPerCandidate, spill)
+    val maxCellSize = args.lift(5).map(_.toInt).getOrElse(suggested)
+    println(s"[semdedup] spill_budget=$spill suggested_cap=$suggested " +
+      s"maxCellSize=$maxCellSize" +
+      (if (maxCellSize == suggested) " (auto)" else " (explicit)"))
     val t0 = System.nanoTime()
     Dedup.semanticDedupWithCodebook(e, cb, minCosine = minCosine,
         assignReplicas = 2, maxCellSize = maxCellSize)

@@ -222,6 +222,9 @@ object SparkEntry {
     // over real PNG/JPEG/GIF header structure — fully oracled (the
     // oracle rebuilds the identical blob and re-parses it byte-by-byte)
     "m06_media_header" -> (Multimodal.m06MediaHeader _),
+    // the m06 family extended to audio/video: RIFF/WAVE fmt+data chunk
+    // walk and ISO-BMFF moov/mvhd box walk — fully oracled the same way
+    "m07_av_header" -> (Multimodal.m07AvHeader _),
     // XBRL engine over the reference's own test archives (rows-only —
     // no synthetic-table twin exists; see XbrlQueries scaladoc)
     "x01_xbrl_parse" -> (XbrlQueries.x01XbrlParse _),
@@ -2753,6 +2756,229 @@ object SparkEntry {
         |  n_bytes
         |FROM dims
         |ORDER BY doc_id""".stripMargin,
+
+    // the m07 fixture payload is the same deterministic hex discipline
+    // as m06, over RIFF/WAVE and ISO-BMFF structure: the oracle
+    // REBUILDS the identical blob hex and RE-PARSES it with independent
+    // byte reads — the RIFF chunk walk and the top-level box walk as
+    // recursive CTEs, little-endian u16/u32 reads as substr shuffles —
+    // so format, fmt fields, declared duration, and the malformed-row
+    // null contract are all cross-engine checked value-for-value
+    "m07_av_header" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 24000 ELSE 44100 END AS sr,
+        |    1 + doc_id % 2 AS ch,
+        |    8 + 8 * ((doc_id // 2) % 2) AS bits,
+        |    doc_id % 19 + 1 AS junk,
+        |    CASE WHEN (doc_id // 3) % 4 = 0 THEN 1 ELSE 0 END AS ver,
+        |    CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 90000
+        |      WHEN 2 THEN 600 ELSE 48000 END AS tsc,
+        |    hex(substr(text, 1, 32)) AS body
+        |  FROM documents
+        |), q AS (
+        |  SELECT *,
+        |    (1 + doc_id % 2) * (bits // 8) AS ba,
+        |    ((500 + (doc_id * 37) % 3500) * sr) // 1000 AS n_samp,
+        |    ((500 + (doc_id * 37) % 3500) * tsc) // 1000 AS dur_units,
+        |    junk % 2 AS pad
+        |  FROM p
+        |), hexes AS (
+        |  SELECT doc_id, junk, pad, ver, body,
+        |    printf('%08X', 4 + 8 + junk + pad + 24 + 8 + n_samp * ba) AS rs_h,
+        |    printf('%08X', junk) AS junk_h,
+        |    printf('%08X', sr) AS sr_h,
+        |    printf('%08X', sr * ba) AS br_h,
+        |    printf('%04X', ch) AS ch_h,
+        |    printf('%04X', ba) AS ba_h,
+        |    printf('%04X', bits) AS bits_h,
+        |    printf('%08X', n_samp * ba) AS ds_h,
+        |    printf('%08X', junk + 8) AS free_h,
+        |    printf('%08X', tsc) AS tsc_h,
+        |    printf('%08X', dur_units) AS du_h
+        |  FROM q
+        |), built AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 1 THEN '52494646'
+        |        || substr(rs_h,7,2)||substr(rs_h,5,2)||substr(rs_h,3,2)||substr(rs_h,1,2)
+        |        || '57415645' || '4A554E4B'
+        |        || substr(junk_h,7,2)||substr(junk_h,5,2)||substr(junk_h,3,2)||substr(junk_h,1,2)
+        |        || repeat('41', junk) || CASE WHEN pad = 1 THEN '00' ELSE '' END
+        |        || '666D7420' || '10000000' || '0100'
+        |        || substr(ch_h,3,2)||substr(ch_h,1,2)
+        |        || substr(sr_h,7,2)||substr(sr_h,5,2)||substr(sr_h,3,2)||substr(sr_h,1,2)
+        |        || substr(br_h,7,2)||substr(br_h,5,2)||substr(br_h,3,2)||substr(br_h,1,2)
+        |        || substr(ba_h,3,2)||substr(ba_h,1,2)
+        |        || substr(bits_h,3,2)||substr(bits_h,1,2)
+        |        || '64617461'
+        |        || substr(ds_h,7,2)||substr(ds_h,5,2)||substr(ds_h,3,2)||substr(ds_h,1,2)
+        |        || body
+        |      WHEN 2 THEN '00000010' || '66747970' || '69736F6D' || '00000200'
+        |        || free_h || '66726565' || repeat('41', junk)
+        |        || CASE WHEN ver = 1 THEN '00000080' ELSE '00000074' END || '6D6F6F76'
+        |        || CASE WHEN ver = 1
+        |             THEN '00000078' || '6D766864' || '01000000' || repeat('00', 16)
+        |               || tsc_h || '00000000' || du_h
+        |             ELSE '0000006C' || '6D766864' || '00000000' || '00000000'
+        |               || '00000000' || tsc_h || du_h
+        |           END
+        |        || repeat('00', 80) || body
+        |      ELSE body
+        |    END AS full_hex
+        |  FROM hexes
+        |), hx AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN substr(full_hex, 1, 10)
+        |         WHEN doc_id % 13 = 0 THEN '0000000000000000' || substr(full_hex, 17)
+        |         WHEN doc_id % 11 = 0 THEN substr(full_hex, 1, 40)
+        |         ELSE full_hex END AS hx
+        |  FROM built
+        |), fmt AS (
+        |  SELECT doc_id, hx,
+        |    CASE WHEN len(hx) >= 24 AND substr(hx, 1, 8) = '52494646'
+        |           AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+        |         WHEN len(hx) >= 16 AND substr(hx, 9, 8) = '66747970'
+        |           AND CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) >= 8 THEN 'mp4'
+        |    END AS av_format
+        |  FROM hx
+        |), rwalk AS (
+        |  WITH RECURSIVE rseg AS (
+        |    SELECT doc_id, hx, CAST(12 AS BIGINT) AS pos, 0 AS iter
+        |    FROM fmt WHERE av_format = 'wav'
+        |    UNION ALL
+        |    SELECT doc_id, hx,
+        |      pos + 8
+        |        + CAST(('0x' || substr(hx,(pos+7)*2+1,2) || substr(hx,(pos+6)*2+1,2)
+        |            || substr(hx,(pos+5)*2+1,2) || substr(hx,(pos+4)*2+1,2)) AS BIGINT)
+        |        + CAST(('0x' || substr(hx,(pos+7)*2+1,2) || substr(hx,(pos+6)*2+1,2)
+        |            || substr(hx,(pos+5)*2+1,2) || substr(hx,(pos+4)*2+1,2)) AS BIGINT) % 2,
+        |      iter + 1
+        |    FROM rseg
+        |    WHERE iter < 64 AND len(hx) >= (pos + 8) * 2
+        |  )
+        |  SELECT doc_id, hx, pos,
+        |    substr(hx, pos*2+1, 8) AS cid,
+        |    CAST(('0x' || substr(hx,(pos+7)*2+1,2) || substr(hx,(pos+6)*2+1,2)
+        |        || substr(hx,(pos+5)*2+1,2) || substr(hx,(pos+4)*2+1,2)) AS BIGINT) AS csize
+        |  FROM rseg WHERE len(hx) >= (pos + 8) * 2
+        |), wfmt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ok THEN CAST(('0x' || substr(hx,(pos+15)*2+1,2) || substr(hx,(pos+14)*2+1,2)
+        |      || substr(hx,(pos+13)*2+1,2) || substr(hx,(pos+12)*2+1,2)) AS BIGINT) END AS sr,
+        |    CASE WHEN ok THEN CAST(('0x' || substr(hx,(pos+11)*2+1,2)
+        |      || substr(hx,(pos+10)*2+1,2)) AS BIGINT) END AS ch,
+        |    CASE WHEN ok THEN CAST(('0x' || substr(hx,(pos+21)*2+1,2)
+        |      || substr(hx,(pos+20)*2+1,2)) AS BIGINT) END AS ba,
+        |    CASE WHEN ok THEN CAST(('0x' || substr(hx,(pos+23)*2+1,2)
+        |      || substr(hx,(pos+22)*2+1,2)) AS BIGINT) END AS bits
+        |  FROM (
+        |    SELECT *, csize >= 16 AND len(hx) >= (pos + 24) * 2 AS ok,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |    FROM rwalk WHERE cid = '666D7420') t
+        |  WHERE rn = 1
+        |), wdata AS (
+        |  SELECT doc_id, csize AS dsize
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |        FROM rwalk WHERE cid = '64617461') t
+        |  WHERE rn = 1
+        |), bwalk AS (
+        |  WITH RECURSIVE bseg AS (
+        |    SELECT doc_id, hx, CAST(0 AS BIGINT) AS pos, 0 AS iter
+        |    FROM fmt WHERE av_format = 'mp4'
+        |    UNION ALL
+        |    SELECT doc_id, hx, pos + CAST(('0x' || substr(hx, pos*2+1, 8)) AS BIGINT), iter + 1
+        |    FROM bseg
+        |    WHERE iter < 64 AND len(hx) >= (pos + 8) * 2
+        |      AND substr(hx, (pos+4)*2+1, 8) <> '6D6F6F76'
+        |      AND CAST(('0x' || substr(hx, pos*2+1, 8)) AS BIGINT) >= 8
+        |  )
+        |  SELECT doc_id, hx, pos,
+        |    pos + CAST(('0x' || substr(hx, pos*2+1, 8)) AS BIGINT) AS mend
+        |  FROM bseg
+        |  WHERE len(hx) >= (pos + 8) * 2 AND substr(hx, (pos+4)*2+1, 8) = '6D6F6F76'
+        |), mvhd AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN substr(hx,(cp+8)*2+1,2) = '00' AND cp + 28 <= mend
+        |           AND len(hx) >= (cp+28)*2
+        |        THEN CASE WHEN CAST(('0x' || substr(hx,(cp+20)*2+1,8)) AS BIGINT) >= 1
+        |               AND CAST(('0x' || substr(hx,(cp+24)*2+1,8)) AS BIGINT) <> 4294967295
+        |             THEN CAST(('0x' || substr(hx,(cp+24)*2+1,8)) AS BIGINT) * 1000
+        |               // CAST(('0x' || substr(hx,(cp+20)*2+1,8)) AS BIGINT) END
+        |      WHEN substr(hx,(cp+8)*2+1,2) = '01' AND cp + 40 <= mend
+        |           AND len(hx) >= (cp+40)*2
+        |        -- TRY_CAST: a u64 >= 2^63 nulls (the Spark side's
+        |        -- signed-read dur < 0 rejection); the explicit bound
+        |        -- mirrors dur > Long.MaxValue/1000 -> null
+        |        THEN CASE WHEN CAST(('0x' || substr(hx,(cp+28)*2+1,8)) AS BIGINT) >= 1
+        |               AND TRY_CAST(('0x' || substr(hx,(cp+32)*2+1,16)) AS BIGINT)
+        |                 <= 9223372036854775
+        |             THEN TRY_CAST(('0x' || substr(hx,(cp+32)*2+1,16)) AS BIGINT) * 1000
+        |               // CAST(('0x' || substr(hx,(cp+28)*2+1,8)) AS BIGINT) END
+        |    END AS dur_ms
+        |  FROM (SELECT doc_id, hx, pos + 8 AS cp, LEAST(mend, len(hx) // 2) AS mend
+        |        FROM bwalk) t
+        |  WHERE len(hx) >= (cp + 8) * 2 AND cp + 8 <= mend
+        |    AND substr(hx, (cp+4)*2+1, 8) = '6D766864'
+        |)
+        |SELECT f.doc_id, f.av_format,
+        |  CAST(CASE WHEN wf.ch >= 1 AND wf.bits >= 1 AND wf.sr >= 1
+        |    AND wf.sr <= 2147483647 THEN wf.sr END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN wf.ch >= 1 AND wf.bits >= 1 AND wf.sr >= 1
+        |    AND wf.sr <= 2147483647 THEN wf.ch END AS INT) AS channels,
+        |  CAST(CASE WHEN wf.ch >= 1 AND wf.bits >= 1 AND wf.sr >= 1
+        |    AND wf.sr <= 2147483647 THEN wf.bits END AS INT) AS bits_per_sample,
+        |  CAST(CASE
+        |    WHEN f.av_format = 'wav' THEN
+        |      CASE WHEN wf.ch >= 1 AND wf.bits >= 1 AND wf.sr >= 1
+        |          AND wf.sr <= 2147483647 AND wf.ba >= 1 AND wd.dsize >= 0
+        |        THEN (wd.dsize // wf.ba) * 1000 // wf.sr END
+        |    WHEN f.av_format = 'mp4' THEN mv.dur_ms
+        |  END AS BIGINT) AS duration_ms,
+        |  CAST(len(f.hx) / 2 AS BIGINT) AS n_bytes
+        |FROM fmt f
+        |LEFT JOIN wfmt wf USING (doc_id)
+        |LEFT JOIN wdata wd USING (doc_id)
+        |LEFT JOIN mvhd mv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // m03's windows are now fully derivable: the fixture's WAV headers
+    // are deterministic (same formulas as the m07 oracle — and m07
+    // independently re-parses the bytes, so using the construction
+    // formulas here is not circular), the framing arithmetic is exact
+    // integer math, and energy is the house md5-prefix hash in exact
+    // integer ppm — so the whole gate is value-for-value oracled
+    "m03_audio_windows" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 24000 ELSE 44100 END AS sr,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch
+        |  FROM documents
+        |  WHERE doc_id % 3 = 1 AND doc_id % 17 != 0
+        |    AND doc_id % 13 != 0 AND doc_id % 11 != 0
+        |), q AS (
+        |  SELECT doc_id, sr, ch,
+        |    (((500 + (doc_id * 37) % 3500) * sr) // 1000) * 1000 // sr AS dur
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id, sr, ch, dur,
+        |    CASE WHEN dur < 1000 THEN 1 ELSE (dur - 1000) // 500 + 1 END AS n
+        |  FROM q WHERE dur > 0
+        |)
+        |SELECT f.doc_id,
+        |  CAST(i AS INT) AS window_index,
+        |  CAST(i * 500 AS BIGINT) AS start_ms,
+        |  CAST(LEAST(i * 500 + 1000, dur) AS BIGINT) AS end_ms,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  ch AS channels,
+        |  CAST((LEAST(i * 500 + 1000, dur) - i * 500) * sr // 1000 AS BIGINT) AS n_samples,
+        |  CAST(CAST(CAST(('0x' || substr(md5('aw:' || f.doc_id || ':' || i), 1, 15)) AS BIGINT)
+        |    AS HUGEINT) * 1000000 // 1152921504606846976 AS BIGINT) AS energy_ppm
+        |FROM f, UNNEST(generate_series(0, n - 1)) AS t(i)
+        |ORDER BY doc_id, window_index""".stripMargin,
 
     // the portable UNION ALL spelling of the same wide -> long
     // reshape; DECIMAL-quantized doubles on both sides

@@ -619,7 +619,10 @@ object Dedup {
     * keeps the cap a skew guard at any corpus size; tiny-angle pairs
     * survive the longer conjunctions (that is the near-dup regime),
     * and callers chasing recall at moderate cosine raise `numTables`
-    * instead.
+    * instead. Sizing `maxBucketSize` against the box/fleet's spill
+    * capacity is [[Similarity.suggestedLshCap]] — the productized form
+    * of the CHECK_sf100_ann.txt occupancy law (this operator at 5M
+    * vectors, cap=1000, died on ~70 GB of spill; cap=200 fit and ran).
     */
   def embeddingLshPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.9,
@@ -875,7 +878,10 @@ object Dedup {
     * never corpus-sized); rescore joins are id-equi. A cell beyond
     * the cap is DROPPED (the house skew guard) — a corpus where one
     * semantic cluster exceeds the cap should raise `numCells` (finer
-    * centroids split it) or run d08's multi-table LSH first.
+    * centroids split it) or run d08's multi-table LSH first. Sizing
+    * `maxCellSize` against spill capacity is
+    * [[Similarity.suggestedPairCap]] (worst-case in-cell pair volume
+    * — the CHECK_sf100_ann.txt occupancy law productized).
     */
   def semanticDedupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.95, numCells: Int = 64,

@@ -130,53 +130,73 @@ object Multimodal {
       start_ms: Long,
       end_ms: Long,
       sample_rate: Int,
+      channels: Int,
       n_samples: Long,
-      energy: Double)
+      energy_ppm: Long)
 
   private val WindowMs = 1000L
   private val HopMs = 500L
 
-  /** m03: audio windowing (framing) plumbing — the segmentation step
-    * every speech/audio feature pipeline runs before anything expensive
+  /** m03: audio windowing (framing) — the segmentation step every
+    * speech/audio feature pipeline runs before anything expensive
     * (fbank/MFCC, ASR chunking). Audio rows FAN OUT into fixed-length
     * overlapping windows ([[WindowMs]] long, [[HopMs]] hop) through the
     * same streaming iterator shape as m02: windows emit as the
     * partition iterates, a long recording never materializes all its
-    * windows at once. Sample rate and duration come from the stubbed
-    * header parse (deterministic function of the payload standing in
-    * for a WAV/FLAC header read); per-window sample counts are real
-    * arithmetic; `energy` is the stub stand-in for the frame feature a
-    * codec-backed implementation would compute. A clip shorter than one
-    * window emits a single partial window; otherwise every window is
+    * windows at once. Since r16 the sample rate, channel count, and
+    * duration are REAL: parsed from the payload's RIFF/WAVE header by
+    * the m07 codec-free parse ([[graft.functions.AvHeader]]) — the r15
+    * stubbed-constant header is retired. Per-window sample counts are
+    * real arithmetic on the parsed rate; `energy_ppm` is the one
+    * remaining stand-in for the frame feature a codec-backed
+    * implementation would compute — the house cross-engine hash
+    * (md5-prefix, exact integer ppm), so the ENTIRE gate is
+    * DuckDB-oracle-able value-for-value. A clip shorter than one window
+    * emits a single partial window; otherwise every window is
     * full-length and any sub-hop tail is dropped (standard framing).
+    * Rows whose header does not parse (non-WAV, truncated/corrupt fmt,
+    * zero-length audio) emit no windows — the pre-decode filter
+    * semantics shared with m06/m07.
     */
   def m03AudioWindows(s: SparkSession, dir: String): DataFrame =
-    audioWindows(mediaTable(s, dir)).toDF()
-      .withColumn("energy", round(col("energy"), 6))
+    audioWindows(avHeaderTable(s, dir)).toDF()
       .orderBy("doc_id", "window_index")
 
-  /** Library form of the audio windower over any media Dataset (audio
-    * rows only; others are filtered out).
+  /** Library form of the audio windower over any (id, binary payload)
+    * frame: parses the WAV header per row (bounded prefix reads — see
+    * [[graft.functions.AvHeader]]), then fans out windows through a
+    * streaming iterator. Non-WAV and unparseable rows emit nothing.
     */
-  def audioWindows(media: org.apache.spark.sql.Dataset[MediaRecord]): org.apache.spark.sql.Dataset[AudioWindow] =
+  def audioWindows(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[AudioWindow] = {
+    import graft.functions.{AvHeader, BottomKSketch}
     media
-      .filter(col("media_type") === "audio/wav")
-      .mapPartitions(_.flatMap { r =>
-        val d = FakeDecoder.decode(r)
-        // stub header: 8/16/24 kHz, 0.5-4 s, from the checksum
-        val sampleRate = (8000L * (1L + math.floorMod(d.checksum >>> 11, 3L))).toInt
-        val durationMs = 500L + math.floorMod(d.checksum >>> 7, 3500L)
-        val n =
-          if (durationMs < WindowMs) 1
-          else ((durationMs - WindowMs) / HopMs + 1L).toInt
-        Iterator.tabulate(n) { i =>
-          val start = i * HopMs
-          val end = math.min(start + WindowMs, durationMs)
-          val nSamples = (end - start) * sampleRate / 1000L
-          val energy = math.floorMod(d.checksum ^ (i * 0x9E3779B97F4A7C15L), 10000L) / 10000.0
-          AudioWindow(r.doc_id, i, start, end, sampleRate, nSamples, energy)
+      .select(Cols.q(idCol).cast("long").as("doc_id"), Cols.q(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val f = AvHeader.format(payload)
+        val sr = AvHeader.sampleRate(payload)
+        val ch = AvHeader.channels(payload)
+        val dur = AvHeader.durationMs(payload)
+        if (f == null || f.toString != "wav" || sr <= 0 || ch <= 0 || dur <= 0L)
+          Iterator.empty
+        else {
+          val n =
+            if (dur < WindowMs) 1
+            else ((dur - WindowMs) / HopMs + 1L).toInt
+          Iterator.tabulate(n) { i =>
+            val start = i * HopMs
+            val end = math.min(start + WindowMs, dur)
+            val nSamples = (end - start) * sr / 1000L
+            // house cross-engine hash -> exact integer parts-per-million
+            val energyPpm = (BigInt(BottomKSketch.hash60(s"aw:$id:$i")) *
+              1000000 / BigInt(BottomKSketch.HashDomain)).toLong
+            AudioWindow(id, i, start, end, sr, ch, nSamples, energyPpm)
+          }
         }
       })(org.apache.spark.sql.Encoders.product[AudioWindow])
+  }
 
   /** Library form of the frame sampler over any media Dataset (video
     * rows only; others are filtered out).
@@ -319,6 +339,132 @@ object Multimodal {
     mediaHeaders(mediaHeaderTable(s, dir))
       .select(col("doc_id"), col("format"), col("width"), col("height"),
         col("aspect_bucket"), col("n_bytes"))
+      .orderBy("doc_id")
+
+  /** Media table with REAL audio/video container headers (m07 fixture,
+    * the WAV/MP4 sibling of [[mediaHeaderTable]]): payloads synthesized
+    * from `documents` carrying byte-exact RIFF/WAVE and ISO-BMFF
+    * structure around the doc text — built as a hex string through
+    * codegen'd built-ins then `unhex`, so the DuckDB oracle constructs
+    * the IDENTICAL blob and re-parses it with independent byte reads.
+    *
+    * WAV rows (id % 3 == 1): `RIFF` + riff-size + `WAVE`, then a
+    * VARIABLE-length JUNK chunk (1..19 bytes, odd sizes exercise the
+    * word-alignment pad byte) before `fmt ` (PCM, channels 1..2, rate
+    * from {8000,16000,24000,44100}, bits 8/16) and `data` — whose
+    * DECLARED size encodes 500..4000 ms of audio while the carried
+    * bytes are just the doc-text prefix: the truncated-object-prefix
+    * regime a 100 TB pre-filter actually scans (headers declare, the
+    * parse never needs the payload). MP4 rows (id % 3 == 2): `ftyp` +
+    * a variable-length `free` box + `moov`/`mvhd` with timescale from
+    * {1000,90000,600,48000} and version 0 OR 1 (u32 vs u64 field
+    * widths) selected by (id div 3) % 4 == 0. id % 3 == 0 rows carry
+    * the raw text bytes (no magic → the all-null contract row).
+    * Malformed overlays: id % 17 == 0 truncates to 5 bytes (neither
+    * magic survives — WAV needs 12, MP4 needs 8); id % 13 == 0 zeroes
+    * the first EIGHT bytes (RIFF lives at 0-3, ftyp at 4-7 — no magic
+    * survives); id % 11 == 0 truncates to 20 bytes
+    * (BOTH magics survive — format set, every parsed field null).
+    */
+  private[operators] def avHeaderTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def hex4(c: Column) = lpad(hex(c), 4, "0")
+    def hex8(c: Column) = lpad(hex(c), 8, "0")
+    def le4(c: Column) = // u16 little-endian hex
+      concat(substring(hex4(c), 3, 2), substring(hex4(c), 1, 2))
+    def le8(c: Column) = // u32 little-endian hex
+      concat(substring(hex8(c), 7, 2), substring(hex8(c), 5, 2),
+        substring(hex8(c), 3, 2), substring(hex8(c), 1, 2))
+    val d = col("doc_id")
+    val sr = element_at(
+      array(lit(8000L), lit(16000L), lit(24000L), lit(44100L)),
+      (pmod(d, lit(4)) + 1).cast("int"))
+    val ch = pmod(d, lit(2)) + 1 // 1..2
+    val bits = lit(8) + pmod(expr("doc_id div 2"), lit(2)) * 8 // 8 or 16
+    val ba = ch * (bits / lit(8)).cast("long") // block align: bytes/frame
+    // declared duration 500..3999 ms -> sample count at the row's rate
+    // (spelled as one integer-div expr so Spark and the oracle share
+    // the exact arithmetic)
+    val nSamp = expr("(500 + (doc_id * 37) % 3500) * " +
+      "(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 24000 ELSE 44100 END) div 1000")
+    val dataSize = nSamp * ba
+    val junk = pmod(d, lit(19)) + 1 // 1..19; odd -> pad byte
+    val pad = pmod(junk, lit(2))
+    val body = hex(substring(col("text"), 1, 32))
+    val riffSize = lit(4L) + lit(8L) + junk + pad + lit(24L) + lit(8L) + dataSize
+    val wavHex = concat(
+      lit("52494646"), le8(riffSize), lit("57415645"), // RIFF size WAVE
+      lit("4A554E4B"), le8(junk), repeat(lit("41"), junk.cast("int")), // JUNK
+      when(pad === 1, lit("00")).otherwise(lit("")), // word-align pad byte
+      lit("666D7420"), le8(lit(16L)), // fmt , size 16
+      le4(lit(1L)), le4(ch), le8(sr), le8(sr * ba), le4(ba), le4(bits),
+      lit("64617461"), le8(dataSize), // data + DECLARED size
+      body)
+    val ver1 = pmod(expr("doc_id div 3"), lit(4)) === 0
+    val ts = element_at(
+      array(lit(1000L), lit(90000L), lit(600L), lit(48000L)),
+      (pmod(d, lit(4)) + 1).cast("int"))
+    val durUnits = expr("(500 + (doc_id * 37) % 3500) * " +
+      "(CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 90000 WHEN 2 THEN 600 ELSE 48000 END) div 1000")
+    val mvhdHex = when(ver1,
+        concat(lit("00000078"), lit("6D766864"), lit("01000000"), // v1, size 120
+          repeat(lit("00"), 16), // ctime/mtime u64s
+          hex8(ts), lit("00000000"), hex8(durUnits))) // duration u64be
+      .otherwise(
+        concat(lit("0000006C"), lit("6D766864"), lit("00000000"), // v0, size 108
+          lit("00000000"), lit("00000000"), // ctime/mtime u32s
+          hex8(ts), hex8(durUnits)))
+    val mp4Hex = concat(
+      lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000200"), // ftyp isom
+      hex8(junk + 8), lit("66726565"), repeat(lit("41"), junk.cast("int")), // free box
+      when(ver1, lit("00000080")).otherwise(lit("00000074")), lit("6D6F6F76"), // moov
+      mvhdHex, repeat(lit("00"), 80), // rate/volume/matrix/... filler
+      body)
+    val full = when(pmod(d, lit(3)) === 1, wavHex)
+      .when(pmod(d, lit(3)) === 2, mp4Hex)
+      .otherwise(body)
+    val hx = when(pmod(d, lit(17)) === 0, substring(full, 1, 10))
+      // zero the first EIGHT bytes: kills BOTH magics (RIFF lives at
+      // 0-3, ftyp at 4-7 — an m06-style single-byte zero would be a
+      // no-op for MP4, whose size field already starts 0x00)
+      .when(pmod(d, lit(13)) === 0,
+        concat(lit("0000000000000000"), substring(full, 17, Int.MaxValue)))
+      .when(pmod(d, lit(11)) === 0, substring(full, 1, 40))
+      .otherwise(full)
+    Tables.documents(s, dir).select(col("doc_id"), unhex(hx).as("payload"))
+  }
+
+  /** Header-parse pass over any binary audio/video frame — container
+    * format, sample rate, channels, bit depth, and declared duration,
+    * all from header bytes via the codegen'd
+    * [[graft.functions.AvHeader]] expressions; the payload never leaves
+    * the scan, only the parsed fields travel. The m07 sibling of
+    * [[mediaHeaders]]: the pre-decode sample-rate/duration filter a
+    * training pipeline runs over 100 TB of audio/video BEFORE any
+    * codec.
+    */
+  def avHeaders(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val s = media.sparkSession
+    val p = Cols.q(payloadCol)
+    media.select(Cols.q(idCol).as("doc_id"),
+      graft.functions.AvHeader.avFormat(s, p).as("av_format"),
+      graft.functions.AvHeader.avSampleRate(s, p).as("sample_rate"),
+      graft.functions.AvHeader.avChannels(s, p).as("channels"),
+      graft.functions.AvHeader.avBits(s, p).as("bits_per_sample"),
+      graft.functions.AvHeader.avDurationMs(s, p).as("duration_ms"),
+      length(p).cast("long").as("n_bytes"))
+  }
+
+  /** m07: gate binding of [[avHeaders]] over the real-header fixture
+    * table. Fully SQL-oracled — DuckDB rebuilds the identical payload
+    * hex and re-parses it with independent substr/cast byte reads (the
+    * RIFF chunk walk and the ISO-BMFF box walk as recursive CTEs), so
+    * format, fmt fields, duration AND the malformed-row null contract
+    * are all cross-engine checked value-for-value.
+    */
+  def m07AvHeader(s: SparkSession, dir: String): DataFrame =
+    avHeaders(avHeaderTable(s, dir))
       .orderBy("doc_id")
 
   /** 64-bit perceptual fingerprint per media item: the REAL DCT pHash

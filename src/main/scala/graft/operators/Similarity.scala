@@ -524,6 +524,10 @@ object Similarity {
     * not the common case. Approximate: a neighbor sharing no bucket
     * with its vector is missed; SimilaritySpec measures recall vs
     * [[knnJoin]] and pins 100% on planted near-identical pairs.
+    * Sizing `maxBucketSize` against the box/fleet's spill capacity is
+    * [[suggestedLshCap]] — the productized CHECK_sf100_ann.txt
+    * occupancy law (this graph at 5M, cap=1000, died on ~70 GB of
+    * spill; cap=200 fit and built in 152.6 s).
     */
   def knnJoinLsh(emb: DataFrame, k: Int = K,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -871,7 +875,11 @@ object Similarity {
     * key-partitioned, mergeable, skew-bounded by the graph's in-degree
     * (k, for a [[knnJoinLsh]] graph). Rounds are flat-checkpointed
     * (the d07 storage discipline): plan depth stays constant, each
-    * generation released as its successor materializes.
+    * generation released as its successor materializes. The spill
+    * budget of the whole composite (graph build + propagation) is set
+    * by the upstream graph's bucket cap — size it with
+    * [[suggestedLshCap]] (the CHECK_sf100_ann.txt occupancy law; the
+    * 5M propagation itself ran in 29.5 s once the cap=200 graph fit).
     */
   def scorePropagation(nodes: DataFrame, edges: DataFrame,
       idCol: String = "vec_id", scoreCol: String = "score",
@@ -943,4 +951,76 @@ object Similarity {
     */
   private[graft] def invalidateKnnGraph(s: SparkSession, dir: String): Unit =
     SharedIndex.invalidateEntry(s, dir, KnnGraphIndexName)
+
+  // ------------------------------------------------------------------
+  // The occupancy law, productized (r16 — VERDICT r15 #4).
+  //
+  // Every blocked pair composite in this library (s08 knn graph, d08
+  // fine-LSH pairs, s14 propagation over the graph, d11 in-cell
+  // SemDeDup) generates candidate pairs quadratically in per-bucket
+  // membership, and the four out-of-disk deaths recorded in
+  // CHECK_sf100_ann.txt (s08/d08/s14 at 5M cap=1000; the 2M knn
+  // attempt) all reduce to the same arithmetic: in-bucket pair volume
+  // times bytes-per-candidate exceeded the box's spill capacity. These
+  // helpers ARE that arithmetic, so sizing is a call instead of a
+  // hand calculation. `bytesPerCandidateRow` is the caller's estimate
+  // of the widest shuffled candidate row (ids + any carried payload,
+  // POST shuffle compression — the 5M rung implies ~180 effective
+  // bytes for the knn rescore rows that carry an embedding, ~64 for
+  // id+score pairs); `spillBytes` is the executor-aggregate shuffle
+  // scratch the job may use (on a cluster: per-executor scratch x
+  // executors — the whole point is that the cap scales with the
+  // FLEET, not a constant).
+  // ------------------------------------------------------------------
+
+  /** Largest per-bucket cap for EXPLICIT-bucket blocking (IVF cells,
+    * hash/minhash/simhash band buckets) such that the WORST-CASE
+    * candidate volume — every bucket full to the cap,
+    * `numTables * buckets * cap*(cap-1)/2` pairs at
+    * `bytesPerCandidateRow` each — stays within `spillBytes`. The
+    * returned cap is a guarantee, not an estimate: the capped store
+    * cannot emit more pairs than this budget even on a fully
+    * degenerate corpus (the d11 capped-universe regime). When the
+    * return is BELOW the expected mean occupancy n/buckets, the
+    * blocking is under-provisioned for the disk — raise `buckets`
+    * (finer quantizer / more planes), raise spill, or accept capped
+    * recall; the recorded 5M d11 run (2048 cells, ~977 expected
+    * members) sized its cap at 4x occupancy for skew headroom and fit
+    * because EXPECTED volume, not worst-case, materialized — this
+    * helper is the conservative end of that trade. Floor 2 (below two
+    * members a bucket cannot pair at all).
+    */
+  def suggestedPairCap(n: Long, buckets: Long, bytesPerCandidateRow: Long,
+      spillBytes: Long, numTables: Int = 1): Int = {
+    require(buckets > 0 && bytesPerCandidateRow > 0 && numTables > 0,
+      s"buckets=$buckets bytesPerCandidateRow=$bytesPerCandidateRow numTables=$numTables")
+    val perBucketPairs =
+      spillBytes.toDouble / bytesPerCandidateRow / numTables / buckets
+    // cap*(cap-1)/2 <= perBucketPairs
+    val c = math.floor((1.0 + math.sqrt(1.0 + 8.0 * perBucketPairs)) / 2.0).toLong
+    math.max(2L, math.min(c, Int.MaxValue.toLong)).toInt
+  }
+
+  /** Largest `maxBucketSize` for the SELF-SIZING LSH composites
+    * ([[knnJoinLsh]], [[Dedup.embeddingLshPairs]]) — where the cap
+    * does not just guard skew but SETS the geometry: [[knnPlanes]]
+    * picks planes so mean occupancy lands at ~cap/8, making expected
+    * candidate volume `numTables * n * (cap/8) / 2` pairs. Inverting
+    * that against the spill budget: cap = 16 * spillBytes /
+    * (bytesPerCandidateRow * numTables * n). Regression anchor
+    * (CHECK_sf100_ann.txt): at n=5M, 8 tables, ~180 effective bytes,
+    * ~70 GB free this returns ~155 — the recorded cap=200/occupancy-19
+    * run fit that disk, and the recorded cap=1000/occupancy-76 runs
+    * (~274 GB of candidates) died on it. Floor 16 (an 8-table graph
+    * below occupancy 2 has no pairs to keep); ceiling 100000 (beyond
+    * that the quadratic skew-guard worst case dwarfs the mean — raise
+    * numTables instead).
+    */
+  def suggestedLshCap(n: Long, numTables: Int, bytesPerCandidateRow: Long,
+      spillBytes: Long): Int = {
+    require(n > 0 && numTables > 0 && bytesPerCandidateRow > 0,
+      s"n=$n numTables=$numTables bytesPerCandidateRow=$bytesPerCandidateRow")
+    val cap = 16.0 * spillBytes / bytesPerCandidateRow / numTables / n
+    math.max(16L, math.min(math.floor(cap).toLong, 100000L)).toInt
+  }
 }

@@ -749,4 +749,66 @@ class SimilaritySpec extends SparkSpec {
     // propagation moved SOME scores off their seeds (the graph is real)
     assert(rows.count(r0 => r0.getDouble(1) != r0.getDouble(2)) > 0)
   }
+
+  test("suggestedPairCap: worst-case volume at the returned cap fits, cap+1 does not") {
+    def worstBytes(cap: Long, buckets: Long, bytes: Long, tables: Int) =
+      BigInt(tables) * buckets * cap * (cap - 1) / 2 * bytes
+    for {
+      (buckets, bytes, spill, tables) <- Seq(
+        (2048L, 64L, 70L * 1000 * 1000 * 1000, 1),
+        (65536L, 300L, 70L * 1000 * 1000 * 1000, 8),
+        (16L, 8L, 10000L, 1),
+        (1L, 1L, Long.MaxValue / 2, 1)) // clamps at Int.MaxValue
+    } {
+      val c = Similarity.suggestedPairCap(5000000L, buckets, bytes, spill, tables)
+      assert(c >= 2, s"buckets=$buckets")
+      // the guarantee: a fully degenerate corpus at this cap fits
+      assert(worstBytes(c, buckets, bytes, tables) <= BigInt(spill) ||
+        c == 2, s"cap=$c buckets=$buckets")
+      // tightness: one more member per bucket would blow the budget
+      // (unless clamped at Int.MaxValue)
+      if (c < Int.MaxValue)
+        assert(worstBytes(c + 1L, buckets, bytes, tables) > BigInt(spill) ||
+          c == 2, s"cap=$c buckets=$buckets")
+    }
+    // regression anchor: the recorded d11 signal-rung shape (2048
+    // cells, ~64 effective bytes/candidate, ~70 GB scratch) affords a
+    // cap >= the ~977 expected members/cell the run carried
+    val d11 = Similarity.suggestedPairCap(1000000L, 2048L, 64L, 70L * 1000 * 1000 * 1000)
+    assert(d11 >= 977 && d11 <= 2000, s"d11 cap $d11")
+    // monotone in spill, antitone in bucket count and row width
+    assert(Similarity.suggestedPairCap(1L, 100L, 10L, 2000000L) >=
+      Similarity.suggestedPairCap(1L, 100L, 10L, 1000000L))
+    assert(Similarity.suggestedPairCap(1L, 100L, 10L, 1000000L) >=
+      Similarity.suggestedPairCap(1L, 200L, 10L, 1000000L))
+    assert(Similarity.suggestedPairCap(1L, 100L, 10L, 1000000L) >=
+      Similarity.suggestedPairCap(1L, 100L, 20L, 1000000L))
+    intercept[IllegalArgumentException] {
+      Similarity.suggestedPairCap(1L, 0L, 10L, 1000L)
+    }
+  }
+
+  test("suggestedLshCap: inverts the knnPlanes occupancy law and reproduces the recorded 5M sizing") {
+    // regression anchor (CHECK_sf100_ann.txt): 5M vectors, 8 tables,
+    // ~180 effective bytes, ~70 GB free -> the law lands in the
+    // recorded-good cap=200/occupancy~19 regime, far below the
+    // recorded-fatal cap=1000
+    val c = Similarity.suggestedLshCap(5000000L, 8, 180L, 70L * 1000 * 1000 * 1000)
+    assert(c >= 100 && c <= 260, s"5M cap $c")
+    // the expected volume at the returned cap fits the budget:
+    // tables * n * (cap/8) / 2 * bytes <= spill
+    val vol = BigInt(8) * 5000000L * (c / 8) / 2 * 180L
+    assert(vol <= BigInt(70L * 1000 * 1000 * 1000))
+    // clamps: tiny corpora floor at 16, huge budgets cap at 100000
+    assert(Similarity.suggestedLshCap(100L, 8, 180L, 1L) === 16)
+    assert(Similarity.suggestedLshCap(100L, 1, 1L, Long.MaxValue / 2) === 100000)
+    // monotone in spill, antitone in n/tables/bytes
+    assert(Similarity.suggestedLshCap(1000000L, 8, 180L, 200000000000L) >=
+      Similarity.suggestedLshCap(1000000L, 8, 180L, 100000000000L))
+    assert(Similarity.suggestedLshCap(1000000L, 8, 180L, 100000000000L) >=
+      Similarity.suggestedLshCap(2000000L, 8, 180L, 100000000000L))
+    intercept[IllegalArgumentException] {
+      Similarity.suggestedLshCap(0L, 8, 180L, 1000L)
+    }
+  }
 }

@@ -224,18 +224,23 @@ class TextSpec extends SparkSpec {
     assert(viaExpr === 381241804075191743L)
   }
 
-  test("m03 audio windowing emits dense overlapping windows within header bounds") {
+  test("m03 audio windowing frames REAL parsed WAV headers into dense overlapping windows") {
     val a = Multimodal.m03AudioWindows(spark, sf)
     assert(a.columns.toSeq === Seq(
-      "doc_id", "window_index", "start_ms", "end_ms", "sample_rate", "n_samples", "energy"))
+      "doc_id", "window_index", "start_ms", "end_ms", "sample_rate",
+      "channels", "n_samples", "energy_ppm"))
     val r1 = a.collect()
     val r2 = Multimodal.m03AudioWindows(spark, sf).collect()
     assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
-    // exactly the audio third of the corpus fans out (mediaTable maps
-    // doc_id%3==1 to audio/wav); assert the IDENTITY of the docs, not
-    // just the count — residue-class counts can coincide
+    // exactly the WAV third of the fixture minus the malformed overlay
+    // rows fans out (avHeaderTable: %3==1 wav; %17/%13/%11 malformed,
+    // which parse to null headers -> zero windows); assert the IDENTITY
+    // of the docs, not just the count
     val audio = Tables.documents(spark, sf)
-      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .filter(pmod(col("doc_id"), lit(3)) === 1 &&
+        pmod(col("doc_id"), lit(17)) =!= 0 &&
+        pmod(col("doc_id"), lit(13)) =!= 0 &&
+        pmod(col("doc_id"), lit(11)) =!= 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val byDoc = r1.groupBy(_.getLong(0))
     assert(byDoc.keySet === audio)
@@ -244,17 +249,23 @@ class TextSpec extends SparkSpec {
       // dense indexes, 500ms hop starts, full 1s windows except a
       // single short-clip partial
       assert(sorted.map(_.getAs[Int]("window_index")).toSeq === sorted.indices.toSeq)
+      // header fields are the PARSED fixture values, constant per doc
+      val rate = sorted.head.getAs[Int]("sample_rate")
+      assert(rate === Seq(8000, 16000, 24000, 44100)((doc % 4).toInt), s"doc $doc")
+      assert(sorted.head.getAs[Int]("channels") === 1 + (doc % 2).toInt, s"doc $doc")
       sorted.foreach { w =>
         val start = w.getAs[Long]("start_ms"); val end = w.getAs[Long]("end_ms")
         assert(start === w.getAs[Int]("window_index") * 500L, s"doc $doc")
         assert(end > start && end - start <= 1000L, s"doc $doc")
         assert(end - start === 1000L || sorted.length === 1, s"doc $doc partial mid-clip")
-        val rate = w.getAs[Int]("sample_rate")
-        assert(Set(8000, 16000, 24000).contains(rate), s"doc $doc rate $rate")
+        assert(w.getAs[Int]("sample_rate") === rate)
         assert(w.getAs[Long]("n_samples") === (end - start) * rate / 1000L)
-        val e = w.getAs[Double]("energy")
-        assert(e >= 0.0 && e <= 1.0)
+        val e = w.getAs[Long]("energy_ppm")
+        assert(e >= 0L && e < 1000000L)
       }
+      // the parsed duration bounds the last window: declared 500..3999ms
+      val last = sorted.last.getAs[Long]("end_ms")
+      assert(last >= 500L && last < 4000L, s"doc $doc dur $last")
     }
   }
 
