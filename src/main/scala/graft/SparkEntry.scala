@@ -681,11 +681,18 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM ch WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
 
-    // naive inequality join is the oracle for the bucket-blocked range
-    // join; epoch_ns keeps the boundary comparisons at full precision.
-    // CAST ... AS BIGINT: DuckDB's SUM over integer literals is HUGEINT,
-    // which pandas materializes as float64 and the driver's hash would
-    // then compare 3.0 against Spark's bigint 3.
+    // sort-based restatement of the range count (r16): the count of
+    // touches in (ts-30min, ts] is the difference of two per-user
+    // cumulative touch counts — cnt(<= ts) - cnt(<= ts-30min) — each
+    // served by an ASOF join against the deduped (user, touch-ts,
+    // running-count) frame. Still independent of Spark's bucketed
+    // plan (ASOF sort semantics vs equi-join on time blocks), but
+    // O(n log n) instead of the r5-r15 naive per-key inequality join,
+    // whose per-user cartesian blows up on the sf100 rung's planted
+    // 1M-event hot key (the two formulations were verified EXCEPT
+    // ALL-identical at sf0.01 and sf0.1 before the swap). epoch_ns
+    // keeps boundary comparisons at full precision; CAST ... AS
+    // BIGINT so pandas doesn't float the counts.
     "q17_range_join" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS ts_ns
@@ -693,12 +700,26 @@ object SparkEntry {
         |), t AS (
         |  SELECT user_id, epoch_ns(ts) AS ts_ns FROM events
         |  WHERE event_type IN ('click', 'view')
+        |), c AS (
+        |  SELECT user_id, ts_ns, CAST(max(cnt) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT user_id, ts_ns,
+        |      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ns
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+        |    FROM t) x
+        |  GROUP BY user_id, ts_ns
+        |), hi AS (
+        |  SELECT p.purchase_id, p.user_id, c.cnt
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ns >= c.ts_ns
+        |), lo AS (
+        |  SELECT p.purchase_id, c.cnt
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id
+        |    AND p.ts_ns - 1800000000000 >= c.ts_ns
         |)
-        |SELECT p.purchase_id, p.user_id,
-        |  CAST(COALESCE(SUM(CASE WHEN t.ts_ns <= p.ts_ns AND t.ts_ns > p.ts_ns - 1800000000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_touches
-        |FROM p LEFT JOIN t ON p.user_id = t.user_id
-        |GROUP BY p.purchase_id, p.user_id
-        |ORDER BY p.purchase_id""".stripMargin,
+        |SELECT hi.purchase_id, hi.user_id,
+        |  CAST(COALESCE(hi.cnt, 0) - COALESCE(lo.cnt, 0) AS BIGINT) AS n_touches
+        |FROM hi JOIN lo USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin,
 
     "t04_fingerprint" ->
       """SELECT doc_id,
