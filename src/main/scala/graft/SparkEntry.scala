@@ -2784,7 +2784,11 @@ object SparkEntry {
     // byte reads — the RIFF chunk walk and the top-level box walk as
     // recursive CTEs, little-endian u16/u32 reads as substr shuffles —
     // so format, fmt fields, declared duration, and the malformed-row
-    // null contract are all cross-engine checked value-for-value
+    // null contract are all cross-engine checked value-for-value.
+    // hx/fmt/rwalk feed multiple consumers and the final select joins
+    // three derived frames: AS MATERIALIZED, or DuckDB inlines and
+    // re-runs the recursive walks per consumer — the first sf10 pass
+    // OOM'd a 24 GB limit before materialization, ran in 5.6 s after
     "m07_av_header" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -2849,14 +2853,14 @@ object SparkEntry {
         |      ELSE body
         |    END AS full_hex
         |  FROM hexes
-        |), hx AS (
+        |), hx AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 17 = 0 THEN substr(full_hex, 1, 10)
         |         WHEN doc_id % 13 = 0 THEN '0000000000000000' || substr(full_hex, 17)
         |         WHEN doc_id % 11 = 0 THEN substr(full_hex, 1, 40)
         |         ELSE full_hex END AS hx
         |  FROM built
-        |), fmt AS (
+        |), fmt AS MATERIALIZED (
         |  SELECT doc_id, hx,
         |    CASE WHEN len(hx) >= 24 AND substr(hx, 1, 8) = '52494646'
         |           AND substr(hx, 17, 8) = '57415645' THEN 'wav'
@@ -2864,7 +2868,7 @@ object SparkEntry {
         |           AND CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) >= 8 THEN 'mp4'
         |    END AS av_format
         |  FROM hx
-        |), rwalk AS (
+        |), rwalk AS MATERIALIZED (
         |  WITH RECURSIVE rseg AS (
         |    SELECT doc_id, hx, CAST(12 AS BIGINT) AS pos, 0 AS iter
         |    FROM fmt WHERE av_format = 'wav'
@@ -2904,7 +2908,7 @@ object SparkEntry {
         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
         |        FROM rwalk WHERE cid = '64617461') t
         |  WHERE rn = 1
-        |), bwalk AS (
+        |), bwalk AS MATERIALIZED (
         |  WITH RECURSIVE bseg AS (
         |    SELECT doc_id, hx, CAST(0 AS BIGINT) AS pos, 0 AS iter
         |    FROM fmt WHERE av_format = 'mp4'
