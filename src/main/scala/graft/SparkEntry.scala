@@ -2969,6 +2969,36 @@ object SparkEntry {
         |LEFT JOIN mvhd mv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // m02's frames are fully derivable since r16: duration is the
+    // parsed mvhd (same formulas the m07 oracle independently
+    // re-parses), fps and frame_sig are the house md5-prefix hash —
+    // so the fan-out restates as a lateral series (UPGRADED from
+    // rows-only)
+    "m02_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 90000
+        |      WHEN 2 THEN 600 ELSE 48000 END AS tsc
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id % 17 != 0
+        |    AND doc_id % 13 != 0 AND doc_id % 11 != 0
+        |), q AS (
+        |  SELECT doc_id,
+        |    (((500 + (doc_id * 37) % 3500) * tsc) // 1000) * 1000 // tsc AS dur,
+        |    4 + CAST(('0x' || substr(md5('fps:' || doc_id), 1, 15)) AS BIGINT) % 27 AS fps
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id, dur,
+        |    LEAST(4, GREATEST(1, dur * fps // 1000)) AS n
+        |  FROM q WHERE dur > 0
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS frame_index,
+        |  CAST(i * dur // n AS BIGINT) AS frame_ts_ms,
+        |  CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+        |  CAST(('0x' || substr(md5('fr:' || doc_id || ':' || i), 1, 15)) AS BIGINT) AS frame_sig
+        |FROM f, UNNEST(generate_series(0, n - 1)) AS t(i)
+        |ORDER BY doc_id, frame_index""".stripMargin,
+
     // m03's windows are now fully derivable: the fixture's WAV headers
     // are deterministic (same formulas as the m07 oracle — and m07
     // independently re-parses the bytes, so using the construction

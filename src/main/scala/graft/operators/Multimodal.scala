@@ -103,25 +103,31 @@ object Multimodal {
       frame_ts_ms: Long,
       width: Int,
       height: Int,
-      frame_checksum: Long)
+      frame_sig: Long)
 
   /** Frames sampled uniformly per video, each resized to this edge. */
   private val TargetEdge = 224
   private val MaxFramesPerVideo = 4
 
-  /** m02: video frame-sampling + resize plumbing. Video rows FAN OUT —
-    * one input row becomes up to [[MaxFramesPerVideo]] frame rows — via
-    * an iterator `flatMap` inside `mapPartitions`: frames stream out as
-    * the partition iterates, so a long video never materializes all its
+  /** m02: video frame sampling. Video rows FAN OUT — one input row
+    * becomes up to [[MaxFramesPerVideo]] frame rows — via an iterator
+    * `flatMap` inside `mapPartitions`: frames stream out as the
+    * partition iterates, so a long video never materializes all its
     * frames at once (the property that matters when a partition holds
-    * hours of footage). Duration/fps come from the stubbed header parse
-    * (a deterministic function of the payload, standing in for a
-    * container demux); the per-frame "resize" recomputes the stub
-    * checksum at [[TargetEdge]]² — a real codec would replace ONLY
-    * the two stub calls, the fan-out/schema/partition shape is real.
+    * hours of footage). Since r16 the duration is REAL: parsed from
+    * the payload's ISO-BMFF mvhd by the m07 codec-free parse — the
+    * uniform sampling timestamps are exact integer math on it. Two
+    * stand-ins remain, both spelled with the house cross-engine hash
+    * so the ENTIRE gate is DuckDB-oracle-able: `fps` (the real value
+    * lives in stts/stsd — genuine demux territory) and `frame_sig`
+    * (the content a codec would decode). A real codec replaces only
+    * those two calls; the fan-out/schema/partition shape is the
+    * product. Rows whose header does not parse (non-MP4,
+    * truncated/corrupt moov, zero duration) emit no frames — the
+    * m06/m07 pre-decode filter contract.
     */
   def m02FrameSample(s: SparkSession, dir: String): DataFrame =
-    frameSample(mediaTable(s, dir)).toDF().orderBy("doc_id", "frame_index")
+    frameSample(avHeaderTable(s, dir)).toDF().orderBy("doc_id", "frame_index")
 
   /** One fixed-length analysis window of an audio payload. */
   case class AudioWindow(
@@ -198,24 +204,33 @@ object Multimodal {
       })(org.apache.spark.sql.Encoders.product[AudioWindow])
   }
 
-  /** Library form of the frame sampler over any media Dataset (video
-    * rows only; others are filtered out).
+  /** Library form of the frame sampler over any (id, binary payload)
+    * frame: parses the MP4 mvhd duration per row (bounded prefix
+    * reads — see [[graft.functions.AvHeader]]), then fans frames out
+    * through a streaming iterator. Non-MP4 and unparseable rows emit
+    * nothing.
     */
-  def frameSample(media: org.apache.spark.sql.Dataset[MediaRecord]): org.apache.spark.sql.Dataset[SampledFrame] = {
+  def frameSample(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): org.apache.spark.sql.Dataset[SampledFrame] = {
+    import graft.functions.{AvHeader, BottomKSketch}
     media
-      // Column filter (not a typed lambda) so pruning/pushdown survive
-      .filter(col("media_type") === "video/mp4")
-      .mapPartitions(_.flatMap { r =>
-        val d = FakeDecoder.decode(r)
-        // stub header: duration 1-30 s, 4-30 fps, from the checksum
-        val durationMs = 1000L + math.floorMod(d.checksum, 29000L)
-        val fps = 4 + math.floorMod(d.checksum >>> 23, 27L).toInt
-        val nFrames = math.min(MaxFramesPerVideo, (durationMs * fps / 1000L).toInt max 1)
-        Iterator.tabulate(nFrames) { i =>
-          val tsMs = i * durationMs / nFrames // uniform sampling
-          // stub resize/re-encode: mix the frame position into the checksum
-          val frameChecksum = d.checksum ^ (31L * tsMs + i) * 0x9E3779B97F4A7C15L
-          SampledFrame(r.doc_id, i, tsMs, TargetEdge, TargetEdge, frameChecksum)
+      .select(Cols.q(idCol).cast("long").as("doc_id"), Cols.q(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val f = AvHeader.format(payload)
+        val dur = AvHeader.durationMs(payload)
+        if (f == null || f.toString != "mp4" || dur <= 0L) Iterator.empty
+        else {
+          // fps stand-in (real value = stts/stsd demux): 4..30,
+          // house cross-engine hash so the gate oracles exactly
+          val fps = 4 + (BottomKSketch.hash60(s"fps:$id") % 27L).toInt
+          val nFrames = math.min(MaxFramesPerVideo, (dur * fps / 1000L).toInt max 1)
+          Iterator.tabulate(nFrames) { i =>
+            val tsMs = i * dur / nFrames // uniform sampling, exact
+            SampledFrame(id, i, tsMs, TargetEdge, TargetEdge,
+              BottomKSketch.hash60(s"fr:$id:$i")) // decoded-content stand-in
+          }
         }
       })(org.apache.spark.sql.Encoders.product[SampledFrame])
   }

@@ -59,25 +59,32 @@ class TextSpec extends SparkSpec {
     }
   }
 
-  test("m02 frame sampling fans out videos deterministically within bounds") {
+  test("m02 frame sampling fans out REAL parsed MP4 durations deterministically within bounds") {
     val a = Multimodal.m02FrameSample(spark, sf)
     assert(a.columns.toSeq ===
-      Seq("doc_id", "frame_index", "frame_ts_ms", "width", "height", "frame_checksum"))
+      Seq("doc_id", "frame_index", "frame_ts_ms", "width", "height", "frame_sig"))
     val r1 = a.collect()
     val r2 = Multimodal.m02FrameSample(spark, sf).collect()
     assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
-    // exactly the video third of the corpus fans out, 1..4 frames each
+    // exactly the MP4 third of the fixture minus the malformed overlay
+    // rows fans out (unparseable headers -> zero frames), 1..4 frames
     val videos = Tables.documents(spark, sf)
-      .filter(pmod(col("doc_id"), lit(3)) === 2).count()
+      .filter(pmod(col("doc_id"), lit(3)) === 2 &&
+        pmod(col("doc_id"), lit(17)) =!= 0 &&
+        pmod(col("doc_id"), lit(13)) =!= 0 &&
+        pmod(col("doc_id"), lit(11)) =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     val byDoc = r1.groupBy(_.getLong(0))
-    assert(byDoc.size === videos)
+    assert(byDoc.keySet === videos)
     byDoc.foreach { case (doc, frames) =>
       assert(frames.length >= 1 && frames.length <= 4, s"doc $doc")
-      // frame indexes dense from 0, timestamps nondecreasing and uniform
+      // frame indexes dense from 0, timestamps nondecreasing, uniform
+      // over the PARSED mvhd duration (declared 500..3999 ms)
       val sorted = frames.sortBy(_.getAs[Int]("frame_index"))
       assert(sorted.map(_.getAs[Int]("frame_index")).toSeq === sorted.indices.toSeq)
       val ts = sorted.map(_.getAs[Long]("frame_ts_ms"))
       assert(ts.head === 0L && ts.toSeq === ts.sorted.toSeq)
+      assert(ts.last < 4000L, s"doc $doc ts ${ts.last}")
       sorted.foreach { f =>
         assert(f.getAs[Int]("width") === 224 && f.getAs[Int]("height") === 224)
       }
