@@ -2969,6 +2969,27 @@ object SparkEntry {
         |LEFT JOIN mvhd mv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // m01's stub decode derives every field from the house payload
+    // hash since r16, so the gate oracles exactly: md5 of the same
+    // bytes (the payload IS the doc text's UTF-8), hash60 spelling,
+    // integer arithmetic only (features served as 10-bit numerators)
+    "m01_multimodal_stub" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+        |      ELSE 'video/mp4' END AS media_type,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig
+        |  FROM documents
+        |)
+        |SELECT doc_id, media_type, n_bytes,
+        |  CAST(64 + sig % 192 AS INT) AS width,
+        |  CAST(64 + (sig // 131072) % 192 AS INT) AS height,
+        |  sig AS payload_sig,
+        |  CAST(sig % 1024 AS INT) AS f0_q,
+        |  CAST((sig // 256) % 1024 AS INT) AS f1_q
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // m02's frames are fully derivable since r16: duration is the
     // parsed mvhd (same formulas the m07 oracle independently
     // re-parses), fps and frame_sig are the house md5-prefix hash —

@@ -39,19 +39,24 @@ object Multimodal {
 
   /** STUB decoder — deterministic stand-in for an image/audio codec.
     * A real implementation would replace ONLY this object (the Spark
-    * plumbing around it is codec-agnostic).
+    * plumbing around it is codec-agnostic). Since r16 every derived
+    * field is arithmetic on the house cross-engine payload hash
+    * (md5-prefix, [[graft.functions.BottomKSketch.hash60]]) instead
+    * of a JVM-local rolling checksum, so the m01 gate — the LAST
+    * rows-only multimodal entry — oracles value-for-value: DuckDB
+    * re-derives width/height/features from md5 of the same bytes.
     */
   private object FakeDecoder {
     def decode(r: MediaRecord): DecodedMedia = {
       val bytes = r.payload
-      var h = 1125899906842597L // FNV-ish rolling checksum of the payload
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val h = graft.functions.BottomKSketch.hash60(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       // "dimensions" derived from content the way a header parse would
-      val width = 64 + math.floorMod(h, 192).toInt
-      val height = 64 + math.floorMod(h >>> 17, 192).toInt
+      val width = 64 + (h % 192L).toInt
+      val height = 64 + ((h >>> 17) % 192L).toInt
+      // exact in float: 10-bit numerators over a power-of-two base
       val features = Array.tabulate(4) { j =>
-        math.floorMod(h >>> (j * 8), 1024).toFloat / 1024.0f
+        ((h >>> (j * 8)) % 1024L).toFloat / 1024.0f
       }
       DecodedMedia(r.doc_id, r.media_type, bytes.length.toLong, width, height, h, features)
     }
@@ -82,17 +87,19 @@ object Multimodal {
       org.apache.spark.sql.Encoders.product[DecodedMedia])
 
   /** Synthesize the media table then run the partition-wise decode.
-    * Output is rows-only checked; MultimodalSpec asserts determinism,
-    * schema, and batch behavior.
+    * Fully SQL-oracled since r16 (the decoder derives from the house
+    * payload hash — see [[FakeDecoder]]): the gate serves the two
+    * feature probes as their exact 10-bit integer numerators
+    * (f·1024), so no float formatting crosses the engine boundary.
     */
   def m01MultimodalStub(s: SparkSession, dir: String): DataFrame = {
     decode(mediaTable(s, dir))
       .toDF()
       .select(
         col("doc_id"), col("media_type"), col("n_bytes"),
-        col("width"), col("height"), col("checksum"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
-        round(element_at(col("features"), 2).cast("double"), 6).as("f1"))
+        col("width"), col("height"), col("checksum").as("payload_sig"),
+        (element_at(col("features"), 1) * 1024f).cast("int").as("f0_q"),
+        (element_at(col("features"), 2) * 1024f).cast("int").as("f1_q"))
       .orderBy("doc_id")
   }
 

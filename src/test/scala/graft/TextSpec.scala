@@ -48,7 +48,7 @@ class TextSpec extends SparkSpec {
   test("m01 multimodal decode is deterministic with stable schema") {
     val a = Multimodal.m01MultimodalStub(spark, sf)
     assert(a.columns.toSeq ===
-      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "f0", "f1"))
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "payload_sig", "f0_q", "f1_q"))
     val r1 = a.collect()
     val r2 = Multimodal.m01MultimodalStub(spark, sf).collect()
     assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
@@ -56,6 +56,11 @@ class TextSpec extends SparkSpec {
       val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
       assert(w >= 64 && w < 256 && h >= 64 && h < 256)
       assert(r.getAs[Long]("n_bytes") > 0L)
+      // the derivations are the documented house-hash arithmetic
+      val sig = r.getAs[Long]("payload_sig")
+      assert(sig >= 0L && w === 64 + (sig % 192L).toInt)
+      assert(r.getAs[Int]("f0_q") === (sig % 1024L).toInt)
+      assert(r.getAs[Int]("f1_q") === ((sig >> 8) % 1024L).toInt)
     }
   }
 
