@@ -63,9 +63,16 @@ object JoinSkewProbe {
     for (_ <- 1 to reps) {
       walls("plain") :+= time("plain") { events.join(customer, "user_id") }
       walls("plain_noaqe") :+= {
+        // restore the PRE-PROBE value, not a literal: a session run
+        // with skew join disabled must not be silently flipped on for
+        // the subsequent plain/salted reps this probe compares against
+        val prior = spark.conf.getOption(skewConf)
         spark.conf.set(skewConf, "false")
         try time("plain_noaqe") { events.join(customer, "user_id") }
-        finally spark.conf.set(skewConf, "true")
+        finally prior match {
+          case Some(v) => spark.conf.set(skewConf, v)
+          case None => spark.conf.unset(skewConf)
+        }
       }
       walls("salted") :+= time("salted") {
         Relational.saltedJoin(events, customer, on = "user_id", salt = salt)

@@ -43,17 +43,16 @@ object KnnScale {
     val outDir = args(1)
     val nLimit = args.lift(2).map(_.toLong).getOrElse(2000000L)
     val k = args.lift(3).map(_.toInt).getOrElse(10)
-    // usable scratch, halved: the shuffle shares the disk with the
-    // run's own parquet output and whatever else the box holds
-    val spill = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace / 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.create(cpus)
+    // usable scratch on the disk Spark actually spills to, halved
+    // (session first, so a spark.local.dir conf is visible here)
+    val spill = Similarity.spillBudget(spark.conf.getOption("spark.local.dir"))
     val suggested = Similarity.suggestedLshCap(
       nLimit, graft.functions.HyperplaneBuckets.NumTables, BytesPerCandidate, spill)
     val cap = args.lift(4).map(_.toInt).getOrElse(suggested)
     println(s"[knn] spill_budget=$spill suggested_cap=$suggested cap=$cap" +
       (if (cap == suggested) " (auto)" else " (explicit)"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.create(cpus)
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nLimit)
 
     var t0 = System.nanoTime()

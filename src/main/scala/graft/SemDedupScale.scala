@@ -48,8 +48,8 @@ object SemDedupScale {
     val spark = GraftSession.create(cpus)
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nLimit)
     val cb = spark.read.parquet(codebookDir)
-    val spill = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace / 2
+    val spill = graft.operators.Similarity.spillBudget(
+      spark.conf.getOption("spark.local.dir"))
     val suggested = graft.operators.Similarity.suggestedPairCap(
       nLimit, buckets = cb.count(), BytesPerCandidate, spill)
     val maxCellSize = args.lift(5).map(_.toInt).getOrElse(suggested)

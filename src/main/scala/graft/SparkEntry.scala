@@ -2711,6 +2711,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 17 = 0 THEN substr(full_hex, 1, 10)
         |         WHEN doc_id % 13 = 0 THEN '00' || substr(full_hex, 3)
+        |         WHEN doc_id % 19 = 0 AND doc_id % 3 = 1
+        |           THEN substr(full_hex, 1, 40) || 'FF00' || substr(full_hex, 41)
         |         ELSE full_hex END AS hx
         |  FROM built
         |), fmt AS (
@@ -2721,19 +2723,34 @@ object SparkEntry {
         |    END AS format
         |  FROM hx
         |), jwalk AS (
+        |  -- mirrors MediaHeader.dims' JPEG walk byte-for-byte: marker 00
+        |  -- (byte stuffing outside entropy data = corrupt) STOPS the walk,
+        |  -- 01/D0-D8 are standalone (advance 2, no length), FF is fill
+        |  -- (advance 1); everything else is a lengthed segment. iter cap
+        |  -- 255 = MaxSegments 256 iterations, of which the last may read
+        |  -- the SOF but not advance.
         |  WITH RECURSIVE seg AS (
         |    SELECT doc_id, hx, 2 AS pos, 0 AS iter
         |    FROM fmt WHERE format = 'jpeg'
         |    UNION ALL
         |    SELECT doc_id, hx,
-        |      pos + 2 + CAST(('0x' || substr(hx, (pos + 2) * 2 + 1, 4)) AS INT), iter + 1
+        |      pos + CASE WHEN substr(hx, pos * 2 + 3, 2) = 'FF' THEN 1
+        |                 WHEN substr(hx, pos * 2 + 3, 2) = '01'
+        |                   OR substr(hx, pos * 2 + 3, 2) BETWEEN 'D0' AND 'D8' THEN 2
+        |                 ELSE 2 + CAST(('0x' || substr(hx, (pos + 2) * 2 + 1, 4)) AS INT)
+        |            END, iter + 1
         |    FROM seg
-        |    WHERE iter < 64
-        |      AND len(hx) >= (pos + 4) * 2
+        |    WHERE iter < 255
+        |      AND len(hx) >= (pos + 2) * 2
         |      AND substr(hx, pos * 2 + 1, 2) = 'FF'
         |      AND substr(hx, pos * 2 + 3, 2) NOT IN
-        |        ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF','DA','D9')
-        |      AND CAST(('0x' || substr(hx, (pos + 2) * 2 + 1, 4)) AS INT) >= 2
+        |        ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF',
+        |         'DA','D9','00')
+        |      AND (substr(hx, pos * 2 + 3, 2) = 'FF'
+        |        OR substr(hx, pos * 2 + 3, 2) = '01'
+        |        OR substr(hx, pos * 2 + 3, 2) BETWEEN 'D0' AND 'D8'
+        |        OR (len(hx) >= (pos + 4) * 2
+        |          AND CAST(('0x' || substr(hx, (pos + 2) * 2 + 1, 4)) AS INT) >= 2))
         |  )
         |  SELECT doc_id,
         |    CAST(('0x' || substr(hx, (pos + 7) * 2 + 1, 4)) AS INT) AS w,
@@ -2800,6 +2817,8 @@ object SparkEntry {
         |    CASE WHEN (doc_id // 3) % 4 = 0 THEN 1 ELSE 0 END AS ver,
         |    CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 90000
         |      WHEN 2 THEN 600 ELSE 48000 END AS tsc,
+        |    CASE (doc_id // 5) % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      WHEN 2 THEN 12288 ELSE 90000 END AS mts,
         |    hex(substr(text, 1, 32)) AS body
         |  FROM documents
         |), q AS (
@@ -2807,6 +2826,8 @@ object SparkEntry {
         |    (1 + doc_id % 2) * (bits // 8) AS ba,
         |    ((500 + (doc_id * 37) % 3500) * sr) // 1000 AS n_samp,
         |    ((500 + (doc_id * 37) % 3500) * tsc) // 1000 AS dur_units,
+        |    ((500 + (doc_id * 37) % 3500) * mts) // 1000 AS mdu,
+        |    ((500 + (doc_id * 37) % 3500) * (4 + (doc_id * 7) % 27)) // 1000 AS fc,
         |    junk % 2 AS pad
         |  FROM p
         |), hexes AS (
@@ -2821,7 +2842,11 @@ object SparkEntry {
         |    printf('%08X', n_samp * ba) AS ds_h,
         |    printf('%08X', junk + 8) AS free_h,
         |    printf('%08X', tsc) AS tsc_h,
-        |    printf('%08X', dur_units) AS du_h
+        |    printf('%08X', dur_units) AS du_h,
+        |    printf('%08X', mts) AS mts_h,
+        |    printf('%08X', mdu) AS mdu_h,
+        |    printf('%08X', fc) AS fc_h,
+        |    printf('%08X', mdu // fc) AS delta_h
         |  FROM q
         |), built AS (
         |  SELECT doc_id,
@@ -2842,14 +2867,21 @@ object SparkEntry {
         |        || body
         |      WHEN 2 THEN '00000010' || '66747970' || '69736F6D' || '00000200'
         |        || free_h || '66726565' || repeat('41', junk)
-        |        || CASE WHEN ver = 1 THEN '00000080' ELSE '00000074' END || '6D6F6F76'
+        |        || CASE WHEN ver = 1 THEN '000000D8' ELSE '000000CC' END || '6D6F6F76'
         |        || CASE WHEN ver = 1
         |             THEN '00000078' || '6D766864' || '01000000' || repeat('00', 16)
         |               || tsc_h || '00000000' || du_h
         |             ELSE '0000006C' || '6D766864' || '00000000' || '00000000'
         |               || '00000000' || tsc_h || du_h
         |           END
-        |        || repeat('00', 80) || body
+        |        || repeat('00', 80)
+        |        || '00000058' || '7472616B' || '00000050' || '6D646961'
+        |        || '00000020' || '6D646864' || '00000000' || '00000000'
+        |          || '00000000' || mts_h || mdu_h || '55C40000'
+        |        || '00000028' || '6D696E66' || '00000020' || '7374626C'
+        |        || '00000018' || '73747473' || '00000000' || '00000001'
+        |          || fc_h || delta_h
+        |        || body
         |      ELSE body
         |    END AS full_hex
         |  FROM hexes
@@ -2947,6 +2979,64 @@ object SparkEntry {
         |        FROM bwalk) t
         |  WHERE len(hx) >= (cp + 8) * 2 AND cp + 8 <= mend
         |    AND substr(hx, (cp+4)*2+1, 8) = '6D766864'
+        |), twalk AS MATERIALIZED (
+        |  -- trak>mdia>minf>stbl>stts in ONE recursion (r17): state =
+        |  -- (pos = next sibling to examine, bend = container end,
+        |  -- lvl = depth, li = siblings examined this level); a type
+        |  -- hit DESCENDS (pos+header, end = box end, lvl+1, li reset),
+        |  -- a miss advances to the next sibling. Full size grammar per
+        |  -- level (size==1 u64 largesize via TRY_CAST — a size >= 2^63
+        |  -- nulls and stops the walk, the Spark side's negative-size
+        |  -- rejection; size==0 to-container-end); per-level sibling
+        |  -- cap 64 = AvHeader.MaxChunks
+        |  WITH RECURSIVE tseg AS (
+        |    SELECT doc_id, hx, pos + 8 AS pos, LEAST(mend, len(hx) // 2) AS bend,
+        |      1 AS lvl, 0 AS li
+        |    FROM bwalk
+        |    UNION ALL
+        |    SELECT doc_id, hx,
+        |      CASE WHEN hit THEN pos + hdr ELSE pos + bsize END,
+        |      CASE WHEN hit THEN LEAST(pos + bsize, bend) ELSE bend END,
+        |      CASE WHEN hit THEN lvl + 1 ELSE lvl END,
+        |      CASE WHEN hit THEN 0 ELSE li + 1 END
+        |    FROM (
+        |      SELECT doc_id, hx, pos, bend, lvl, li, raw,
+        |        CASE WHEN raw = 1
+        |               THEN TRY_CAST(('0x' || substr(hx,(pos+8)*2+1,16)) AS BIGINT)
+        |             WHEN raw = 0 THEN bend - pos ELSE raw END AS bsize,
+        |        CASE WHEN raw = 1 THEN 16 ELSE 8 END AS hdr,
+        |        substr(hx,(pos+4)*2+1,8) = CASE lvl WHEN 1 THEN '7472616B'
+        |          WHEN 2 THEN '6D646961' WHEN 3 THEN '6D696E66'
+        |          WHEN 4 THEN '7374626C' ELSE '73747473' END AS hit
+        |      FROM (SELECT *, CAST(('0x' || substr(hx,pos*2+1,8)) AS BIGINT) AS raw
+        |            FROM tseg
+        |            WHERE lvl <= 5 AND li < 64 AND pos + 8 <= bend) r
+        |      WHERE raw <> 1 OR pos + 16 <= bend
+        |    ) s
+        |    WHERE bsize >= hdr
+        |  )
+        |  SELECT doc_id, hx, pos AS sp, bend AS send FROM tseg WHERE lvl = 6
+        |), fstts AS (
+        |  -- stts content: version u8 must be 0, entry_count u32be
+        |  SELECT doc_id, hx, sp, send,
+        |    CAST(('0x' || substr(hx,(sp+4)*2+1,8)) AS BIGINT) AS ec
+        |  FROM twalk
+        |  WHERE sp + 8 <= send AND substr(hx, sp*2+1, 2) = '00'
+        |), fok AS (
+        |  -- entry table within the cap AND fully inside the box:
+        |  -- beyond either, the count is unknown (null), never partial
+        |  SELECT doc_id, hx, sp, ec FROM fstts
+        |  WHERE ec <= 4096 AND sp + 8 + ec * 8 <= send
+        |), fcnt AS (
+        |  -- frame count = sum of entry sample_counts; an empty table
+        |  -- (ec = 0) is a real 0, not null
+        |  SELECT k.doc_id, COALESCE(SUM(e.sc), 0) AS fc
+        |  FROM fok k LEFT JOIN (
+        |    SELECT f.doc_id,
+        |      CAST(('0x' || substr(f.hx,(f.sp+8+t.i*8)*2+1,8)) AS BIGINT) AS sc
+        |    FROM fok f, UNNEST(generate_series(0, f.ec - 1)) AS t(i)
+        |  ) e ON k.doc_id = e.doc_id
+        |  GROUP BY k.doc_id
         |)
         |SELECT f.doc_id, f.av_format,
         |  CAST(CASE WHEN wf.ch >= 1 AND wf.bits >= 1 AND wf.sr >= 1
@@ -2962,11 +3052,13 @@ object SparkEntry {
         |        THEN (wd.dsize // wf.ba) * 1000 // wf.sr END
         |    WHEN f.av_format = 'mp4' THEN mv.dur_ms
         |  END AS BIGINT) AS duration_ms,
+        |  CAST(fcn.fc AS BIGINT) AS frame_count,
         |  CAST(len(f.hx) / 2 AS BIGINT) AS n_bytes
         |FROM fmt f
         |LEFT JOIN wfmt wf USING (doc_id)
         |LEFT JOIN wdata wd USING (doc_id)
         |LEFT JOIN mvhd mv USING (doc_id)
+        |LEFT JOIN fcnt fcn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // m01's stub decode derives every field from the house payload
@@ -2990,11 +3082,13 @@ object SparkEntry {
         |  CAST((sig // 256) % 1024 AS INT) AS f1_q
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    // m02's frames are fully derivable since r16: duration is the
-    // parsed mvhd (same formulas the m07 oracle independently
-    // re-parses), fps and frame_sig are the house md5-prefix hash —
-    // so the fan-out restates as a lateral series (UPGRADED from
-    // rows-only)
+    // m02's frames are fully derivable: duration is the parsed mvhd
+    // and (r17) the frame count is the parsed stts sample-table sum —
+    // both restated here via the fixture's construction formulas,
+    // which is not circular because the m07 oracle independently
+    // RE-PARSES the same bytes (mvhd walk AND the trak→…→stts walk)
+    // value-for-value. frame_sig stays the house md5-prefix hash
+    // (decoded-content stand-in).
     "m02_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -3006,17 +3100,17 @@ object SparkEntry {
         |), q AS (
         |  SELECT doc_id,
         |    (((500 + (doc_id * 37) % 3500) * tsc) // 1000) * 1000 // tsc AS dur,
-        |    4 + CAST(('0x' || substr(md5('fps:' || doc_id), 1, 15)) AS BIGINT) % 27 AS fps
+        |    ((500 + (doc_id * 37) % 3500) * (4 + (doc_id * 7) % 27)) // 1000 AS fc
         |  FROM p
         |), f AS (
-        |  SELECT doc_id, dur,
-        |    LEAST(4, GREATEST(1, dur * fps // 1000)) AS n
-        |  FROM q WHERE dur > 0
+        |  SELECT doc_id, dur, fc, LEAST(4, fc) AS n
+        |  FROM q WHERE dur > 0 AND fc > 0
         |)
         |SELECT doc_id, CAST(i AS INT) AS frame_index,
         |  CAST(i * dur // n AS BIGINT) AS frame_ts_ms,
         |  CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
-        |  CAST(('0x' || substr(md5('fr:' || doc_id || ':' || i), 1, 15)) AS BIGINT) AS frame_sig
+        |  CAST(('0x' || substr(md5('fr:' || doc_id || ':' || i), 1, 15)) AS BIGINT) AS frame_sig,
+        |  CAST(fc AS BIGINT) AS frame_count
         |FROM f, UNNEST(generate_series(0, n - 1)) AS t(i)
         |ORDER BY doc_id, frame_index""".stripMargin,
 

@@ -67,6 +67,12 @@ object AvHeader {
     */
   final val MaxChunks = 64
 
+  /** stts entry cap: a real sample table can run long, but the bounded
+    * HEADER prefix a pre-filter reads cannot — beyond this the frame
+    * count is "unknown" (null), never a partial sum.
+    */
+  final val MaxSttsEntries = 4096
+
   private def u16le(b: Array[Byte], i: Int): Int =
     ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
 
@@ -221,6 +227,96 @@ object AvHeader {
     -1L
   }
 
+  /** Start offset of the first child box with 4CC `t` within
+    * [start,end) — one bounded sibling level of the ISO-BMFF walk with
+    * the full size grammar (§4.2: size==1 → u64 largesize follows the
+    * type, size==0 → box extends to the container end). -1 = absent,
+    * malformed length chain, or walk cap.
+    */
+  private def findChild(b: Array[Byte], start: Long, end: Long, t: String): Long = {
+    var pos = start
+    var n = 0
+    while (n < MaxChunks && pos + 8 <= end) {
+      n += 1
+      val p = pos.toInt
+      var size = u32be(b, p)
+      var header = 8L
+      if (size == 1L) {
+        if (pos + 16 > end) return -1L
+        size = u64be(b, p + 8); header = 16L
+      } else if (size == 0L) size = end - pos
+      if (size < header) return -1L
+      if (tag(b, p + 4, t)) return pos
+      pos += size
+    }
+    -1L
+  }
+
+  /** Content start (past the 8- or 16-byte header) of the box at `pos`.
+    * Only valid on a pos [[findChild]] returned (sizes pre-validated).
+    */
+  private def contentStart(b: Array[Byte], pos: Long): Long =
+    if (u32be(b, pos.toInt) == 1L) pos + 16 else pos + 8
+
+  /** End offset of the box at `pos`, clamped to the container end.
+    * Only valid on a pos [[findChild]] returned.
+    */
+  private def boxEnd(b: Array[Byte], pos: Long, outerEnd: Long): Long = {
+    val p = pos.toInt
+    var size = u32be(b, p)
+    if (size == 1L) size = u64be(b, p + 8)
+    else if (size == 0L) size = outerEnd - pos
+    math.min(pos + size, outerEnd)
+  }
+
+  private val FrameCountPath = Array("trak", "mdia", "minf", "stbl", "stts")
+
+  /** Total declared sample (frame) count of the FIRST track — the
+    * moov→trak→mdia→minf→stbl→stts box walk (§8.6.1.2: stts is
+    * version u8 + flags u24 + entry_count u32be + entries of
+    * (sample_count u32be, sample_delta u32be); the track's sample
+    * count is the sum of the entry sample_counts), read codec-free
+    * from header bytes exactly like [[mp4DurationMs]]'s mvhd walk.
+    * With the mvhd duration this yields the real frame rate — no
+    * demux, no codec. -1 = not MP4 / no parseable stts / stts version
+    * not 0 / entry table beyond [[MaxSttsEntries]] or truncated
+    * (unknown, never a partial sum); 0 = a genuinely empty sample
+    * table. Bounded: ≤ [[MaxChunks]] siblings per level, ≤
+    * [[MaxSttsEntries]] entries.
+    */
+  def frameCount(b: Array[Byte]): Long = {
+    if (b == null || !isMp4(b)) return -1L
+    val fileEnd = b.length.toLong
+    var pos = findChild(b, 0L, fileEnd, "moov")
+    if (pos < 0L) return -1L
+    var start = contentStart(b, pos)
+    var end = boxEnd(b, pos, fileEnd)
+    var i = 0
+    while (i < FrameCountPath.length) {
+      pos = findChild(b, start, end, FrameCountPath(i))
+      if (pos < 0L) return -1L
+      val ns = contentStart(b, pos)
+      end = boxEnd(b, pos, end)
+      start = ns
+      i += 1
+    }
+    // start..end = stts content: version u8 (must be 0) + flags u24,
+    // entry_count u32be, then (sample_count, sample_delta) u32be pairs
+    if (start + 8 > end) return -1L
+    val sp = start.toInt
+    if ((b(sp) & 0xff) != 0) return -1L
+    val ec = u32be(b, sp + 4)
+    if (ec > MaxSttsEntries) return -1L
+    if (start + 8 + ec * 8L > end) return -1L
+    var total = 0L
+    var k = 0
+    while (k < ec) {
+      total += u32be(b, sp + 8 + k * 8)
+      k += 1
+    }
+    total
+  }
+
   /** Detected container format from magic bytes, or null. Static:
     * codegen calls this.
     */
@@ -354,6 +450,31 @@ object AvHeader {
       copy(child = newChild)
   }
 
+  /** `graft_av_frame_count(payload)` → long sample/frame count of the
+    * first track's stts | null (not MP4 / unparseable / over-cap).
+    */
+  case class AvFrameCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_av_frame_count"
+    override lazy val resolved: Boolean =
+      child.resolved && child.dataType == BinaryType
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = frameCount(input.asInstanceOf[Array[Byte]])
+      if (v < 0L) null else v
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.AvHeader.frameCount($c);
+        if (${ev.value} < 0L) { ${ev.isNull} = true; }
+      """)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def unary(name: String, cls: Class[_], mk: Expression => Expression): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
       new ExpressionInfo(cls.getName, name),
@@ -368,7 +489,8 @@ object AvHeader {
       unary("graft_av_sample_rate", classOf[AvSampleRate], AvSampleRate.apply),
       unary("graft_av_channels", classOf[AvChannels], AvChannels.apply),
       unary("graft_av_bits", classOf[AvBits], AvBits.apply),
-      unary("graft_av_duration_ms", classOf[AvDurationMs], AvDurationMs.apply)
+      unary("graft_av_duration_ms", classOf[AvDurationMs], AvDurationMs.apply),
+      unary("graft_av_frame_count", classOf[AvFrameCount], AvFrameCount.apply)
     ).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -390,5 +512,8 @@ object AvHeader {
   }
   def avDurationMs(spark: SparkSession, payload: Column): Column = {
     register(spark); call_function("graft_av_duration_ms", payload)
+  }
+  def avFrameCount(spark: SparkSession, payload: Column): Column = {
+    register(spark); call_function("graft_av_frame_count", payload)
   }
 }

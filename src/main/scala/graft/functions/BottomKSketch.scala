@@ -69,9 +69,16 @@ object BottomKSketch {
     * DuckDB's `CAST('0x' || substr(md5(key),1,15) AS BIGINT)`
     * (BottomKSpec pins the Spark-SQL equality row-for-row).
     */
-  def hash60(key: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(key.getBytes(StandardCharsets.UTF_8))
+  def hash60(key: String): Long =
+    hash60(key.getBytes(StandardCharsets.UTF_8))
+
+  /** Raw-byte form of the pinned hash — md5 over the bytes as given,
+    * no charset round-trip. `hash60(s) == hash60(s.getBytes(UTF_8))`
+    * by construction; for non-UTF-8 binary payloads this is the only
+    * form whose value matches an oracle's md5-of-bytes.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
     // first 15 hex chars = the top 7.5 bytes: build the 60-bit value
     // directly from the bytes (hex formatting round-trip not needed)
     var h = 0L

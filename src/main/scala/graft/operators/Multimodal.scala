@@ -49,8 +49,10 @@ object Multimodal {
   private object FakeDecoder {
     def decode(r: MediaRecord): DecodedMedia = {
       val bytes = r.payload
-      val h = graft.functions.BottomKSketch.hash60(
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      // raw-byte digest: md5 of the payload AS GIVEN, so payload_sig
+      // honors the documented md5-of-bytes contract for any binary
+      // payload, not just ones that survive a UTF-8 round-trip
+      val h = graft.functions.BottomKSketch.hash60(bytes)
       // "dimensions" derived from content the way a header parse would
       val width = 64 + (h % 192L).toInt
       val height = 64 + ((h >>> 17) % 192L).toInt
@@ -103,14 +105,19 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** One sampled, resized frame of a video payload. */
+  /** One sampled, resized frame of a video payload. `frame_count` is
+    * the source video's TOTAL frame count (the stts sample-table sum —
+    * real header truth, constant across a video's rows); with the mvhd
+    * duration it gives the real frame rate.
+    */
   case class SampledFrame(
       doc_id: Long,
       frame_index: Int,
       frame_ts_ms: Long,
       width: Int,
       height: Int,
-      frame_sig: Long)
+      frame_sig: Long,
+      frame_count: Long)
 
   /** Frames sampled uniformly per video, each resized to this edge. */
   private val TargetEdge = 224
@@ -121,17 +128,18 @@ object Multimodal {
     * `flatMap` inside `mapPartitions`: frames stream out as the
     * partition iterates, so a long video never materializes all its
     * frames at once (the property that matters when a partition holds
-    * hours of footage). Since r16 the duration is REAL: parsed from
-    * the payload's ISO-BMFF mvhd by the m07 codec-free parse — the
-    * uniform sampling timestamps are exact integer math on it. Two
-    * stand-ins remain, both spelled with the house cross-engine hash
-    * so the ENTIRE gate is DuckDB-oracle-able: `fps` (the real value
-    * lives in stts/stsd — genuine demux territory) and `frame_sig`
-    * (the content a codec would decode). A real codec replaces only
-    * those two calls; the fan-out/schema/partition shape is the
-    * product. Rows whose header does not parse (non-MP4,
-    * truncated/corrupt moov, zero duration) emit no frames — the
-    * m06/m07 pre-decode filter contract.
+    * hours of footage). Since r16 the duration is REAL (ISO-BMFF mvhd
+    * walk), and since r17 so is the FRAME COUNT: the stts sample-table
+    * sum from the moov→trak→mdia→minf→stbl walk
+    * ([[graft.functions.AvHeader.frameCount]]) — which with the
+    * duration IS the real frame rate, codec-free; the r16 house-hash
+    * fps stand-in is retired. The one stand-in left is `frame_sig`
+    * (the CONTENT a codec would decode), spelled with the house
+    * cross-engine hash so the ENTIRE gate stays DuckDB-oracle-able.
+    * A real codec replaces only that call; the fan-out/schema/
+    * partition shape is the product. Rows whose header does not parse
+    * (non-MP4, truncated/corrupt moov, zero duration, no stts) emit
+    * no frames — the m06/m07 pre-decode filter contract.
     */
   def m02FrameSample(s: SparkSession, dir: String): DataFrame =
     frameSample(avHeaderTable(s, dir)).toDF().orderBy("doc_id", "frame_index")
@@ -227,16 +235,21 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, payload) =>
         val f = AvHeader.format(payload)
         val dur = AvHeader.durationMs(payload)
-        if (f == null || f.toString != "mp4" || dur <= 0L) Iterator.empty
+        // REAL frame count since r17: the stts sample-table sum
+        // ([[graft.functions.AvHeader.frameCount]]) — the r16
+        // house-hash fps stand-in is retired; you cannot sample more
+        // frames than the track declares, so the fan-out width is
+        // min(MaxFramesPerVideo, frame_count)
+        val fc = AvHeader.frameCount(payload)
+        if (f == null || f.toString != "mp4" || dur <= 0L || fc <= 0L)
+          Iterator.empty
         else {
-          // fps stand-in (real value = stts/stsd demux): 4..30,
-          // house cross-engine hash so the gate oracles exactly
-          val fps = 4 + (BottomKSketch.hash60(s"fps:$id") % 27L).toInt
-          val nFrames = math.min(MaxFramesPerVideo, (dur * fps / 1000L).toInt max 1)
+          val nFrames = math.min(MaxFramesPerVideo.toLong, fc).toInt
           Iterator.tabulate(nFrames) { i =>
             val tsMs = i * dur / nFrames // uniform sampling, exact
             SampledFrame(id, i, tsMs, TargetEdge, TargetEdge,
-              BottomKSketch.hash60(s"fr:$id:$i")) // decoded-content stand-in
+              BottomKSketch.hash60(s"fr:$id:$i"), // decoded-content stand-in
+              fc)
           }
         }
       })(org.apache.spark.sql.Encoders.product[SampledFrame])
@@ -319,6 +332,15 @@ object Multimodal {
     val hx = when(pmod(col("doc_id"), lit(17)) === 0, substring(full, 1, 10))
       .when(pmod(col("doc_id"), lit(13)) === 0,
         concat(lit("00"), substring(full, 3, Int.MaxValue)))
+      // r17: FF00 byte-stuffing pair spliced right after the APP0
+      // segment (byte offset 20 = hex char 40) on a JPEG subset —
+      // stuffing is legal only inside entropy data, so the marker walk
+      // must STOP and serve null dims (format stays jpeg, SOI intact).
+      // This makes the parser/oracle stuffing semantics load-bearing
+      // in the gate instead of latent (ADVICE r16 #1).
+      .when(pmod(col("doc_id"), lit(19)) === 0 && pmod(col("doc_id"), lit(3)) === 1,
+        concat(substring(full, 1, 40), lit("FF00"),
+          substring(full, 41, Int.MaxValue)))
       .otherwise(full)
     Tables.documents(s, dir).select(col("doc_id"), unhex(hx).as("payload"))
   }
@@ -380,7 +402,9 @@ object Multimodal {
     * parse never needs the payload). MP4 rows (id % 3 == 2): `ftyp` +
     * a variable-length `free` box + `moov`/`mvhd` with timescale from
     * {1000,90000,600,48000} and version 0 OR 1 (u32 vs u64 field
-    * widths) selected by (id div 3) % 4 == 0. id % 3 == 0 rows carry
+    * widths) selected by (id div 3) % 4 == 0, plus (r17) a real
+    * trak > mdia > (mdhd + minf > stbl > stts) subtree carrying the
+    * per-track timescale and the frame count. id % 3 == 0 rows carry
     * the raw text bytes (no magic → the all-null contract row).
     * Malformed overlays: id % 17 == 0 truncates to 5 bytes (neither
     * magic survives — WAV needs 12, MP4 needs 8); id % 13 == 0 zeroes
@@ -436,11 +460,43 @@ object Multimodal {
         concat(lit("0000006C"), lit("6D766864"), lit("00000000"), // v0, size 108
           lit("00000000"), lit("00000000"), // ctime/mtime u32s
           hex8(ts), hex8(durUnits)))
+    // r17: a REAL track subtree — trak > mdia > (mdhd + minf > stbl >
+    // stts) — so frame count (stts sample table) and per-track
+    // timescale (mdhd) are genuine header reads, retiring m02's
+    // house-hash fps stand-in. Per-doc truth: media timescale from
+    // {600,1000,12288,90000} by (id div 5) % 4; frame count =
+    // durationMs · fps_nominal div 1000 with fps_nominal = 4 +
+    // (id·7) % 27 (4..30 fps → 2..119 frames); stts holds ONE entry
+    // (frame_count, mediaDurUnits div frame_count). All spelled as
+    // integer-div exprs the oracle restates exactly.
+    val mts = element_at(
+      array(lit(600L), lit(1000L), lit(12288L), lit(90000L)),
+      (pmod(expr("doc_id div 5"), lit(4)) + 1).cast("int"))
+    val mDurUnits = expr("(500 + (doc_id * 37) % 3500) * " +
+      "(CASE (doc_id div 5) % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 12288 ELSE 90000 END) div 1000")
+    val nFrames = expr("((500 + (doc_id * 37) % 3500) * (4 + (doc_id * 7) % 27)) div 1000")
+    val sttsDelta = expr(
+      "((500 + (doc_id * 37) % 3500) * " +
+        "(CASE (doc_id div 5) % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 12288 ELSE 90000 END) div 1000)" +
+        " div (((500 + (doc_id * 37) % 3500) * (4 + (doc_id * 7) % 27)) div 1000)")
+    val mdhdHex = concat( // v0, size 32: ts + duration in media units
+      lit("00000020"), lit("6D646864"), lit("00000000"),
+      lit("00000000"), lit("00000000"), hex8(mts), hex8(mDurUnits),
+      lit("55C40000")) // language 'und' + pre_defined
+    val sttsHex = concat( // size 24: one (sample_count, delta) entry
+      lit("00000018"), lit("73747473"), lit("00000000"),
+      lit("00000001"), hex8(nFrames), hex8(sttsDelta))
+    val stblHex = concat(lit("00000020"), lit("7374626C"), sttsHex) // size 32
+    val minfHex = concat(lit("00000028"), lit("6D696E66"), stblHex) // size 40
+    val mdiaHex = concat(lit("00000050"), lit("6D646961"), mdhdHex, minfHex) // size 80
+    val trakHex = concat(lit("00000058"), lit("7472616B"), mdiaHex) // size 88
     val mp4Hex = concat(
       lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000200"), // ftyp isom
       hex8(junk + 8), lit("66726565"), repeat(lit("41"), junk.cast("int")), // free box
-      when(ver1, lit("00000080")).otherwise(lit("00000074")), lit("6D6F6F76"), // moov
-      mvhdHex, repeat(lit("00"), 80), // rate/volume/matrix/... filler
+      // moov = mvhd (120/108 incl. 80-byte matrix filler) + trak (88)
+      when(ver1, lit("000000D8")).otherwise(lit("000000CC")), lit("6D6F6F76"),
+      mvhdHex, repeat(lit("00"), 80), // rate/volume/matrix/... filler (in mvhd)
+      trakHex,
       body)
     val full = when(pmod(d, lit(3)) === 1, wavHex)
       .when(pmod(d, lit(3)) === 2, mp4Hex)
@@ -475,6 +531,7 @@ object Multimodal {
       graft.functions.AvHeader.avChannels(s, p).as("channels"),
       graft.functions.AvHeader.avBits(s, p).as("bits_per_sample"),
       graft.functions.AvHeader.avDurationMs(s, p).as("duration_ms"),
+      graft.functions.AvHeader.avFrameCount(s, p).as("frame_count"),
       length(p).cast("long").as("n_bytes"))
   }
 

@@ -1023,4 +1023,30 @@ object Similarity {
     val cap = 16.0 * spillBytes / bytesPerCandidateRow / numTables / n
     math.max(16L, math.min(math.floor(cap).toLong, 100000L)).toInt
   }
+
+  /** Spill budget (bytes) for the cap helpers above: half the usable
+    * space of the disks Spark actually SPILLS to — resolved in Spark's
+    * own precedence order (`SPARK_LOCAL_DIRS` env over the
+    * `spark.local.dir` conf, summing across a comma-separated list the
+    * way the shuffle spreads spill files), falling back to
+    * `java.io.tmpdir` only when neither is set. Halved because the
+    * shuffle shares the disk with the run's own parquet output and
+    * whatever else the box holds. A zero resolution (nonexistent dir)
+    * is a loud warning, not a silent floor: every byte of headroom the
+    * cap law hands out is vouched for by a real disk or flagged.
+    */
+  def spillBudget(localDirConf: Option[String] = None): Long = {
+    val dirs = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(localDirConf)
+      .orElse(sys.props.get("spark.local.dir"))
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      .split(',').map(_.trim).filter(_.nonEmpty)
+    val usable = dirs.map(d => new java.io.File(d).getUsableSpace).sum
+    if (usable <= 0L)
+      System.err.println(
+        s"[spillBudget] WARNING: usable space of spill dir(s) " +
+          s"${dirs.mkString(",")} resolves to 0 — budget-derived caps " +
+          "will floor at their minimum; pass an explicit cap")
+    usable / 2
+  }
 }

@@ -44,6 +44,52 @@ class AvHeaderSpec extends SparkSpec {
     assert(AvHeader.format(m).toString === "mp4")
     assert(AvHeader.sampleRate(m) === -1) // fmt fields are RIFF-only
     assert(AvHeader.durationMs(m) === 2500L) // 225000 / 90000 * 1000
+    assert(AvHeader.frameCount(m) === -1L) // no trak: count unknown
+  }
+
+  // minimal trak subtree: mdhd(ts=1000, dur=2500) + stts entries
+  private def trakHex(sttsPayload: String, sttsSize: Int): String = {
+    val stts = f"$sttsSize%08X" + "73747473" + sttsPayload
+    val stbl = f"${8 + sttsSize}%08X" + "7374626C" + stts
+    val minf = f"${16 + sttsSize}%08X" + "6D696E66" + stbl
+    val mdhd = "00000020" + "6D646864" + "00000000" + "00000000" +
+      "00000000" + "000003E8" + "000009C4" + "55C40000"
+    val mdia = f"${56 + sttsSize}%08X" + "6D646961" + mdhd + minf
+    f"${64 + sttsSize}%08X" + "7472616B" + mdia
+  }
+  private def mp4WithTrak(sttsPayload: String, sttsSize: Int): Array[Byte] = {
+    val trak = trakHex(sttsPayload, sttsSize)
+    val moovSize = 8 + 108 + trak.length / 2
+    hexBytes(
+      "00000010" + "66747970" + "69736F6D" + "00000200" +
+        f"$moovSize%08X" + "6D6F6F76" +
+        "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+        "00015F90" + "00036EE8" + ("00" * 80) + trak)
+  }
+
+  test("frame count: stts walk — multi-entry sum, empty table, version/cap/truncation nulls") {
+    // two entries: 100 frames + 20 frames = 120
+    val two = mp4WithTrak("00000000" + "00000002" +
+      "00000064" + "000003E8" + "00000014" + "000007D0", 32)
+    assert(AvHeader.frameCount(two) === 120L)
+    // one entry (the fixture shape)
+    assert(AvHeader.frameCount(
+      mp4WithTrak("00000000" + "00000001" + "0000004B" + "00000021", 24)) === 75L)
+    // empty sample table: a real 0, not unknown
+    assert(AvHeader.frameCount(
+      mp4WithTrak("00000000" + "00000000", 16)) === 0L)
+    // stts version != 0 -> unknown
+    assert(AvHeader.frameCount(
+      mp4WithTrak("01000000" + "00000001" + "0000004B" + "00000021", 24)) === -1L)
+    // entry_count beyond MaxSttsEntries -> unknown, never a partial sum
+    assert(AvHeader.frameCount(
+      mp4WithTrak("00000000" + "00001001" + "0000004B" + "00000021", 24)) === -1L)
+    // declared entries overrun the stts box -> unknown
+    assert(AvHeader.frameCount(
+      mp4WithTrak("00000000" + "00000002" + "0000004B" + "00000021", 24)) === -1L)
+    // non-MP4 / no moov
+    assert(AvHeader.frameCount(hexBytes(wavHex)) === -1L)
+    assert(AvHeader.frameCount(null) === -1L)
   }
 
   test("mvhd v1 (u64 fields), largesize moov, and to-EOF moov all serve the duration") {
@@ -130,8 +176,10 @@ class AvHeaderSpec extends SparkSpec {
       val f = Option(AvHeader.format(b)).map(_.toString).orNull
       def n(v: Int) = if (v < 0) null else v
       val d = AvHeader.durationMs(b)
+      val fc = AvHeader.frameCount(b)
       Seq[Any](i.toLong, f, n(AvHeader.sampleRate(b)), n(AvHeader.channels(b)),
-        n(AvHeader.bits(b)), if (d < 0L) null else d, b.length.toLong)
+        n(AvHeader.bits(b)), if (d < 0L) null else d,
+        if (fc < 0L) null else fc, b.length.toLong)
     }
     assert(collectAll().toSeq === expected)
     val ws = "spark.sql.codegen.wholeStage"
@@ -150,14 +198,14 @@ class AvHeaderSpec extends SparkSpec {
       val id = r.getLong(0)
       if (id % 17 == 0) {
         // 5-byte truncation: neither magic survives
-        (1 to 5).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
-        assert(r.getLong(6) === 5L)
+        (1 to 6).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
+        assert(r.getLong(7) === 5L)
       } else if (id % 13 == 0) {
-        (1 to 5).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
+        (1 to 6).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
       } else if (id % 11 == 0 && id % 3 != 0) {
         // 20-byte truncation: format survives, every field null
         assert(r.getString(1) === (if (id % 3 == 1) "wav" else "mp4"))
-        (2 to 5).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
+        (2 to 6).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
       } else if (id % 3 == 1) {
         assert(r.getString(1) === "wav")
         val sr = Seq(8000, 16000, 24000, 44100)((id % 4).toInt)
@@ -167,6 +215,7 @@ class AvHeaderSpec extends SparkSpec {
         val durDeclared = 500 + (id * 37) % 3500
         // exact: declared ms -> sample count (floor) -> parsed ms (floor)
         assert(r.getLong(5) === durDeclared * sr / 1000 * 1000 / sr, s"id $id")
+        assert(r.isNullAt(6)) // frame count is ISO-BMFF-only
       } else if (id % 3 == 2) {
         assert(r.getString(1) === "mp4")
         assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)) // RIFF-only fields
@@ -174,9 +223,12 @@ class AvHeaderSpec extends SparkSpec {
         val ts = Seq(1000, 90000, 600, 48000)((id % 4).toInt)
         // exact: declared ms -> timescale units (floor) -> parsed ms (floor)
         assert(r.getLong(5) === durDeclared * ts / 1000 * 1000 / ts, s"id $id")
+        // r17: frame count = the stts sample-table sum, by construction
+        // durationMs * fps_nominal div 1000 with fps_nominal 4..30
+        assert(r.getLong(6) === durDeclared * (4 + (id * 7) % 27) / 1000, s"id $id fc")
       } else {
         // raw-text rows: no magic
-        (1 to 5).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
+        (1 to 6).foreach(i => assert(r.isNullAt(i), s"id $id col $i"))
       }
     }
     val again = Multimodal.m07AvHeader(spark, "/root/testdata/sf0.001").collect()

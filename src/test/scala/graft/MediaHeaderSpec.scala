@@ -152,6 +152,11 @@ class MediaHeaderSpec extends SparkSpec {
         assert(r.getLong(5) === 5L)
       } else if (id % 13 == 0) {
         assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      } else if (id % 19 == 0 && id % 3 == 1) {
+        // r17 FF00 stuffing splice after APP0: SOI intact so format
+        // survives, but the walk stops at the stuffed pair — null dims
+        assert(r.getString(1) === "jpeg")
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
       } else {
         val fmt = Seq("png", "jpeg", "gif")((id % 3).toInt)
         assert(r.getString(1) === fmt)

@@ -67,7 +67,8 @@ class TextSpec extends SparkSpec {
   test("m02 frame sampling fans out REAL parsed MP4 durations deterministically within bounds") {
     val a = Multimodal.m02FrameSample(spark, sf)
     assert(a.columns.toSeq ===
-      Seq("doc_id", "frame_index", "frame_ts_ms", "width", "height", "frame_sig"))
+      Seq("doc_id", "frame_index", "frame_ts_ms", "width", "height",
+        "frame_sig", "frame_count"))
     val r1 = a.collect()
     val r2 = Multimodal.m02FrameSample(spark, sf).collect()
     assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
@@ -90,8 +91,13 @@ class TextSpec extends SparkSpec {
       val ts = sorted.map(_.getAs[Long]("frame_ts_ms"))
       assert(ts.head === 0L && ts.toSeq === ts.sorted.toSeq)
       assert(ts.last < 4000L, s"doc $doc ts ${ts.last}")
+      // r17: the fan-out width is governed by the REAL stts frame
+      // count (min 4), and every row carries it
+      val fcExpected = (500 + (doc * 37) % 3500) * (4 + (doc * 7) % 27) / 1000
+      assert(frames.length === math.min(4L, fcExpected).toInt, s"doc $doc")
       sorted.foreach { f =>
         assert(f.getAs[Int]("width") === 224 && f.getAs[Int]("height") === 224)
+        assert(f.getAs[Long]("frame_count") === fcExpected, s"doc $doc")
       }
     }
   }
