@@ -782,12 +782,82 @@ object Relational {
       col("n_orphan_rows"), col("n_orphan_keys"))
   }
 
-  /** q27: gate binding of [[fkIntegrity]] over the star schema's FK
-    * edges — the seven real edges (all clean in the generated data, so
-    * the zeros themselves are checked) plus one DELIBERATELY pruned
+  /** All FK edges OF ONE CHILD TABLE audited in a SINGLE scan — the
+    * fact-side sibling of [[fkIntegrity]] (r17, VERDICT r16 #5): each
+    * child row explodes to one (edge, key) cell per edge (Catalyst
+    * plans the explode-over-literal-array as Generate — input×edges
+    * rows BEFORE the mergeable partial agg, the q53/q63 Expand
+    * discipline), so N edges cost ONE scan of the child plus one
+    * shuffle of per-edge key partials instead of N full scans. The
+    * per-edge serve (anti-join against the edge's parent, the same
+    * totals/orphans split as [[fkIntegrity]]) then works on distinct
+    * KEYS only, and the shared exploded aggregation is one canonical
+    * subplan — every edge branch reuses its exchange, which is what
+    * makes the child genuinely scanned once (PlanAuditSpec pins the
+    * scan count). Keys of one call must share a data type (they ride
+    * one struct array); the r16 q27 drift watch item motivated the
+    * restatement — lineitem was scanned 3x, orders 2x.
+    */
+  def fkIntegrityMulti(child: DataFrame,
+      edges: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "fkIntegrityMulti needs at least one edge")
+    require(edges.map(_._1).distinct.size == edges.size,
+      "edge names must be unique")
+    val cells = edges.map { case (e, k, _, _) =>
+      struct(lit(e).as("__e"), q(k).as("__k"))
+    }
+    val keys = child.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.__e").as("__e"), col("c.__k").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    // `keys` feeds BOTH consumers below with NO intervening filter — a
+    // per-edge filter (or a null-key filter) on a grouping column
+    // would push beneath the aggregation, de-canonicalize the two
+    // subtrees, and re-scan the child once per consumer. As written
+    // the (edge, key) exchange is canonical-identical under both, so
+    // ReuseExchange runs the scan + Expand + partial agg ONCE.
+    val totals = keys.groupBy(col("__e"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("__k").isNull, col("__n"))), lit(0L)).as("n_null_keys"),
+        count(when(col("__k").isNotNull, lit(1))).as("n_distinct_keys"))
+    // ONE anti-join for every edge: parents union edge-tagged (each
+    // pruned to its key column), the join keyed (edge, key). Null
+    // child keys ride through the anti join (null matches nothing)
+    // and are excluded HERE, at agg time — not by a pre-join filter,
+    // for the reuse reason above.
+    val parents = edges.map { case (e, _, parent, parentKey) =>
+      parent.select(lit(e).as("__pe"), q(parentKey).as("__p"))
+    }.reduce(_ unionByName _)
+    val orphans = keys.join(parents,
+        col("__e") === col("__pe") && col("__k") === col("__p"), "left_anti")
+      .groupBy(col("__e"))
+      .agg(coalesce(sum(when(col("__k").isNotNull, col("__n"))), lit(0L))
+          .as("n_orphan_rows"),
+        count(when(col("__k").isNotNull, lit(1))).as("n_orphan_keys"))
+    // edge-name skeleton: an edge keeps its row even when the child is
+    // empty (the single-edge form's one-row-aggregate contract) or
+    // fully matched (no orphan group)
+    val s2 = child.sparkSession
+    import s2.implicits._
+    val skeleton = edges.map(_._1).toDF("__e")
+    skeleton.join(totals, Seq("__e"), "left").join(orphans, Seq("__e"), "left")
+      .select(col("__e").as("edge"),
+        coalesce(col("n_child"), lit(0L)).as("n_child"),
+        coalesce(col("n_null_keys"), lit(0L)).as("n_null_keys"),
+        coalesce(col("n_distinct_keys"), lit(0L)).as("n_distinct_keys"),
+        coalesce(col("n_orphan_rows"), lit(0L)).as("n_orphan_rows"),
+        coalesce(col("n_orphan_keys"), lit(0L)).as("n_orphan_keys"))
+  }
+
+  /** q27: gate binding of the FK audit over the star schema's edges —
+    * the seven real edges (all clean in the generated data, so the
+    * zeros themselves are checked) plus one DELIBERATELY pruned
     * parent (customers with c_custkey % 13 == 0 removed, the q22-style
     * synthetic breakage) so nonzero orphan counts are oracle-checked
-    * too. Fully oracled: integer counts only.
+    * too. Fully oracled: integer counts only. Since r17 the fact
+    * tables audit through [[fkIntegrityMulti]]: lineitem's three
+    * edges and orders' two ride ONE scan each (previously 3x + 2x —
+    * the only common-surface query that rescanned its fact table);
+    * the dimension-sized edges keep the single-edge form.
     */
   def q27FkIntegrity(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -796,16 +866,18 @@ object Relational {
     val edges = Seq(
       fkIntegrity("customer.c_nationkey->nation", cust, "c_nationkey",
         Tables.nation(s, dir), "n_nationkey"),
-      fkIntegrity("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
-      fkIntegrity("lineitem.l_partkey->part", li, "l_partkey",
-        Tables.part(s, dir), "p_partkey"),
-      fkIntegrity("lineitem.l_suppkey->supplier", li, "l_suppkey",
-        Tables.supplier(s, dir), "s_suppkey"),
+      fkIntegrityMulti(li, Seq(
+        ("lineitem.l_orderkey->orders", "l_orderkey", ord, "o_orderkey"),
+        ("lineitem.l_partkey->part", "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))),
       fkIntegrity("nation.n_regionkey->region", Tables.nation(s, dir), "n_regionkey",
         Tables.region(s, dir), "r_regionkey"),
-      fkIntegrity("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey"),
-      fkIntegrity("orders.o_custkey->customer_pruned", ord, "o_custkey",
-        cust.filter(col("c_custkey") % 13 =!= 0), "c_custkey"),
+      fkIntegrityMulti(ord, Seq(
+        ("orders.o_custkey->customer", "o_custkey", cust, "c_custkey"),
+        ("orders.o_custkey->customer_pruned", "o_custkey",
+          cust.filter(col("c_custkey") % 13 =!= 0), "c_custkey"))),
       fkIntegrity("supplier.s_nationkey->nation", Tables.supplier(s, dir), "s_nationkey",
         Tables.nation(s, dir), "n_nationkey"))
     edges.reduce(_ unionByName _).orderBy("edge")

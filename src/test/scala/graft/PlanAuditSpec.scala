@@ -47,6 +47,25 @@ class PlanAuditSpec extends SparkSpec {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Parquet scan leaves of one TABLE in the final adaptive plan —
+    * reused exchanges contribute nothing (their subtree runs once), so
+    * this counts how many times the table is genuinely read.
+    */
+  private def tableScans(df: DataFrame, table: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: FileSourceScanExec =>
+        (if (s.relation.location.rootPaths.exists(
+          _.toString.contains(s"$table.parquet"))) 1 else 0) +
+          s.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("d01 exact dedup: one aggregation shuffle plus the presentation sort") {
     assert(shuffles(Dedup.d01ExactHash(spark, sf)) <= 2)
   }
@@ -384,6 +403,14 @@ class PlanAuditSpec extends SparkSpec {
     // shape); a CartesianProduct would mean a data-sided cross join
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(plan.contains("LeftAnti"), plan.take(3000))
+    // r17 one-scan-per-child restatement: lineitem's three edges and
+    // orders' two ride ONE Expand-aggregated scan each — every other
+    // branch reuses the exchange. orders is also l_orderkey's PARENT
+    // (a second, column-pruned scan); customer serves as child once
+    // and parent twice (full + pruned)
+    assert(tableScans(df, "lineitem") === 1, "lineitem must scan once")
+    assert(tableScans(df, "orders") === 2, "orders: 1 child scan + 1 parent scan")
+    assert(tableScans(df, "customer") === 3, "customer: 1 child + 2 parent scans")
   }
 
   test("t17 hashed features: one mergeable agg plus the presentation sort, no joins") {
