@@ -11,6 +11,30 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // fixed shuffle partitions are the classic scale trap: per-task
+      // shuffle volume grows linearly with data until the sort-agg
+      // spills (d18's gram window at 5M docs: 270M rows over 32 tasks
+      // = 8M+ rows/task, found by the r14 1000x profile). Start big
+      // shuffles at 16x the core count and let AQE coalesce down —
+      // parallelismFirst (default true) keeps small shuffles at ~core
+      // parallelism, so small-sf gate plans are unaffected while the
+      // 1000x runs split spills 16 ways (870685f measured 324→259 s,
+      // ~linear 10.6x at 5M docs). The r14 round-close snapshot commit
+      // accidentally reverted this; re-applied in r17 (see
+      // OPTIMIZATION_r17.md). The cluster analog is sizing
+      // initialPartitionNum to data/target-partition-bytes.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (cpus.toInt * 16).toString))
+      // Janino codegen cache (STATIC conf, default 100 entries): this
+      // engine's standing surface is ~145 declared queries plus the 255
+      // per-table XBRL projections — far past 100 generated-class
+      // sources — so at the default every x05 run re-compiles all 255
+      // wide projections (~30-300 ms each, measured r17) and every
+      // bench pass re-compiles most of the suite. Sized to hold the
+      // whole working set; the driver pays compilation once per JVM
+      // instead of once per run. Cluster-relevant too: codegen compiles
+      // on executors as well, and the same eviction applies there.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 TIMESTAMP(NANOS); read as plain long
       // (see Tables.events).

@@ -109,7 +109,7 @@ object XbrlExtract {
     * 255-row agg). If it ever does, piggyback the counts on the store's
     * materialization via `observe` metrics instead of a second pass.
     */
-  private def estimateTableRows(
+  private[graft] def estimateTableRows(
       spark: SparkSession,
       schemas: Seq[TableSchema],
       store: DataFrame): Map[String, Long] = {
@@ -153,6 +153,7 @@ object XbrlExtract {
       formNumber: Int = 1,
       poolSize: Int = 8,
       store: Option[DataFrame] = None,
+      rowEstimates: Option[Map[String, Long]] = None,
       targetRowsPerFile: Long = 4000000L,
       timeout: scala.concurrent.duration.Duration =
         scala.concurrent.duration.Duration(30, "min"),
@@ -174,7 +175,11 @@ object XbrlExtract {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val summary =
       try {
-        val rowEstimates = estimateTableRows(spark, schemas, st)
+        // the estimate is file-sizing metadata derived from the store —
+        // a caller holding a session-cached store hands in the estimate
+        // computed once beside it (the SharedIndex discipline) instead
+        // of re-running the explode+distinct pass per write run
+        val estimates = rowEstimates.getOrElse(estimateTableRows(spark, schemas, st))
         val jobs = schemas.map { t =>
           scala.concurrent.Future {
             // group tags this pool thread's jobs so a timeout can cancel
@@ -184,7 +189,7 @@ object XbrlExtract {
             try {
               val obs = org.apache.spark.sql.Observation()
               val nFiles = math.max(1L,
-                (rowEstimates.getOrElse(t.name, 0L) + targetRowsPerFile - 1) / targetRowsPerFile)
+                (estimates.getOrElse(t.name, 0L) + targetRowsPerFile - 1) / targetRowsPerFile)
               buildTable(t, st)
                 .coalesce(nFiles.toInt)
                 .observe(obs, org.apache.spark.sql.functions.count(

