@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Catalyst column/plan conversion recurses per tree node; wide XBRL
   // tables with per-column expressions need more than the 1 MB default
   "-Xss64m",
+  // The engine's standing surface compiles thousands of generated
+  // classes (145 queries x many codegen stages + 255 wide XBRL table
+  // projections, now retained by the sized Janino cache). The JVM's
+  // default 240 MB JIT code cache fills mid-suite, the compiler shuts
+  // off, and everything after runs interpreted (r17 bench: x05
+  // 13 -> 68 s, late-alphabet queries +1 s each). Size the code cache
+  // to the surface like any long-lived SQL-serving JVM.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -44,7 +44,7 @@ object AnnScale {
     val ladders = args.lift(5).map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("sampled", "trained"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.create(cpus)
+    val spark = GraftSession.create(cpus, Some(sfDir))
     new java.io.File(outDir).mkdirs()
 
     def timed[T](name: String)(f: => T): T = {

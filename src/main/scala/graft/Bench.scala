@@ -75,7 +75,7 @@ object Bench {
     // min from first-rep drift even with interleaving; two more reps
     // cost ~2 min and make the headline median steady-state
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt)
-    val spark = GraftSession.create(cpus)
+    val spark = GraftSession.create(cpus, Some(sfDir))
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -7,24 +7,59 @@ import org.apache.spark.sql.SparkSession
   * are set once at build time, never mutated mid-plan.
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
+
+  /** Total on-disk bytes under a data directory (non-recursive files +
+    * one level of parquet dirs) — the input-size signal the shuffle
+    * sizing below derives from. Zero for a missing dir.
+    */
+  private def totalBytes(dir: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+    val d = new java.io.File(dir)
+    if (d.isDirectory) size(d) else 0L
+  }
+
+  /** Pre-coalesce shuffle width derived FROM INPUT SIZE (r17, guide §2.2:
+    * "make partitioning scale-adaptive — derive from input size — rather
+    * than a constant tuned for either local mode or the cluster").
+    *
+    * Why not a constant: fixed shuffle partitions are the classic scale
+    * trap — per-task shuffle volume grows linearly with data until the
+    * sort-agg spills (d18's gram window at 5M docs: 270M rows over 32
+    * fixed tasks = 8M+ rows/task, found by the r14 1000x profile; 16x
+    * more initial partitions ran ~linear, 870685f). Why not a BIG
+    * constant either: r17 measured 16x-cores on the 15 MB sf0.1 corpus
+    * regressing every non-coalescible shuffle (sort/window stages over
+    * session-cached inputs ran 512 real tasks: t22 0.36→1.2 s,
+    * s14 1.25→2.0 s, s08 cached serve 0.17→0.5 s).
+    *
+    * So: one initial partition per ~8 MB of input (parquet expands
+    * several-fold in memory and fan-out operators multiply rows),
+    * floored at the core count (local parallelism), capped at 64x cores
+    * (driver sanity). sf0.1 (15 MB) → cores; a 5M-doc rung (~2.5 GB) →
+    * ~300, the r14 fix's regime. `SPARK_GRAFT_INIT_PARTS` overrides for
+    * explicit experiments; a cluster deployment sizes this from its own
+    * table statistics the same way.
+    */
+  private def initialPartitions(cpus: Int, dataDir: Option[String]): Int = {
+    sys.env.get("SPARK_GRAFT_INIT_PARTS").map(_.toInt).getOrElse {
+      val bytes = dataDir
+        .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+        .map(totalBytes).getOrElse(0L)
+      math.min(math.max(cpus, (bytes / (8L << 20)).toInt), cpus * 64)
+    }
+  }
+
+  def builder(cpus: String, dataDir: Option[String] = None): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // fixed shuffle partitions are the classic scale trap: per-task
-      // shuffle volume grows linearly with data until the sort-agg
-      // spills (d18's gram window at 5M docs: 270M rows over 32 tasks
-      // = 8M+ rows/task, found by the r14 1000x profile). Start big
-      // shuffles at 16x the core count and let AQE coalesce down —
-      // parallelismFirst (default true) keeps small shuffles at ~core
-      // parallelism, so small-sf gate plans are unaffected while the
-      // 1000x runs split spills 16 ways (870685f measured 324→259 s,
-      // ~linear 10.6x at 5M docs). The r14 round-close snapshot commit
-      // accidentally reverted this; re-applied in r17 (see
-      // OPTIMIZATION_r17.md). The cluster analog is sizing
-      // initialPartitionNum to data/target-partition-bytes.
+      // scale-adaptive pre-coalesce shuffle width; AQE coalesces back
+      // down (parallelismFirst keeps small shuffles at ~core
+      // parallelism). See [[initialPartitions]].
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (cpus.toInt * 16).toString))
+        initialPartitions(cpus.toInt, dataDir).toString)
       // Janino codegen cache (STATIC conf, default 100 entries): this
       // engine's standing surface is ~145 declared queries plus the 255
       // per-table XBRL projections — far past 100 generated-class
@@ -32,9 +67,11 @@ object GraftSession {
       // wide projections (~30-300 ms each, measured r17) and every
       // bench pass re-compiles most of the suite. Sized to hold the
       // whole working set; the driver pays compilation once per JVM
-      // instead of once per run. Cluster-relevant too: codegen compiles
-      // on executors as well, and the same eviction applies there.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // instead of once per run (needs the code cache sized too — see
+      // build.sbt's -XX:ReservedCodeCacheSize). Cluster-relevant:
+      // codegen compiles on executors as well, same eviction.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 TIMESTAMP(NANOS); read as plain long
       // (see Tables.events).
@@ -56,8 +93,14 @@ object GraftSession {
       .config("spark.sql.files.openCostInBytes", s"${256 * 1024}")
       .config("spark.ui.enabled", "false")
 
-  def create(cpus: String): SparkSession = {
-    val s = builder(cpus).getOrCreate()
+  def create(cpus: String): SparkSession = create(cpus, None)
+
+  /** Build with an explicit data directory so the shuffle sizing sees
+    * the input the caller is actually about to read (scale runners pass
+    * their corpus dir; Bench/Verify default to SPARK_GRAFT_SF_DIR).
+    */
+  def create(cpus: String, dataDir: Option[String]): SparkSession = {
+    val s = builder(cpus, dataDir).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

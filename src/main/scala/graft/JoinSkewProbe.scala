@@ -39,7 +39,7 @@ object JoinSkewProbe {
     val salt = args.lift(2).map(_.toInt).getOrElse(8)
     val hotPct = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.create(cpus)
+    val spark = GraftSession.create(cpus, Some(sfDir))
     val skewConf = "spark.sql.adaptive.skewJoin.enabled"
     def events = {
       val e = Tables.events(spark, sfDir)

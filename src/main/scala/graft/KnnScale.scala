@@ -44,7 +44,7 @@ object KnnScale {
     val nLimit = args.lift(2).map(_.toLong).getOrElse(2000000L)
     val k = args.lift(3).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.create(cpus)
+    val spark = GraftSession.create(cpus, Some(sfDir))
     // usable scratch on the disk Spark actually spills to, halved
     // (session first, so a spark.local.dir conf is visible here)
     val spill = Similarity.spillBudget(spark.conf.getOption("spark.local.dir"))

@@ -45,7 +45,7 @@ object SemDedupScale {
     val nLimit = args.lift(3).map(_.toLong).getOrElse(1000000L)
     val minCosine = args.lift(4).map(_.toDouble).getOrElse(0.99)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.create(cpus)
+    val spark = GraftSession.create(cpus, Some(sfDir))
     val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nLimit)
     val cb = spark.read.parquet(codebookDir)
     val spill = graft.operators.Similarity.spillBudget(
