@@ -498,9 +498,22 @@ object Multimodal {
       mvhdHex, repeat(lit("00"), 80), // rate/volume/matrix/... filler (in mvhd)
       trakHex,
       body)
-    val full = when(pmod(d, lit(3)) === 1, wavHex)
-      .when(pmod(d, lit(3)) === 2, mp4Hex)
-      .otherwise(body)
+    // r17: the synthesis is STAGED into separate column expressions. As
+    // one nested when/concat tree the generated projection method blew
+    // Janino's 64 KB method limit ("Code grows beyond 64 KB") and Spark
+    // silently fell back to INTERPRETED evaluation — the fixture build
+    // alone cost ~1.3 s of m02/m03/m07's wall at sf0.1 (~260 µs/row).
+    // Top-level column expressions get their own generated methods
+    // (splitExpressions has boundaries to cut at), so the whole stage
+    // compiles again; per-branch laziness is kept by guarding each
+    // container's hex with its own id-class WHEN and coalescing. Same
+    // expressions, same rows → byte-identical payloads (oracle-pinned).
+    val staged = Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(pmod(d, lit(3)) === 1, wavHex).as("__wav"),
+      when(pmod(d, lit(3)) === 2, mp4Hex).as("__mp4"),
+      body.as("__body"))
+    val full = coalesce(col("__wav"), col("__mp4"), col("__body"))
     val hx = when(pmod(d, lit(17)) === 0, substring(full, 1, 10))
       // zero the first EIGHT bytes: kills BOTH magics (RIFF lives at
       // 0-3, ftyp at 4-7 — an m06-style single-byte zero would be a
@@ -509,7 +522,7 @@ object Multimodal {
         concat(lit("0000000000000000"), substring(full, 17, Int.MaxValue)))
       .when(pmod(d, lit(11)) === 0, substring(full, 1, 40))
       .otherwise(full)
-    Tables.documents(s, dir).select(col("doc_id"), unhex(hx).as("payload"))
+    staged.select(col("doc_id"), unhex(hx).as("payload"))
   }
 
   /** Header-parse pass over any binary audio/video frame — container
