@@ -276,6 +276,29 @@ object Bench {
       try w.println(line) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed ($outPath): ${e.getMessage}") }
     println(line)
+    // Compact summary as the LAST stdout line (r18, VERDICT r17 #2): the
+    // full detail line above grew past the driver's ~2000-char stdout
+    // tail capture (145 queries x per-rep arrays ~ 10 KB), so the tail
+    // started MID-JSON and the round-over-round PERF comparison parsed
+    // nothing for two rounds running. This line carries the headline
+    // scalars only — well under the capture window — and the full
+    // detail (per-query medians/mins/cold/reps, probes, load evidence)
+    // is unchanged both in the line above and in the bench output file.
+    // Additions-only: nothing removed or renamed in the detail line.
+    println(obj(Seq(
+      "metric" -> "\"total\"",
+      "value" -> r3(total),
+      "unit" -> "\"sec\"",
+      "headline" -> s""""median_of_${reps}_interleaved_reps_after_warmup"""",
+      "total_uncontended" -> totalUncontended,
+      "clean_rep_count" -> cleanReps.size.toString,
+      "reps" -> reps.toString,
+      "n_queries" -> suite.size.toString,
+      "sum_min" -> r3(mins.values.sum),
+      "suspect_count" -> suspect.size.toString,
+      "cpus" -> ("\"" + cpus + "\""),
+      "detail_file" -> ("\"" + outPath + "\""),
+      "sf" -> ("\"" + sfDir + "\""))))
     spark.stop()
   }
 }

@@ -143,7 +143,46 @@ object XbrlExtract {
     * store — ferc1-sized tables keep the reference's one-file-per-table
     * layout (cli.py:211-230) while a mega-table's write parallelizes by
     * default instead of funnelling through one task.
+    *
+    * Batched writes (r18, guide §2.2/§2.6, VERDICT r17 #1): the
+    * single-file tables no longer run one SQL write COMMAND each —
+    * measured r18, each such job cost ~80 ms of task time but ~235 ms
+    * of single-threaded driver constants (stage creation + task-binary
+    * broadcast including a fresh ~100 KB serialized Hadoop conf, all on
+    * the DAGScheduler event loop), so 255 jobs serialized ~4-6 s that
+    * 32 pool threads could not hide. Now every single-file table's
+    * plan compiles to its RDD (in parallel, on the pool), the RDDs
+    * union into jobs of up to [[WriteBatch]] tables, and each task
+    * writes ITS table's parquet file through the same
+    * ParquetWriteSupport/ParquetOutputWriter machinery the SQL write
+    * command uses (same schema conversion, same codec, same
+    * rebase/legacy conf), counting rows as it writes — identical
+    * files-on-disk contract (one `part-*.snappy.parquet` + `_SUCCESS`
+    * per table dir), identical summary rows, two orders of magnitude
+    * fewer driver round-trips. Tables estimated past
+    * `targetRowsPerFile` keep the standard multi-file DataFrame write
+    * (their data amortizes the per-job constants). A table failure
+    * inside a batch is caught IN ITS TASK and reported as that table's
+    * error row — the batch's other tables still land, preserving the
+    * partial-output contract.
     */
+  private val WriteBatch = 64
+
+  /** Java-serializable Hadoop conf carrier (the spark-internal
+    * SerializableConfiguration is private[spark]; this is the same
+    * 10-line idiom).
+    */
+  private class ConfBox(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
   def writeParquetDatapackage(
       spark: SparkSession,
       taxonomies: Seq[graft.xbrl.Taxonomy],
@@ -173,6 +212,7 @@ object XbrlExtract {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    type SRow = (String, Option[Long], Int, Option[String])
     val summary =
       try {
         // the estimate is file-sizing metadata derived from the store —
@@ -180,7 +220,13 @@ object XbrlExtract {
         // computed once beside it (the SharedIndex discipline) instead
         // of re-running the explode+distinct pass per write run
         val estimates = rowEstimates.getOrElse(estimateTableRows(spark, schemas, st))
-        val jobs = schemas.map { t =>
+        def nFiles(t: TableSchema): Long = math.max(1L,
+          (estimates.getOrElse(t.name, 0L) + targetRowsPerFile - 1) / targetRowsPerFile)
+        val (smalls, bigs) = schemas.partition(nFiles(_) == 1L)
+
+        // mega-tables: the standard multi-file DataFrame write — their
+        // data amortizes the per-job constants the batch path removes
+        val bigJobs = bigs.map { t =>
           scala.concurrent.Future {
             // group tags this pool thread's jobs so a timeout can cancel
             // the in-flight writes instead of letting them run headless
@@ -188,10 +234,8 @@ object XbrlExtract {
               s"graft datapackage table ${t.name}", interruptOnCancel = true)
             try {
               val obs = org.apache.spark.sql.Observation()
-              val nFiles = math.max(1L,
-                (estimates.getOrElse(t.name, 0L) + targetRowsPerFile - 1) / targetRowsPerFile)
               buildTable(t, st)
-                .coalesce(nFiles.toInt)
+                .coalesce(nFiles(t).toInt)
                 .observe(obs, org.apache.spark.sql.functions.count(
                   org.apache.spark.sql.functions.lit(1)).as("n"))
                 .write.mode("overwrite").parquet(s"$outDir/tables/${t.name}.parquet")
@@ -199,11 +243,54 @@ object XbrlExtract {
             } catch {
               case scala.util.control.NonFatal(e) =>
                 (t.name, None: Option[Long], t.fields.size,
-                  Some(s"${e.getClass.getName}: ${e.getMessage}"))
+                  Some(s"${e.getClass.getName}: ${e.getMessage}")): SRow
             }
           }
         }
-        try scala.concurrent.Await.result(scala.concurrent.Future.sequence(jobs), timeout)
+
+        // single-file tables: plan each on the pool (a buildTable
+        // failure is that table's error row, like before), then write
+        // WriteBatch tables per Spark job — one task per table
+        val confBox = spark.sparkContext.broadcast(
+          new ConfBox(XbrlExtract.parquetWriteConf(spark)))
+        val builds = smalls.map { t =>
+          scala.concurrent.Future {
+            try {
+              val df = buildTable(t, st)
+              Right((t.name, t.fields.size, df.schema,
+                df.queryExecution.toRdd.coalesce(1)))
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                Left((t.name, None: Option[Long], t.fields.size,
+                  Some(s"${e.getClass.getName}: ${e.getMessage}")): SRow)
+            }
+          }
+        }
+        val batched = scala.concurrent.Future.sequence(builds).flatMap { eithers =>
+          val errRows = eithers.collect { case Left(r) => r }
+          val built = eithers.collect { case Right(b) => b }
+          val batchJobs = built.grouped(WriteBatch).toSeq.map { group =>
+            scala.concurrent.Future {
+              spark.sparkContext.setJobGroup(jobGroup,
+                s"graft datapackage batch of ${group.size} tables", interruptOnCancel = true)
+              val metas = group.map { case (name, nf, schema, _) =>
+                (name, s"$outDir/tables/$name.parquet", schema, nf)
+              }.toArray
+              val union = spark.sparkContext.union(group.map(_._4))
+              val box = confBox
+              spark.sparkContext.runJob(union,
+                (ctx: org.apache.spark.TaskContext,
+                 it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+                  XbrlExtract.writeOneTable(metas(ctx.partitionId()), box.value.conf,
+                    ctx.partitionId(), it)).toSeq
+            }
+          }
+          scala.concurrent.Future.sequence(batchJobs).map(rs => errRows ++ rs.flatten)
+        }
+
+        val all = scala.concurrent.Future.sequence(bigJobs).zip(batched)
+          .map { case (b, s) => s ++ b }
+        try scala.concurrent.Await.result(all, timeout)
         catch {
           case e: java.util.concurrent.TimeoutException =>
             spark.sparkContext.cancelJobGroup(jobGroup)
@@ -225,7 +312,97 @@ object XbrlExtract {
         XbrlSinks.metadataJson(taxonomies))
     }
     import spark.implicits._
-    summary.toDF("table_name", "n_rows", "n_cols", "error").orderBy("table_name")
+    val summaryRows: Seq[(String, Option[Long], Int, Option[String])] = summary
+    summaryRows.toDF("table_name", "n_rows", "n_cols", "error").orderBy("table_name")
+  }
+
+  /** Hadoop conf for the batched parquet writes: the session's Hadoop
+    * conf plus the same entries ParquetFileFormat.prepareWrite sets for
+    * a SQL parquet write command (write-support class, legacy-format /
+    * timestamp-type / rebase-mode keys, codec) — the per-TABLE schema
+    * is set on a task-local copy, since it differs per table.
+    */
+  private[graft] def parquetWriteConf(spark: SparkSession): org.apache.hadoop.conf.Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    def sql(key: String, default: String): String =
+      try spark.conf.get(key) catch { case scala.util.control.NonFatal(_) => default }
+    conf.set("parquet.write.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport].getName)
+    conf.set("spark.sql.parquet.writeLegacyFormat",
+      sql("spark.sql.parquet.writeLegacyFormat", "false"))
+    conf.set("spark.sql.parquet.outputTimestampType",
+      sql("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite",
+      sql("spark.sql.parquet.datetimeRebaseModeInWrite", "EXCEPTION"))
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite",
+      sql("spark.sql.parquet.int96RebaseModeInWrite", "EXCEPTION"))
+    conf.set("spark.sql.parquet.fieldId.write.enabled",
+      sql("spark.sql.parquet.fieldId.write.enabled", "true"))
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      sql("spark.sql.parquet.variant.annotateLogicalType.enabled", "false"))
+    val codecName = sql("spark.sql.parquet.compression.codec", "snappy")
+      .toUpperCase(java.util.Locale.ROOT) match {
+      case "NONE" | "UNCOMPRESSED" => "UNCOMPRESSED"
+      case c => c
+    }
+    conf.set("parquet.compression", codecName)
+    conf
+  }
+
+  /** One batched-write task: stream this table's rows into a single
+    * parquet part file at its final location through the same
+    * ParquetWriteSupport machinery the SQL write command uses,
+    * counting rows as they land (the observe-exact count, task-side).
+    * Idempotent under task retry (the table dir is cleared first);
+    * a per-table failure cleans up and reports as that table's error
+    * row, so the batch's other tables still land.
+    */
+  private[graft] def writeOneTable(
+      meta: (String, String, org.apache.spark.sql.types.StructType, Int),
+      baseConf: org.apache.hadoop.conf.Configuration,
+      split: Int,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : (String, Option[Long], Int, Option[String]) = {
+    val (name, dirStr, schema, nFields) = meta
+    val conf = new org.apache.hadoop.conf.Configuration(baseConf)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, conf)
+    val dir = new org.apache.hadoop.fs.Path(dirStr)
+    try {
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      fs.mkdirs(dir)
+      val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName.valueOf(
+        conf.get("parquet.compression", "SNAPPY"))
+      val file = new org.apache.hadoop.fs.Path(dir,
+        f"part-$split%05d-${java.util.UUID.randomUUID()}.c000${codec.getExtension}.parquet")
+      val tid = new org.apache.hadoop.mapreduce.TaskAttemptID(
+        new org.apache.hadoop.mapreduce.TaskID(
+          new org.apache.hadoop.mapreduce.JobID("graft_datapackage", 0),
+          org.apache.hadoop.mapreduce.TaskType.MAP, split), 0)
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf, tid)
+      val writer = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetOutputWriter(file.toString, ctx)
+      var n = 0L
+      try { while (rows.hasNext) { writer.write(rows.next()); n += 1 } }
+      finally writer.close()
+      fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+      (name, Some(n), nFields, None)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (sys.env.contains("GRAFT_DEBUG_WRITE")) {
+          e.printStackTrace()
+          Seq("spark.sql.parquet.writeLegacyFormat", "spark.sql.parquet.outputTimestampType",
+            "spark.sql.parquet.fieldId.write.enabled",
+            "spark.sql.parquet.annotateVariantLogicalType",
+            "spark.sql.parquet.variant.annotateLogicalType",
+            "parquet.compression", "parquet.write.support.class")
+            .foreach(k => System.err.println(s"[wpd-debug] $k = ${conf.get(k)}"))
+        }
+        try { dir.getFileSystem(conf).delete(dir, true); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        (name, None, nFields, Some(s"${e.getClass.getName}: ${e.getMessage}"))
+    }
   }
 
   /** Extract + write everything the reference CLI writes (cli.py:101-130):

@@ -1130,6 +1130,33 @@ object Dedup {
 
   // ----- d14: C4-style line-level dedup (sub-document granularity) ---
 
+  /** (doc, pos) encoded into ONE bounded long — `doc << 32 | pos`,
+    * strictly monotone in the (doc, pos) lexicographic order over the
+    * guarded domain 0 <= doc < 2^31, 0 <= pos < 2^32 — so the
+    * keep-first `min(struct(doc, pos))` aggregations (d14/d18) become
+    * `min(LONG)`: a fixed-width agg buffer that HASH-aggregates
+    * instead of forcing the exploded occurrence stream through
+    * Sort + SortAggregate (a var-width struct buffer cannot hash —
+    * r18, guide §5, VERDICT r17 #4). The domain guard fails LOUDLY
+    * (raise_error with the offending pair) on the row that exceeds
+    * it, never silently mis-orders. Callers gate on integral id/pos
+    * column types and keep the struct path otherwise.
+    */
+  private def docPosKey(doc: Column, pos: Column): Column =
+    when(doc.cast("long").between(0L, 2147483647L) &&
+        pos.cast("long").between(0L, 4294967295L),
+      shiftleft(doc.cast("long"), 32) + pos.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("keep-first long-encoding domain exceeded: (doc, pos) = ("),
+        doc.cast("string"), lit(", "), pos.cast("string"),
+        lit(") outside [0, 2^31) x [0, 2^32)"))))
+
+  private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   /** Global keep-first line deduplication over an exploded
     * `(doc, pos, line)` frame — C4's cleaning rule at line granularity:
     * every distinct line survives exactly ONCE corpus-wide (at its
@@ -1159,11 +1186,30 @@ object Dedup {
     val l = lines.select(Cols.q(docCol).as("__doc"), Cols.q(posCol).as("__pos"),
       Cols.q(lineCol).as("__line"))
       .withColumn("__h", md5(col("__line").cast("binary")))
-    val firsts = l.groupBy(col("__h"))
-      .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
-    l.join(firsts, "__h")
-      .withColumn("__keep",
-        col("__doc") === col("__first.__doc") && col("__pos") === col("__first.__pos"))
+    // r18: integral (doc, pos) → keep-first as min(LONG) instead of
+    // min(struct) so the distinct-line aggregation HASH-aggregates
+    // (see [[docPosKey]]); __keep compares the same encoded key, so
+    // the surviving occurrence set is identical. Non-integral ids
+    // keep the struct path. The firsts frame keeps only digests with
+    // >= 2 occurrences (guide §3.2 — a unique line is trivially its
+    // own first, decided by the LEFT join's null instead of a
+    // corpus-sized join build side; identical __keep per row).
+    val (firsts, keyCmp) =
+      if (isIntegral(l.schema("__doc").dataType) && isIntegral(l.schema("__pos").dataType)) {
+        val k = docPosKey(col("__doc"), col("__pos"))
+        (l.groupBy(col("__h")).agg(min(k).as("__kf"), count(lit(1)).as("__c"))
+          .filter(col("__c") >= 2L).drop("__c"),
+          col("__kf").isNull || k === col("__kf"))
+      } else {
+        (l.groupBy(col("__h"))
+          .agg(min(struct(col("__doc"), col("__pos"))).as("__first"),
+            count(lit(1)).as("__c"))
+          .filter(col("__c") >= 2L).drop("__c"),
+          col("__first").isNull ||
+            (col("__doc") === col("__first.__doc") && col("__pos") === col("__first.__pos")))
+      }
+    l.join(firsts, Seq("__h"), "left")
+      .withColumn("__keep", keyCmp)
       .groupBy(col("__doc").as("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -1406,18 +1452,72 @@ object Dedup {
           s"struct(CAST(i AS BIGINT) AS pos, md5(concat_ws(' ', slice(toks, i, $T))) AS gh))"))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-    val firsts = grams.groupBy("gh")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     // non-first window STARTS collapse to one sorted array per doc —
     // everything after is in-row: the position explode + anti-join +
     // re-collect formulation this replaced spent three more exchanges
     // materializing every token as a row (measured ~1.4x slower at
     // sf0.1; identical output)
-    val coveredStarts = grams.join(firsts, Seq("gh"))
-      .filter(col("doc_id") =!= col("first.doc_id") ||
-        col("pos") =!= col("first.pos"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    //
+    // r18 (guide §5, VERDICT r17 #4): an integral doc_id encodes
+    // (doc_id, pos) into ONE bounded long — doc_id << 32 | pos, strictly
+    // monotone in the (doc_id, pos) lexicographic order over the guarded
+    // domain 0 <= doc_id < 2^31, 1 <= pos < 2^32 — so keep-first becomes
+    // min(LONG): a fixed-width agg buffer that HASH-aggregates instead
+    // of forcing the whole exploded gram stream through Sort +
+    // SortAggregate (a var-width struct buffer cannot hash). The domain
+    // guard fails LOUDLY (raise_error with the offending pair) the row
+    // it is exceeded, never silently mis-orders. The occurrence⋈first
+    // exchanges also shrink: both sides now carry (gh, one long) and
+    // doc/pos decode AFTER the join (guide §2.3 — shuffle keys, not
+    // payloads). Non-integral ids keep the struct path unchanged.
+    // r18 #2 (guide §3.2 — reduce the join's build side): only ghs with
+    // >= 2 occurrences can produce a non-first occurrence, and for a
+    // unique gh the sole occurrence IS the min, so the old `__k != __kf`
+    // filter dropped it anyway. Keeping only duplicated ghs in the
+    // firsts frame (count rides the same hash agg) makes the INNER join
+    // produce the identical row set while the build side shrinks from
+    // every-distinct-gram to the duplicated fraction — at sf0.1 that is
+    // what keeps the join broadcastable, and at 100 TB it is what keeps
+    // the sort-merge fallback's small side proportional to actual
+    // duplication instead of the corpus.
+    // r18 #3 (guide §2.4 — two operations keyed the same way share one
+    // exchange): the keep-first agg and the occurrence⋈first probe both
+    // consume the gram stream keyed by gh. Without the explicit
+    // repartition the probe branch RE-RAN the whole explode+md5 gram
+    // projection (the broadcast join needs no exchange of its own, so
+    // nothing canonicalized for AQE to reuse) — measured r18: the
+    // second gram pass was ~0.7 s of the 2.5 s wall at sf0.1. With it,
+    // both branches canonicalize onto ONE hashpartitioning(gh) exchange
+    // (ReusedExchange in the executed plan): the grams hash ONCE, and
+    // at 100 TB — where the dup side outgrows broadcast and the join
+    // becomes sort-merge, shuffling the occurrence stream anyway — the
+    // exchange this adds is the one the join already needed.
+    val idType = base.schema("doc_id").dataType
+    val coveredStarts = if (isIntegral(idType)) {
+      val keyed = grams.select(col("gh"),
+        docPosKey(col("doc_id"), col("pos")).as("__k"))
+        .repartition(col("gh"))
+      val firsts = keyed.groupBy("gh")
+        .agg(min(col("__k")).as("__kf"), count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2L).drop("__c")
+      keyed.join(firsts, Seq("gh"))
+        .filter(col("__k") =!= col("__kf"))
+        .select(shiftright(col("__k"), 32).cast(idType).as("doc_id"),
+          col("__k").bitwiseAND(lit(4294967295L)).as("pos"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    } else {
+      val g2 = grams.repartition(col("gh"))
+      val firsts = g2.groupBy("gh")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+          count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2L).drop("__c")
+      g2.join(firsts, Seq("gh"))
+        .filter(col("doc_id") =!= col("first.doc_id") ||
+          col("pos") =!= col("first.pos"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    }
     // in-row assembly is O(|starts| + |tokens|): the sorted window
     // starts merge into disjoint covered intervals via shifted-zip
     // boundary detection (a start opens an interval iff the previous

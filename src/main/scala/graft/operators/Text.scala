@@ -906,26 +906,81 @@ object Text {
     val head = feats.select(size(Cols.q(featuresCol))).take(1)
     require(head.nonEmpty, "trainQualityClassifier needs a non-empty feature frame")
     val d = head(0).getInt(0)
-    val cached = feats
+    // r18 (guide §1.2 — the per-task work was trivial, the cost was
+    // orchestration): each epoch was a whole-stage-codegen'd TWO-stage
+    // agg job (partial agg → exchange → final agg) over the cached
+    // frame — 20 sequential jobs paid 20× the job/stage scheduling
+    // floor (~90 ms each at sf0.1). The epochs are inherently
+    // sequential (epoch k+1's sigmoid needs epoch k's weights), so the
+    // fix is cheaper epochs, not fewer: the feature frame converts ONCE
+    // to a persisted RDD of (features, label) and each epoch is a
+    // single-STAGE `rdd.aggregate` — per-partition gradients return as
+    // task results and merge on the driver (d+1 numbers per partition,
+    // the same Lloyd-style round-trip as before; no exchange, no
+    // final-agg stage, no per-epoch codegen). Still fully distributed:
+    // every partition folds its own rows, the driver merges partials.
+    //
+    // The arithmetic replicates the SQL agg it replaced BIT-EXACTLY:
+    // same left-fold dot product, Math.exp sigmoid, same double
+    // product x_j * r, the same Cast(double → DECIMAL(30,15))
+    // per-element quantization (java.math.BigDecimal.valueOf is the
+    // same shortest-decimal-representation semantics, HALF_UP at scale
+    // 15), exact BigDecimal sums (order-independent, so partitioning-
+    // independent like before), and the same lr*g/n driver update.
+    // Null/width semantics match the old column expressions: a row
+    // whose features are null, contain a null, or are LONGER than d
+    // (zip_with pads the weights with null → null dot → null products)
+    // contributes only to n; a row SHORTER than d fails loudly (the
+    // old element_at(x, j+1) threw under ANSI). TextSpec pins
+    // partition-independence and the t13 gate output is EXCEPT-ALL
+    // pinned against the pre-change dump.
+    val data = feats
       .select(Cols.q(featuresCol).as("x"), Cols.q(labelCol).cast("double").as("y"))
+      .rdd.map { r =>
+        val xs: Array[java.lang.Double] =
+          if (r.isNullAt(0)) null
+          else r.getSeq[java.lang.Double](0).toArray
+        val y: java.lang.Double = if (r.isNullAt(1)) null else r.getDouble(1)
+        (xs, y)
+      }
       .persist()
     try {
       val w = Array.fill(d)(0.0)
       for (_ <- 1 to epochs) {
-        val aggs = (0 until d).map(j =>
-          sum((element_at(col("x"), j + 1) * col("r")).cast("decimal(30,15)")).as(s"g$j")) :+
-          count(lit(1)).as("n")
-        val row = cached
-          .withColumn("r", sigmoidScore(col("x"), w.toSeq) - col("y"))
-          .agg(aggs.head, aggs.tail: _*)
-          .head()
-        val n = row.getLong(d).toDouble
+        val ws = w.clone()
+        val zero = (Array.fill(d)(java.math.BigDecimal.ZERO), 0L)
+        val (sums, n) = data.aggregate(zero)(
+          { case ((acc, cnt), (xs, y)) =>
+            if (xs != null && xs.length < d)
+              throw new IllegalStateException(
+                s"trainQualityClassifier: feature array of length ${xs.length} < $d")
+            val full = xs != null && y != null && xs.length == d &&
+              !xs.exists(_ eq null)
+            if (full) {
+              var dot = 0.0
+              var i = 0
+              while (i < d) { dot += xs(i) * ws(i); i += 1 }
+              val rr = 1.0 / (1.0 + math.exp(-dot)) - y
+              var j = 0
+              while (j < d) {
+                acc(j) = acc(j).add(java.math.BigDecimal.valueOf(xs(j) * rr)
+                  .setScale(15, java.math.RoundingMode.HALF_UP))
+                j += 1
+              }
+            }
+            (acc, cnt + 1L)
+          },
+          { case ((a, na), (b, nb)) =>
+            var j = 0
+            while (j < d) { a(j) = a(j).add(b(j)); j += 1 }
+            (a, na + nb)
+          })
         for (j <- 0 until d)
-          w(j) -= lr * row.getDecimal(j).doubleValue() / n
+          w(j) -= lr * sums(j).doubleValue() / n
       }
       w
     } finally {
-      cached.unpersist()
+      data.unpersist()
       ()
     }
   }

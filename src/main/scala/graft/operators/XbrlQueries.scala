@@ -86,6 +86,29 @@ object XbrlQueries {
   private[graft] def sharedParse(s: SparkSession): graft.sources.ParsedFilings = filings(s)
   private[graft] def tableSchemas: Seq[TableSchema] = tables
 
+  /** The session-cached grouped fact store x05 writes from (dev/test
+    * hook — same SharedIndex entry the gate query uses).
+    */
+  private[graft] def sharedStore(s: SparkSession): DataFrame =
+    SharedIndex(s, "xbrl", "grouped_fact_store") {
+      val fs = filings(s)
+      // r18 (guide §3.3 "materialising an intermediate truncates the
+      // plan", §5 localCheckpoint): the store feeds 255+ independent
+      // per-table jobs per x05 run, and EVERY one of those jobs
+      // re-serialized the store's full lineage (zip parse → dedup agg →
+      // map agg → joins) into its task binary on the single-threaded
+      // DAGScheduler event loop — measured r18: 255 pooled noop builds
+      // over the plain persisted store 4.1–6.0 s vs 1.3 s over the
+      // checkpointed one, identical rows. localCheckpoint materializes
+      // the 8k-row store eagerly and replaces the lineage with the
+      // checkpoint blocks, so each per-table job ships a scan of a
+      // leaf RDD. A cluster deployment with lineage-sensitive fault
+      // tolerance uses reliable checkpoint()/write-back instead — same
+      // §3.3 move, durable edition.
+      FactTableBuilder.groupedStore(tables, fs.facts, fs.contexts, fs.meta)
+        .localCheckpoint()
+    }
+
   /** x01: distributed parse of the ferc1 2021 filings archive — one
     * summary row per filing (context/fact counts by period type,
     * report date).
@@ -193,20 +216,25 @@ object XbrlQueries {
     * 255 numbers, not a query result) instead of re-running the
     * explode+distinct estimation pass on every x05 write run.
     */
-  private val rowEstimatesCache =
-    scala.collection.mutable.LinkedHashMap.empty[SparkSession, Map[String, Long]]
+  // keyed by (session, store REFERENCE) — r18, ADVICE r17: the estimate
+  // is metadata OF a specific store instance; keying by session alone
+  // could serve stale file-sizing counts if the session-cached store
+  // were ever rebuilt within one session. Same identity as the
+  // SharedIndex entry the store comes from, so the two cannot diverge.
+  private val rowEstimatesCache = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, org.apache.spark.sql.DataFrame), Map[String, Long]]
 
   private def rowEstimates(s: SparkSession, store: org.apache.spark.sql.DataFrame):
       Map[String, Long] = synchronized {
-    rowEstimatesCache.get(s) match {
+    rowEstimatesCache.get((s, store)) match {
       case Some(m) => m
       case None =>
         while (rowEstimatesCache.size >= MaxSessions)
           rowEstimatesCache.remove(
-            rowEstimatesCache.keys.find(_.sparkContext.isStopped)
+            rowEstimatesCache.keys.find(_._1.sparkContext.isStopped)
               .getOrElse(rowEstimatesCache.head._1))
         val m = graft.XbrlExtract.estimateTableRows(s, tables, store)
-        rowEstimatesCache.put(s, m)
+        rowEstimatesCache.put((s, store), m)
         m
     }
   }
@@ -221,10 +249,7 @@ object XbrlQueries {
       s"${System.getProperty("java.io.tmpdir")}/graft_x05_datapackage")
     val scope = s"$base/${s.sparkContext.applicationId}"
     val run = x05Runs.incrementAndGet()
-    val store = SharedIndex(s, "xbrl", "grouped_fact_store") {
-      val fs = filings(s)
-      FactTableBuilder.groupedStore(tables, fs.facts, fs.contexts, fs.meta)
-    }
+    val store = sharedStore(s)
     // pool sized to the session's cores (floor 16): the per-table jobs
     // are single-task writes over the tiny cached store, so the pool
     // width IS the write concurrency — 16 on a 32-core session left
